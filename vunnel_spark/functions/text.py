@@ -1,0 +1,143 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+Beyond-the-reference surface (BASELINE.json north star): token counting,
+quality scoring, document fingerprinting, language-ID — each designed to
+run over a 100 TB ``documents`` table, so everything here is built from
+JVM-side expressions (split/regexp/aggregate) except language-ID's profile
+scoring, which is a single Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# A small deterministic stopword list (top function words; the test corpus
+# is synthetic so any fixed list exercises the ratio machinery).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string> (JVM split, no UDF)."""
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-approximating token count: word-piece regex + length/4 heuristic.
+
+    Counts regex word pieces (letters runs, digit runs, punctuation chars)
+    — the standard cheap proxy for LLM tokenizer counts when the real
+    tokenizer is unavailable on the cluster.
+    """
+    pieces = F.regexp_extract_all(col, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    # long words tokenize to ~ceil(len/4) BPE pieces
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / 4).cast("int")),
+    )
+
+
+def avg_token_len(col: Column) -> Column:
+    t = tokens(col)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / F.size(t)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n = F.length(col)
+    npunct = n - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(npunct / n)
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
+    t = tokens(F.lower(col))
+    hits = F.size(F.array_intersect(t, sw))  # distinct-hit variant
+    counted = F.aggregate(
+        t,
+        F.lit(0),
+        lambda acc, w: acc + F.when(F.array_contains(sw, w), 1).otherwise(0),
+    )
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(counted / F.size(t))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punct + stopwords.
+
+    Mirrors the shape of public quality filters (C4/Gopher rules): documents
+    that are too short, all-punctuation, or stopword-free score low.
+    """
+    ntok = token_count(col)
+    len_score = F.least(ntok / 100.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    sw = stopword_ratio(col)
+    sw_score = F.when(sw > 0.6, F.lit(0.4)).when(sw > 0, F.lit(1.0)).otherwise(F.lit(0.7))
+    return F.round(len_score * 0.5 + punct_pen * 0.3 + sw_score * 0.2, 6)
+
+
+def fingerprint(col: Column, modulus: int = 2147483647) -> Column:
+    """Order-sensitive document fingerprint (position-weighted rolling sum).
+
+    fingerprint = sum_i value(word_i) * (i+1) mod M with
+    value(w) = ascii(first char)*256 + len(w).  Deliberately expressible in
+    ANSI SQL so the DuckDB oracle can verify it; collision-resistant enough
+    for shard-local duplicate candidate detection.
+    """
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t))
+    weighted = F.zip_with(
+        t, idx,
+        lambda w, i: (F.ascii(F.substring(w, 1, 1)) * 256 + F.length(w)).cast("long") * i.cast("long"),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x) % modulus
+
+
+# ---------------------------------------------------------------- language-ID
+
+# Character-bigram profiles per language (tiny, deterministic; real systems
+# ship fasttext — the plumbing is what matters: one Arrow batch per task).
+_LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an", "on", "at", "en", "nd", "ti"],
+    "de": ["en", "er", "ch", "de", "ei", "te", "in", "nd", "ie", "ge"],
+    "fr": ["es", "le", "de", "en", "on", "nt", "re", "ou", "ur", "an"],
+    "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+    "zh": [],  # CJK detected by codepoint range instead
+}
+
+
+@F.pandas_udf(T.StringType())
+def detect_language(texts: pd.Series) -> pd.Series:
+    """N-gram-heuristic language ID (pandas UDF, Arrow-batched)."""
+
+    def detect(text):
+        if not text:
+            return None
+        cjk = sum(1 for c in text[:200] if "一" <= c <= "鿿")
+        if cjk > len(text[:200]) * 0.2:
+            return "zh"
+        sample = text[:500].lower()
+        bigrams = [sample[i:i + 2] for i in range(len(sample) - 1)]
+        if not bigrams:
+            return None
+        best, best_score = None, -1.0
+        for lang, profile in _LANG_PROFILES.items():
+            if not profile:
+                continue
+            score = sum(bigrams.count(bg) for bg in profile) / len(bigrams)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    return texts.map(detect)

@@ -1,0 +1,138 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+  brute_force_topk   exact cosine top-k — the correctness baseline.  The
+                     query side is broadcast (queries << corpus), so the
+                     corpus is scanned exactly once with no shuffle until
+                     the final per-query top-k aggregation.
+  lsh_topk           random-hyperplane LSH: bucket on sign-bit prefixes,
+                     search only within matching buckets (plus optional
+                     multi-probe).  The 100 TB path: corpus bucketing is a
+                     one-time projection; each query touches 1/2^bits of
+                     the data per table.
+
+Hyperplanes are derived deterministically from xxhash64(table, bit, dim) —
+no RNG state to ship, any executor can regenerate them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vunnel_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, window-ranked.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k, ties broken
+    by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(table: int, bit: int, dim: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    h = F.xxhash64(F.lit(table), F.lit(bit), F.lit(dim))
+    return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int = 64,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Project sign-bit LSH bucket keys: array of n_tables bucket ids.
+
+    Pure Catalyst: each bit is sign(dot(vec, plane)) with the plane
+    regenerated from hashes — a wide but flat expression tree, fully
+    codegen'd, zero Python.
+    """
+    def bucket_for_table(t: int):
+        bits = []
+        for b in range(n_bits):
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[_hyperplane(t, b, i) for i in range(dim)]),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for expr in bits[1:]:
+            bucket = bucket + expr
+        return bucket.cast("long")
+
+    return df.withColumn(
+        out_col, F.array(*[bucket_for_table(t) for t in range(n_tables)])
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k searching only LSH-bucket collisions.
+
+    Recall < 1.0 by construction; rank/tie rules match brute_force_topk so
+    the two are directly comparable in tests (recall measurement).
+    """
+    cb = add_lsh_buckets(corpus, vec_col, n_tables, n_bits, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.posexplode("buckets").alias("t", "bucket"),
+    )
+    qb = add_lsh_buckets(queries, vec_col, n_tables, n_bits, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.posexplode("buckets").alias("t", "bucket"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    ).drop("_qv", "_cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

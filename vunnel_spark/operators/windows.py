@@ -1,0 +1,86 @@
+"""Window-shaped operators (SURVEY §2.6 W1-W5, §2.7 O1/O4).
+
+The reference implements these as Python loops with dict state; here each
+is one Window spec — a single shuffle on the partition key, then pure
+streaming evaluation within sorted partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def priority_pick(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    keep: str = "_rank",
+) -> DataFrame:
+    """Keep the single best row per key under an explicit priority ordering.
+
+    Mirrors the fix-date candidate pick (W1,
+    /root/reference/src/vunnel/tool/fixdate/finder.py:170-203) and the CSAF
+    "ael"-demotion pick (W2, csaf_parser.py:263-282): the subtle domain
+    rules live entirely in the ``order_by`` expression list.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(keep, F.row_number().over(w))
+        .filter(F.col(keep) == 1)
+        .drop(keep)
+    )
+
+
+def fill_down(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Propagate the last non-null value downward (W4 — the DSA text-parse
+    header fill, /root/reference/src/vunnel/providers/debian/parser.py:231-239).
+
+    ``last(ignorenulls).over(unboundedPreceding..current)`` — for a global
+    order pass ``partition_by=()`` (fine for file-sized data); at scale
+    always partition (e.g. by source file) so no single task sorts the world.
+    """
+    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Classic top-k per group (W5/O4) — row_number <= k."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Deterministic dedup (A12): explicit ordering decides the survivor.
+
+    The reference's INSERT OR IGNORE / OR REPLACE modes
+    (/root/reference/src/vunnel/result.py:227-238) both reduce to this with
+    an appropriate ordering (arrival asc = first-wins, desc = last-wins).
+    """
+    return priority_pick(df, keys, order_by)

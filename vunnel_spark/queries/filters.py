@@ -1,0 +1,196 @@
+"""Projection / filter / predicate operators (SURVEY §2.2 P1-P13).
+
+Each reference operator re-expressed over the driver tables.  All are pure
+Catalyst expressions — these exist to prove the predicate surface (regex,
+set membership, map lookup, CASE normalization, date parsing) and that each
+predicate reaches the parquet scan (verified via PushedFilters in explain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vunnel_spark.functions.dates import normalize_date
+from vunnel_spark.queries._util import t
+from vunnel_spark.registry import register
+
+
+@register(
+    "p1_regex_filter",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE regexp_matches(p_name, '^(red|cold) ')
+    """,
+    doc="P1 regex predicate filter (reference: keep ^CVE- ids, debian/parser.py:302)",
+    tags=("filter",),
+)
+def p1(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").rlike("^(red|cold) "))
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "p2_denylist_filter",
+    """
+    SELECT n_nationkey, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name NOT IN ('NATION_0', 'NATION_3', 'NATION_7')
+    GROUP BY n_nationkey
+    """,
+    doc="P2 namespace deny-list (reference: skip rhel:3/4, rhel/parser.py:96)",
+    tags=("filter",),
+)
+def p2(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation").filter(
+        ~F.col("n_name").isin("NATION_0", "NATION_3", "NATION_7")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "p3_allowlist_map_join",
+    """
+    SELECT c_custkey, m.relno
+    FROM customer
+    JOIN (VALUES ('NATION_1', 1), ('NATION_2', 2), ('NATION_5', 5)) AS m(nname, relno)
+      ON c_nationkey = CAST(replace(m.nname, 'NATION_', '') AS INT)
+    """,
+    doc="P3 release allow-list projection via broadcast map join (debian codename map, debian/parser.py:28-39)",
+    tags=("filter", "join"),
+)
+def p3(spark, sf_dir):
+    allow = spark.createDataFrame(
+        [("NATION_1", 1), ("NATION_2", 2), ("NATION_5", 5)], "nname string, relno int"
+    ).withColumn("nkey", F.replace(F.col("nname"), F.lit("NATION_"), F.lit("")).cast("int"))
+    return (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(allow), F.col("c_nationkey") == F.col("nkey"))
+        .select("c_custkey", "relno")
+    )
+
+
+@register(
+    "p5_fixstate_projection",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'fixed'
+                              WHEN 'O' THEN 'open'
+                              WHEN 'P' THEN 'pending'
+                              ELSE 'unknown' END AS fix_state
+    FROM orders
+    """,
+    doc="P5 fix-state semantics projection (rhel/parser.py:702-752 state mapping)",
+    tags=("filter",),
+)
+def p5(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "fixed")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "P", "pending")
+        .otherwise("unknown")
+        .alias("fix_state"),
+    )
+
+
+@register(
+    "p6_regex_antifilter",
+    """
+    SELECT p_brand, count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE NOT regexp_matches(p_name, 'bolt')
+    GROUP BY p_brand
+    """,
+    doc="P6 ksplice-style regex anti-filter on joined fact (oracle/parser.py:145-201)",
+    tags=("filter", "join"),
+)
+def p6(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(~F.col("p_name").rlike("bolt"))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "p8_severity_normalization",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'Critical'
+                WHEN o_orderpriority = '2-HIGH' THEN 'High'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'Medium'
+                WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'Unknown'
+                WHEN o_orderpriority = '5-LOW' THEN 'Low'
+                ELSE 'Unknown' END AS severity
+    FROM orders
+    """,
+    doc="P8 severity normalization CASE chain (rhel/parser.py:833-849)",
+    tags=("filter",),
+)
+def p8(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "Critical")
+        .when(F.col("o_orderpriority") == "2-HIGH", "High")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "Medium")
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "Unknown")
+        .when(F.col("o_orderpriority") == "5-LOW", "Low")
+        .otherwise("Unknown")
+        .alias("severity"),
+    )
+
+
+@register(
+    "p10_regex_classifier",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS base_item,
+           regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS variant
+    FROM part
+    WHERE regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) <> ''
+    """,
+    doc="P10 Pro->base regex classifier (ubuntu/parser.py:48-92)",
+    tags=("filter",),
+)
+def p10(spark, sf_dir):
+    pat = r"^(\w+) (\w+)$"
+    df = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_name", pat, 2).alias("base_item"),
+        F.regexp_extract("p_name", pat, 1).alias("variant"),
+    )
+    return df.filter(F.col("base_item") != "")
+
+
+@register(
+    "p13_date_normalization",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS norm_date
+    FROM orders
+    """,
+    doc="P13 multi-format date normalization -> YYYY-MM-DD (utils/date.py:6-12); "
+        "round-trips through strings in 2 formats to exercise try_to_timestamp chain",
+    tags=("filter", "scalar"),
+)
+def p13(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    # format dates as heterogeneous strings, then normalize back
+    raw = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .alias("raw_date"),
+    )
+    return raw.select("o_orderkey", normalize_date(F.col("raw_date")).alias("norm_date"))

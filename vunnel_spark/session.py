@@ -1,0 +1,87 @@
+"""SparkSession factory.
+
+Tuned for the local[N] test harness but with settings that transfer to a
+real cluster: AQE on (runtime re-planning, skew-join handling, partition
+coalescing), UTC session timezone (required for oracle comparison and for
+any cross-timezone cluster), Arrow enabled for the Pandas-UDF slow path.
+
+At cluster scale the only knobs that change are shuffle partitions
+(~2-3x total cores) and memory sizing; the plans themselves are
+partition-count agnostic because AQE coalesces post-shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "vunnel_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    Notes on choices:
+    - ``spark.sql.shuffle.partitions`` = cores for local mode.  On a real
+      cluster this would be 2-3x total executor cores; AQE's partition
+      coalescing makes the exact value non-critical.
+    - AQE enabled: converts sort-merge joins to broadcast at runtime when a
+      side turns out small, splits skewed partitions, coalesces tiny ones.
+    - session timezone pinned to UTC so timestamp semantics are stable and
+      match the DuckDB oracle (duckdb timestamps are UTC-naive).
+    """
+    n = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", n)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Spark cannot read TIMESTAMP(NANOS) parquet natively; read the raw
+        # int64 nanos and convert (load_tables) — matches duckdb's ns→µs trunc
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load every test table in ``sf_dir`` and register temp views.
+
+    Returns ``{name: DataFrame}``.  Reads are lazy; registering views lets
+    query code use either the DataFrame API or spark.sql on the same names.
+    """
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+            out[name].createOrReplaceTempView(name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one test table, normalizing driver-data quirks.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark reads as int64
+    nanos (legacy.parquet.nanosAsLong); convert to a µs timestamp with
+    truncation — identical to duckdb's ns→µs narrowing.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
