@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: run headline queries at $SPARK_GRAFT_SF_DIR and print
+one JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the flagship TPC-H-shaped plans plus one representative per
+heavy operator family (dedup, similarity, events windowing) when present.
+Each query is fully materialized via a count-collecting action so the
+measured time includes the whole plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline queries, run in this order if registered
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_revenue_forecast",
+    "tpch_q10_returned_items",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "n1_ann_bruteforce_topk",
+    "v1_tumbling_window_counts",
+    "x1_token_count_stats",
+]
+
+
+def main() -> None:
+    from vunnel_spark.registry import all_queries
+    from vunnel_spark.session import get_spark
+
+    spark = get_spark("vunnel_spark_bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    times: dict[str, float] = {}
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.count()  # full materialization of the plan
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,10 @@ _FORMATS = [
     "yyyy-MM-dd",
     "yyyy/MM/dd",
     "dd MMM yyyy",
-    "EEE, dd MMM yyyy HH:mm:ss zzz",  # RFC-2822 (HTTP Retry-After dates)
+    # NOTE: RFC-2822 ("EEE, dd MMM yyyy HH:mm:ss zzz") is deliberately NOT in
+    # this list — Spark >=3 rejects textual day-of-week patterns at analysis
+    # time (DATETIME_PATTERN_RECOGNITION), which would fail the whole chain.
+    # RFC-2822 and other exotic formats go through the dateutil fallback UDF.
 ]
 
 

@@ -3,19 +3,21 @@
 Each module covers one SURVEY.md §2 operator family; query names are
 prefixed with the survey operator ids they exercise (p1_, j5_, a3_, w1_...)
 so the judge can line them up with the inventory.
+
+Discovery is dynamic (pkgutil) so the package can never drift out of sync
+with the modules actually on disk — a missing module is simply not loaded
+instead of killing every registry consumer with ImportError.
 """
 
-from vunnel_spark.queries import (  # noqa: F401
-    aggregates,
-    dedup,
-    events,
-    explode,
-    filters,
-    joins,
-    scalars,
-    setops,
-    similarity,
-    text,
-    tpch,
-    windows,
-)
+from __future__ import annotations
+
+import importlib
+import pkgutil
+
+__all__: list[str] = []
+
+for _mod in pkgutil.iter_modules(__path__):
+    if _mod.name.startswith("_"):
+        continue
+    importlib.import_module(f"{__name__}.{_mod.name}")
+    __all__.append(_mod.name)

@@ -77,8 +77,10 @@ def q3(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
+        # customer/orders scale with SF — no broadcast hint; AQE converts to
+        # broadcast at runtime iff the filtered side is actually small.
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -116,10 +118,12 @@ def q5(spark, sf_dir):
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
     return (
+        # customer/supplier scale with SF — leave broadcast decisions to AQE;
+        # only true dims (nation/region) keep explicit hints.
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -186,8 +190,9 @@ def q10(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = t(spark, sf_dir, "nation")
     return (
+        # customer scales with SF — no hint (AQE decides); nation is a dim.
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
