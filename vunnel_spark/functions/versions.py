@@ -182,19 +182,27 @@ def _dpkg_char_key(c: str) -> str:
 
 
 def _dpkg_part_key(part: str) -> str:
-    out = []
+    # canonical pair list: [(nondigit_run, number), ...]; trailing ("", 0)
+    # pairs are no-ops under dpkg comparison ("1.0" vs "1.0" + "" runs, and
+    # "" == "0") and must be trimmed so equal versions get equal keys.
+    pairs = []
     s = part
     while s:
         nond = _R_NONDIGIT.match(s).group(0)
         s = s[len(nond):]
+        dig = _R_DIGIT.match(s).group(0)
+        s = s[len(dig):]
+        pairs.append((nond, int(dig or "0")))
+    while pairs and pairs[-1] == ("", 0):
+        pairs.pop()
+    out = []
+    for nond, num in pairs:
         for c in nond:
             out.append(_dpkg_char_key(c))
         out.append(_TERM)  # end of non-digit run (sorts before any char)
-        dig = _R_DIGIT.match(s).group(0)
-        s = s[len(dig):]
-        digits = dig.lstrip("0")
+        digits = str(num) if num else ""
         out.append(format(len(digits), "04x") + digits.encode().hex())
-    # trailing: one empty non-digit run + zero number so prefixes terminate
+    # trailing empty-run terminator so a prefix part sorts below its extension
     out.append(_TERM)
     return "".join(out)
 
@@ -211,7 +219,10 @@ def dpkg_sort_key_str(version: str) -> str:
     ep = str(int(epoch)) if epoch.isdigit() else "0"
     ep_digits = "" if ep == "0" else ep
     ep_key = format(len(ep_digits), "04x") + ep_digits.encode().hex()
-    return ep_key + _dpkg_part_key(upstream) + "||" + _dpkg_part_key(revision)
+    # "!" (0x21) sorts below every hex char, so when one upstream key is a
+    # strict prefix of another (only the empty-part case) the shorter+sep
+    # still sorts first — "||" (0x7c) sorted ABOVE hex and broke this.
+    return ep_key + _dpkg_part_key(upstream) + "!" + _dpkg_part_key(revision)
 
 
 def _dpkg_cmp_part(a: str, b: str) -> int:
@@ -288,23 +299,72 @@ def apk_sort_key_str(version: str) -> str:
     out.append(_TERM)
     letter = m.group("letter")
     out.append(_ALPHA + letter.encode().hex() if letter else _TERM)
-    sufs = [s for s in (m.group("sufs") or "").split("_") if s]
-    if sufs:
-        for s in sufs:
-            sm = re.match(r"([a-z]+)([0-9]*)", s)
-            rank = _APK_SUFFIX_RANK.get(sm.group(1), 4)
-            num = int(sm.group(2) or "0")
-            out.append(format(rank, "02x") + format(num, "08x"))
-    else:
-        out.append(format(_APK_SUFFIX_RANK[None], "02x") + format(0, "08x"))
-    rev = int(m.group("rev") or "0")
-    out.append(format(rev, "08x"))
+    for rank, num in _apk_suffixes(m.group("sufs")):
+        out.append(format(rank, "02x") + _numkey(num))
+    # terminator: the None-rank sentinel closes the suffix list, so
+    # "1.0_rc1" ([rc]) > "1.0_rc1_alpha1" ([rc, alpha]) — a trailing
+    # pre-release suffix is OLDER per apk-tools — and suffix bytes can
+    # never run into revision bytes.
+    out.append(format(_APK_SUFFIX_RANK[None], "02x") + _numkey(0))
+    out.append(_numkey(int(m.group("rev") or "0")))
     return "".join(out)
 
 
+def _numkey(n: int) -> str:
+    """Length-prefixed decimal encoding: string order == numeric order."""
+    digits = str(n) if n else ""
+    return format(len(digits), "04x") + digits.encode().hex()
+
+
+def _apk_suffixes(sufs: str | None) -> list[tuple[int, int]]:
+    out = []
+    for s in (sufs or "").split("_"):
+        if not s:
+            continue
+        sm = re.match(r"([a-z]+)([0-9]*)", s)
+        out.append((_APK_SUFFIX_RANK.get(sm.group(1), 4), int(sm.group(2) or "0")))
+    return out
+
+
 def apk_vercmp(a: str, b: str) -> int:
-    ka, kb = apk_sort_key_str(a), apk_sort_key_str(b)
-    return 0 if ka == kb else (-1 if ka < kb else 1)
+    """Independent apk-tools ordering comparator (property-test oracle).
+
+    Implements the public apk version grammar directly (parse → compare
+    fields) rather than delegating to the encoded key, so the property
+    ``sign(apk_vercmp(a,b)) == sign(key(a) vs key(b))`` is a real check.
+    """
+    ma = _R_APK.match((a or "").strip())
+    mb = _R_APK.match((b or "").strip())
+    if not ma or not mb:
+        if not ma and not mb:
+            return 0 if (a or "") == (b or "") else (-1 if (a or "") < (b or "") else 1)
+        return -1 if not ma else 1  # invalid sorts low
+    na = [int(x) for x in ma.group("nums").split(".")]
+    nb = [int(x) for x in mb.group("nums").split(".")]
+    for i in range(max(len(na), len(nb))):
+        va = na[i] if i < len(na) else None
+        vb = nb[i] if i < len(nb) else None
+        if va is None or vb is None:
+            return -1 if va is None else 1  # shorter digit list is older
+        if va != vb:
+            return -1 if va < vb else 1
+    la, lb = ma.group("letter"), mb.group("letter")
+    if (la is None) != (lb is None):
+        return -1 if la is None else 1  # no letter is older
+    if la != lb:
+        return -1 if la < lb else 1
+    sa, sb = _apk_suffixes(ma.group("sufs")), _apk_suffixes(mb.group("sufs"))
+    none_entry = (_APK_SUFFIX_RANK[None], 0)
+    for i in range(max(len(sa), len(sb)) + 1):
+        ea = sa[i] if i < len(sa) else none_entry
+        eb = sb[i] if i < len(sb) else none_entry
+        if ea != eb:
+            return -1 if ea < eb else 1
+    ra = int(ma.group("rev") or "0")
+    rb = int(mb.group("rev") or "0")
+    if ra != rb:
+        return -1 if ra < rb else 1
+    return 0
 
 
 # ------------------------------------------------------------- pandas UDFs
