@@ -25,6 +25,10 @@ def canon(v) -> str:
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if hasattr(v, "asDict"):  # pyspark Row (struct) — compare key-sorted
+        v = v.asDict()
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)

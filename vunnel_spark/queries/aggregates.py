@@ -1,0 +1,271 @@
+"""Aggregation operators (SURVEY §2.5 A1-A14 + generalized rollups).
+
+Record assembly (collect_list of structs), max-by-custom-order reductions
+(the consumer of the version sort-key encoders), dedup modes, and the
+generalized cube/rollup surface the reference lacks but a Spark engine
+gets for free.
+
+Scale notes: every groupBy here is a partial (map-side) + final aggregate —
+verified via .explain() showing HashAggregate pairs; collect_list queries
+group on the table's natural key so the shuffle moves each row once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vunnel_spark.queries._util import t
+from vunnel_spark.registry import register
+
+
+@register(
+    "a1_record_assembly",
+    """
+    SELECT l_orderkey,
+           list_sort(list(l_partkey || '@' || CAST(l_quantity AS INT))) AS fixed_in,
+           count(*) AS n_pkgs
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="A1 FixedIn[] record assembly per vuln id (wolfi/parser.py:198-255): "
+        "groupBy(id).agg(sorted collect_list) — deterministic O2 ordering",
+    tags=("agg",),
+)
+def a1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    entry = F.concat_ws("@", F.col("l_partkey"), F.col("l_quantity").cast("int"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(entry)).alias("fixed_in"),
+        F.count(F.lit(1)).alias("n_pkgs"),
+    )
+
+
+@register(
+    "a2_severity_max_merge",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderpriority,
+                   CASE o_orderpriority WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+                        WHEN '3-MEDIUM' THEN 3 WHEN '5-LOW' THEN 2 ELSE 1 END) AS top_severity
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="A2 severity max-merge via rank (utils/vulnerability.py:10-17): "
+        "max_by(severity, severity_rank)",
+    tags=("agg",),
+)
+def a2(spark, sf_dir):
+    rank = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 5)
+        .when(F.col("o_orderpriority") == "2-HIGH", 4)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "5-LOW", 2)
+        .otherwise(1)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max_by("o_orderpriority", rank).alias("top_severity"))
+    )
+
+
+@register(
+    "a3_maxby_rpm_version",
+    """
+    SELECT l_suppkey, ver AS newest FROM (
+      SELECT l_suppkey, ver,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY qty DESC, line DESC,
+                                         (rc = 0) DESC, rc DESC) AS rn
+      FROM (
+        SELECT l_suppkey, l_linenumber AS line, CAST(l_quantity AS INT) AS qty,
+               CAST(l_orderkey % 4 AS INT) AS rc,
+               CAST(l_quantity AS INT) || '.' || l_linenumber ||
+                 CASE WHEN l_orderkey % 4 = 0 THEN ''
+                      ELSE '~rc' || CAST(l_orderkey % 4 AS VARCHAR) END AS ver
+        FROM lineitem))
+    WHERE rn = 1
+    """,
+    doc="A3 max-by-rpm-version reduction (rhel/parser.py:580-614): versions "
+        "synthesized as qty.line[~rcN]; Spark side sorts by the rpm sort-key "
+        "encoding (functions/versions.py F1), oracle by the equivalent "
+        "numeric tuple — hash-match proves the encoder is order-preserving",
+    tags=("agg", "udf"),
+)
+def a3(spark, sf_dir):
+    from vunnel_spark.functions.versions import rpm_sort_key
+
+    li = t(spark, sf_dir, "lineitem")
+    ver = F.concat(
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit("."),
+        F.col("l_linenumber").cast("string"),
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("~rc"), (F.col("l_orderkey") % 4).cast("string"))
+        ),
+    )
+    return (
+        li.withColumn("ver", ver)
+        .withColumn("_vkey", rpm_sort_key(F.col("ver")))
+        .groupBy("l_suppkey")
+        .agg(F.max_by("ver", F.col("_vkey")).alias("newest"))
+    )
+
+
+@register(
+    "a6_vulnerable_range_construction",
+    """
+    SELECT l_orderkey,
+           string_agg('< ' || CAST(l_partkey AS VARCHAR), ' || ' ORDER BY l_partkey) AS vulnerable_range
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    GROUP BY l_orderkey
+    """,
+    doc="A6 OR'd vulnerable-range string from ascending per-base fixes "
+        "(rhel/parser.py:1120-1152): sort_array(collect_list) + concat_ws",
+    tags=("agg",),
+)
+def a6(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(F.col("l_partkey"))).alias("_parts"))
+        .select(
+            "l_orderkey",
+            F.concat_ws(
+                " || ", F.transform("_parts", lambda p: F.concat(F.lit("< "), p.cast("string")))
+            ).alias("vulnerable_range"),
+        )
+    )
+
+
+@register(
+    "a11_duplicate_id_detection",
+    """
+    SELECT l_orderkey || '/' || l_partkey AS dup_key, count(*) AS n
+    FROM lineitem
+    GROUP BY dup_key HAVING count(*) > 1
+    """,
+    doc="A11 duplicate-id detection (rhel/parser.py:289-299): "
+        "groupBy(id).count().filter(>1)",
+    tags=("agg",),
+)
+def a11(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.concat_ws("/", "l_orderkey", "l_partkey").alias("dup_key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "a12_dedup_on_write",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber AS kept_line FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                ORDER BY l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn = 1
+    """,
+    doc="A12 dedup-on-write, first-wins mode (result.py:227-238 INSERT OR "
+        "IGNORE): deterministic survivor via dedup_keep_first helper",
+    tags=("agg", "window"),
+)
+def a12(spark, sf_dir):
+    from vunnel_spark.operators.windows import dedup_keep_first
+
+    li = t(spark, sf_dir, "lineitem")
+    kept = dedup_keep_first(li, ["l_orderkey", "l_partkey"], [F.col("l_linenumber")])
+    return kept.select("l_orderkey", "l_partkey", F.col("l_linenumber").alias("kept_line"))
+
+
+@register(
+    "a13_lexicographic_max",
+    """
+    SELECT p_brand, arg_max(p_name, p_name) AS max_name
+    FROM part GROUP BY p_brand
+    """,
+    doc="A13 duplicate-definition keep-higher-version (oracle/oval_parser.py:"
+        "186-206): max_by on a lexicographic version column",
+    tags=("agg",),
+)
+def a13(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.max_by("p_name", F.col("p_name")).alias("max_name"))
+    )
+
+
+@register(
+    "a14_metrics_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="A14 advisory metrics rollup (debian/parser.py:404-444) generalized "
+        "to a real ROLLUP — multi-level aggregates in one shuffle pass",
+    tags=("agg",),
+)
+def a14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "a15_cube_counts",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Generalized CUBE aggregate (SURVEY §2.5 note: free in Spark, part "
+        "of the generalized analytics surface mandate)",
+    tags=("agg",),
+)
+def a15(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "a16_approx_count_distinct",
+    None,  # approximate by construction — no exact SQL oracle (rows-only)
+    doc="Generalized approx_count_distinct (HLL++) per group — the 100 TB "
+        "path for cardinality estimation; rows-only check (approximate)",
+    tags=("agg",),
+)
+def a16(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )

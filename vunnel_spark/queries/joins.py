@@ -1,0 +1,284 @@
+"""Join-family operators (SURVEY §2.4 J1-J14).
+
+The reference's core semantics are hand-built hash joins over dicts; here
+each becomes a declarative join whose physical strategy Catalyst/AQE picks.
+Scale notes per query:
+- literal dims are broadcast-hinted; SF-scaling sides are left to AQE;
+- anti-joins shuffle only the (small) distinct key set of the right side;
+- priority picks are one window shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vunnel_spark.queries._util import t
+from vunnel_spark.registry import register
+
+
+@register(
+    "j1_theta_startswith_join",
+    """
+    SELECT p_partkey, pfx
+    FROM part JOIN (VALUES ('red'), ('small'), ('large')) AS v(pfx)
+      ON starts_with(p_name, pfx)
+    """,
+    doc="J1 theta-condition join: platform-CPE startswith lookup "
+        "(rhel/csaf_parser.py:134-282 FPI startswith(ar_cpe)); broadcast the "
+        "literal dim, theta condition evaluated post-broadcast (no shuffle)",
+    tags=("join",),
+)
+def j1(spark, sf_dir):
+    pfx = spark.createDataFrame([("red",), ("small",), ("large",)], "pfx string")
+    return (
+        t(spark, sf_dir, "part")
+        .join(F.broadcast(pfx), F.col("p_name").startswith(F.col("pfx")))
+        .select("p_partkey", "pfx")
+    )
+
+
+@register(
+    "j2_leftjoin_collect_advisories",
+    """
+    SELECT o_orderkey,
+           COALESCE(list_sort(list(l_partkey || ':' || CAST(l_quantity AS INT))
+                              FILTER (WHERE l_partkey IS NOT NULL)), []) AS advisories
+    FROM orders LEFT JOIN lineitem
+      ON o_orderkey = l_orderkey AND l_returnflag = 'A'
+    GROUP BY o_orderkey
+    """,
+    doc="J2 CVE-to-DSA advisory left join + per-key list assembly "
+        "(debian/parser.py:109-137, 245-274): unmatched keys get []",
+    tags=("join", "agg"),
+)
+def j2(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    adv = F.concat_ws(":", F.col("l_partkey"), F.col("l_quantity").cast("int"))
+    return (
+        t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(F.array_sort(F.collect_list(adv)).alias("advisories"))
+    )
+
+
+@register(
+    "j5_rejection_antijoin",
+    """
+    SELECT l.l_orderkey, count(*) AS n_kept
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem r
+      WHERE r.l_returnflag = 'R'
+        AND r.l_orderkey = l.l_orderkey AND r.l_partkey = l.l_partkey)
+    GROUP BY l.l_orderkey
+    """,
+    doc="J5 rejected-(pkg,cve)-pair anti-join (alpine/parser.py:243-273): "
+        "left_anti on 2-col key; right side reduced to distinct keys first",
+    tags=("join",),
+)
+def j5(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    rejections = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey").distinct()
+    )
+    return (
+        li.join(rejections, ["l_orderkey", "l_partkey"], "left_anti")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "j8_override_merge",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, [o_orderstatus, 'base'] AS refs
+      FROM orders
+    ), ovr AS (
+      SELECT o_orderkey, 'OVERRIDDEN' AS new_priority,
+             ['ovr-' || CAST(o_orderkey % 3 AS VARCHAR)] AS ovr_refs
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT b.o_orderkey,
+           COALESCE(v.new_priority, b.o_orderpriority) AS priority,
+           list_sort(list_distinct(list_concat(b.refs, COALESCE(v.ovr_refs, [])))) AS refs
+    FROM base b LEFT JOIN ovr v ON b.o_orderkey = v.o_orderkey
+    """,
+    doc="J8 NVD override patch join (nvd/manager.py:304-339): override doc "
+        "replaces the config field, set-unions reference lists by url",
+    tags=("join",),
+)
+def j8(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.array(F.col("o_orderstatus"), F.lit("base")).alias("refs"),
+    )
+    ovr = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("OVERRIDDEN").alias("new_priority"),
+            F.array(F.concat(F.lit("ovr-"), (F.col("o_orderkey") % 3).cast("string"))).alias("ovr_refs"),
+        )
+    )
+    return (
+        base.join(ovr, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("new_priority"), F.col("o_orderpriority")).alias("priority"),
+            F.array_sort(
+                F.array_union(F.col("refs"), F.coalesce(F.col("ovr_refs"), F.array()))
+            ).alias("refs"),
+        )
+    )
+
+
+@register(
+    "j9_fixdate_priority_pick",
+    """
+    SELECT o_orderkey, best_date, best_line FROM (
+      SELECT o_orderkey,
+             CAST(l_shipdate AS DATE) AS best_date, l_linenumber AS best_line,
+             row_number() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY (l_returnflag <> 'N'), l_shipdate, l_linenumber) AS rn
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate)
+    WHERE rn = 1
+    """,
+    doc="J9+W1 fix-date enrichment with candidate-priority pick "
+        "(tool/fixdate/finder.py:137-203): accurate-source-first ordering, "
+        "observation-cap filter, single best per key via one window",
+    tags=("join", "window"),
+)
+def j9(spark, sf_dir):
+    from vunnel_spark.operators.windows import priority_pick
+
+    cand = (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+    )
+    best = priority_pick(
+        cand,
+        ["o_orderkey"],
+        [(F.col("l_returnflag") != "N"), F.col("l_shipdate"), F.col("l_linenumber")],
+    )
+    return best.select(
+        "o_orderkey",
+        F.col("l_shipdate").cast("date").alias("best_date"),
+        F.col("l_linenumber").alias("best_line"),
+    )
+
+
+@register(
+    "j12_notfixed_suppression",
+    """
+    SELECT f.l_suppkey, count(*) AS n_fixed
+    FROM lineitem f
+    WHERE f.l_linestatus = 'F' AND NOT EXISTS (
+      SELECT 1 FROM lineitem n
+      WHERE n.l_returnflag = 'R'
+        AND n.l_orderkey = f.l_orderkey AND n.l_suppkey = f.l_suppkey)
+    GROUP BY f.l_suppkey
+    """,
+    doc="J12 not-fixed-trumps-fixed anti-join (rhel/parser.py:859-875): "
+        "fix rows suppressed when the same key appears in package_state",
+    tags=("join",),
+)
+def j12(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    not_fixed = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        li.filter(F.col("l_linestatus") == "F")
+        .join(not_fixed, ["l_orderkey", "l_suppkey"], "left_anti")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_fixed"))
+    )
+
+
+@register(
+    "j14_union_merge_priority",
+    """
+    SELECT rec_key, status, src FROM (
+      SELECT rec_key, status, src,
+             row_number() OVER (PARTITION BY rec_key ORDER BY pri) AS rn
+      FROM (
+        SELECT o_orderkey AS rec_key, o_orderstatus AS status, 'current' AS src, 1 AS pri
+        FROM orders
+        UNION ALL
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey
+                    ELSE o_orderkey + 10000000 END AS rec_key,
+               'L' AS status, 'legacy' AS src, 2 AS pri
+        FROM orders))
+    WHERE rn = 1
+    """,
+    doc="J14 legacy-results union-merge, current-wins on key "
+        "(debian/parser.py:495-618): unionByName + priority dedup window",
+    tags=("join", "setop"),
+)
+def j14(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    current = orders.select(
+        F.col("o_orderkey").alias("rec_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("current").alias("src"),
+        F.lit(1).alias("pri"),
+    )
+    legacy = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey"))
+        .otherwise(F.col("o_orderkey") + 10000000)
+        .alias("rec_key"),
+        F.lit("L").alias("status"),
+        F.lit("legacy").alias("src"),
+        F.lit(2).alias("pri"),
+    )
+    merged = current.unionByName(legacy)
+    w = Window.partitionBy("rec_key").orderBy("pri")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rec_key", "status", "src")
+    )
+
+
+@register(
+    "j7_anti_union_synthesis",
+    """
+    SELECT c_key, o_key, origin FROM (
+      SELECT o_custkey AS c_key, o_orderkey AS o_key, 'base' AS origin
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT p.o_custkey, p.o_orderkey, 'synth'
+      FROM orders p
+      WHERE p.o_orderpriority = '1-URGENT'
+        AND NOT EXISTS (SELECT 1 FROM orders b
+                        WHERE b.o_orderstatus = 'F' AND b.o_custkey = p.o_custkey))
+    """,
+    doc="J7 Pro-to-base inference merge (ubuntu/parser.py:95-158): anti-join "
+        "Pro rows vs base keys, synthesize missing entries, union into base",
+    tags=("join", "setop"),
+)
+def j7(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderstatus") == "F")
+    pro = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    synth = pro.join(
+        base.select("o_custkey").distinct(), "o_custkey", "left_anti"
+    ).select(
+        F.col("o_custkey").alias("c_key"),
+        F.col("o_orderkey").alias("o_key"),
+        F.lit("synth").alias("origin"),
+    )
+    base_rows = base.select(
+        F.col("o_custkey").alias("c_key"),
+        F.col("o_orderkey").alias("o_key"),
+        F.lit("base").alias("origin"),
+    )
+    return base_rows.unionByName(synth)

@@ -1,0 +1,165 @@
+"""Window-function operators (SURVEY §2.6 W1-W5, §2.7 O4).
+
+Each is one Window spec: a single shuffle on the partition key, then
+streaming evaluation within sorted partitions.  W1 (priority pick) is
+exercised by j9_fixdate_priority_pick; this module covers W2-W5 + top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vunnel_spark.queries._util import t
+from vunnel_spark.registry import register
+
+
+@register(
+    "w2_ael_demotion_pick",
+    """
+    SELECT o_custkey, o_orderkey AS picked, is_backup FROM (
+      SELECT o_custkey, o_orderkey,
+             (o_orderstatus <> 'F') AS is_backup,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY (o_orderstatus <> 'F'), o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+    doc="W2 ael-demotion pick (rhel/csaf_parser.py:263-282): first non-backup "
+        "candidate, else first backup — one boolean-first window ordering",
+    tags=("window",),
+)
+def w2(spark, sf_dir):
+    from vunnel_spark.operators.windows import priority_pick
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "is_backup", F.col("o_orderstatus") != "F"
+    )
+    picked = priority_pick(
+        orders, ["o_custkey"], [F.col("is_backup"), F.col("o_orderdate"), F.col("o_orderkey")]
+    )
+    return picked.select("o_custkey", F.col("o_orderkey").alias("picked"), "is_backup")
+
+
+@register(
+    "w3_newest_stream_canonical",
+    """
+    SELECT l_suppkey, l_returnflag, ver AS canonical FROM (
+      SELECT l_suppkey, l_returnflag, ver,
+             row_number() OVER (PARTITION BY l_suppkey, l_returnflag
+                                ORDER BY qty DESC, line DESC, rev DESC) AS rn
+      FROM (
+        SELECT l_suppkey, l_returnflag, CAST(l_quantity AS INT) AS qty,
+               l_linenumber AS line, CAST(l_orderkey % 5 AS INT) AS rev,
+               CAST(l_quantity AS INT) || '.' || l_linenumber || '-' ||
+                 CAST(l_orderkey % 5 AS VARCHAR) AS ver
+        FROM lineitem))
+    WHERE rn = 1
+    """,
+    doc="W3 newest-stream canonical fix (rhel/parser.py:596-599): top-1 by "
+        "dpkg-version order per (pkg, platform); Spark sorts by the dpkg "
+        "sort-key encoding (F2), oracle by the equivalent numeric tuple",
+    tags=("window", "udf"),
+)
+def w3(spark, sf_dir):
+    from vunnel_spark.functions.versions import dpkg_sort_key
+
+    li = t(spark, sf_dir, "lineitem")
+    ver = F.concat_ws(
+        "-",
+        F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber")),
+        (F.col("l_orderkey") % 5).cast("string"),
+    )
+    return (
+        li.withColumn("ver", ver)
+        .withColumn("_vkey", dpkg_sort_key(F.col("ver")))
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(F.max_by("ver", F.col("_vkey")).alias("canonical"))
+    )
+
+
+@register(
+    "w4_fill_down",
+    """
+    SELECT o_orderkey, o_custkey,
+           last_value(marker IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'hdr-' || CAST(o_orderkey AS VARCHAR) END AS marker
+      FROM orders)
+    """,
+    doc="W4 DSA header fill-down (debian/parser.py:231-239): "
+        "last(ignorenulls) over rowsBetween(unboundedPreceding, 0), "
+        "partitioned so no single task sorts the world",
+    tags=("window",),
+)
+def w4(spark, sf_dir):
+    from vunnel_spark.operators.windows import fill_down
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.concat(F.lit("hdr-"), F.col("o_orderkey").cast("string")),
+        ).alias("marker"),
+    )
+    filled = fill_down(orders, ["marker"], ["o_orderkey"], partition_by=["o_custkey"])
+    return filled.select("o_orderkey", "o_custkey", F.col("marker").alias("filled"))
+
+
+@register(
+    "w5_latest_entry_top1",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+    doc="W5 newest listing entry per schema version (distribution.py:64-83): "
+        "top-1 per group, deterministic tie-break",
+    tags=("window",),
+)
+def w5(spark, sf_dir):
+    from vunnel_spark.operators.windows import top_k_per_group
+
+    docs = t(spark, sf_dir, "documents")
+    return top_k_per_group(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], k=1
+    ).select("source", "doc_id", "n_chars")
+
+
+@register(
+    "o4_topk_per_group",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, price, rank FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(l_extendedprice, 2) AS price,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+      FROM lineitem)
+    WHERE rank <= 3
+    """,
+    doc="O4 general top-k per group (distribution.py:64-71 generalized): "
+        "row_number window, k=3 — at scale AQE splits skewed partitions",
+    tags=("window", "topk"),
+)
+def o4(spark, sf_dir):
+    from vunnel_spark.operators.windows import top_k_per_group
+
+    li = t(spark, sf_dir, "lineitem")
+    return top_k_per_group(
+        li,
+        ["l_suppkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3,
+    ).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        "rank",
+    )
