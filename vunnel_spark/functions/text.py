@@ -64,7 +64,6 @@ def punct_ratio(col: Column) -> Column:
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
     t = tokens(F.lower(col))
-    hits = F.size(F.array_intersect(t, sw))  # distinct-hit variant
     counted = F.aggregate(
         t,
         F.lit(0),

@@ -54,6 +54,69 @@ def duplicate_groups(df: DataFrame, content_col: str = "text", id_col: str = "do
     )
 
 
+def fingerprint_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling-hash-fingerprint dedup: cheap order-sensitive candidate pass.
+
+    Same shape as exact_dedup but keyed on the position-weighted fingerprint
+    (functions/text.py) instead of the content digest — catches documents
+    equal under the fingerprint (whitespace-normalized) without shuffling
+    full text.
+    """
+    from vunnel_spark.functions.text import fingerprint
+
+    return (
+        df.withColumn("_fp", fingerprint(F.col(content_col)))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .withColumnRenamed("_fp", "fingerprint")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets.
+
+    Candidate pairs come from random-hyperplane bucket collisions
+    (operators/similarity.py) — a self-equi-join on (table, bucket), never
+    a cross join; cosine is then scored only on candidates.
+    """
+    from vunnel_spark.functions.vectors import cosine
+    from vunnel_spark.operators.similarity import add_lsh_buckets
+
+    b = add_lsh_buckets(df, vec_col, n_tables, n_bits, dim).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.posexplode("buckets").alias("t", "bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+            F.col("x.vec").alias("_va"), F.col("y.vec").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def _word_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) distinct word-k-gram rows, built with JVM expressions.
 
@@ -188,8 +251,30 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    verified = ngram_jaccard_pairs(df, content_col, id_col, k, verify_threshold)
-    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Verify CANDIDATES ONLY: join the candidate pairs to per-doc shingle
+    # sets and score Jaccard with array_intersect — cost is O(|candidates|),
+    # never the full-corpus shingle self-join LSH exists to avoid.
+    sh = _word_shingles(df, content_col, id_col, k)
+    sets = sh.groupBy("id").agg(
+        F.collect_set("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh")
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("shset").alias("_sa"), F.col("n_sh").alias("n_a")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("shset").alias("_sb"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_common") / (F.col("n_a") + F.col("n_b") - F.col("_common")), 6),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_pairs(
@@ -211,30 +296,33 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(content_col)), r"\s+")).alias("w"),
     ).withColumn("h", F.xxhash64("w"))
-    bits = words.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"))
-    bitsum = (
-        bits.withColumn(
-            "v",
-            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    # 64 conditional-sum aggregates over the words frame: ONE shuffle keyed
+    # on id, no per-bit row explosion (the old 64x explode shuffled 64 rows
+    # per word — a 64x blowup at 100 TB).  Partial aggregation makes the
+    # map-side output 64 longs per id regardless of document length.
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    sums = words.groupBy("id").agg(*bit_sums)
+    simhash_expr = None
+    for b in range(64):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("id", "bit")
-        .agg(F.sum("v").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-    )
-    sim = bitsum.groupBy("id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("bit", "bitval"))),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.shiftleft(x["bitval"].cast("long"), x["bit"]),
-        ).alias("simhash")
-    )
+        term = F.shiftleft(bit, b)
+        simhash_expr = term if simhash_expr is None else simhash_expr.bitwiseOR(term)
+    sim = sums.select("id", simhash_expr.alias("simhash"))
     slices = sim.select(
         "id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("t"),
     ).withColumn(
+        # SQL shiftright accepts a column shift amount (the python F.shiftright doesn't)
         "slice",
-        F.shiftright(F.col("simhash"), F.col("t") * 16).bitwiseAND(F.lit(0xFFFF)),
+        F.expr("shiftright(simhash, t * 16)").bitwiseAND(F.lit(0xFFFF)),
     )
     a, b = slices.alias("a"), slices.alias("b")
     return (

@@ -1,0 +1,209 @@
+"""Deduplication queries over the ``documents`` table (LLM-pipeline surface).
+
+The driver corpus has no exact duplicates, so each query synthesizes a
+duplicated / near-duplicated variant set inside the query (and identically
+in the oracle) — the operators then have real work to do.
+
+Scale notes: every operator here shuffles on a derived small key (digest,
+fingerprint, band bucket, shingle); candidate verification joins touch
+candidates only (see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vunnel_spark.queries._util import t
+from vunnel_spark.registry import register
+
+# doc_id offset for synthesized duplicate rows (beyond any real doc_id)
+_DUP_BASE = 1_000_000
+
+
+def _with_exact_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies of every 5th doc (new ids)."""
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + _DUP_BASE
+    )
+    return docs.unionByName(dups)
+
+
+_EXACT_DUPS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_BASE} AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "d1_exact_dedup",
+    f"""
+    WITH corpus AS ({_EXACT_DUPS_SQL})
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM corpus GROUP BY text
+    """,
+    doc="Exact dedup: groupBy content digest, keep lowest id "
+        "(operators/dedup.py exact_dedup; 100 TB path groups on the 32-byte "
+        "sha256, raw text never shuffles twice)",
+    tags=("dedup",),
+)
+def d1(spark, sf_dir):
+    from vunnel_spark.operators.dedup import exact_dedup
+
+    docs = _with_exact_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return exact_dedup(docs)
+
+
+@register(
+    "d2_duplicate_groups",
+    f"""
+    WITH corpus AS ({_EXACT_DUPS_SQL})
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY text) AS keep_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_duplicate
+    FROM corpus
+    """,
+    doc="Duplicate-group mapping: every doc points at its representative "
+        "(operators/dedup.py duplicate_groups)",
+    tags=("dedup",),
+)
+def d2(spark, sf_dir):
+    from vunnel_spark.operators.dedup import duplicate_groups
+
+    docs = _with_exact_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return duplicate_groups(docs).select("doc_id", "keep_id", "is_duplicate")
+
+
+_NEAR_DUPS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_BASE} AS doc_id, text || ' spark' AS text
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _with_near_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ one-word-appended variants of every 5th doc."""
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _DUP_BASE).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+@register(
+    "d4_ngram_jaccard_pairs",
+    f"""
+    WITH corpus AS ({_NEAR_DUPS_SQL}),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
+    doc="Exact n-gram (3-shingle) Jaccard pairs at threshold 0.8 "
+        "(operators/dedup.py ngram_jaccard_pairs): pair generation is an "
+        "equi-join on shingle, never a cross join; near-dup variants "
+        "synthesized so true pairs exist",
+    tags=("dedup",),
+)
+def d4(spark, sf_dir):
+    from vunnel_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@register(
+    "d3_minhash_lsh_pairs",
+    None,  # LSH buckets derive from xxhash64 seeds — not SQL-portable
+    doc="MinHash(64) + banded LSH(16 bands) near-dup candidates, Jaccard-"
+        "verified on candidates only (operators/dedup.py minhash_lsh_pairs); "
+        "rows-only check, recall asserted vs exact pairs in tests/test_dedup.py",
+    tags=("dedup",),
+)
+def d3(spark, sf_dir):
+    from vunnel_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return minhash_lsh_pairs(docs, verify_threshold=0.8)
+
+
+@register(
+    "d5_simhash_pairs",
+    None,  # simhash bits derive from xxhash64 — not SQL-portable
+    doc="64-bit SimHash near-dup pairs, hamming<=3 via 16-bit slice "
+        "bucketing (operators/dedup.py simhash_pairs); single-shuffle "
+        "bit-sum aggregation (no per-bit explode)",
+    tags=("dedup",),
+)
+def d5(spark, sf_dir):
+    from vunnel_spark.operators.dedup import simhash_pairs
+
+    docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash_pairs(docs)
+
+
+@register(
+    "d6_fingerprint_dedup",
+    f"""
+    WITH corpus AS ({_EXACT_DUPS_SQL}),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ), weighted AS (
+      SELECT doc_id,
+             sum((ascii(w[i][1]) * 256 + len(w[i])) * CAST(i AS BIGINT)) AS s
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+      GROUP BY doc_id
+    )
+    SELECT s % 2147483647 AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM weighted GROUP BY s % 2147483647
+    """,
+    doc="Rolling-hash fingerprint dedup (operators/dedup.py "
+        "fingerprint_dedup; functions/text.py fingerprint): "
+        "position-weighted sum, SQL-expressible by design",
+    tags=("dedup",),
+)
+def d6(spark, sf_dir):
+    from vunnel_spark.operators.dedup import fingerprint_dedup
+
+    docs = _with_exact_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return fingerprint_dedup(docs)
+
+
+@register(
+    "d7_embedding_dup_pairs",
+    None,  # LSH bucket keys derive from xxhash64 hyperplanes
+    doc="Embedding-cosine near-dup pairs within random-hyperplane LSH "
+        "buckets (operators/dedup.py embedding_dup_pairs); cosine scored on "
+        "bucket-collision candidates only.  The driver corpus has no "
+        "high-cosine pairs (max ~0.43), so perturbed copies (x*1.02+0.005) "
+        "of every 5th vector are planted — the operator must find them",
+    tags=("dedup", "similarity"),
+)
+def d7(spark, sf_dir):
+    from vunnel_spark.operators.dedup import embedding_dup_pairs
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _DUP_BASE).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
+    )
+    return embedding_dup_pairs(emb.unionByName(planted), threshold=0.9)
