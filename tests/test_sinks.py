@@ -1,0 +1,94 @@
+"""Sink round-trip tests: write -> re-read -> content identical; dedup
+modes; first-observed merge idempotence; checksum listing tamper detection.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from vunnel_spark.session import load_table
+from vunnel_spark.sinks import EnvelopeWriter, first_observed_merge, write_checksum_listing
+from vunnel_spark.sinks.writers import envelope, validate_checksum_listing
+
+
+@pytest.fixture()
+def outdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_envelope_roundtrip(spark, sf_dir, outdir):
+    orders = load_table(spark, sf_dir, "orders")
+    env = envelope(orders, "schema/os/v1", "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    path = os.path.join(outdir, "results")
+    EnvelopeWriter(path, dedup=None).write(env)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == {"schema", "identifier", "item"}
+    # value round-trip on a sample key
+    row = back.filter(F.col("identifier") == "1").collect()[0]
+    src = orders.filter(F.col("o_orderkey") == 1).collect()[0]
+    assert row.item.o_totalprice == src.o_totalprice
+
+
+def test_dedup_modes(spark, outdir):
+    df = spark.createDataFrame(
+        [("a", 1, "first"), ("a", 2, "second"), ("b", 1, "only")],
+        "identifier string, seq int, payload string",
+    )
+    p_last = os.path.join(outdir, "last")
+    EnvelopeWriter(p_last, dedup="last_wins", order_col="seq").write(df)
+    last = {r.identifier: r.payload for r in spark.read.parquet(p_last).collect()}
+    assert last == {"a": "second", "b": "only"}
+
+    p_first = os.path.join(outdir, "first")
+    EnvelopeWriter(p_first, dedup="first_wins", order_col="seq").write(df)
+    first = {r.identifier: r.payload for r in spark.read.parquet(p_first).collect()}
+    assert first == {"a": "first", "b": "only"}
+
+
+def test_overwrite_swaps_atomically(spark, outdir):
+    path = os.path.join(outdir, "swap")
+    w = EnvelopeWriter(path, dedup=None)
+    w.write(spark.createDataFrame([("a",)], "identifier string"))
+    w.write(spark.createDataFrame([("b",), ("c",)], "identifier string"))
+    vals = {r.identifier for r in spark.read.parquet(path).collect()}
+    assert vals == {"b", "c"}
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_first_observed_merge_idempotent(spark, outdir):
+    path = os.path.join(outdir, "fixdates")
+    keys1 = spark.createDataFrame([("v1", "p1"), ("v2", "p1")], "vuln string, pkg string")
+    out1 = first_observed_merge(spark, path, keys1, ["vuln", "pkg"], today="2026-01-01")
+    assert out1.count() == 2
+
+    # re-merge same keys with a later 'today': dates must NOT change
+    out2 = first_observed_merge(spark, path, keys1, ["vuln", "pkg"], today="2026-02-02")
+    dates = {(r.vuln, r.pkg): str(r.first_observed) for r in out2.collect()}
+    assert set(dates.values()) == {"2026-01-01"}
+
+    # new key gets the new date; old keys keep theirs
+    keys2 = spark.createDataFrame([("v1", "p1"), ("v3", "p9")], "vuln string, pkg string")
+    out3 = first_observed_merge(spark, path, keys2, ["vuln", "pkg"], today="2026-03-03")
+    dates = {(r.vuln, r.pkg): str(r.first_observed) for r in out3.collect()}
+    assert dates[("v1", "p1")] == "2026-01-01"
+    assert dates[("v3", "p9")] == "2026-03-03"
+    assert len(dates) == 3
+
+
+def test_checksum_listing_detects_tamper(spark, outdir):
+    path = os.path.join(outdir, "data")
+    EnvelopeWriter(path, dedup=None).write(
+        spark.createDataFrame([("x", 1)], "identifier string, v int")
+    )
+    listing = os.path.join(outdir, "listing.json")
+    doc = write_checksum_listing(path, listing)
+    assert doc["files"] and validate_checksum_listing(path, listing)
+    # tamper with one data file -> validation must fail
+    victim = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    with open(os.path.join(path, victim), "ab") as f:
+        f.write(b"tamper")
+    assert not validate_checksum_listing(path, listing)

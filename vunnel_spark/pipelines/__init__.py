@@ -1,0 +1,6 @@
+"""Provider-style ETL pipelines: declarative DataFrame DAGs from source
+scan to envelope sink, mirroring the reference's provider model
+(/root/reference/src/vunnel/provider.py:115-180) as pure functions.
+"""
+
+from vunnel_spark.pipelines.secdb import secdb_pipeline  # noqa: F401

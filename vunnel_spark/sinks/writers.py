@@ -1,0 +1,178 @@
+"""Envelope sink + incremental merge + checksum listing.
+
+Reference parity targets:
+- S12 flat-file sink (result.py:86-110) / S13 SQLite batch-upsert sink
+  (result.py:119-302)  ->  ``EnvelopeWriter``: dedup modes + partitioned
+  Parquet + atomic staged-dir publish
+- A12 dedup-on-write modes (result.py:227-238): ``skip_duplicates`` ->
+  first-wins (INSERT OR IGNORE), default -> last-wins (INSERT OR REPLACE)
+- I4 first-observed state store (tool/fixdate/first_observed.py:35-63):
+  ``first_observed_merge`` — MERGE WHEN NOT MATCHED INSERT (key, today)
+- S16 checksum listing (workspace.py:234-284): ``write_checksum_listing``
+
+Scale notes: dedup is one window shuffle on the identifier; the write
+itself is partition-parallel.  The atomic publish (stage dir -> rename)
+keeps readers consistent without a table format; on a real deployment the
+same code path targets Delta/Iceberg where commit atomicity is native.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def envelope(df: DataFrame, schema_url: str, identifier_col: str, item_cols: Sequence[str]) -> DataFrame:
+    """Wrap rows in the reference's envelope shape
+    (result.py:33-37 Envelope{schema, identifier, item})."""
+    return df.select(
+        F.lit(schema_url).alias("schema"),
+        F.col(identifier_col).cast("string").alias("identifier"),
+        F.struct(*[F.col(c) for c in item_cols]).alias("item"),
+    )
+
+
+class EnvelopeWriter:
+    """Partitioned Parquet result store with dedup-on-write.
+
+    modes:
+      - ``overwrite``: stage + atomic swap (the reference's tmp-db + rename,
+        result.py:259-302)
+      - ``append``: plain append (per-run delta landing)
+
+    dedup:
+      - ``last_wins``  (INSERT OR REPLACE, result.py:95-99): highest
+        ``order_col`` survives
+      - ``first_wins`` (INSERT OR IGNORE, result.py:227-238): lowest wins
+      - ``None``: no dedup
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key: str = "identifier",
+        dedup: str | None = "last_wins",
+        order_col: str | None = None,
+        partition_by: Sequence[str] = (),
+    ):
+        self.path = path
+        self.key = key
+        self.dedup = dedup
+        self.order_col = order_col
+        self.partition_by = list(partition_by)
+
+    def _apply_dedup(self, df: DataFrame) -> DataFrame:
+        if not self.dedup:
+            return df
+        order = F.col(self.order_col) if self.order_col else F.monotonically_increasing_id()
+        if self.dedup == "last_wins":
+            order = order.desc()
+        w = Window.partitionBy(self.key).orderBy(order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        out = self._apply_dedup(df)
+        if mode == "append":
+            w = out.write.mode("append")
+            if self.partition_by:
+                w = w.partitionBy(*self.partition_by)
+            w.parquet(self.path)
+            return
+        # atomic publish: write to a stage dir, then swap into place
+        stage = f"{self.path}.__stage__{uuid.uuid4().hex[:8]}"
+        w = out.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(stage)
+        backup = f"{self.path}.__old__"
+        if os.path.exists(self.path):
+            os.rename(self.path, backup)
+        try:
+            os.rename(stage, self.path)
+        finally:
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """S14 keyed read-back: the table itself (filter for point lookups)."""
+        return spark.read.parquet(self.path)
+
+
+def first_observed_merge(
+    spark: SparkSession,
+    path: str,
+    observations: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str = "first_observed",
+    today: str | None = None,
+) -> DataFrame:
+    """I4 first-observed state store as a merge-on-miss Parquet table.
+
+    Semantics (tool/fixdate/first_observed.py:35-63): look up each key; on
+    miss, insert today's date; always return the (key, first_observed) map
+    covering every input key.  Idempotent per run: re-merging the same keys
+    never changes existing dates.
+    """
+    new_keys = observations.select(*key_cols).distinct()
+    today_col = F.lit(today).cast("date") if today else F.current_date()
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        misses = new_keys.join(existing.select(*key_cols), list(key_cols), "left_anti")
+        inserts = misses.withColumn(date_col, today_col)
+        merged = existing.unionByName(inserts)
+    else:
+        merged = new_keys.withColumn(date_col, today_col)
+    writer = EnvelopeWriter(path, key=key_cols[0], dedup=None)
+    writer.write(merged, mode="overwrite")
+    return spark.read.parquet(path)
+
+
+def write_checksum_listing(path: str, listing_path: str) -> dict:
+    """S16 checksum listing: sha256 per data file + digest-of-digests.
+
+    Mirrors workspace.py:234-284 (xxh64 file listing + tamper detection);
+    sorted filenames give a stable listing digest (O3).
+    """
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            if name.startswith(("_", ".")):
+                continue
+            fp = os.path.join(root, name)
+            h = hashlib.sha256()
+            with open(fp, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            entries.append({"file": os.path.relpath(fp, path), "sha256": h.hexdigest()})
+    entries.sort(key=lambda e: e["file"])
+    overall = hashlib.sha256()
+    for e in entries:
+        overall.update(e["sha256"].encode())
+    doc = {"files": entries, "digest": overall.hexdigest()}
+    with open(listing_path, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=True)
+    return doc
+
+
+def validate_checksum_listing(path: str, listing_path: str) -> bool:
+    """Re-hash and compare — True iff nothing was tampered."""
+    with open(listing_path) as f:
+        recorded = json.load(f)
+    tmp = listing_path + ".check"
+    try:
+        current = write_checksum_listing(path, tmp)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return current["digest"] == recorded["digest"]

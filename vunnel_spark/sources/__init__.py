@@ -1,0 +1,13 @@
+"""Explicit-schema source readers (SURVEY §2.1).
+
+Production rule: schema-on-read with EXPLICIT StructTypes, never inference
+(inference reads the data twice and drifts silently).  The fetch tier
+(HTTP retry, git clone, archive extract — S7-S11) stays driver-side plain
+Python by design; Spark reads the landing zone.
+"""
+
+from vunnel_spark.sources.readers import (  # noqa: F401
+    read_csv_with_comment_header,
+    read_jsonl,
+    read_nested_json,
+)

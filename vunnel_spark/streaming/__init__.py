@@ -1,0 +1,13 @@
+"""Structured Streaming wrappers (SURVEY §2.10 generalized surface).
+
+The reference is batch with incremental bookkeeping (I1-I6); the Spark
+engine exposes true event-time streaming: tumbling/sliding/session windows
+with watermarks.  Every transformation here is the SAME expression used by
+the batch queries in queries/events.py — one definition, two run modes.
+"""
+
+from vunnel_spark.streaming.windows import (  # noqa: F401
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
