@@ -269,3 +269,156 @@ def a16(spark, sf_dir):
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "a4_distinct_version_dedup",
+    """
+    SELECT l_suppkey, count(DISTINCT CAST(l_quantity AS INT) || '.' || l_linenumber)
+             AS n_distinct_versions,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="A4 distinct-version dedup within group (rhel/parser.py:566-571): "
+        "rows whose normalized version already exists in the bucket are "
+        "skipped — countDistinct on the normalized key",
+    tags=("agg",),
+)
+def a4(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ver = F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber"))
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct(ver).alias("n_distinct_versions"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "a5_per_base_canonical",
+    """
+    SELECT l_suppkey, base, ver AS canonical FROM (
+      SELECT l_suppkey, base, ver,
+             row_number() OVER (PARTITION BY l_suppkey, base
+                                ORDER BY qty DESC, line DESC, okey DESC) AS rn
+      FROM (
+        SELECT l_suppkey, CAST(l_partkey % 10 AS INT) AS base,
+               CAST(l_quantity AS INT) AS qty, l_linenumber AS line, l_orderkey AS okey,
+               CAST(l_quantity AS INT) || '.' || l_linenumber AS ver
+        FROM lineitem))
+    WHERE rn = 1
+    """,
+    doc="A5 per-upstream-base reduction + canonical pick "
+        "(rhel/parser.py:587-599): newest per (bucket, base) via one window "
+        "over the rpm-ordered key",
+    tags=("agg", "window"),
+)
+def a5(spark, sf_dir):
+    from vunnel_spark.functions.versions import rpm_sort_key
+    from vunnel_spark.operators.windows import priority_pick
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_partkey") % 10).cast("int").alias("base"),
+        F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber")).alias("ver"),
+        "l_orderkey",
+    )
+    keyed = li.withColumn("_vkey", rpm_sort_key(F.col("ver")))
+    best = priority_pick(
+        keyed, ["l_suppkey", "base"], [F.col("_vkey").desc(), F.col("l_orderkey").desc()]
+    )
+    return best.select("l_suppkey", "base", F.col("ver").alias("canonical"))
+
+
+@register(
+    "a7_advisory_fold",
+    """
+    SELECT o_custkey, primary_advisory, n_additional FROM (
+      SELECT o_custkey, o_orderkey AS primary_advisory,
+             count(DISTINCT o_orderkey) OVER (PARTITION BY o_custkey) - 1 AS n_additional,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderstatus = 'F')
+    WHERE rn = 1
+    """,
+    doc="A7 advisory fold: newest-first dedup, split primary/additional "
+        "(rhel/parser.py:643-662) — max_by on the (date, id) ordering",
+    tags=("agg",),
+)
+def a7(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    order_key = F.struct(
+        F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", order_key).alias("primary_advisory"),
+        (F.countDistinct("o_orderkey") - 1).alias("n_additional"),
+    )
+
+
+@register(
+    "a8_multi_stream_table",
+    """
+    SELECT l_partkey, streams FROM (
+      SELECT l_partkey,
+             list_sort(list(DISTINCT CAST(l_quantity AS INT) || '.' || l_linenumber)) AS streams
+      FROM lineitem GROUP BY l_partkey)
+    WHERE len(streams) >= 2
+    """,
+    doc="A8 stream-advisory table, emitted only when >=2 streams "
+        "(rhel/parser.py:608-637, 961-980): grouped distinct collect + "
+        "size gate",
+    tags=("agg",),
+)
+def a8(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ver = F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber"))
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.array_sort(F.collect_set(ver)).alias("streams"))
+        .filter(F.size("streams") >= 2)
+    )
+
+
+@register(
+    "a9_channel_set_union",
+    """
+    SELECT p_brand,
+           list_sort(list(DISTINCT w.word)) AS channels
+    FROM part, LATERAL unnest(string_split(p_name, ' ')) AS w(word)
+    GROUP BY p_brand
+    """,
+    doc="A9 channel set union across FPIs (rhel/csaf_parser.py:209-245): "
+        "array_sort(array_distinct(flatten(collect_list(...))))",
+    tags=("agg", "setop"),
+)
+def a9(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.split("p_name", " "))))
+            ).alias("channels")
+        )
+    )
+
+
+@register(
+    "a10_result_counts",
+    """
+    SELECT 'orders' AS tbl, count(*) AS n FROM orders
+    UNION ALL
+    SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+    """,
+    doc="A10 result counting (result.py:343-354, workspace.py:95-115): "
+        "per-store record counts",
+    tags=("agg",),
+)
+def a10(spark, sf_dir):
+    a = t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("orders").alias("tbl"), "n"
+    )
+    b = t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lineitem").alias("tbl"), "n"
+    )
+    return a.unionByName(b)

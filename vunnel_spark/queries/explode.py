@@ -180,3 +180,214 @@ def e16(spark, sf_dir):
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+@register(
+    "e10_purl_parse",
+    """
+    SELECT p_partkey, purl,
+           regexp_extract(purl, '^pkg:([^/]+)/', 1) AS ptype,
+           regexp_extract(purl, '^pkg:[^/]+/([^/]+)/', 1) AS namespace,
+           regexp_extract(purl, '/([^/@]+)@', 1) AS name,
+           regexp_extract(purl, '@([^?]+)', 1) AS version,
+           regexp_extract(purl, 'arch=([^&]+)', 1) AS arch
+    FROM (
+      SELECT p_partkey,
+             'pkg:rpm/vendor' || CAST(p_partkey % 3 AS VARCHAR) || '/' ||
+             replace(p_name, ' ', '-') || '@' || CAST(p_size AS VARCHAR) ||
+             '.0?arch=x86_64' AS purl
+      FROM part)
+    """,
+    doc="E10 purl parse (rhel/csaf_parser.py:11-44): pkg:type/ns/name@ver"
+        "?qualifiers decomposed with regex columns — the common-case fast "
+        "path; full purl grammar would be the F5 UDF",
+    tags=("explode", "scalar"),
+)
+def e10(spark, sf_dir):
+    purl = F.concat(
+        F.lit("pkg:rpm/vendor"), (F.col("p_partkey") % 3).cast("string"), F.lit("/"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
+        F.lit("@"), F.col("p_size").cast("string"), F.lit(".0?arch=x86_64"),
+    )
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        purl.alias("purl"),
+        F.regexp_extract(purl, r"^pkg:([^/]+)/", 1).alias("ptype"),
+        F.regexp_extract(purl, r"^pkg:[^/]+/([^/]+)/", 1).alias("namespace"),
+        F.regexp_extract(purl, r"/([^/@]+)@", 1).alias("name"),
+        F.regexp_extract(purl, r"@([^?]+)", 1).alias("version"),
+        F.regexp_extract(purl, r"arch=([^&]+)", 1).alias("arch"),
+    )
+
+
+@register(
+    "e11_fpi_channel_parse",
+    """
+    SELECT fpi,
+           CAST(regexp_extract(fpi, '-(\\d+)\\.(\\d+)\\.', 2) AS INT) AS minor,
+           CASE WHEN fpi LIKE '%.EUS%' THEN 'eus'
+                WHEN fpi LIKE '%.AUS%' THEN 'aus'
+                WHEN fpi LIKE '%.E4S%' THEN 'e4s'
+                ELSE 'ga' END AS channel
+    FROM (
+      SELECT 'prod-' || CAST(o_orderkey % 9 AS VARCHAR) || '.' ||
+             CAST(o_orderkey % 4 AS VARCHAR) || '.' ||
+             CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'GA' WHEN 1 THEN 'EUS'
+                  WHEN 2 THEN 'AUS' ELSE 'E4S' END AS fpi
+      FROM orders) s
+    WHERE regexp_extract(fpi, '-(\\d+)\\.(\\d+)\\.', 2) <> ''
+    """,
+    doc="E11 product-id minor/channel parse (rhel/product_id.py:1-203): "
+        "regex minor extraction + channel classification, fully columnar",
+    tags=("explode", "scalar"),
+)
+def e11(spark, sf_dir):
+    fpi = F.concat(
+        F.lit("prod-"), (F.col("o_orderkey") % 9).cast("string"), F.lit("."),
+        (F.col("o_orderkey") % 4).cast("string"), F.lit("."),
+        F.when(F.col("o_orderkey") % 4 == 0, "GA")
+        .when(F.col("o_orderkey") % 4 == 1, "EUS")
+        .when(F.col("o_orderkey") % 4 == 2, "AUS")
+        .otherwise("E4S"),
+    )
+    df = t(spark, sf_dir, "orders").select(fpi.alias("fpi"))
+    minor = F.regexp_extract("fpi", r"-(\d+)\.(\d+)\.", 2)
+    return df.select(
+        "fpi",
+        minor.cast("int").alias("minor"),
+        F.when(F.col("fpi").like("%.EUS%"), "eus")
+        .when(F.col("fpi").like("%.AUS%"), "aus")
+        .when(F.col("fpi").like("%.E4S%"), "e4s")
+        .otherwise("ga")
+        .alias("channel"),
+    ).filter(minor != "")
+
+
+@register(
+    "e13_multifield_parse",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+)', 1) AS tier,
+           upper(regexp_extract(p_name, '(\\w+)$', 1)) AS item,
+           CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
+           p_size >= 25 AS is_large
+    FROM part
+    """,
+    doc="E13 GHSA node multi-field extraction chain "
+        "(github/parser.py:535-789): several typed fields in one projection",
+    tags=("explode", "scalar"),
+)
+def e13(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("tier"),
+        F.upper(F.regexp_extract("p_name", r"(\w+)$", 1)).alias("item"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+        (F.col("p_size") >= 25).alias("is_large"),
+    )
+
+
+@register(
+    "e15_cycle_explode",
+    """
+    SELECT p_partkey AS product, CAST(g.c AS INT) AS cycle
+    FROM part, LATERAL (SELECT unnest(generate_series(1, p_size % 4 + 1)) AS c) g
+    """,
+    doc="E15 EOL product/cycle explode (eol/manager.py:31-56): "
+        "explode(sequence(1, n)) per product row",
+    tags=("explode",),
+)
+def e15(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("product"),
+            F.explode(F.sequence(F.lit(1), F.col("p_size") % 4 + 1)).alias("cycle0"),
+        )
+        .select("product", F.col("cycle0").cast("int").alias("cycle"))
+    )
+
+
+# CVSS 3.1 base-score constants (public FIRST specification)
+_CVSS_AV = {"N": 0.85, "A": 0.62, "L": 0.55, "P": 0.2}
+_CVSS_AC = {"L": 0.77, "H": 0.44}
+_CVSS_PR = {"N": 0.85, "L": 0.62, "H": 0.27}  # scope unchanged
+_CVSS_UI = {"N": 0.85, "R": 0.62}
+_CVSS_CIA = {"H": 0.56, "L": 0.22, "N": 0.0}
+
+
+def _map_expr(field: str, mapping: dict) -> "F.Column":
+    c = F.regexp_extract("vector", rf"/{field}:([A-Z])", 1)
+    expr = F.lit(None).cast("double")
+    chain = None
+    for k, v in mapping.items():
+        chain = (F.when(c == k, v) if chain is None else chain.when(c == k, v))
+    return chain.otherwise(F.lit(None))
+
+
+@register(
+    "e14_cvss_base_score",
+    """
+    SELECT vector, round(
+             CASE WHEN impact_sub <= 0 THEN 0.0
+                  ELSE ceil(least(6.42 * impact_sub + 8.22 * av * ac * pr * ui, 10.0) * 10) / 10
+             END, 1) AS base_score
+    FROM (
+      SELECT vector,
+             1 - (1 - c_val) * (1 - i_val) * (1 - a_val) AS impact_sub,
+             av, ac, pr, ui
+      FROM (
+        SELECT vector,
+               CASE regexp_extract(vector, '/AV:([A-Z])', 1) WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END AS av,
+               CASE regexp_extract(vector, '/AC:([A-Z])', 1) WHEN 'L' THEN 0.77 ELSE 0.44 END AS ac,
+               CASE regexp_extract(vector, '/PR:([A-Z])', 1) WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.62 ELSE 0.27 END AS pr,
+               CASE regexp_extract(vector, '/UI:([A-Z])', 1) WHEN 'N' THEN 0.85 ELSE 0.62 END AS ui,
+               CASE regexp_extract(vector, '/C:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS c_val,
+               CASE regexp_extract(vector, '/I:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS i_val,
+               CASE regexp_extract(vector, '/A:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS a_val
+        FROM (
+          SELECT 'CVSS:3.1/AV:' ||
+                 CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END ||
+                 '/AC:' || CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'L' ELSE 'H' END ||
+                 '/PR:' || CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END ||
+                 '/UI:' || CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'N' ELSE 'R' END ||
+                 '/S:U/C:' || CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END ||
+                 '/I:' || CASE CAST(o_orderkey % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END ||
+                 '/A:' || CASE CAST(o_orderkey % 7 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS vector
+          FROM orders)))
+    """,
+    doc="E14/F3 CVSS 3.1 base-score computation (github/parser.py:604-687) "
+        "as PURE Catalyst expressions — no cvss library, no UDF: the FIRST "
+        "formula (scope unchanged) over regex-extracted metrics; "
+        "score = roundup1(min(impact + exploitability, 10))",
+    tags=("explode", "scalar", "udf"),
+)
+def e14(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    vector = F.concat(
+        F.lit("CVSS:3.1/AV:"),
+        F.when(F.col("o_orderkey") % 4 == 0, "N").when(F.col("o_orderkey") % 4 == 1, "A")
+        .when(F.col("o_orderkey") % 4 == 2, "L").otherwise("P"),
+        F.lit("/AC:"), F.when(F.col("o_orderkey") % 2 == 0, "L").otherwise("H"),
+        F.lit("/PR:"),
+        F.when(F.col("o_orderkey") % 3 == 0, "N").when(F.col("o_orderkey") % 3 == 1, "L").otherwise("H"),
+        F.lit("/UI:"), F.when(F.col("o_orderkey") % 2 == 0, "N").otherwise("R"),
+        F.lit("/S:U/C:"),
+        F.when(F.col("o_orderkey") % 3 == 0, "H").when(F.col("o_orderkey") % 3 == 1, "L").otherwise("N"),
+        F.lit("/I:"),
+        F.when(F.col("o_orderkey") % 5 % 3 == 0, "H").when(F.col("o_orderkey") % 5 % 3 == 1, "L").otherwise("N"),
+        F.lit("/A:"),
+        F.when(F.col("o_orderkey") % 7 % 3 == 0, "H").when(F.col("o_orderkey") % 7 % 3 == 1, "L").otherwise("N"),
+    )
+    df = o.select(vector.alias("vector"))
+    av = _map_expr("AV", _CVSS_AV)
+    ac = _map_expr("AC", _CVSS_AC)
+    pr = _map_expr("PR", _CVSS_PR)
+    ui = _map_expr("UI", _CVSS_UI)
+    c_v = _map_expr("C", _CVSS_CIA)
+    i_v = _map_expr("I", _CVSS_CIA)
+    a_v = _map_expr("A", _CVSS_CIA)
+    iss = 1 - (1 - c_v) * (1 - i_v) * (1 - a_v)
+    raw = F.least(F.lit(6.42) * iss + F.lit(8.22) * av * ac * pr * ui, F.lit(10.0))
+    score = F.when(iss <= 0, F.lit(0.0)).otherwise(F.ceil(raw * 10) / 10)
+    return df.select("vector", F.round(score, 1).alias("base_score"))

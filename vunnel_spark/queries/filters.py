@@ -194,3 +194,134 @@ def p13(spark, sf_dir):
         .alias("raw_date"),
     )
     return raw.select("o_orderkey", normalize_date(F.col("raw_date")).alias("norm_date"))
+
+
+@register(
+    "p4_ecosystem_allowlist_rename",
+    """
+    SELECT c_custkey, m.slug AS ecosystem
+    FROM customer
+    JOIN (VALUES ('BUILDING', 'bld'), ('AUTOMOBILE', 'auto'), ('MACHINERY', 'mach'))
+      AS m(segment, slug)
+      ON c_mktsegment = m.segment
+    """,
+    doc="P4 ecosystem allow-list + rename (github/parser.py:42-55 GHSA "
+        "ecosystem -> syft type): unmapped values dropped, mapped renamed",
+    tags=("filter",),
+)
+def p4(spark, sf_dir):
+    mapping = F.create_map(
+        F.lit("BUILDING"), F.lit("bld"),
+        F.lit("AUTOMOBILE"), F.lit("auto"),
+        F.lit("MACHINERY"), F.lit("mach"),
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", F.element_at(mapping, F.col("c_mktsegment")).alias("ecosystem"))
+        .filter(F.col("ecosystem").isNotNull())
+    )
+
+
+@register(
+    "p7_rejected_pair_antifilter",
+    """
+    SELECT l.l_orderkey, l.l_partkey, l.l_suppkey
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_size < 5 AND p.p_partkey = l.l_partkey)
+    """,
+    doc="P7 rejected-pair anti-filter (alpine/parser.py:243-273 secfixes "
+        "rejections): rows dropped when their key appears in the deny table",
+    tags=("filter", "join"),
+)
+def p7(spark, sf_dir):
+    rejected = t(spark, sf_dir, "part").filter(F.col("p_size") < 5).select("p_partkey")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .join(rejected, F.col("l_partkey") == F.col("p_partkey"), "left_anti")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+    )
+
+
+@register(
+    "p9_withdrawn_passthrough",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN CAST(o_orderdate AS DATE) END AS withdrawn_at,
+           CASE WHEN o_orderstatus = 'F' THEN 'GENERAL' ELSE 'MALWARE' END AS classification
+    FROM orders
+    """,
+    doc="P9 withdrawn/classification passthrough projection "
+        "(github/parser.py:572-574, 767-768)",
+    tags=("filter",),
+)
+def p9(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.col("o_orderdate").cast("date")).alias(
+            "withdrawn_at"
+        ),
+        F.when(F.col("o_orderstatus") == "F", "GENERAL").otherwise("MALWARE").alias(
+            "classification"
+        ),
+    )
+
+
+@register(
+    "p11_cpe_normalization",
+    """
+    SELECT p_partkey, cpe22,
+           'cpe:2.3:a:' || parts[3] || ':' || parts[4] || ':' || parts[5] || ':*:*:*:*:*:*:*'
+             AS cpe23
+    FROM (
+      SELECT p_partkey,
+             'cpe:/a:' || p_brand || ':' || replace(p_name, ' ', '_') || ':' ||
+               CAST(p_size AS VARCHAR) AS cpe22,
+             string_split('cpe:/a:' || p_brand || ':' || replace(p_name, ' ', '_') || ':' ||
+               CAST(p_size AS VARCHAR), ':') AS parts
+      FROM part)
+    """,
+    doc="P11 CPE 2.2 -> 2.3 normalization for fix-date join keys "
+        "(tool/fixdate/grype_db_first_observed.py:22-56): split + rebuild",
+    tags=("filter", "scalar"),
+)
+def p11(spark, sf_dir):
+    cpe22 = F.concat_ws(
+        ":",
+        F.lit("cpe"),
+        F.lit("/a"),
+        F.col("p_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")),
+        F.col("p_size").cast("string"),
+    )
+    parts = F.split(cpe22, ":")
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        cpe22.alias("cpe22"),
+        F.concat_ws(
+            ":",
+            F.lit("cpe"), F.lit("2.3"), F.lit("a"),
+            F.element_at(parts, 3), F.element_at(parts, 4), F.element_at(parts, 5),
+            F.lit("*"), F.lit("*"), F.lit("*"), F.lit("*"), F.lit("*"), F.lit("*"), F.lit("*"),
+        ).alias("cpe23"),
+    )
+
+
+@register(
+    "p12_pkgname_normalization",
+    """
+    SELECT p_partkey,
+           lower(regexp_replace(replace(p_name, ' ', '_'), '[-_.]+', '-', 'g')) AS norm_name
+    FROM part
+    """,
+    doc="P12 PEP-503 package-name normalization "
+        "(tool/fixdate/ecosystem.py:1-11): runs of -_. collapse to -, lowered",
+    tags=("filter", "scalar"),
+)
+def p12(spark, sf_dir):
+    raw = F.replace(F.col("p_name"), F.lit(" "), F.lit("_"))
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower(F.regexp_replace(raw, "[-_.]+", "-")).alias("norm_name"),
+    )

@@ -282,3 +282,140 @@ def j7(spark, sf_dir):
         F.lit("base").alias("origin"),
     )
     return base_rows.unionByName(synth)
+
+
+@register(
+    "j3_sibling_fill",
+    """
+    SELECT o_orderkey, o_custkey,
+           max(marker) OVER (PARTITION BY o_custkey) AS group_marker
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'dsa-' || CAST(o_custkey AS VARCHAR) END AS marker
+      FROM orders)
+    """,
+    doc="J3 DSA intra-group fill (debian/parser.py:214-260): siblings "
+        "sharing a base id copy the populated sibling's value — max() over "
+        "the group window (deterministic, order-free)",
+    tags=("join", "window"),
+)
+def j3(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.concat(F.lit("dsa-"), F.col("o_custkey").cast("string")),
+        ).alias("marker"),
+    )
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey", "o_custkey", F.max("marker").over(w).alias("group_marker")
+    )
+
+
+@register(
+    "j4_semi_overlay_update",
+    """
+    SELECT o_orderkey,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           THEN 'wont-fix' ELSE o_orderstatus END AS status
+    FROM orders
+    """,
+    doc="J4 VEX wont-fix overlay (ubuntu/parser.py:203-234): left-semi "
+        "membership stamps the status field — implemented as a left join "
+        "on the distinct overlay key + conditional withField-style update",
+    tags=("join",),
+)
+def j4(spark, sf_dir):
+    overlay = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("_in_overlay", F.lit(True))
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .join(overlay, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_orderkey",
+            F.when(F.col("_in_overlay"), "wont-fix")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "j6_subpage_concat",
+    """
+    SELECT a.o_custkey,
+           list_sort(list_distinct(list_concat(a.page1, b.page2))) AS all_ids
+    FROM (
+      SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS page1
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
+    ) a JOIN (
+      SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS page2
+      FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_custkey
+    ) b ON a.o_custkey = b.o_custkey
+    """,
+    doc="J6 advisory + sub-paginated vulns merge (github/parser.py:161-184):"
+        " join on the advisory id, concat + dedup the page arrays",
+    tags=("join", "setop"),
+)
+def j6(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    page1 = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("page1"))
+    )
+    page2 = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("page2"))
+    )
+    return page1.join(page2, "o_custkey").select(
+        "o_custkey",
+        F.array_sort(F.array_union("page1", "page2")).alias("all_ids"),
+    )
+
+
+@register(
+    "j13_base_platform_inference",
+    """
+    SELECT platform, o_orderkey AS rec, origin FROM (
+      SELECT 'plat-' || CAST(o_custkey % 20 AS VARCHAR) AS platform, o_orderkey, 'real' AS origin
+      FROM orders WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT base, e.o_orderkey, 'inferred' FROM (
+        SELECT 'plat-' || CAST(o_custkey % 20 AS VARCHAR) AS base, o_orderkey
+        FROM orders WHERE o_orderkey % 3 = 0) e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders b
+        WHERE b.o_orderkey % 3 <> 0
+          AND 'plat-' || CAST(b.o_custkey % 20 AS VARCHAR) = e.base))
+    """,
+    doc="J13 EUS/ELS -> base-platform inference (rhel/parser.py:882-904): "
+        "extended-support rows synthesize base-platform records only when "
+        "the base platform is absent — anti-join on the derived key + union",
+    tags=("join", "setop"),
+)
+def j13(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    plat = F.concat(F.lit("plat-"), (F.col("o_custkey") % 20).cast("string"))
+    real = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        plat.alias("platform"), F.col("o_orderkey").alias("rec"), F.lit("real").alias("origin")
+    )
+    eus = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        plat.alias("platform"), F.col("o_orderkey").alias("rec")
+    )
+    inferred = eus.join(
+        real.select("platform").distinct(), "platform", "left_anti"
+    ).select("platform", "rec", F.lit("inferred").alias("origin"))
+    return real.unionByName(inferred)

@@ -20,10 +20,10 @@ _K = 5
     f"""
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos_sim,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 6) DESC,
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
                         c.vec_id) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < {_N_QUERIES})

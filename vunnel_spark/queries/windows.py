@@ -163,3 +163,48 @@ def o4(spark, sf_dir):
         F.round("l_extendedprice", 2).alias("price"),
         "rank",
     )
+
+
+@register(
+    "o1_rpm_order_sort",
+    """
+    SELECT ver, rank FROM (
+      SELECT ver, row_number() OVER (ORDER BY qty, line, (rc = 0), rc, okey) AS rank
+      FROM (
+        SELECT CAST(l_quantity AS INT) AS qty, l_linenumber AS line,
+               CAST(l_orderkey % 4 AS INT) AS rc, l_orderkey AS okey,
+               CAST(l_quantity AS INT) || '.' || l_linenumber ||
+                 CASE WHEN l_orderkey % 4 = 0 THEN ''
+                      ELSE '~rc' || CAST(l_orderkey % 4 AS VARCHAR) END AS ver
+        FROM lineitem WHERE l_suppkey = 1))
+    WHERE rank <= 50
+    """,
+    doc="O1 full custom-comparator sort ascending (rhel/parser.py:584-585 "
+        "cmp_to_key(rpmvercmp)): orderBy the encoded key — Spark cannot "
+        "sort by comparator, the order-preserving key encoding is THE "
+        "mechanism; oracle sorts by the equivalent numeric tuple",
+    tags=("topk", "udf"),
+)
+def o1(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vunnel_spark.functions.versions import rpm_sort_key
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") == 1)
+    ver = F.concat(
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit("."),
+        F.col("l_linenumber").cast("string"),
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("~rc"), (F.col("l_orderkey") % 4).cast("string"))
+        ),
+    )
+    keyed = li.select(ver.alias("ver"), F.col("l_orderkey").alias("okey")).withColumn(
+        "_vkey", rpm_sort_key(F.col("ver"))
+    )
+    w = Window.orderBy(F.col("_vkey"), F.col("okey"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("ver", "rank")
+    )
