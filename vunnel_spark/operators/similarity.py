@@ -55,10 +55,20 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(table: int, bit: int, dim: int):
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(table), F.lit(bit), F.lit(dim))
-    return (h.cast("double") / F.lit(float(2**63))).cast("double")
+def _plane_value(table: int, bit: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    Derived from a sha256 of (table, bit, dim-index) DRIVER-SIDE and
+    shipped as plan literals — executors never regenerate anything, and
+    the physical plan carries constants instead of per-row hash calls.
+    (The first implementation computed xxhash64(t, b, i) per row per
+    component: n_tables*n_bits*dim runtime hash nodes — 3072 for the ANN
+    defaults — which dominated wall-clock via codegen size alone.)
+    """
+    import hashlib
+
+    h = hashlib.sha256(f"lsh:{table}:{bit}:{i}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / float(2**63) - 1.0
 
 
 def add_lsh_buckets(
@@ -71,18 +81,16 @@ def add_lsh_buckets(
 ) -> DataFrame:
     """Project sign-bit LSH bucket keys: array of n_tables bucket ids.
 
-    Pure Catalyst: each bit is sign(dot(vec, plane)) with the plane
-    regenerated from hashes — a wide but flat expression tree, fully
-    codegen'd, zero Python.
+    Pure Catalyst: each bit is sign(dot(vec, literal_plane)) — a flat
+    codegen'd expression over constant arrays, zero Python at runtime.
     """
     def bucket_for_table(t: int):
         bits = []
         for b in range(n_bits):
+            plane = F.array(*[F.lit(_plane_value(t, b, i)) for i in range(dim)])
             d = F.aggregate(
                 F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[_hyperplane(t, b, i) for i in range(dim)]),
-                    lambda x, p: x.cast("double") * p,
+                    F.col(vec_col), plane, lambda x, p: x.cast("double") * p
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
