@@ -92,3 +92,20 @@ def test_checksum_listing_detects_tamper(spark, outdir):
     with open(os.path.join(path, victim), "ab") as f:
         f.write(b"tamper")
     assert not validate_checksum_listing(path, listing)
+
+
+def test_overwrite_partitions_freezes_absent(spark, outdir):
+    from vunnel_spark.sinks.writers import overwrite_partitions
+
+    path = os.path.join(outdir, "frag")
+    day1 = spark.createDataFrame(
+        [("pypi", "a", 1), ("npm", "b", 1), ("rpm", "c", 1)], "eco string, id string, run int"
+    )
+    overwrite_partitions(day1, path, "eco")
+    # day 2: only pypi and npm present; rpm must stay frozen at run=1
+    day2 = spark.createDataFrame(
+        [("pypi", "a2", 2), ("npm", "b2", 2)], "eco string, id string, run int"
+    )
+    overwrite_partitions(day2, path, "eco")
+    rows = {(r.eco, r.id, r.run) for r in spark.read.parquet(path).collect()}
+    assert rows == {("pypi", "a2", 2), ("npm", "b2", 2), ("rpm", "c", 1)}

@@ -140,3 +140,45 @@ def detect_language(texts: pd.Series) -> pd.Series:
         return best
 
     return texts.map(detect)
+
+
+# ------------------------------------------------------- pkg-string heuristic
+
+# returnType as a StructType OBJECT: a DDL string here would require an
+# active SparkContext at import time (module-level decorator)
+_PKG_SPLIT_SCHEMA = T.StructType(
+    [T.StructField("name", T.StringType()), T.StructField("version", T.StringType())]
+)
+
+
+@F.pandas_udf(_PKG_SPLIT_SCHEMA)
+def split_pkg_string(pkgs: pd.Series) -> pd.DataFrame:
+    """E7/F6 package-string heuristic split (reference semantics:
+    providers/rhel/parser.py:394-438 — epoch-position disambiguation).
+
+    'name-epoch:ver-rel' | 'name-ver-rel' | 'name' -> (name, version).
+    Branchy positional logic -> a single Arrow-batched UDF, applied once
+    per row in a projection (never per comparison).
+    """
+
+    def split(s):
+        if s is None:
+            return (None, None)
+        if ":" in s:
+            # epoch present: name is everything before the dash preceding epoch
+            head, _, tail = s.partition(":")
+            name, dash, epoch = head.rpartition("-")
+            if dash:
+                return (name, f"{epoch}:{tail}")
+            return (head, tail)
+        parts = s.rsplit("-", 2)
+        if len(parts) == 3 and parts[1][:1].isdigit():
+            return (parts[0], f"{parts[1]}-{parts[2]}")
+        if len(parts) >= 2 and parts[-1][:1].isdigit():
+            return ("-".join(parts[:-1]), parts[-1])
+        return (s, None)
+
+    import pandas as pd  # noqa: F811
+
+    out = [split(v) for v in pkgs]
+    return pd.DataFrame(out, columns=["name", "version"])

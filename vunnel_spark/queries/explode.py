@@ -391,3 +391,144 @@ def e14(spark, sf_dir):
     raw = F.least(F.lit(6.42) * iss + F.lit(8.22) * av * ac * pr * ui, F.lit(10.0))
     score = F.when(iss <= 0, F.lit(0.0)).otherwise(F.ceil(raw * 10) / 10)
     return df.select("vector", F.round(score, 1).alias("base_score"))
+
+
+@register(
+    "e3_oval_criteria_flatten",
+    None,  # recursive tree walk in a mapInPandas UDTF — not SQL-portable
+    doc="E3/E4/F4 OVAL criteria-tree walk (utils/oval_v2.py:139-271): "
+        "AND/OR tree JSON -> (doc, ns_test, pkg_test, polarity) rows via "
+        "one Arrow-batched mapInPandas; nested groups inherit the nearest "
+        "namespace test (reference quirk preserved); golden-tested in "
+        "tests/test_oval.py",
+    tags=("explode", "udf"),
+)
+def e3(spark, sf_dir):
+    from vunnel_spark.operators.oval import flatten_criteria
+
+    # synthesize an AND(ns, OR(pkg...)) tree per order — the canonical
+    # OVAL definition shape — as a JSON column
+    o = t(spark, sf_dir, "orders")
+    tree = F.to_json(
+        F.struct(
+            F.lit("AND").alias("operator"),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("ns:rhel"), (F.col("o_custkey") % 3).cast("string")).alias("test_ref")
+                )
+            ).alias("criterions"),
+            F.array(
+                F.struct(
+                    F.lit("OR").alias("operator"),
+                    F.array(
+                        F.struct(
+                            F.concat(F.lit("pkg:"), (F.col("o_orderkey") % 50).cast("string")).alias("test_ref")
+                        ),
+                        F.struct(
+                            F.concat(F.lit("pkg:"), ((F.col("o_orderkey") + 1) % 50).cast("string")).alias("test_ref")
+                        ),
+                    ).alias("criterions"),
+                )
+            ).alias("children"),
+        )
+    )
+    docs = o.select(F.col("o_orderkey").cast("string").alias("doc_id"), tree.alias("criteria"))
+    flat = flatten_criteria(docs)
+    return flat.groupBy("namespace_test", "polarity").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("package_test").alias("n_distinct_pkgs"),
+    )
+
+
+@register(
+    "e5_dsa_text_parse",
+    """
+    WITH lines AS (
+      SELECT o_orderkey AS line_no,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN '[01 Jan 2024] DSA-' || CAST(o_orderkey AS VARCHAR) || '-1 pkg' ||
+                       CAST(o_custkey % 7 AS VARCHAR) || ' - security update'
+                  ELSE E'\\t{CVE-2024-' || CAST(o_orderkey AS VARCHAR) || '}'
+             END AS line
+      FROM orders
+    ), classified AS (
+      SELECT line_no, line,
+             regexp_extract(line, 'DSA-(\\d+)-\\d+', 1) AS dsa_id0,
+             regexp_extract(line, 'DSA-\\d+-\\d+ (\\S+)', 1) AS pkg0,
+             regexp_extract(line, '\\{(CVE-[0-9-]+)\\}', 1) AS cve
+      FROM lines
+    ), filled AS (
+      SELECT line_no, cve,
+             last_value(CASE WHEN dsa_id0 <> '' THEN dsa_id0 END IGNORE NULLS)
+               OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS dsa_id,
+             last_value(CASE WHEN pkg0 <> '' THEN pkg0 END IGNORE NULLS)
+               OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS pkg
+      FROM classified)
+    SELECT dsa_id, pkg, cve
+    FROM filled WHERE cve <> '' AND dsa_id IS NOT NULL
+    """,
+    doc="E5+W4 DSA text-format parse (debian/parser.py:139-243): the "
+        "stateful line machine becomes regex classify + header fill-down "
+        "(last ignorenulls window) + detail extraction — order-preserving, "
+        "no Python state",
+    tags=("explode", "window"),
+)
+def e5(spark, sf_dir):
+    from vunnel_spark.operators.windows import fill_down
+
+    o = t(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.concat(
+            F.lit("[01 Jan 2024] DSA-"), F.col("o_orderkey").cast("string"),
+            F.lit("-1 pkg"), (F.col("o_custkey") % 7).cast("string"),
+            F.lit(" - security update"),
+        ),
+    ).otherwise(F.concat(F.lit("\t{CVE-2024-"), F.col("o_orderkey").cast("string"), F.lit("}")))
+    lines = o.select(F.col("o_orderkey").alias("line_no"), line.alias("line"))
+    classified = lines.select(
+        "line_no",
+        F.nullif(F.regexp_extract("line", r"DSA-(\d+)-\d+", 1), F.lit("")).alias("dsa_id"),
+        F.nullif(F.regexp_extract("line", r"DSA-\d+-\d+ (\S+)", 1), F.lit("")).alias("pkg"),
+        F.regexp_extract("line", r"\{(CVE-[0-9-]+)\}", 1).alias("cve"),
+    )
+    filled = fill_down(classified, ["dsa_id", "pkg"], ["line_no"])
+    return filled.filter((F.col("cve") != "") & F.col("dsa_id").isNotNull()).select(
+        "dsa_id", "pkg", "cve"
+    )
+
+
+@register(
+    "e7_pkg_string_heuristic",
+    None,  # branchy positional heuristic — the F6 UDF, unit-tested instead
+    doc="E7/F6 Hydra package-string heuristic parse (rhel/parser.py:394-438):"
+        " name/epoch:version-release disambiguation in one Arrow-batched "
+        "struct-returning UDF; golden cases in tests/test_text_functions.py",
+    tags=("explode", "udf"),
+)
+def e7(spark, sf_dir):
+    from vunnel_spark.functions.text import split_pkg_string
+
+    p = t(spark, sf_dir, "part")
+    pkg = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat(
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
+            F.lit("-"), (F.col("p_partkey") % 2 + 1).cast("string"), F.lit(":"),
+            F.col("p_size").cast("string"), F.lit(".0-"), (F.col("p_partkey") % 5).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
+            F.lit("-"), F.col("p_size").cast("string"), F.lit(".1-"),
+            (F.col("p_partkey") % 7).cast("string"),
+        )
+    )
+    df = p.select("p_partkey", pkg.alias("pkg_string"))
+    parsed = df.withColumn("parsed", split_pkg_string(F.col("pkg_string")))
+    return parsed.select(
+        "p_partkey",
+        "pkg_string",
+        F.col("parsed.name").alias("name"),
+        F.col("parsed.version").alias("version"),
+    )

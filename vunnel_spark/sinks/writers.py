@@ -176,3 +176,25 @@ def validate_checksum_listing(path: str, listing_path: str) -> bool:
         if os.path.exists(tmp):
             os.remove(tmp)
     return current["digest"] == recorded["digest"]
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_col: str, partitions: Sequence[str] | None = None
+) -> None:
+    """I6 frozen-fragment layering (ubuntu/parser.py:307-373): rewrite ONLY
+    the partitions present in today's data (or an explicit list); absent
+    (EOL'd) partitions stay frozen on disk.
+
+    Dynamic partition overwrite — Spark's ``partitionOverwriteMode=dynamic``
+    replaces exactly the partitions the frame contains, atomically per
+    partition directory.
+    """
+    out = df
+    if partitions is not None:
+        out = df.filter(F.col(partition_col).isin(list(partitions)))
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
