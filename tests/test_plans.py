@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale are asserted, not assumed.  A change that silently drops a filter
+pushdown, explodes per-bit rows, or cross-joins fails here — long before
+any 100 TB run would.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from vunnel_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    p = plan_of(q("tpch_q6_revenue_forecast", spark, sf_dir))
+    assert "PushedFilters" in p
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", p).group(1)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    p = plan_of(q("tpch_q6_revenue_forecast", spark, sf_dir))
+    schema = re.search(r"ReadSchema: struct<(.*?)>", p).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    # only the 4 referenced columns read, not all 11
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q1_partial_final_aggregation(spark, sf_dir):
+    p = plan_of(q("tpch_q1_pricing_summary", spark, sf_dir))
+    # map-side partial + final HashAggregate pair around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_no_broadcast_hint_on_sf_scaling_tables(spark, sf_dir):
+    # q3/q5/q10: customer/supplier must NOT carry a plan-forced broadcast
+    # hint (ResolvedHint); AQE may still choose broadcast at runtime
+    for name in ("tpch_q3_shipping_priority", "tpch_q5_local_supplier", "tpch_q10_returned_items"):
+        df = q(name, spark, sf_dir)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        for hinted in re.findall(r"ResolvedHint.*", logical):
+            assert "customer" not in hinted and "supplier" not in hinted, (name, hinted)
+
+
+def test_anti_join_builds_on_reduced_side(spark, sf_dir):
+    p = plan_of(q("j5_rejection_antijoin", spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_has_no_per_bit_explode(spark, sf_dir):
+    from vunnel_spark.operators.dedup import simhash_pairs
+    from vunnel_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = plan_of(simhash_pairs(docs))
+    # word-explode + slice-explode on each side of the self-join = 4;
+    # the per-bit sequence(0,63) generator must be gone
+    n_generate = len(re.findall(r"\(\d+\) Generate", p))
+    assert n_generate <= 4, f"unexpected row generators: {n_generate}"
+    assert "sequence(0, 63" not in p
+
+
+def test_lsh_bucket_join_is_equi_join(spark, sf_dir):
+    from vunnel_spark.operators.dedup import minhash_lsh_pairs
+    from vunnel_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = plan_of(minhash_lsh_pairs(docs, verify_threshold=None))
+    assert "CartesianProduct" not in p
+    # candidate pairs come from a hash join keyed on (band, bucket)
+    assert "Join" in p and "bucket" in p
+
+
+def test_events_windows_single_aggregation_pass(spark, sf_dir):
+    p = plan_of(q("v1_tumbling_window_counts", spark, sf_dir))
+    assert p.count("Exchange") <= 2  # one shuffle for the agg (+AQE read)
+
+
+def test_dedup_groups_on_digest_not_raw_text(spark, sf_dir):
+    p = plan_of(q("d1_exact_dedup", spark, sf_dir))
+    # the shuffle key is the sha2 digest; raw text must not be a partition key
+    m = re.search(r"hashpartitioning\((\w+)", p)
+    assert m and m.group(1).startswith("_h"), m.group(0) if m else p
