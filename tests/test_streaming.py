@@ -69,3 +69,50 @@ def test_streaming_session_matches_batch(spark, event_stream_dir):
     expect = session_counts(static)
     cols = ["user_id", "session_start", "session_end", "n_events"]
     assert _as_sets(out, cols) == _as_sets(expect, cols)
+
+
+def test_stateful_first_observed_across_batches(spark, tmp_path):
+    """applyInPandasWithState: first-observed survives micro-batches; a
+    later batch with earlier timestamps must NOT move the stored date."""
+    import pyspark.sql.functions as F
+
+    from vunnel_spark.streaming.stateful import streaming_first_observed
+
+    src_dir = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    schema = "key string, ts timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # batch 1: v1 first seen at 10:00, v2 at 11:00
+    write_batch("b1", [("v1", __import__("datetime").datetime(2026, 1, 1, 10)),
+                       ("v2", __import__("datetime").datetime(2026, 1, 1, 11))])
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = streaming_first_observed(stream, "key")
+    q = (
+        out.writeStream.format("memory").queryName("t_state")
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {r.key: (str(r.first_observed), r.n_seen)
+            for r in spark.sql("SELECT * FROM t_state").collect()}
+    assert got1["v1"] == ("2026-01-01 10:00:00", 1)
+
+    # batch 2 (same running query): v1 AGAIN with an EARLIER ts + new key v3
+    write_batch("b2", [("v1", __import__("datetime").datetime(2026, 1, 1, 9)),
+                       ("v3", __import__("datetime").datetime(2026, 1, 2, 8))])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_state").collect()
+    # memory sink in update mode appends updates; last row per key wins
+    latest = {}
+    for r in rows:
+        if r.key not in latest or r.n_seen > latest[r.key][1]:
+            latest[r.key] = (str(r.first_observed), r.n_seen)
+    # v1's first_observed is FROZEN at 10:00 despite the 09:00 late event
+    assert latest["v1"] == ("2026-01-01 10:00:00", 2)
+    assert latest["v3"][0] == "2026-01-02 08:00:00"

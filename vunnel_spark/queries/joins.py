@@ -419,3 +419,49 @@ def j13(spark, sf_dir):
         real.select("platform").distinct(), "platform", "left_anti"
     ).select("platform", "rec", F.lit("inferred").alias("origin"))
     return real.unionByName(inferred)
+
+
+@register(
+    "e9_product_tree_deref",
+    """
+    WITH rel AS (
+      SELECT 'fpi-' || CAST(o_orderkey AS VARCHAR) AS product_id,
+             'plat-' || CAST(o_custkey % 20 AS VARCHAR) AS parent_id
+      FROM orders
+    ), purls AS (
+      SELECT 'fpi-' || CAST(o_orderkey AS VARCHAR) AS product_id,
+             'pkg:rpm/p' || CAST(o_orderkey % 50 AS VARCHAR) || '@' ||
+               CAST(o_orderkey % 9 AS VARCHAR) AS purl
+      FROM orders WHERE o_orderkey % 3 <> 2
+    )
+    SELECT r.product_id, r.parent_id AS platform,
+           regexp_extract(p.purl, '/([^/@]+)@', 1) AS pkg_name,
+           regexp_extract(p.purl, '@(.+)$', 1) AS pkg_version
+    FROM rel r LEFT JOIN purls p ON r.product_id = p.product_id
+    """,
+    doc="E9 CSAF product-tree dereference (rhel/csaf_parser.py:70-131; maps "
+        "built in utils/csaf_types.py:200-233): the per-doc parent/purl "
+        "dicts become two lookup frames joined on product_id — dict lookups "
+        "re-expressed as joins, missing purls stay null (left join)",
+    tags=("explode", "join"),
+)
+def e9(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    fpi = F.concat(F.lit("fpi-"), F.col("o_orderkey").cast("string"))
+    rel = o.select(
+        fpi.alias("product_id"),
+        F.concat(F.lit("plat-"), (F.col("o_custkey") % 20).cast("string")).alias("parent_id"),
+    )
+    purls = o.filter(F.col("o_orderkey") % 3 != 2).select(
+        fpi.alias("product_id"),
+        F.concat(
+            F.lit("pkg:rpm/p"), (F.col("o_orderkey") % 50).cast("string"),
+            F.lit("@"), (F.col("o_orderkey") % 9).cast("string"),
+        ).alias("purl"),
+    )
+    return rel.join(purls, "product_id", "left").select(
+        "product_id",
+        F.col("parent_id").alias("platform"),
+        F.regexp_extract("purl", r"/([^/@]+)@", 1).alias("pkg_name"),
+        F.regexp_extract("purl", r"@(.+)$", 1).alias("pkg_version"),
+    )
