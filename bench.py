@@ -26,9 +26,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
+    "tpch_q12_shipmode_classes",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_pushdown",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
     "n1_ann_bruteforce_topk",

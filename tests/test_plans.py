@@ -10,6 +10,7 @@ import contextlib
 import io
 import re
 
+import pyspark.sql.functions as F
 import pytest
 
 from vunnel_spark.registry import REGISTRY, _ensure_loaded
@@ -100,3 +101,44 @@ def test_dedup_groups_on_digest_not_raw_text(spark, sf_dir):
     # the shuffle key is the sha2 digest; raw text must not be a partition key
     m = re.search(r"hashpartitioning\((\w+)", p)
     assert m and m.group(1).startswith("_h"), m.group(0) if m else p
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from vunnel_spark.operators.joins import salted_join
+
+    # one pathologically hot key + a dimension too big to broadcast (simulated)
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(F.col("id").cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", "hot-dim")] + [(str(i), f"d{i}") for i in range(100)], "k string, d string"
+    )
+    out = salted_join(big, small, "k", n_salts=8)
+    # correctness: same result as the plain join
+    plain = big.join(small, "k").count()
+    assert out.count() == plain
+    # the join key includes the salt -> hot key hashes to 8 partitions
+    p = plan_of(out)
+    assert "_salt" in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from vunnel_spark.operators.joins import bucketed_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        right = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        write_bucketed(left, "t_bleft", "k", n_buckets=8, sort_col="k")
+        write_bucketed(right, "t_bright", "k", n_buckets=8, sort_col="k")
+        joined = bucketed_join(spark, "t_bleft", "t_bright", "k")
+        p = plan_of(joined)
+        # co-located buckets: SortMergeJoin with NO Exchange on either side
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in p, p
+        assert joined.count() == 5000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")

@@ -1,0 +1,72 @@
+"""Join strategy helpers for scale: skew salting and bucketed co-location.
+
+These are the two knobs AQE cannot always turn for you:
+
+- ``salted_join``: explicit salt expansion for a HOT key joining a
+  dimension that is too big to broadcast.  AQE's skew-join splitting
+  handles sort-merge skew within a stage, but a single pathological key
+  (one CVE ID with 10^8 affected rows) still lands on one reducer for
+  aggregations downstream; salting spreads it across ``n_salts`` tasks.
+- ``write_bucketed`` / co-located reads: pre-shuffling both fact tables
+  into the same bucket layout removes the shuffle from EVERY subsequent
+  join on that key — the classic amortization when one key joins often
+  (the reference joins on vuln_id in nearly every provider).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side exploded.
+
+    big gains a random-ish (hash-derived, deterministic) salt in
+    [0, n_salts); small is replicated n_salts times.  The join key becomes
+    (on, salt) so a skewed hot key spreads across n_salts partitions.
+    Replication cost: |small| * n_salts rows shuffled — use only when
+    ``small`` is modest but above the broadcast threshold.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_big.join(salted_small, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed identically on the join key join WITHOUT a
+    shuffle (SortMergeJoin reads co-located buckets directly) — verified
+    by tests/test_plans.py::test_bucketed_join_has_no_shuffle.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: Sequence[str] | str
+) -> DataFrame:
+    """Join two identically-bucketed tables (no shuffle on the join key)."""
+    return spark.table(left_table).join(spark.table(right_table), on)
