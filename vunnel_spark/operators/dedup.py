@@ -184,23 +184,21 @@ def minhash_signatures(
     """(id, sig: array<bigint>) MinHash signatures.
 
     Permutation i is xxhash64(shingle, seed=i) — deterministic, seed-driven,
-    computed JVM-side.  min per seed via groupBy(min) over an exploded
-    (id, seed, hash) frame: one shuffle keyed on id.
+    computed JVM-side.  The per-seed minimum is ``num_hashes`` parallel
+    min-aggregates over the shingle frame: ONE shuffle keyed on id carrying
+    64 longs per id after map-side partial aggregation.  (The naive form —
+    explode 64 seed rows per shingle then groupBy — shuffles 64x the rows;
+    same pathology the simhash bit-sum fix removed.)
     """
     sh = _word_shingles(df, content_col, id_col, k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    hashed = sh.select(
-        "id",
-        F.explode(seeds).alias("seed"),
-        F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"),
-    )
-    # two-level agg: per (id, seed) min, then assemble ordered signature
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"_m{s}")
+        for s in range(num_hashes)
+    ]
     return (
-        hashed.groupBy("id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("_s"))
-        .select("id", F.transform("_s", lambda s: s["mh"]).alias("sig"))
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("sig"))
     )
 
 
