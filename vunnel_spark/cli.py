@@ -1,0 +1,93 @@
+"""Engine CLI — run/list/status parity with the reference's command surface
+(/root/reference/src/vunnel/cli/cli.py:150-311: run, list, status, clear).
+
+    python -m vunnel_spark list [--tag TAG]
+    python -m vunnel_spark run QUERY [--sf-dir DIR] [--show N] [--explain]
+    python -m vunnel_spark status [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vunnel_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("--tag", help="filter by tag (U7 include/exclude semantics)")
+    p_list.add_argument("--no-oracle", action="store_true", help="only rows-only queries")
+
+    p_run = sub.add_parser("run", help="run one query")
+    p_run.add_argument("query")
+    p_run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_run.add_argument("--show", type=int, default=10, help="rows to print")
+    p_run.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    p_status = sub.add_parser("status", help="registry + table inventory")
+    p_status.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from vunnel_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+
+    if args.cmd == "list":
+        for name in sorted(REGISTRY):
+            spec = REGISTRY[name]
+            if args.tag and args.tag not in spec.tags:
+                continue
+            if args.no_oracle and spec.oracle is not None:
+                continue
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:38s} {kind:9s} {','.join(spec.tags)}")
+        return 0
+
+    from vunnel_spark.session import get_spark
+
+    if args.cmd == "status":
+        import os
+
+        spark = get_spark("vunnel_spark_cli")
+        tables = {}
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            path = os.path.join(args.sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                tables[t] = spark.read.parquet(path).count()
+        print(json.dumps({
+            "queries": len(REGISTRY),
+            "with_oracle": sum(1 for s in REGISTRY.values() if s.oracle),
+            "sf_dir": args.sf_dir,
+            "tables": tables,
+        }, indent=2))
+        return 0
+
+    # run
+    if args.query not in REGISTRY:
+        close = [n for n in sorted(REGISTRY) if args.query.lower() in n.lower()]
+        print(f"unknown query {args.query!r}", file=sys.stderr)
+        if close:
+            print(f"did you mean: {', '.join(close[:5])}", file=sys.stderr)
+        return 2
+    spark = get_spark("vunnel_spark_cli")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    t0 = time.perf_counter()
+    n = df.count()
+    dt = time.perf_counter() - t0
+    df.show(args.show, truncate=False)
+    print(f"{n} rows in {dt:.2f}s  ({args.query} @ {args.sf_dir})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
