@@ -422,3 +422,55 @@ def a10(spark, sf_dir):
         F.lit("lineitem").alias("tbl"), "n"
     )
     return a.unionByName(b)
+
+
+@register(
+    "a17_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(CAST(l_suppkey AS VARCHAR), 'ALL') AS supp,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_suppkey), ())
+    """,
+    doc="Generalized GROUPING SETS (SURVEY §2.5 note): three groupings in "
+        "one shuffle pass — by flag, by supplier, and the grand total",
+    tags=("agg",),
+)
+def a17(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_suppkey")], []],
+            F.col("l_returnflag"),
+            F.col("l_suppkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_suppkey").cast("string"), F.lit("ALL")).alias("supp"),
+            "n",
+        )
+    )
+
+
+@register(
+    "a18_percentile_surface",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles per group (generalized analytics surface): "
+        "Spark percentile() == DuckDB quantile_cont (linear interpolation); "
+        "the approx path at 100 TB is approx_percentile (see a16 pattern)",
+    tags=("agg",),
+)
+def a18(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )

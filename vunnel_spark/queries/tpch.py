@@ -391,3 +391,79 @@ def q19(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT l1.l_suppkey, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY l1.l_suppkey
+    """,
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation — "
+        "left-semi then left-anti on derived key sets; the only supplier "
+        "at fault on a multi-supplier order",
+    tags=("bench", "join"),
+)
+def q21(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").join(
+        orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    # EXISTS: another supplier on the same order
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    with_other = l1.join(
+        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    )
+    # NOT EXISTS: no OTHER supplier also flagged R on that order
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    only_fault = with_other.join(
+        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    )
+    return only_fault.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT seg, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT substring(c_mktsegment, 1, 1) AS seg, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey))
+    GROUP BY seg
+    """,
+    doc="TPC-H Q22 shape: scalar AVG subquery (1-row broadcast) + NOT "
+        "EXISTS anti-join — customers above average balance with no orders",
+    tags=("bench", "join", "agg"),
+)
+def q22(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    orders = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_mktsegment", 1, 1).alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
