@@ -207,3 +207,50 @@ def d7(spark, sf_dir):
         F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
     )
     return embedding_dup_pairs(emb.unionByName(planted), threshold=0.9)
+
+
+@register(
+    "d8_jaccard_skew_capped",
+    f"""
+    WITH corpus AS ({_NEAR_DUPS_SQL}),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 3
+    ), capped AS (
+      SELECT s.* FROM shingles s
+      JOIN (SELECT shingle, count(*) AS f FROM shingles GROUP BY shingle) fr
+        ON s.shingle = fr.shingle
+      WHERE fr.f <= 5
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+    """,
+    doc="Jaccard pairs with the shingle-frequency skew cap "
+        "(operators/dedup.py ngram_jaccard_pairs max_shingle_freq=5; the corpus max shingle frequency is ~9, so the cap provably bites): "
+        "ubiquitous shingles are dropped BEFORE the self-join — the knob "
+        "that keeps pair generation linear-ish at 100 TB; the oracle "
+        "applies the identical cap so the gate verifies the capped "
+        "semantics, not just the happy path",
+    tags=("dedup",),
+)
+def d8(spark, sf_dir):
+    from vunnel_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_freq=5)
