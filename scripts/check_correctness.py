@@ -3,7 +3,11 @@
 
 Runs every registered query through Spark AND its DuckDB oracle on the same
 parquet tables, compares row-count + sorted-column schema + order-insensitive
-value hash.  Usage: python scripts/check_correctness.py [sf_dir]
+value hash.  Usage: python scripts/check_correctness.py [sf_dir] [name ...]
+(optional names restrict the run to those queries).
+
+Set CHECK_PLAIN_SESSION=1 to use a bare SparkSession like the driver's gate
+(no get_spark() builder confs) — catches confs that queries wrongly assume.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ONLY = set(sys.argv[2:])
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -64,7 +69,18 @@ def main() -> None:
     from vunnel_spark.registry import all_oracles, all_queries
     from vunnel_spark.session import get_spark
 
-    spark = get_spark("correctness_check")
+    if os.environ.get("CHECK_PLAIN_SESSION"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("correctness_check_plain")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("correctness_check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
@@ -74,6 +90,8 @@ def main() -> None:
     qs, oracles = all_queries(), all_oracles()
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(qs):
+        if ONLY and name not in ONLY:
+            continue
         try:
             sdf = qs[name](spark, SF_DIR)
             srows = sdf.collect()

@@ -251,8 +251,17 @@ def minhash_lsh_pairs(
         return cand
     # Verify CANDIDATES ONLY: join the candidate pairs to per-doc shingle
     # sets and score Jaccard with array_intersect — cost is O(|candidates|),
-    # never the full-corpus shingle self-join LSH exists to avoid.
-    sh = _word_shingles(df, content_col, id_col, k)
+    # never the full-corpus shingle self-join LSH exists to avoid.  The
+    # shingle frame is semi-joined to candidate ids FIRST so the collect_set
+    # shuffle carries only candidate docs, not the whole corpus — at 100 TB
+    # candidates are a sliver of the corpus and this is the difference
+    # between touching the corpus twice and touching candidates only.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = _word_shingles(df, content_col, id_col, k).join(cand_ids, "id", "left_semi")
     sets = sh.groupBy("id").agg(
         F.collect_set("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh")
     )

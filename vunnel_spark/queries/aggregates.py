@@ -22,20 +22,23 @@ from vunnel_spark.registry import register
     "a1_record_assembly",
     """
     SELECT l_orderkey,
-           list_sort(list(l_partkey || '@' || CAST(l_quantity AS INT))) AS fixed_in,
+           array_to_string(list_sort(list(l_partkey || '@' || CAST(l_quantity AS INT))), '|')
+             AS fixed_in,
            count(*) AS n_pkgs
     FROM lineitem
     GROUP BY l_orderkey
     """,
     doc="A1 FixedIn[] record assembly per vuln id (wolfi/parser.py:198-255): "
-        "groupBy(id).agg(sorted collect_list) — deterministic O2 ordering",
+        "groupBy(id).agg(sorted collect_list) — deterministic O2 ordering. "
+        "Serialized to a '|'-joined string: the gate's canonicalizer requires "
+        "hashable scalars, and the sorted-array semantics survive the join",
     tags=("agg",),
 )
 def a1(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     entry = F.concat_ws("@", F.col("l_partkey"), F.col("l_quantity").cast("int"))
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list(entry)).alias("fixed_in"),
+        F.concat_ws("|", F.array_sort(F.collect_list(entry))).alias("fixed_in"),
         F.count(F.lit(1)).alias("n_pkgs"),
     )
 
@@ -258,16 +261,33 @@ def a15(spark, sf_dir):
 
 @register(
     "a16_approx_count_distinct",
-    None,  # approximate by construction — no exact SQL oracle (rows-only)
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n,
+           1 AS within_tolerance
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="Generalized approx_count_distinct (HLL++) per group — the 100 TB "
-        "path for cardinality estimation; rows-only check (approximate)",
+        "path for cardinality estimation. Oracle-checkable via the tolerance "
+        "trick: Spark emits |approx-exact| <= 5%*exact as within_tolerance, "
+        "the oracle emits exact counts + literal 1 — the hash-match asserts "
+        "the HLL++ bound actually holds (rsd=0.02 << 5%)",
     tags=("agg",),
 )
 def a16(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02) - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        )
+        .cast("int")
+        .alias("within_tolerance"),
     )
 
 
@@ -358,7 +378,7 @@ def a7(spark, sf_dir):
 @register(
     "a8_multi_stream_table",
     """
-    SELECT l_partkey, streams FROM (
+    SELECT l_partkey, array_to_string(streams, '|') AS streams FROM (
       SELECT l_partkey,
              list_sort(list(DISTINCT CAST(l_quantity AS INT) || '.' || l_linenumber)) AS streams
       FROM lineitem GROUP BY l_partkey)
@@ -366,7 +386,7 @@ def a7(spark, sf_dir):
     """,
     doc="A8 stream-advisory table, emitted only when >=2 streams "
         "(rhel/parser.py:608-637, 961-980): grouped distinct collect + "
-        "size gate",
+        "size gate. Streams serialized '|'-joined for the gate canonicalizer",
     tags=("agg",),
 )
 def a8(spark, sf_dir):
@@ -374,8 +394,9 @@ def a8(spark, sf_dir):
     ver = F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber"))
     return (
         li.groupBy("l_partkey")
-        .agg(F.array_sort(F.collect_set(ver)).alias("streams"))
-        .filter(F.size("streams") >= 2)
+        .agg(F.array_sort(F.collect_set(ver)).alias("_streams"))
+        .filter(F.size("_streams") >= 2)
+        .select("l_partkey", F.concat_ws("|", "_streams").alias("streams"))
     )
 
 
@@ -383,12 +404,13 @@ def a8(spark, sf_dir):
     "a9_channel_set_union",
     """
     SELECT p_brand,
-           list_sort(list(DISTINCT w.word)) AS channels
+           array_to_string(list_sort(list(DISTINCT w.word)), '|') AS channels
     FROM part, LATERAL unnest(string_split(p_name, ' ')) AS w(word)
     GROUP BY p_brand
     """,
     doc="A9 channel set union across FPIs (rhel/csaf_parser.py:209-245): "
-        "array_sort(array_distinct(flatten(collect_list(...))))",
+        "array_sort(array_distinct(flatten(collect_list(...)))), serialized "
+        "'|'-joined for the gate canonicalizer",
     tags=("agg", "setop"),
 )
 def a9(spark, sf_dir):
@@ -396,8 +418,11 @@ def a9(spark, sf_dir):
         t(spark, sf_dir, "part")
         .groupBy("p_brand")
         .agg(
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list(F.split("p_name", " "))))
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.split("p_name", " "))))
+                ),
             ).alias("channels")
         )
     )

@@ -133,10 +133,39 @@ def d4(spark, sf_dir):
 
 @register(
     "d3_minhash_lsh_pairs",
-    None,  # LSH buckets derive from xxhash64 seeds — not SQL-portable
+    f"""
+    WITH corpus AS ({_NEAR_DUPS_SQL}),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    """,
     doc="MinHash(64) + banded LSH(16 bands) near-dup candidates, Jaccard-"
-        "verified on candidates only (operators/dedup.py minhash_lsh_pairs); "
-        "rows-only check, recall asserted vs exact pairs in tests/test_dedup.py",
+        "verified on candidates only (operators/dedup.py minhash_lsh_pairs). "
+        "Because the output is EXACT-Jaccard-verified, it equals the exact "
+        "pair set whenever LSH recall is 1.0 — which holds on this corpus at "
+        "the gate SFs (asserted in tests/test_dedup.py); the oracle is "
+        "therefore the exact-pair SQL at the same threshold.  A recall miss "
+        "would surface as a row-count mismatch, which is precisely the "
+        "signal we want the gate to carry",
     tags=("dedup",),
 )
 def d3(spark, sf_dir):
@@ -148,10 +177,19 @@ def d3(spark, sf_dir):
 
 @register(
     "d5_simhash_pairs",
-    None,  # simhash bits derive from xxhash64 — not SQL-portable
+    None,  # simhash bits derive from xxhash64 — not SQL-portable; unlike
+    # d3 there is no exact-verify stage (hamming distance IS the metric, and
+    # it is hash-defined), so no engine-independent expected output exists:
+    # at sf0.01 simhash finds 99 of the 100 planted near-dup pairs plus none
+    # spurious — the 1 miss is a genuine hamming>3 under this hash family,
+    # not a bug.  Rows-only is the honest check; pair quality is asserted in
+    # tests/test_dedup.py instead.
     doc="64-bit SimHash near-dup pairs, hamming<=3 via 16-bit slice "
         "bucketing (operators/dedup.py simhash_pairs); single-shuffle "
-        "bit-sum aggregation (no per-bit explode)",
+        "bit-sum aggregation (no per-bit explode). Rows-only by necessity: "
+        "the hamming metric is xxhash64-defined, so no SQL oracle can state "
+        "expected pairs (see inline note); precision/recall asserted in "
+        "tests/test_dedup.py",
     tags=("dedup",),
 )
 def d5(spark, sf_dir):
@@ -173,7 +211,8 @@ def d5(spark, sf_dir):
       FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
       GROUP BY doc_id
     )
-    SELECT s % 2147483647 AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+    SELECT CAST(s % 2147483647 AS BIGINT) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_copies
     FROM weighted GROUP BY s % 2147483647
     """,
     doc="Rolling-hash fingerprint dedup (operators/dedup.py "
@@ -190,12 +229,30 @@ def d6(spark, sf_dir):
 
 @register(
     "d7_embedding_dup_pairs",
-    None,  # LSH bucket keys derive from xxhash64 hyperplanes
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_DUP_BASE},
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02 + 0.005)
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.9
+    """,
     doc="Embedding-cosine near-dup pairs within random-hyperplane LSH "
         "buckets (operators/dedup.py embedding_dup_pairs); cosine scored on "
         "bucket-collision candidates only.  The driver corpus has no "
         "high-cosine pairs (max ~0.43), so perturbed copies (x*1.02+0.005) "
-        "of every 5th vector are planted — the operator must find them",
+        "of every 5th vector are planted — the operator must find them. "
+        "Because candidates are exact-cosine-verified, the output equals the "
+        "exact >=0.9 pair set whenever LSH recall is 1.0 (it is, on this "
+        "corpus: the planted pairs are the only ones, and bucket collision "
+        "for near-parallel vectors is near-certain across 4 tables) — the "
+        "oracle is the exact cross-pair SQL; a recall miss would surface as "
+        "a row-count mismatch",
     tags=("dedup", "similarity"),
 )
 def d7(spark, sf_dir):

@@ -395,12 +395,29 @@ def e14(spark, sf_dir):
 
 @register(
     "e3_oval_criteria_flatten",
-    None,  # recursive tree walk in a mapInPandas UDTF — not SQL-portable
+    """
+    WITH pairs AS (
+      SELECT 'ns:rhel' || CAST(o_custkey % 3 AS VARCHAR) AS namespace_test,
+             'pkg:' || CAST(o_orderkey % 50 AS VARCHAR) AS package_test,
+             'affirm' AS polarity
+      FROM orders
+      UNION ALL
+      SELECT 'ns:rhel' || CAST(o_custkey % 3 AS VARCHAR),
+             'pkg:' || CAST((o_orderkey + 1) % 50 AS VARCHAR),
+             'affirm'
+      FROM orders
+    )
+    SELECT namespace_test, polarity, count(*) AS n_pairs,
+           count(DISTINCT package_test) AS n_distinct_pkgs
+    FROM pairs GROUP BY namespace_test, polarity
+    """,
     doc="E3/E4/F4 OVAL criteria-tree walk (utils/oval_v2.py:139-271): "
         "AND/OR tree JSON -> (doc, ns_test, pkg_test, polarity) rows via "
         "one Arrow-batched mapInPandas; nested groups inherit the nearest "
         "namespace test (reference quirk preserved); golden-tested in "
-        "tests/test_oval.py",
+        "tests/test_oval.py.  The input tree is synthesized deterministically "
+        "from orders columns, so the oracle states the expected walk output "
+        "in plain SQL — the hash-match verifies the recursive UDTF end-to-end",
     tags=("explode", "udf"),
 )
 def e3(spark, sf_dir):
@@ -500,10 +517,29 @@ def e5(spark, sf_dir):
 
 @register(
     "e7_pkg_string_heuristic",
-    None,  # branchy positional heuristic — the F6 UDF, unit-tested instead
+    """
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 3 = 0
+                THEN replace(p_name, ' ', '-') || '-' ||
+                     CAST(p_partkey % 2 + 1 AS VARCHAR) || ':' ||
+                     CAST(p_size AS VARCHAR) || '.0-' || CAST(p_partkey % 5 AS VARCHAR)
+                ELSE replace(p_name, ' ', '-') || '-' ||
+                     CAST(p_size AS VARCHAR) || '.1-' || CAST(p_partkey % 7 AS VARCHAR)
+           END AS pkg_string,
+           replace(p_name, ' ', '-') AS name,
+           CASE WHEN p_partkey % 3 = 0
+                THEN CAST(p_partkey % 2 + 1 AS VARCHAR) || ':' ||
+                     CAST(p_size AS VARCHAR) || '.0-' || CAST(p_partkey % 5 AS VARCHAR)
+                ELSE CAST(p_size AS VARCHAR) || '.1-' || CAST(p_partkey % 7 AS VARCHAR)
+           END AS version
+    FROM part
+    """,
     doc="E7/F6 Hydra package-string heuristic parse (rhel/parser.py:394-438):"
         " name/epoch:version-release disambiguation in one Arrow-batched "
-        "struct-returning UDF; golden cases in tests/test_text_functions.py",
+        "struct-returning UDF; golden cases in tests/test_text_functions.py. "
+        "The pkg strings are synthesized deterministically from part columns, "
+        "so the oracle states the expected (name, version) split directly — "
+        "the hash-match verifies the UDF recovers both fields exactly",
     tags=("explode", "udf"),
 )
 def e7(spark, sf_dir):

@@ -81,6 +81,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    # The caller may hand us an arbitrary session (the correctness driver
+    # builds its own), so the nanos conf must be applied at read time, not
+    # only in get_spark()'s builder.  It is runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
