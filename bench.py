@@ -53,10 +53,21 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
 
+    # untimed warm-up: spin up executor threads, codegen, and the parquet
+    # footer cache so the first timed query reflects steady state rather
+    # than JVM startup (q1 previously absorbed ~1.5s of warm-up)
+    from vunnel_spark.session import load_tables
+
+    for df in load_tables(spark, SF_DIR).values():
+        df.count()
+
     times: dict[str, float] = {}
     for name in names:
-        df = qs[name](spark, SF_DIR)
+        # time construction AND the action: operators that eagerly persist
+        # intermediate frames (d3's candidate cache) do real work at
+        # construction time, which a count()-only timer would hide
         t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
         df.count()  # full materialization of the plan
         times[name] = round(time.perf_counter() - t0, 3)
 

@@ -80,15 +80,18 @@ def test_simhash_has_no_per_bit_explode(spark, sf_dir):
     assert "sequence(0, 63" not in p
 
 
-def test_lsh_bucket_join_is_equi_join(spark, sf_dir):
+def test_lsh_candidates_single_pass_no_cartesian(spark, sf_dir):
     from vunnel_spark.operators.dedup import minhash_lsh_pairs
     from vunnel_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     p = plan_of(minhash_lsh_pairs(docs, verify_threshold=None))
     assert "CartesianProduct" not in p
-    # candidate pairs come from a hash join keyed on (band, bucket)
-    assert "Join" in p and "bucket" in p
+    # candidate pairs come from in-bucket combinations after a groupBy on
+    # (band, bucket) — the corpus (and the minhash stage) is scanned ONCE;
+    # a bucket self-join would show two parquet scans here
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "bucket" in p
 
 
 def test_events_windows_single_aggregation_pass(spark, sf_dir):

@@ -117,10 +117,31 @@ def embedding_dup_pairs(
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on the id when the input is under-parallel.
+
+    Document corpora often arrive as a handful of parquet files, so the
+    explode/hash-heavy map stages would run on a couple of tasks while the
+    rest of the cluster idles.  Repartitioning by id costs one shuffle of
+    the raw text but (a) unlocks full parallelism for shingling/hashing and
+    (b) pre-aligns the data with every downstream groupBy(id) — when the
+    partition count matches spark.sql.shuffle.partitions, Catalyst reuses
+    the partitioning and those aggregations become shuffle-free.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    return df
+
+
 def _word_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) distinct word-k-gram rows, built with JVM expressions.
 
     transform over a sequence of start positions -> slice -> concat; no UDF.
+    Precondition: one row per id (a document frame).  Shingles are deduped
+    per document with array_distinct BEFORE the explode — cross-document
+    (id, shingle) rows are then unique by construction, so no post-explode
+    distinct (a full shuffle of the shingle frame) is needed.
     """
     words = F.split(F.trim(F.col(content_col)), r"\s+")
     n = F.size(words)
@@ -128,9 +149,8 @@ def _word_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 3) -> 
     shingles = F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .distinct()
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -210,13 +230,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float | None = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, optionally Jaccard-verified.
 
     Band bucket key = hash(band_index, signature slice); candidates are
-    pairs sharing >=1 bucket — generated by a self-equi-join on the bucket
-    key (shuffle on bucket, never a cross join).  With 64 hashes / 16 bands
-    (rows=4) the S-curve crosses ~0.5 Jaccard.
+    pairs sharing >=1 bucket.  Pair generation groups ids per (band,
+    bucket) and emits in-bucket combinations with JVM array expressions —
+    ONE pass over the signature pipeline (a self-join would recompute the
+    whole minhash stage once per join side) and one shuffle of the thin
+    (id, band, bucket) frame.  With 64 hashes / 16 bands (rows=4) the
+    S-curve crosses ~0.5 Jaccard.
+
+    ``max_bucket_size`` drops degenerate buckets (near-identical boilerplate
+    floods at corpus scale): a bucket of B ids emits B(B-1)/2 candidate
+    pairs, so one pathological bucket can dominate the output; capping
+    mirrors the max_shingle_freq knob and standard LSH practice.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, k, num_hashes)
@@ -236,15 +265,27 @@ def minhash_lsh_pairs(
             )),
         ).alias("bucket"),
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # ids are sorted, so pairing each element with its successors yields
+    # canonical (id_a < id_b) pairs with no post-hoc ordering fixup
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     if verify_threshold is None:
@@ -256,6 +297,15 @@ def minhash_lsh_pairs(
     # shuffle carries only candidate docs, not the whole corpus — at 100 TB
     # candidates are a sliver of the corpus and this is the difference
     # between touching the corpus twice and touching candidates only.
+    # ``cand`` feeds two branches (the id semi-join and the pair join);
+    # persisting it keeps the signature+bucket pipeline — the expensive
+    # stage — from being computed once per branch.  Candidate pairs are two
+    # longs per row; at any scale this is the frame you cache.  The count()
+    # materializes the cache EAGERLY: with a lazy persist the two branches
+    # race and can each recompute the full pipeline before the cache fills
+    # (observed: 2x wall time, nondeterministically).
+    cand = cand.persist()
+    cand.count()
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -264,7 +314,8 @@ def minhash_lsh_pairs(
     sh = _word_shingles(df, content_col, id_col, k).join(cand_ids, "id", "left_semi")
     sets = sh.groupBy("id").agg(
         F.collect_set("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh")
-    )
+    ).persist()
+    sets.count()  # eager: sets feeds both join sides (sa/sb) — see cand note
     sa = sets.select(
         F.col("id").alias("id_a"), F.col("shset").alias("_sa"), F.col("n_sh").alias("n_a")
     )
@@ -299,7 +350,7 @@ def simhash_pairs(
     a 64-bit key agrees exactly on at least one of 4 slices — pigeonhole),
     then verifies true hamming distance with bit_count(xor).
     """
-    words = df.select(
+    words = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(content_col)), r"\s+")).alias("w"),
     ).withColumn("h", F.xxhash64("w"))

@@ -35,7 +35,17 @@ def salted_join(
     (on, salt) so a skewed hot key spreads across n_salts partitions.
     Replication cost: |small| * n_salts rows shuffled — use only when
     ``small`` is modest but above the broadcast threshold.
+
+    ``how`` is restricted to 'inner'/'left' (left = big side preserved):
+    any outer mode that preserves the *small* side would emit each
+    unmatched small-side row once per salt replica — n_salts phantom rows.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "outer modes preserving the small side would emit its unmatched "
+            "rows once per salt replica"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -42,14 +42,16 @@ def j1(spark, sf_dir):
     "j2_leftjoin_collect_advisories",
     """
     SELECT o_orderkey,
-           COALESCE(list_sort(list(l_partkey || ':' || CAST(l_quantity AS INT))
-                              FILTER (WHERE l_partkey IS NOT NULL)), []) AS advisories
+           COALESCE(array_to_string(list_sort(
+             list(l_partkey || ':' || CAST(l_quantity AS INT))
+                  FILTER (WHERE l_partkey IS NOT NULL)), '|'), '') AS advisories
     FROM orders LEFT JOIN lineitem
       ON o_orderkey = l_orderkey AND l_returnflag = 'A'
     GROUP BY o_orderkey
     """,
     doc="J2 CVE-to-DSA advisory left join + per-key list assembly "
-        "(debian/parser.py:109-137, 245-274): unmatched keys get []",
+        "(debian/parser.py:109-137, 245-274): unmatched keys get []. "
+        "Serialized '|'-joined (gate canonicalizer needs hashable scalars)",
     tags=("join", "agg"),
 )
 def j2(spark, sf_dir):
@@ -59,7 +61,7 @@ def j2(spark, sf_dir):
         t(spark, sf_dir, "orders")
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
         .groupBy("o_orderkey")
-        .agg(F.array_sort(F.collect_list(adv)).alias("advisories"))
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(adv))).alias("advisories"))
     )
 
 
@@ -103,11 +105,13 @@ def j5(spark, sf_dir):
     )
     SELECT b.o_orderkey,
            COALESCE(v.new_priority, b.o_orderpriority) AS priority,
-           list_sort(list_distinct(list_concat(b.refs, COALESCE(v.ovr_refs, [])))) AS refs
+           array_to_string(list_sort(list_distinct(
+             list_concat(b.refs, COALESCE(v.ovr_refs, [])))), '|') AS refs
     FROM base b LEFT JOIN ovr v ON b.o_orderkey = v.o_orderkey
     """,
     doc="J8 NVD override patch join (nvd/manager.py:304-339): override doc "
-        "replaces the config field, set-unions reference lists by url",
+        "replaces the config field, set-unions reference lists by url. "
+        "Serialized '|'-joined (gate canonicalizer needs hashable scalars)",
     tags=("join",),
 )
 def j8(spark, sf_dir):
@@ -130,8 +134,11 @@ def j8(spark, sf_dir):
         .select(
             "o_orderkey",
             F.coalesce(F.col("new_priority"), F.col("o_orderpriority")).alias("priority"),
-            F.array_sort(
-                F.array_union(F.col("refs"), F.coalesce(F.col("ovr_refs"), F.array()))
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.array_union(F.col("refs"), F.coalesce(F.col("ovr_refs"), F.array()))
+                ),
             ).alias("refs"),
         )
     )
@@ -355,7 +362,8 @@ def j4(spark, sf_dir):
     "j6_subpage_concat",
     """
     SELECT a.o_custkey,
-           list_sort(list_distinct(list_concat(a.page1, b.page2))) AS all_ids
+           array_to_string(list_sort(list_distinct(list_concat(a.page1, b.page2))), '|')
+             AS all_ids
     FROM (
       SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS page1
       FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey
@@ -365,7 +373,8 @@ def j4(spark, sf_dir):
     ) b ON a.o_custkey = b.o_custkey
     """,
     doc="J6 advisory + sub-paginated vulns merge (github/parser.py:161-184):"
-        " join on the advisory id, concat + dedup the page arrays",
+        " join on the advisory id, concat + dedup the page arrays. "
+        "Serialized '|'-joined (gate canonicalizer needs hashable scalars)",
     tags=("join", "setop"),
 )
 def j6(spark, sf_dir):
@@ -382,7 +391,7 @@ def j6(spark, sf_dir):
     )
     return page1.join(page2, "o_custkey").select(
         "o_custkey",
-        F.array_sort(F.array_union("page1", "page2")).alias("all_ids"),
+        F.concat_ws("|", F.array_sort(F.array_union("page1", "page2"))).alias("all_ids"),
     )
 
 
@@ -465,3 +474,70 @@ def e9(spark, sf_dir):
         F.regexp_extract("purl", r"/([^/@]+)@", 1).alias("pkg_name"),
         F.regexp_extract("purl", r"@(.+)$", 1).alias("pkg_version"),
     )
+
+
+@register(
+    "j10_usn_fixdate_overlay",
+    """
+    WITH aff AS (
+      SELECT 'ubuntu:' || CAST(l_suppkey % 4 AS VARCHAR) AS eco,
+             'pkg' || CAST(l_partkey % 100 AS VARCHAR) AS pkg,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
+               CAST(l_linenumber AS VARCHAR) AS ver,
+             CAST(o_orderdate AS DATE) AS published,
+             CAST(l_shipdate AS DATE) AS shipped
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), overlay AS (
+      SELECT eco, pkg, ver, min(published) AS cand_date, 1 AS pri, 'usn' AS src
+      FROM aff GROUP BY eco, pkg, ver
+    ), first_obs AS (
+      SELECT eco, pkg, ver, min(shipped) AS cand_date, 2 AS pri,
+             'first_observed' AS src
+      FROM aff GROUP BY eco, pkg, ver
+    ), cand AS (
+      SELECT * FROM overlay UNION ALL SELECT * FROM first_obs
+    )
+    SELECT eco, pkg, ver, cand_date AS fix_date, src FROM (
+      SELECT eco, pkg, ver, cand_date, src,
+             row_number() OVER (PARTITION BY eco, pkg, ver
+                                ORDER BY pri, cand_date) AS rn
+      FROM cand)
+    WHERE rn = 1
+    """,
+    doc="J10 USN fix-date overlay (ubuntu/usn_fixdate_overlay.py:36-137, "
+        "applied at parser.py:523-546): the overlay is a min-aggregate per "
+        "(ecosystem, pkg, fixed-version) tuple — earliest USN wins because "
+        "Canonical re-ships fix tuples in follow-up USNs — whose dates join "
+        "the candidate pool ahead of first-observed dates; the J9 priority "
+        "pick then takes the best (source-priority, date) per tuple.  One "
+        "groupBy per source + one window on the tuple key; no driver state",
+    tags=("join", "agg", "window"),
+)
+def j10(spark, sf_dir):
+    from vunnel_spark.operators.windows import priority_pick
+
+    aff = (
+        t(spark, sf_dir, "lineitem")
+        .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("ubuntu:"), (F.col("l_suppkey") % 4).cast("string")).alias("eco"),
+            F.concat(F.lit("pkg"), (F.col("l_partkey") % 100).cast("string")).alias("pkg"),
+            F.concat_ws(
+                ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
+            ).alias("ver"),
+            F.col("o_orderdate").cast("date").alias("published"),
+            F.col("l_shipdate").cast("date").alias("shipped"),
+        )
+    )
+    overlay = aff.groupBy("eco", "pkg", "ver").agg(F.min("published").alias("cand_date"))
+    first_obs = aff.groupBy("eco", "pkg", "ver").agg(F.min("shipped").alias("cand_date"))
+    cand = overlay.select(
+        "eco", "pkg", "ver", "cand_date", F.lit(1).alias("pri"), F.lit("usn").alias("src")
+    ).unionByName(
+        first_obs.select(
+            "eco", "pkg", "ver", "cand_date",
+            F.lit(2).alias("pri"), F.lit("first_observed").alias("src"),
+        )
+    )
+    best = priority_pick(cand, ["eco", "pkg", "ver"], [F.col("pri"), F.col("cand_date")])
+    return best.select("eco", "pkg", "ver", F.col("cand_date").alias("fix_date"), "src")

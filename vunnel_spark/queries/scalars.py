@@ -120,16 +120,18 @@ def sc3(spark, sf_dir):
     "sc4_array_surface",
     """
     SELECT p_partkey,
-           string_split(p_name, ' ') AS words,
+           array_to_string(string_split(p_name, ' '), '|') AS words,
            len(string_split(p_name, ' ')) AS n_words,
            list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt,
            string_split(p_name, ' ')[1] AS first_word,
-           list_sort(string_split(p_name, ' ')) AS sorted_words,
-           list_reverse(list_sort(string_split(p_name, ' '))) AS rsorted
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+           array_to_string(list_reverse(list_sort(string_split(p_name, ' '))), '|') AS rsorted
     FROM part
     """,
     doc="Array family: split, size, contains, indexing, sort, reverse "
-        "(wolfi multi-id split, FixedIn sort utils/vulnerability.py:41)",
+        "(wolfi multi-id split, FixedIn sort utils/vulnerability.py:41). "
+        "Arrays serialized '|'-joined (gate canonicalizer needs hashable "
+        "scalars); the array ops themselves still run on real arrays",
     tags=("scalar",),
 )
 def sc4(spark, sf_dir):
@@ -137,12 +139,12 @@ def sc4(spark, sf_dir):
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        words.alias("words"),
+        F.concat_ws("|", words).alias("words"),
         F.size(words).alias("n_words"),
         F.array_contains(words, "bolt").alias("has_bolt"),
         F.element_at(words, 1).alias("first_word"),
-        F.array_sort(words).alias("sorted_words"),
-        F.reverse(F.array_sort(words)).alias("rsorted"),
+        F.concat_ws("|", F.array_sort(words)).alias("sorted_words"),
+        F.concat_ws("|", F.reverse(F.array_sort(words))).alias("rsorted"),
     )
 
 

@@ -47,13 +47,16 @@ def u1(spark, sf_dir):
     ), all_segs AS (
       SELECT list_sort(list(DISTINCT c_mktsegment)) AS all_s FROM customer
     )
-    SELECT c_nationkey, segs,
-           list_sort(list_filter(all_s, s -> NOT list_contains(segs, s))) AS missing_segs
+    SELECT c_nationkey, array_to_string(segs, '|') AS segs,
+           COALESCE(array_to_string(
+             list_sort(list_filter(all_s, s -> NOT list_contains(segs, s))), '|'), '')
+             AS missing_segs
     FROM per_nation CROSS JOIN all_segs
     """,
     doc="U2 union of per-platform sets minus own (rhel/parser.py:521): "
         "flatten(collect_set) + array_except; the global set is a 1-row "
-        "aggregate cross-joined (broadcast) — no per-row recompute",
+        "aggregate cross-joined (broadcast) — no per-row recompute. "
+        "Serialized '|'-joined (gate canonicalizer needs hashable scalars)",
     tags=("setop", "agg"),
 )
 def u2(spark, sf_dir):
@@ -66,8 +69,10 @@ def u2(spark, sf_dir):
         per_nation.crossJoin(F.broadcast(all_segs))
         .select(
             "c_nationkey",
-            "segs",
-            F.array_sort(F.array_except(F.col("all_s"), F.col("segs"))).alias("missing_segs"),
+            F.concat_ws("|", "segs").alias("segs"),
+            F.concat_ws(
+                "|", F.array_sort(F.array_except(F.col("all_s"), F.col("segs")))
+            ).alias("missing_segs"),
         )
     )
 
@@ -76,18 +81,20 @@ def u2(spark, sf_dir):
     "u3_array_union_merge",
     """
     SELECT p_partkey,
-           list_sort(list_distinct(list_concat(string_split(p_name, ' '), [p_brand]))) AS merged
+           array_to_string(list_sort(list_distinct(
+             list_concat(string_split(p_name, ' '), [p_brand]))), '|') AS merged
     FROM part
     """,
     doc="U3 reference-url set-union merge (nvd/manager.py:328-335): "
-        "array_union dedup, sorted for determinism",
+        "array_union dedup, sorted for determinism. Serialized '|'-joined "
+        "(gate canonicalizer needs hashable scalars)",
     tags=("setop", "scalar"),
 )
 def u3(spark, sf_dir):
     return t(spark, sf_dir, "part").select(
         "p_partkey",
-        F.array_sort(
-            F.array_union(F.split("p_name", " "), F.array(F.col("p_brand")))
+        F.concat_ws(
+            "|", F.array_sort(F.array_union(F.split("p_name", " "), F.array(F.col("p_brand"))))
         ).alias("merged"),
     )
 
@@ -115,3 +122,32 @@ def u5(spark, sf_dir):
         .select(F.col("l_orderkey").alias("rec_key"))
     )
     return a.union(b).distinct()
+
+
+@register(
+    "u4_union_concat",
+    """
+    SELECT l_orderkey AS rec, l_partkey AS pkg, 'affected' AS state
+    FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT l_orderkey, l_partkey, 'out_of_support'
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="U4 affected ∪ out-of-support list concat (rhel/parser.py:752): "
+        "plain unionByName, duplicates preserved — the two lists are "
+        "disjoint by construction and the consumer wants both",
+    tags=("setop",),
+)
+def u4(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_orderkey").alias("rec"),
+        F.col("l_partkey").alias("pkg"),
+        F.lit("affected").alias("state"),
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("rec"),
+        F.col("l_partkey").alias("pkg"),
+        F.lit("out_of_support").alias("state"),
+    )
+    return a.unionByName(b)

@@ -71,3 +71,37 @@ def i4(spark, sf_dir):
     # second run with a later date: must be a no-op for existing keys
     merged = first_observed_merge(spark, state, keys, ["vuln", "pkg"], today="2027-01-01")
     return merged.select("vuln", "pkg", "first_observed")
+
+
+@register(
+    "i6_frozen_partitions",
+    """
+    SELECT o_orderkey AS ident,
+           CASE WHEN o_custkey % 4 < 2 THEN 'U' ELSE o_orderstatus END AS status,
+           'r' || CAST(o_custkey % 4 AS VARCHAR) AS release
+    FROM orders
+    """,
+    doc="I6 frozen-fragment partition layering (ubuntu/parser.py:307-373): "
+        "today's run rewrites ONLY the release partitions present in "
+        "today's data (dynamic partition overwrite); EOL'd releases stay "
+        "frozen on disk.  The query writes all 4 release partitions, then "
+        "overwrites r0/r1 with updated rows, and returns the read-back "
+        "store — the oracle's CASE only matches if r2/r3 kept their "
+        "original content AND r0/r1 took the update",
+    tags=("sink", "incremental"),
+)
+def i6(spark, sf_dir):
+    from vunnel_spark.sinks.writers import overwrite_partitions
+
+    path = os.path.join(tempfile.mkdtemp(prefix="i6_"), "fragments")
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ident"),
+        F.col("o_orderstatus").alias("status"),
+        F.concat(F.lit("r"), (F.col("o_custkey") % 4).cast("string")).alias("release"),
+    )
+    overwrite_partitions(base, path, "release")
+    today = base.filter(F.col("release").isin("r0", "r1")).withColumn(
+        "status", F.lit("U")
+    )
+    overwrite_partitions(today, path, "release")
+    return spark.read.parquet(path).select("ident", "status", "release")

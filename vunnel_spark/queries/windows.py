@@ -208,3 +208,73 @@ def o1(spark, sf_dir):
         .filter(F.col("rank") <= 50)
         .select("ver", "rank")
     )
+
+
+@register(
+    "o3_sorted_listing",
+    """
+    SELECT fname, row_number() OVER (ORDER BY fname) AS pos FROM (
+      SELECT DISTINCT 'results/' || replace(p_brand, ' ', '') || '/' ||
+             CAST(p_partkey % 100 AS VARCHAR) || '.json' AS fname
+      FROM part)
+    """,
+    doc="O3 sorted filename listing for stable checksums "
+        "(workspace.py:268-284; rhel/parser.py:1018): deterministic listing "
+        "order is what makes the digest-of-digests reproducible — the "
+        "emitted position makes the sort itself gate-verified, not just the "
+        "set of names",
+    tags=("topk",),
+)
+def o3(spark, sf_dir):
+    from pyspark.sql import Window
+
+    names = (
+        t(spark, sf_dir, "part")
+        .select(
+            F.concat(
+                F.lit("results/"),
+                F.replace(F.col("p_brand"), F.lit(" "), F.lit("")),
+                F.lit("/"),
+                (F.col("p_partkey") % 100).cast("string"),
+                F.lit(".json"),
+            ).alias("fname")
+        )
+        .distinct()
+    )
+    return names.withColumn("pos", F.row_number().over(Window.orderBy("fname")))
+
+
+@register(
+    "o5_release_order",
+    """
+    SELECT release, row_number() OVER (ORDER BY major, minor) AS pos FROM (
+      SELECT DISTINCT 'v' || CAST(n_nationkey % 4 AS VARCHAR) || '.' ||
+               CAST(n_nationkey AS VARCHAR) AS release,
+             n_nationkey % 4 AS major, n_nationkey AS minor
+      FROM nation)
+    """,
+    doc="O5 release-sorted processing order (alpine/parser.py:201): releases "
+        "sort NUMERICALLY by (major, minor) — v3.10 after v3.9, where a "
+        "lexicographic sort would invert them; the emitted position verifies "
+        "the numeric ordering end-to-end",
+    tags=("topk",),
+)
+def o5(spark, sf_dir):
+    from pyspark.sql import Window
+
+    rel = (
+        t(spark, sf_dir, "nation")
+        .select(
+            F.concat(
+                F.lit("v"), (F.col("n_nationkey") % 4).cast("string"),
+                F.lit("."), F.col("n_nationkey").cast("string"),
+            ).alias("release"),
+            (F.col("n_nationkey") % 4).alias("major"),
+            F.col("n_nationkey").alias("minor"),
+        )
+        .distinct()
+    )
+    return (
+        rel.withColumn("pos", F.row_number().over(Window.orderBy("major", "minor")))
+        .select("release", "pos")
+    )

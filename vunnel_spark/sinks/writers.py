@@ -18,6 +18,7 @@ same code path targets Delta/Iceberg where commit atomicity is native.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -89,20 +90,32 @@ class EnvelopeWriter:
                 w = w.partitionBy(*self.partition_by)
             w.parquet(self.path)
             return
-        # atomic publish: write to a stage dir, then swap into place
+        # atomic publish: write to a stage dir, then swap into place.
+        # Single-writer protocol (like the reference's tmp-db + rename):
+        # stale stage/backup dirs from a crashed run are cleared up front,
+        # the backup is only discarded after the new data is installed, and
+        # a failed install rolls the backup back — the prior results are
+        # never the casualty of a failed publish.
+        backup = f"{self.path}.__old__"
+        for stale in glob.glob(f"{self.path}.__stage__*") + [backup]:
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         stage = f"{self.path}.__stage__{uuid.uuid4().hex[:8]}"
         w = out.write.mode("overwrite")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(stage)
-        backup = f"{self.path}.__old__"
-        if os.path.exists(self.path):
+        had_prior = os.path.exists(self.path)
+        if had_prior:
             os.rename(self.path, backup)
         try:
             os.rename(stage, self.path)
-        finally:
-            if os.path.exists(backup):
-                shutil.rmtree(backup)
+        except BaseException:
+            if had_prior:
+                os.rename(backup, self.path)
+            raise
+        if had_prior:
+            shutil.rmtree(backup)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """S14 keyed read-back: the table itself (filter for point lookups)."""
