@@ -3,4 +3,5 @@ scan to envelope sink, mirroring the reference's provider model
 (/root/reference/src/vunnel/provider.py:115-180) as pure functions.
 """
 
+from vunnel_spark.pipelines.nvd import nvd_pipeline  # noqa: F401
 from vunnel_spark.pipelines.secdb import secdb_pipeline  # noqa: F401
