@@ -6,9 +6,10 @@ Parity map:
 - S5 CSV-with-comment-header (epss/manager.py:64-134) ->
   ``read_csv_with_comment_header``: comment='#' + the header-comment value
   lifted into a literal column, exactly like epss lifts score_date
-- S3 OVAL XML: no spark-xml package in this container — the UDTF-shaped
-  parse (one doc -> many typed rows) is demonstrated on nested JSON with
-  the same multi-level explode shape (utils/oval_v2.py:443-495)
+- S3 OVAL XML (utils/oval_v2.py:443-495) -> ``sources/oval_xml.py``:
+  binaryFile scan + streaming iterparse flatMap over plain/.gz/.bz2 files
+  (no spark-xml needed); the JSON-shaped criteria walk in operators/oval.py
+  shares the same semantics for already-landed JSON trees
 """
 
 from __future__ import annotations
