@@ -1,0 +1,83 @@
+"""Golden test for the RHEL `_parse_cve` pipeline (SURVEY §7.2 phase 9):
+not-fixed-trumps-fixed, base-platform inference, +els suppression,
+severity fold, sorted FixedIn assembly — the reference's per-CVE dict walk
+(rhel/parser.py:821-1000) as one frame-level DAG.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vunnel_spark.pipelines import rhel_pipeline
+
+
+@pytest.fixture()
+def frames(spark):
+    fins = spark.createDataFrame(
+        [
+            # plain fix
+            ("CVE-1", "rhel8", "openssl", None, "3.0.1-2.el8", "RHSA-2024:1"),
+            # fix suppressed by package_state (same key in nfins)
+            ("CVE-1", "rhel8", "zlib", None, "1.2.12-1.el8", "RHSA-2024:2"),
+            # EUS-only fix: must infer a rhel9 wont-fix record
+            ("CVE-1", "rhel9+eus", "kernel", "kmod", "5.14-1.el9", "RHSA-2024:3"),
+            # +els platform: suppressed at emit
+            ("CVE-1", "rhel7+els", "bash", None, "4.2-1.el7", "RHSA-2024:4"),
+            # base platform HAS data: no inference for rhel8+eus's base
+            ("CVE-2", "rhel8+eus", "curl", None, "7.61-2.el8", "RHSA-2024:5"),
+            ("CVE-2", "rhel8", "curl", None, "7.61-1.el8", "RHSA-2024:6"),
+        ],
+        "cve_id string, platform string, package string, module string, "
+        "version string, rhsa_id string",
+    )
+    nfins = spark.createDataFrame(
+        [("CVE-1", "rhel8", "zlib", None)],
+        "cve_id string, platform string, package string, module string",
+    )
+    meta = spark.createDataFrame(
+        [
+            ("CVE-1", "important", "first bug"),
+            ("CVE-2", "bogus-level", "second bug"),
+        ],
+        "cve_id string, threat_severity string, description string",
+    )
+    return fins, nfins, meta
+
+
+def test_parse_cve_dag(spark, frames):
+    out = rhel_pipeline(*frames)
+    rows = {(r.cve_id, r.namespace): r for r in out.collect()}
+
+    # +els emitted nowhere
+    assert all("+els" not in ns for _, ns in rows)
+
+    r8 = rows[("CVE-1", "rhel:rhel8")]
+    assert r8.severity == "High"  # important -> High
+    by_name = {f.Name: f for f in r8.FixedIn}
+    # openssl fixed; zlib's fix suppressed -> wont-fix 'None' record
+    assert by_name["openssl"].Version == "3.0.1-2.el8"
+    assert by_name["openssl"].NoAdvisory is False
+    assert by_name["zlib"].Version == "None"
+    assert by_name["zlib"].NoAdvisory is True
+
+    # EUS-only data inferred a base rhel9 wont-fix record
+    r9 = rows[("CVE-1", "rhel:rhel9")]
+    assert [(f.Name, f.Version, f.NoAdvisory) for f in r9.FixedIn] == [
+        ("kernel", "None", True)
+    ]
+    # the EUS platform itself is still emitted
+    assert ("CVE-1", "rhel:rhel9+eus") in rows
+
+    # base platform with real data: NO inference duplicate, unknown severity
+    r2 = rows[("CVE-2", "rhel:rhel8")]
+    assert r2.severity == "Unknown"
+    assert [f.Version for f in r2.FixedIn] == ["7.61-1.el8"]
+
+
+def test_fixedin_sorted_deterministically(spark, frames):
+    out1 = rhel_pipeline(*frames).collect()
+    out2 = rhel_pipeline(*frames).collect()
+    key = lambda rows: {  # noqa: E731
+        (r.cve_id, r.namespace): [tuple(f) for f in r.FixedIn] for r in rows
+    }
+    assert key(out1) == key(out2)

@@ -4,4 +4,5 @@ scan to envelope sink, mirroring the reference's provider model
 """
 
 from vunnel_spark.pipelines.nvd import nvd_pipeline  # noqa: F401
+from vunnel_spark.pipelines.rhel import rhel_pipeline  # noqa: F401
 from vunnel_spark.pipelines.secdb import secdb_pipeline  # noqa: F401

@@ -83,3 +83,109 @@ def nvd1(spark, sf_dir):
         F.concat_ws("|", F.col("item.refs")).alias("refs"),
         F.col("item.was_overridden").alias("was_overridden"),
     )
+
+
+@register(
+    "rhel1_parse_cve_dag",
+    """
+    WITH base AS (
+      SELECT 'CVE-' || CAST(l_orderkey % 500 AS VARCHAR) AS cve_id,
+             'rhel' || CAST(l_suppkey % 3 + 7 AS VARCHAR) ||
+               CASE WHEN l_partkey % 4 = 0 THEN '+eus'
+                    WHEN l_partkey % 7 = 0 THEN '+els' ELSE '' END AS platform,
+             'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS package,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
+               CAST(l_linenumber AS VARCHAR) AS version,
+             l_returnflag AS rf
+      FROM lineitem
+    ), fins AS (
+      SELECT cve_id, platform, package, version FROM base WHERE rf <> 'R'
+    ), nfins AS (
+      SELECT DISTINCT cve_id, platform, package FROM base WHERE rf = 'R'
+    ), kept AS (
+      SELECT f.cve_id, f.platform, f.package, f.version, FALSE AS wont_fix
+      FROM fins f
+      WHERE NOT EXISTS (SELECT 1 FROM nfins n WHERE n.cve_id = f.cve_id
+                        AND n.platform = f.platform AND n.package = f.package)
+      UNION ALL
+      SELECT cve_id, platform, package, 'None', TRUE FROM nfins
+    ), inferred AS (
+      SELECT DISTINCT k.cve_id,
+             regexp_replace(k.platform, '\\+(eus|aus|tus|els)$', '') AS platform,
+             k.package, 'None' AS version, TRUE AS wont_fix
+      FROM kept k
+      WHERE regexp_replace(k.platform, '\\+(eus|aus|tus|els)$', '') <> k.platform
+        AND NOT EXISTS (
+          SELECT 1 FROM kept p WHERE p.cve_id = k.cve_id
+          AND p.platform = regexp_replace(k.platform, '\\+(eus|aus|tus|els)$', ''))
+    ), arts AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM inferred
+    ), meta AS (
+      SELECT DISTINCT cve_id,
+             CASE CAST(substr(cve_id, 5) AS INT) % 5
+                  WHEN 0 THEN 'Critical' WHEN 1 THEN 'High' WHEN 2 THEN 'Medium'
+                  WHEN 3 THEN 'Low' ELSE 'Unknown' END AS severity,
+             'd' || substr(cve_id, 5) AS description
+      FROM base
+    )
+    SELECT a.cve_id, 'rhel:' || a.platform AS namespace, m.severity,
+           m.description, a.package AS name, a.version, a.wont_fix AS no_advisory
+    FROM arts a JOIN meta m ON a.cve_id = m.cve_id
+    WHERE a.platform NOT LIKE '%+els%'
+    """,
+    doc="RHEL `_parse_cve` DAG end-to-end (rhel/parser.py:821-1000; "
+        "pipelines/rhel.py): not-fixed-trumps-fixed anti-join, EUS/ELS "
+        "base-platform inference, '+els' suppression, severity fold, and "
+        "sorted FixedIn assembly — run over synthesized affected_release / "
+        "package_state frames and exploded back flat so the oracle can "
+        "state the full expected artifact table",
+    tags=("pipeline", "join", "agg"),
+)
+def rhel1(spark, sf_dir):
+    from vunnel_spark.pipelines.rhel import rhel_pipeline
+
+    li = t(spark, sf_dir, "lineitem")
+    cve = F.concat(F.lit("CVE-"), (F.col("l_orderkey") % 500).cast("string"))
+    platform = F.concat(
+        F.lit("rhel"),
+        (F.col("l_suppkey") % 3 + 7).cast("string"),
+        F.when(F.col("l_partkey") % 4 == 0, F.lit("+eus"))
+        .when(F.col("l_partkey") % 7 == 0, F.lit("+els"))
+        .otherwise(F.lit("")),
+    )
+    pkg = F.concat(F.lit("pkg"), (F.col("l_partkey") % 50).cast("string"))
+    ver = F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber"))
+    base = li.select(
+        cve.alias("cve_id"), platform.alias("platform"), pkg.alias("package"),
+        F.lit("").alias("module"), ver.alias("version"), F.col("l_returnflag").alias("rf"),
+    )
+    fins = base.filter(F.col("rf") != "R").select(
+        "cve_id", "platform", "package", "module", "version",
+        F.lit(None).cast("string").alias("rhsa_id"),
+    )
+    nfins = (
+        base.filter(F.col("rf") == "R")
+        .select("cve_id", "platform", "package", "module")
+        .distinct()
+    )
+    meta = base.select(
+        "cve_id",
+        F.element_at(
+            F.array(
+                F.lit("critical"), F.lit("important"), F.lit("moderate"),
+                F.lit("low"), F.lit("unknown"),
+            ),
+            (F.substring("cve_id", 5, 10).cast("int") % 5) + 1,
+        ).alias("threat_severity"),
+        F.concat(F.lit("d"), F.substring("cve_id", 5, 10)).alias("description"),
+    ).distinct()
+    out = rhel_pipeline(fins, nfins, meta)
+    return out.select(
+        "cve_id", "namespace", "severity", "description",
+        F.explode("FixedIn").alias("f"),
+    ).select(
+        "cve_id", "namespace", "severity", "description",
+        F.col("f.Name").alias("name"),
+        F.col("f.Version").alias("version"),
+        F.col("f.NoAdvisory").alias("no_advisory"),
+    )
