@@ -189,3 +189,67 @@ def rhel1(spark, sf_dir):
         F.col("f.Version").alias("version"),
         F.col("f.NoAdvisory").alias("no_advisory"),
     )
+
+
+@register(
+    "ubuntu1_pro_inference",
+    """
+    WITH frags AS (
+      SELECT CASE WHEN l_returnflag = 'A' THEN 'ubuntu:pro:' ELSE 'ubuntu:' END ||
+               CAST(l_suppkey % 2 + 22 AS VARCHAR) || '.04' AS ecosystem,
+             'CVE-' || CAST(l_orderkey % 300 AS VARCHAR) AS cve_id,
+             'pkg' || CAST(l_partkey % 40 AS VARCHAR) AS pkg,
+             'fixed' AS status,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
+               CAST(l_linenumber AS VARCHAR) AS fixed_version
+      FROM lineitem
+    ), inferred AS (
+      SELECT DISTINCT replace(p.ecosystem, ':pro:', ':') AS ecosystem,
+             p.cve_id, p.pkg
+      FROM frags p
+      WHERE p.ecosystem LIKE '%:pro:%'
+        AND NOT EXISTS (
+          SELECT 1 FROM frags b
+          WHERE b.ecosystem = replace(p.ecosystem, ':pro:', ':')
+            AND b.cve_id = p.cve_id AND b.pkg = p.pkg)
+    )
+    SELECT ecosystem, cve_id, pkg, status, fixed_version, 'real' AS origin
+    FROM frags
+    UNION ALL
+    SELECT ecosystem, cve_id, pkg, 'wont_fix_inferred', NULL, 'inferred'
+    FROM inferred
+    """,
+    doc="Ubuntu fragment pipeline end-to-end (ubuntu/parser.py:307-373 "
+        "fragment writes; 457-495 Pro-to-base inference; "
+        "pipelines/ubuntu.py): today's rows land in ecosystem-partitioned "
+        "fragments (dynamic overwrite), then the full store is yielded "
+        "with synthesized base wont-fix rows for every (cve, pkg) a Pro "
+        "sibling covers and base omits — Canonical encodes 'Pro-only fix' "
+        "by omission, and the inference reconstructs it.  The freezing of "
+        "absent ecosystems is exercised by i6 and the pipeline golden test",
+    tags=("pipeline", "join", "sink"),
+)
+def ubuntu1(spark, sf_dir):
+    import tempfile as _tf
+
+    from vunnel_spark.pipelines.ubuntu import ubuntu_pipeline
+
+    li = t(spark, sf_dir, "lineitem")
+    eco = F.concat(
+        F.when(F.col("l_returnflag") == "A", F.lit("ubuntu:pro:")).otherwise(
+            F.lit("ubuntu:")
+        ),
+        (F.col("l_suppkey") % 2 + 22).cast("string"),
+        F.lit(".04"),
+    )
+    today = li.select(
+        eco.alias("ecosystem"),
+        F.concat(F.lit("CVE-"), (F.col("l_orderkey") % 300).cast("string")).alias("cve_id"),
+        F.concat(F.lit("pkg"), (F.col("l_partkey") % 40).cast("string")).alias("pkg"),
+        F.lit("fixed").alias("status"),
+        F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber")).alias(
+            "fixed_version"
+        ),
+    )
+    wd = _tf.mkdtemp(prefix="ubuntu1_")
+    return ubuntu_pipeline(spark, today, wd)
