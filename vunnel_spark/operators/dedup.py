@@ -96,18 +96,35 @@ def embedding_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         F.posexplode("buckets").alias("t", "bucket"),
     )
-    x, y = b.alias("x"), b.alias("y")
+    # in-bucket pair generation (see minhash_lsh_pairs): group collision
+    # members per (table, bucket) and emit successor combinations — the
+    # hashing pipeline runs once, where a self-join would run it per side.
+    # Members carry their vectors so the cosine scores without re-joining
+    # the corpus.
+    grouped = (
+        b.groupBy("t", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("vec")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    x["vec"].alias("_va"), y["vec"].alias("_vb"),
+                ),
+            ),
+        )
+    )
     cand = (
-        x.join(
-            y,
-            (F.col("x.t") == F.col("y.t"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
-            F.col("x.vec").alias("_va"), F.col("y.vec").alias("_vb"),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p._va", "p._vb")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
@@ -382,19 +399,35 @@ def simhash_pairs(
         "slice",
         F.expr("shiftright(simhash, t * 16)").bitwiseAND(F.lit(0xFFFF)),
     )
-    a, b = slices.alias("a"), slices.alias("b")
+    # in-bucket pair generation (see minhash_lsh_pairs): group collision
+    # members per (table, slice) and emit successor combinations — the
+    # simhash aggregation pipeline runs once, where a self-join would run
+    # the 64-bit-sum stage per join side.  Members carry their simhash so
+    # hamming scores without re-joining the corpus.
+    grouped = (
+        slices.groupBy("t", "slice")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
