@@ -352,25 +352,45 @@ def minhash_lsh_pairs(
     )
 
 
+def md5_prefix_hash(c):
+    """60-bit word hash from the first 15 hex chars of md5 — engine-portable.
+
+    md5 is bit-identical across Spark, DuckDB, and every other engine, so a
+    simhash built on this family has an exact cross-engine expected output
+    (unlike xxhash64, which only Spark implements).  15 hex chars = 60 bits,
+    safely inside a signed 64-bit long.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def simhash_pairs(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_tables: int = 4,
+    word_hash=None,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs via banded bucketing.
 
-    SimHash built with JVM expressions: explode words -> xxhash64 ->
+    SimHash built with JVM expressions: explode words -> word hash ->
     per-bit +/-1 sums -> sign bits reassembled.  Pair generation buckets on
     each of ``n_tables`` 16-bit slices (a pair within hamming distance 3 of
     a 64-bit key agrees exactly on at least one of 4 slices — pigeonhole),
     then verifies true hamming distance with bit_count(xor).
+
+    ``word_hash`` maps a word Column to a BIGINT Column; default xxhash64
+    (fastest, JVM-native).  Pass :func:`md5_prefix_hash` when the simhash
+    must be reproducible outside Spark (its top 4 bits are constant-zero,
+    leaving an effective 60-bit simhash — the slice bucketing and hamming
+    verify are unaffected since those bits agree on every pair).
     """
+    if word_hash is None:
+        word_hash = F.xxhash64
     words = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(content_col)), r"\s+")).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", word_hash(F.col("w")))
     # 64 conditional-sum aggregates over the words frame: ONE shuffle keyed
     # on id, no per-bit row explosion (the old 64x explode shuffled 64 rows
     # per word — a 64x blowup at 100 TB).  Partial aggregation makes the

@@ -175,28 +175,65 @@ def d3(spark, sf_dir):
     return minhash_lsh_pairs(docs, verify_threshold=0.8)
 
 
+# DuckDB replica of the md5-prefix simhash: hamming distance is hash-defined,
+# so the only honest oracle COMPUTES THE SAME SIMHASH bit-for-bit.  md5 is the
+# one hash both engines share; the operator's word_hash parameter exists for
+# exactly this (operators/dedup.py md5_prefix_hash).  Top 4 bits of the 60-bit
+# hash are constant-zero, so only bits 0..59 need sums.
+_SIMHASH_BIT_SUMS = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(60)
+)
+_SIMHASH_ASSEMBLE = " | ".join(
+    f"(CASE WHEN b{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+    for b in range(60)
+)
+
+
 @register(
     "d5_simhash_pairs",
-    None,  # simhash bits derive from xxhash64 — not SQL-portable; unlike
-    # d3 there is no exact-verify stage (hamming distance IS the metric, and
-    # it is hash-defined), so no engine-independent expected output exists:
-    # at sf0.01 simhash finds 99 of the 100 planted near-dup pairs plus none
-    # spurious — the 1 miss is a genuine hamming>3 under this hash family,
-    # not a bug.  Rows-only is the honest check; pair quality is asserted in
-    # tests/test_dedup.py instead.
-    doc="64-bit SimHash near-dup pairs, hamming<=3 via 16-bit slice "
-        "bucketing (operators/dedup.py simhash_pairs); single-shuffle "
-        "bit-sum aggregation (no per-bit explode). Rows-only by necessity: "
-        "the hamming metric is xxhash64-defined, so no SQL oracle can state "
-        "expected pairs (see inline note); precision/recall asserted in "
+    f"""
+    WITH corpus AS ({_NEAR_DUPS_SQL}),
+    words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM corpus
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(15),
+               i -> (strpos('0123456789abcdef', substr(md5(w), i+1, 1)) - 1)::BIGINT
+                    << (4*(14-i))
+             )) AS BIGINT) AS h
+      FROM words
+    ), bits AS (
+      SELECT doc_id, {_SIMHASH_BIT_SUMS}
+      FROM hashed GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM bits
+    ), slices AS (
+      SELECT doc_id, simhash, t, (simhash >> (t*16)) & 65535 AS slice
+      FROM sim, (SELECT unnest(range(4)) AS t) tables
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM slices a JOIN slices b ON a.t = b.t AND a.slice = b.slice
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs, hamming<=3 via 16-bit slice bucketing "
+        "(operators/dedup.py simhash_pairs); single-shuffle bit-sum "
+        "aggregation (no per-bit explode), in-bucket pair generation (no "
+        "self-join recompute).  Uses the engine-portable md5-prefix word "
+        "hash so the oracle can replicate the simhash BIT-FOR-BIT in SQL — "
+        "the gate checks the exact pair set, not just row counts; "
+        "precision/recall on planted near-dups asserted in "
         "tests/test_dedup.py",
     tags=("dedup",),
 )
 def d5(spark, sf_dir):
-    from vunnel_spark.operators.dedup import simhash_pairs
+    from vunnel_spark.operators.dedup import md5_prefix_hash, simhash_pairs
 
     docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return simhash_pairs(docs)
+    return simhash_pairs(docs, word_hash=md5_prefix_hash)
 
 
 @register(
