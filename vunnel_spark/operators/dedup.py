@@ -220,16 +220,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
-    Permutation i is xxhash64(shingle, seed=i) — deterministic, seed-driven,
-    computed JVM-side.  The per-seed minimum is ``num_hashes`` parallel
-    min-aggregates over the shingle frame: ONE shuffle keyed on id carrying
-    64 longs per id after map-side partial aggregation.  (The naive form —
-    explode 64 seed rows per shingle then groupBy — shuffles 64x the rows;
-    same pathology the simhash bit-sum fix removed.)
+    The shingle string is hashed ONCE (xxhash64) to a 64-bit base value;
+    permutation i is then xxhash64 over the fixed-width (base, seed) pair —
+    1 variable-length string hash + ``num_hashes`` 16-byte hashes per
+    shingle instead of ``num_hashes`` full string re-hashes (measured ~2x
+    on the whole aggregate; the classic multiply-add universal-hash family
+    would be cheaper still but wrapping long arithmetic throws under
+    Spark 4's default ANSI mode).  The per-seed minimum is ``num_hashes``
+    parallel min-aggregates over the shingle frame: ONE shuffle keyed on
+    id carrying 64 longs per id after map-side partial aggregation.  (The
+    naive form — explode 64 seed rows per shingle then groupBy — shuffles
+    64x the rows; same pathology the simhash bit-sum fix removed.)
     """
-    sh = _word_shingles(df, content_col, id_col, k)
+    sh = _word_shingles(df, content_col, id_col, k).withColumn(
+        "_h", F.xxhash64(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"_m{s}")
+        F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"_m{s}")
         for s in range(num_hashes)
     ]
     return (
@@ -310,10 +317,11 @@ def minhash_lsh_pairs(
     # Verify CANDIDATES ONLY: join the candidate pairs to per-doc shingle
     # sets and score Jaccard with array_intersect — cost is O(|candidates|),
     # never the full-corpus shingle self-join LSH exists to avoid.  The
-    # shingle frame is semi-joined to candidate ids FIRST so the collect_set
-    # shuffle carries only candidate docs, not the whole corpus — at 100 TB
+    # DOCUMENT frame is semi-joined to candidate ids BEFORE re-shingling
+    # (cand_ids is tiny -> broadcast semi-join, no corpus shuffle), so the
+    # second shingling pass explodes only candidate docs — at 100 TB
     # candidates are a sliver of the corpus and this is the difference
-    # between touching the corpus twice and touching candidates only.
+    # between shingling the corpus twice and shingling candidates only.
     # ``cand`` feeds two branches (the id semi-join and the pair join);
     # persisting it keeps the signature+bucket pipeline — the expensive
     # stage — from being computed once per branch.  Candidate pairs are two
@@ -328,7 +336,10 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = _word_shingles(df, content_col, id_col, k).join(cand_ids, "id", "left_semi")
+    cand_docs = df.join(
+        F.broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "left_semi"
+    )
+    sh = _word_shingles(cand_docs, content_col, id_col, k)
     sets = sh.groupBy("id").agg(
         F.collect_set("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh")
     ).persist()
