@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vunnel_spark.functions.text import (
+    _LANG_PROFILES,
     avg_token_len,
     bpe_ish_token_count,
     detect_language,
@@ -85,10 +86,44 @@ def x2(spark, sf_dir):
 
 @register(
     "x3_quality_filter",
-    None,  # composite score weights are engine-defined; components checked in x2
+    # Full SQL replica of quality_score + bpe_ish_token_count.  All
+    # components are doubles, and no IEEE double lands exactly on a
+    # 6-decimal midpoint (5e-7 * odd is not dyadic), so Spark's HALF_UP and
+    # DuckDB's HALF_EVEN round(…, 6) cannot diverge here — the decimal-
+    # rounding trap does not apply to double arithmetic.
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                  / length(text) END AS pr,
+        CAST(COALESCE(list_sum(list_transform(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> CASE WHEN x IN ('the','a','of','and','to','in','is','it')
+                         THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+          / len(string_split_regex(trim(lower(text)), '\\s+')) AS sw
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+        round(least(ntok / 100.0, 1.0) * 0.5
+            + greatest(0.0, 1.0 - pr * 4) * 0.3
+            + (CASE WHEN sw > 0.6 THEN 0.4 WHEN sw > 0 THEN 1.0 ELSE 0.7 END) * 0.2,
+          6) AS quality,
+        CAST(COALESCE(list_sum(list_transform(
+               regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1),
+               w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT)))), 0)
+             AS BIGINT) AS bpe_tokens
+      FROM base
+    )
+    SELECT doc_id, quality, bpe_tokens FROM scored WHERE quality >= 0.3
+    """,
     doc="Composite quality score + keep/drop filter (functions/text.py "
         "quality_score): the pipeline gate built from x2's signals; also "
-        "exercises bpe-ish token estimation",
+        "exercises bpe-ish token estimation.  Oracle replicates the full "
+        "score arithmetic in SQL, so the gate pins the exact filter "
+        "semantics, not just the components",
     tags=("text",),
 )
 def x3(spark, sf_dir):
@@ -124,10 +159,59 @@ def x4(spark, sf_dir):
 
 @register(
     "x5_language_id",
-    None,  # n-gram heuristic scoring — UDF, not SQL-portable
+    # SQL replica of detect_language: same 500-char sample, same overlapping
+    # bigram counts (list lambdas), same CJK codepoint rule, same first-wins
+    # argmax order.  Profiles are interpolated from the One constant the UDF
+    # uses, so the oracle cannot drift from the implementation.
+    f"""
+    WITH s AS (
+      SELECT lang, text,
+             lower(substr(text, 1, 500)) AS sample,
+             substr(text, 1, 200) AS head
+      FROM documents
+    ), feat AS (
+      SELECT lang, text,
+        len(list_filter(
+              list_transform(range(length(head)), i -> unicode(substr(head, i+1, 1))),
+              c -> c BETWEEN 19968 AND 40959)) AS cjk,
+        length(head) AS headlen,
+        CASE WHEN length(sample) < 2 THEN NULL
+             ELSE list_transform(range(length(sample) - 1),
+                                 i -> substr(sample, i+1, 2)) END AS bg
+      FROM s
+    ), scores AS (
+      SELECT lang, text, cjk, headlen, len(bg) AS nb,
+        {", ".join(
+            "len(list_filter(bg, x -> x IN ("
+            + ", ".join(f"'{b}'" for b in profile)
+            + f"))) AS {lang}_s"
+            for lang, profile in _LANG_PROFILES.items() if profile
+        )}
+      FROM feat
+    ), det AS (
+      SELECT lang,
+        CASE
+          WHEN text IS NULL OR text = '' THEN NULL
+          WHEN cjk > headlen * 0.2 THEN 'zh'
+          WHEN nb IS NULL OR nb = 0 THEN NULL
+          ELSE CASE
+            {" ".join(
+                f"WHEN {lang}_s = greatest("
+                + ", ".join(f"{l}_s" for l in _LANG_PROFILES if _LANG_PROFILES[l])
+                + f") THEN '{lang}'"
+                for lang in _LANG_PROFILES if _LANG_PROFILES[lang]
+            )}
+          END
+        END AS detected
+      FROM scores
+    )
+    SELECT lang, detected, count(*) AS n FROM det GROUP BY lang, detected
+    """,
     doc="Language-ID via character-bigram profiles (functions/text.py "
         "detect_language): one Arrow-batched pandas UDF; compared against "
-        "the corpus lang labels as an accuracy side-output",
+        "the corpus lang labels as an accuracy side-output.  The heuristic "
+        "is deterministic, so the oracle replicates it exactly in SQL "
+        "(bigram counts via list lambdas, first-wins argmax)",
     tags=("text", "udf"),
 )
 def x5(spark, sf_dir):
