@@ -99,7 +99,7 @@ def q3(spark, sf_dir):
       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       JOIN nation   ON s_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'ASIA'
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
@@ -116,7 +116,7 @@ def q5(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
-    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         # customer/supplier scale with SF — leave broadcast decisions to AQE;
         # only true dims (nation/region) keep explicit hints.
@@ -466,4 +466,409 @@ def q22(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# ------------------------------------------------------------------
+# The remaining TPC-H shapes, adapted to the reduced driver schema the
+# same way q16 is: lineitem's (l_partkey, l_suppkey) pairs stand in for
+# partsupp, and missing columns (containers, comments, commit dates,
+# supply cost / availqty) get documented proxies.  What is preserved is
+# each query's PLAN SHAPE — correlated min/avg subqueries, scalar-
+# aggregate broadcasts, two-sided nation pairing, left-outer histograms —
+# which is what exercises Catalyst at 100 TB.
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, cost
+      FROM ps
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, round(cost, 4) AS min_cost
+    FROM (SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS best FROM eligible)
+    WHERE cost = best
+    """,
+    doc="TPC-H Q2 shape (partsupp := distinct lineitem pairs, supplycost "
+        ":= min unit price): correlated per-part MIN subquery as a window, "
+        "region-filtered dims broadcast",
+    tags=("bench", "join"),
+)
+def q2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("best", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("best"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round("cost", 4).alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+          OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: two-sided nation pairing (same dim joined twice under "
+        "different roles), disjunctive pair predicate, year rollup",
+    tags=("bench", "join"),
+)
+def q7(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_19") & (F.col("supp_nation") == "NATION_18"))
+            | ((F.col("cust_nation") == "NATION_18") & (F.col("supp_nation") == "NATION_19"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AFRICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8: market share of one supplier nation — conditional "
+        "aggregation ratio over an 8-way join",
+    tags=("bench", "join", "agg"),
+)
+def q8(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT n_name AS nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1 AS amount
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q9 shape (supplycost := 10% of retail price — the schema "
+        "has no partsupp): profit by supplier nation and order year over a "
+        "name-substring part filter",
+    tags=("bench", "join", "agg"),
+)
+def q9(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH value_by_part AS (
+      SELECT l_partkey, sum(l_extendedprice) AS value
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM value_by_part
+    WHERE value > (SELECT sum(value) * 0.001 FROM value_by_part)
+    """,
+    doc="TPC-H Q11 shape (stock value := lineitem revenue from one "
+        "nation's suppliers): scalar-fraction subquery realized as a "
+        "1-row broadcast join, not a second scan-side shuffle",
+    tags=("bench", "agg"),
+)
+def q11(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    by_part = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    threshold = by_part.agg((F.sum("value") * 0.001).alias("thr"))
+    return (
+        by_part.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13: left-outer join preserving order-less customers, then "
+        "a histogram of per-customer counts (two-level aggregation)",
+    tags=("bench", "join", "agg"),
+)
+def q13(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15: quarterly revenue view + scalar MAX subquery "
+        "(1-row broadcast) to keep only the top supplier(s)",
+    tags=("bench", "agg"),
+)
+def q15(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("best_rev"))
+        .join(supp, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN (SELECT l_partkey AS apk, avg(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey) a ON apk = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size = 9
+      AND l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape (container := p_size band): correlated per-part "
+        "AVG subquery realized as an aggregate-then-rejoin, small-quantity "
+        "outlier revenue",
+    tags=("bench", "join", "agg"),
+)
+def q17(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") == 9)
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("apk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("apk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    """
+    SELECT DISTINCT s_name
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN (
+        SELECT l_suppkey
+        FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50) q ON q.l_suppkey = s_suppkey
+    WHERE n_name = 'NATION_18'
+    """,
+    doc="TPC-H Q20 shape (availqty threshold := shipped-quantity floor): "
+        "semi-join chain — part name filter -> grouped HAVING -> distinct "
+        "supplier projection",
+    tags=("bench", "join"),
+)
+def q20(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .distinct()
     )
