@@ -1,0 +1,77 @@
+"""ANN operator tests: IVF cell assignment invariants, retrieval of
+planted near-duplicates through the probe path, and the equi-join plan
+shape that keeps IVF linear at scale (no cartesian).
+
+LSH ANN recall is gated by the n3 registry query + oracle mirror; these
+tests cover the IVF path added alongside it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.test_plans import plan_of
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from vunnel_spark.session import load_table
+
+    return load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    from vunnel_spark.operators.similarity import train_ivf_centroids
+
+    return train_ivf_centroids(emb, nlist=8)
+
+
+def test_ivf_cells_are_valid_and_nearest_first(spark, emb, centroids):
+    from vunnel_spark.operators.similarity import add_ivf_cells
+
+    rows = add_ivf_cells(emb, centroids, nprobe=3).select("vec_id", "cells").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r.cells) == 3
+        assert len(set(r.cells)) == 3, "probed cells must be distinct"
+        assert all(0 <= c < 8 for c in r.cells)
+    # nprobe=1 must agree with the head of nprobe=3 (nearest-first order)
+    one = {
+        r.vec_id: r.cells[0]
+        for r in add_ivf_cells(emb, centroids, nprobe=1).select("vec_id", "cells").collect()
+    }
+    assert all(one[r.vec_id] == r.cells[0] for r in rows)
+
+
+def test_ivf_retrieves_planted_dups_rank1(spark, emb, centroids):
+    """A scaled copy of a vector must come back as its rank-1 neighbor:
+    near-identical vectors land in the same (or an adjacent probed) cell.
+    This is the recall property the n5 oracle pins at the gate SF."""
+    from vunnel_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = train_ivf_centroids(corpus, nlist=8)
+    n_planted = planted.count()
+    hits = (
+        ivf_topk(corpus, planted, cents, k=1, nprobe=4)
+        .filter(F.col("neighbor_id") == F.col("query_id") - 10_000)
+        .count()
+    )
+    assert hits == n_planted, f"IVF missed {n_planted - hits}/{n_planted} planted dups"
+
+
+def test_ivf_join_is_equi_on_cell_no_cartesian(spark, emb, centroids):
+    from vunnel_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    p = plan_of(ivf_topk(emb, queries, centroids, k=3, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

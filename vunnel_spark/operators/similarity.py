@@ -106,6 +106,117 @@ def add_lsh_buckets(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: k-means centroids over the corpus.
+
+    Returns ``nlist`` centroid vectors as plain Python lists — the "model"
+    is nlist x dim floats (a few KB), which downstream ships as plan
+    literals exactly like the LSH hyperplanes: executors evaluate constant
+    expressions, nothing is regenerated or broadcast per row.
+
+    At 100 TB the quantizer trains on a deterministic hash sample
+    (``sample_mod`` keeps ~1/sample_mod of rows): k-means needs only
+    ~100x nlist points to place cells, while full-corpus assignment stays
+    a Catalyst expression scan.  MLlib's k-means|| runs distributed, so
+    even the training pass never collects vectors to the driver — only
+    the fitted centroids come back.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus
+    if sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
+    feat = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def add_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest coarse cells (squared L2).
+
+    Pure Catalyst: per-centroid distances are aggregates over zip_with
+    with the centroid as a literal array, ranked via array_sort over
+    (distance, cell_id) structs — zero Python at runtime, so cell
+    assignment pipelines into the same whole-stage-codegen span as the
+    parquet scan.
+    """
+    dists = []
+    for cell_id, c in enumerate(centroids):
+        plane = F.array(*[F.lit(v) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), plane,
+                lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.struct(d2.alias("d2"), F.lit(cell_id).alias("cell")))
+    ranked = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
+    return df.withColumn(
+        out_col, F.transform(ranked, lambda s: s.getField("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their single nearest cell,
+    queries probe their ``nprobe`` nearest cells and score only those
+    inverted lists.
+
+    Scale shape: the corpus shuffles once on cell id (or not at all if
+    written cell-partitioned), and each query touches ~nprobe/nlist of
+    the data.  Rank/tie rules match brute_force_topk so recall is
+    directly measurable.
+    """
+    cb = add_ivf_cells(corpus, centroids, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    qb = add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode("cells").alias("cell"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    ).drop("_qv", "_cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -67,6 +67,63 @@ def n2(spark, sf_dir):
 
 
 @register(
+    "n4_ann_ivf_topk",
+    None,  # cells come from a fitted k-means model — not SQL-portable
+    doc="IVF ANN top-k (operators/similarity.py ivf_topk): k-means coarse "
+        "quantizer (pyspark.ml, trained distributed), centroids shipped as "
+        "plan literals; corpus lives in its nearest cell, queries probe "
+        "nprobe cells — each query touches ~nprobe/nlist of the corpus",
+    tags=("similarity",),
+)
+def n4(spark, sf_dir):
+    from vunnel_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cents = train_ivf_centroids(emb, nlist=8)
+    return ivf_topk(emb, queries, cents, k=_K, nprobe=4).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+_IVF_DUP_BASE = 1_000_000
+
+
+@register(
+    "n5_ann_ivf_dup_retrieval",
+    f"""
+    SELECT vec_id + {_IVF_DUP_BASE} AS query_id,
+           vec_id AS neighbor_id,
+           round(list_cosine_similarity(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02 + 0.005),
+             CAST(embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+    doc="IVF retrieval gate: planted near-dups (same construction as d7) "
+        "must come back as their query's rank-1 neighbor through the cell "
+        "probe — near-identical vectors quantize into the same (or an "
+        "adjacent probed) cell, so the exact planted-pair set is the "
+        "oracle; a miss here means the quantizer or probe path broke",
+    tags=("similarity",),
+)
+def n5(spark, sf_dir):
+    from vunnel_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _IVF_DUP_BASE).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = train_ivf_centroids(corpus, nlist=8)
+    return (
+        ivf_topk(corpus, planted, cents, k=1, nprobe=4)
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@register(
     "n3_ann_lsh_recall",
     None,  # derived from n2 (hash-dependent)
     doc="Recall of LSH ANN vs the brute-force baseline per query: "
