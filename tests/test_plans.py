@@ -145,3 +145,45 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_new_tpch_shapes_no_cartesian(spark, sf_dir):
+    # the 9 round-3 TPC-H additions: every join must be equi (or a 1-row
+    # scalar broadcast); a cartesian here would be quadratic at 100 TB
+    for name in (
+        "tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_type_profit",
+        "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+        "tpch_q20_potential_promotion",
+    ):
+        p = plan_of(q(name, spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_scalar_subquery_joins_build_on_one_row_side(spark, sf_dir):
+    # q11/q15 realize scalar subqueries as 1-row broadcasts: q11's
+    # inequality join may only nested-loop against that single row
+    # (BuildRight), never between two scan-sized inputs
+    p11 = plan_of(q("tpch_q11_important_stock", spark, sf_dir))
+    # formatted plans print each node in the tree AND the detail section
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p11)) == 1
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in p11
+    p15 = plan_of(q("tpch_q15_top_supplier", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p15
+    assert "CartesianProduct" not in p15
+
+
+def test_q13_preserves_orderless_customers(spark, sf_dir):
+    # the left-outer must survive optimization (an inner join would drop
+    # zero-order customers and corrupt the histogram's c_count=0 bin)
+    p = plan_of(q("tpch_q13_customer_distribution", spark, sf_dir))
+    assert "LeftOuter" in p, p
+
+
+def test_q2_correlated_min_is_single_pass_window(spark, sf_dir):
+    # per-part MIN realized as a window over the joined result, not a
+    # second scan of lineitem joined back
+    p = plan_of(q("tpch_q2_min_cost_supplier", spark, sf_dir))
+    assert "Window" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 5  # each table once
