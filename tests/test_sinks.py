@@ -109,3 +109,50 @@ def test_overwrite_partitions_freezes_absent(spark, outdir):
     overwrite_partitions(day2, path, "eco")
     rows = {(r.eco, r.id, r.run) for r in spark.read.parquet(path).collect()}
     assert rows == {("pypi", "a2", 2), ("npm", "b2", 2), ("rpm", "c", 1)}
+
+
+def test_snapshot_import_gates(spark, outdir):
+    from vunnel_spark.sinks.writers import import_snapshot, publish_snapshot
+
+    snap = os.path.join(outdir, "snapA")
+    dest = os.path.join(outdir, "installed")
+    df = spark.createDataFrame([("v1", 1)], "id string, n int")
+    df.write.parquet(snap)
+    publish_snapshot(snap, built="2026-01-01T00:00:00")
+
+    # fresh install
+    assert import_snapshot(snap, dest) == "imported"
+    assert {r.id for r in spark.read.parquet(dest).collect()} == {"v1"}
+
+    # same-age snapshot: skip-compute path (nothing rewritten)
+    assert import_snapshot(snap, dest) == "skipped"
+
+    # newer snapshot replaces
+    snap2 = os.path.join(outdir, "snapB")
+    spark.createDataFrame([("v2", 2)], "id string, n int").write.parquet(snap2)
+    publish_snapshot(snap2, built="2026-06-01T00:00:00")
+    assert import_snapshot(snap2, dest) == "imported"
+    assert {r.id for r in spark.read.parquet(dest).collect()} == {"v2"}
+
+    # forced import ignores the newer check but still validates checksums
+    assert import_snapshot(snap, dest, skip_newer_check=True) == "imported"
+    assert {r.id for r in spark.read.parquet(dest).collect()} == {"v1"}
+
+
+def test_snapshot_import_rejects_tampered(spark, outdir):
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from vunnel_spark.sinks.writers import import_snapshot, publish_snapshot
+
+    snap = os.path.join(outdir, "snapT")
+    dest = os.path.join(outdir, "installedT")
+    spark.createDataFrame([("v1", 1)], "id string, n int").write.parquet(snap)
+    publish_snapshot(snap, built="2026-01-01T00:00:00")
+    part = _glob.glob(os.path.join(snap, "part-*.parquet"))[0]
+    with open(part, "ab") as f:
+        f.write(b"corrupt")
+    with _pytest.raises(ValueError, match="checksum"):
+        import_snapshot(snap, dest)
+    assert not os.path.exists(dest), "tampered snapshot must not install"

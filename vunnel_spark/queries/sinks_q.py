@@ -74,6 +74,38 @@ def i4(spark, sf_dir):
 
 
 @register(
+    "s17_snapshot_import_skip_compute",
+    """
+    SELECT o_orderkey AS ident, o_orderstatus AS status FROM orders
+    """,
+    doc="S17 archive import / skip-compute (provider.py:215-269, 357-378): "
+        "a hosted snapshot installs atomically iff newer than the installed "
+        "manifest and checksum-valid.  The query imports a current snapshot, "
+        "then offers an OLDER one with poisoned content ('X' statuses) — the "
+        "oracle only matches if the newer-archive check skipped the stale "
+        "import and the first snapshot's content survived",
+    tags=("sink", "source"),
+)
+def s17(spark, sf_dir):
+    from vunnel_spark.sinks.writers import import_snapshot, publish_snapshot
+
+    root = tempfile.mkdtemp(prefix="s17_")
+    snap_new = os.path.join(root, "snap_new")
+    snap_old = os.path.join(root, "snap_old")
+    dest = os.path.join(root, "installed")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ident"), F.col("o_orderstatus").alias("status")
+    )
+    orders.write.parquet(snap_new)
+    publish_snapshot(snap_new, built="2026-02-01T00:00:00")
+    orders.withColumn("status", F.lit("X")).write.parquet(snap_old)
+    publish_snapshot(snap_old, built="2025-01-01T00:00:00")
+    assert import_snapshot(snap_new, dest) == "imported"
+    assert import_snapshot(snap_old, dest) == "skipped"
+    return spark.read.parquet(dest).select("ident", "status")
+
+
+@register(
     "i6_frozen_partitions",
     """
     SELECT o_orderkey AS ident,

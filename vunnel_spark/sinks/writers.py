@@ -105,21 +105,83 @@ class EnvelopeWriter:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(stage)
-        had_prior = os.path.exists(self.path)
-        if had_prior:
-            os.rename(self.path, backup)
-        try:
-            os.rename(stage, self.path)
-        except BaseException:
-            if had_prior:
-                os.rename(backup, self.path)
-            raise
-        if had_prior:
-            shutil.rmtree(backup)
+        _atomic_install(stage, self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """S14 keyed read-back: the table itself (filter for point lookups)."""
         return spark.read.parquet(self.path)
+
+
+def _atomic_install(stage: str, path: str) -> None:
+    """Swap a fully-written stage dir into place (single-writer protocol):
+    the prior dir is parked as a backup, restored on a failed install, and
+    discarded only after the new data is live."""
+    backup = f"{path}.__old__"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    had_prior = os.path.exists(path)
+    if had_prior:
+        os.rename(path, backup)
+    try:
+        os.rename(stage, path)
+    except BaseException:
+        if had_prior:
+            os.rename(backup, path)
+        raise
+    if had_prior:
+        shutil.rmtree(backup)
+
+
+_MANIFEST = "__manifest__.json"
+_LISTING = "__listing__.json"
+
+
+def publish_snapshot(path: str, built: str) -> dict:
+    """Stamp a results dir as a distributable snapshot: checksum listing
+    (S16) + manifest carrying the build timestamp the skip-compute check
+    compares (the reference's listing-entry ``built`` field)."""
+    doc = write_checksum_listing(path, os.path.join(path, _LISTING))
+    manifest = {"built": built, "digest": doc["digest"]}
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def import_snapshot(
+    snapshot_path: str, dest_path: str, skip_newer_check: bool = False
+) -> str:
+    """S17 archive import / skip-compute (provider.py:215-269, 357-378):
+    install an already-computed hosted snapshot instead of recomputing.
+
+    Gates, in order:
+      1. newer-archive check — if the installed manifest's ``built`` is
+         >= the snapshot's, nothing happens (returns ``'skipped'``, the
+         whole recompute is elided);
+      2. checksum validation — a tampered or truncated snapshot raises
+         before anything is touched;
+      3. atomic install — same backup/rollback swap the envelope writer
+         uses, so readers never see a half-imported tree.
+
+    Driver-side by design (SURVEY maps S17 to snapshot import): the data
+    plane only ever reads the installed tree.  Returns 'imported' or
+    'skipped'.
+    """
+    with open(os.path.join(snapshot_path, _MANIFEST)) as f:
+        snap = json.load(f)
+    dest_manifest = os.path.join(dest_path, _MANIFEST)
+    if not skip_newer_check and os.path.exists(dest_manifest):
+        with open(dest_manifest) as f:
+            installed = json.load(f)
+        if installed.get("built", "") >= snap["built"]:
+            return "skipped"
+    if not validate_checksum_listing(
+        snapshot_path, os.path.join(snapshot_path, _LISTING)
+    ):
+        raise ValueError(f"snapshot checksum mismatch: {snapshot_path}")
+    stage = f"{dest_path}.__stage__{uuid.uuid4().hex[:8]}"
+    shutil.copytree(snapshot_path, stage)
+    _atomic_install(stage, dest_path)
+    return "imported"
 
 
 def first_observed_merge(
