@@ -193,8 +193,14 @@ def _dpkg_part_key(part: str) -> str:
         dig = _R_DIGIT.match(s).group(0)
         s = s[len(dig):]
         pairs.append((nond, int(dig or "0")))
-    while pairs and pairs[-1] == ("", 0):
-        pairs.pop()
+    # canonicalize the empty part to ONE vacuous pair instead of trimming
+    # the sole ("", 0) a bare "0" parses to: "" == "0" needs equal keys,
+    # but "0~" (same vacuous pair, then a tilde run) must sort BELOW both
+    # — that comparison only lands on the tilde when every key carries the
+    # leading run/number slots ("0" vs "0~" was ordered wrong by prefix
+    # length before this; dpkg_vercmp caught it via the property test)
+    if not pairs:
+        pairs = [("", 0)]
     out = []
     for nond, num in pairs:
         for c in nond:
