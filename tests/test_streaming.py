@@ -116,3 +116,29 @@ def test_stateful_first_observed_across_batches(spark, tmp_path):
     # v1's first_observed is FROZEN at 10:00 despite the 09:00 late event
     assert latest["v1"] == ("2026-01-01 10:00:00", 2)
     assert latest["v3"][0] == "2026-01-02 08:00:00"
+
+
+def test_streaming_dedup_matches_batch(spark, event_stream_dir):
+    """dropDuplicatesWithinWatermark on a stream == dropDuplicates in
+    batch when all duplicates fall inside the watermark horizon; the
+    streaming form's state stays bounded by that horizon."""
+    from vunnel_spark.streaming import streaming_dedup
+
+    static = spark.read.parquet(event_stream_dir)
+    stream = spark.readStream.schema(static.schema).parquet(event_stream_dir)
+    deduped = streaming_dedup(stream, watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT event_type, user_id FROM t_dedup")
+    expect = streaming_dedup(static)
+    assert out.count() == expect.count()
+    assert _as_sets(out, ["event_type", "user_id"]) == _as_sets(
+        expect.select("event_type", "user_id"), ["event_type", "user_id"]
+    )

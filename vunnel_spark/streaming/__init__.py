@@ -8,6 +8,7 @@ the batch queries in queries/events.py — one definition, two run modes.
 
 from vunnel_spark.streaming.windows import (  # noqa: F401
     session_counts,
+    streaming_dedup,
     sliding_counts,
     tumbling_counts,
 )

@@ -61,3 +61,25 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: tuple = ("event_type", "user_id"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact dedup on an unbounded stream (d1's semantics, streaming form).
+
+    ``dropDuplicatesWithinWatermark`` keeps only the watermark horizon's
+    keys in the state store — the property that makes streaming dedup
+    viable at 100 TB/day, where an unbounded ``dropDuplicates`` would
+    accumulate every key ever seen.  On a batch frame it degrades to plain
+    ``dropDuplicates`` (one definition, two run modes, like the windows
+    above).
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return df.dropDuplicates(list(key_cols))
