@@ -1,0 +1,123 @@
+"""Golden tests for the OSV fix-date patch pipeline: nested structure is
+rebuilt faithfully (order, untouched fields, empty arrays) and the patch
+only appears where the reference would write it (osv.py:104-108).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def patched(spark):
+    from vunnel_spark.pipelines.osv import osv_patch_fix_dates
+
+    adv_rows = [
+        # two affected, ordering must survive; second range has no fixed
+        {
+            "id": "OSV-1",
+            "published": datetime.datetime(2026, 1, 10),
+            "affected": [
+                {
+                    "package": {"name": "zlib", "ecosystem": "apk"},
+                    "ranges": [
+                        {
+                            "type": "ECOSYSTEM",
+                            "events": [
+                                {"introduced": "0", "fixed": None},
+                                {"introduced": None, "fixed": "1.2.3"},
+                            ],
+                        },
+                        {
+                            "type": "GIT",
+                            "events": [{"introduced": "0", "fixed": None}],
+                        },
+                    ],
+                },
+                {
+                    "package": {"name": "openssl", "ecosystem": "apk"},
+                    "ranges": [
+                        {
+                            "type": "ECOSYSTEM",
+                            "events": [{"introduced": None, "fixed": "3.0.1"}],
+                        }
+                    ],
+                },
+            ],
+        },
+        # no affected at all: pure passthrough
+        {"id": "OSV-2", "published": datetime.datetime(2026, 2, 1), "affected": []},
+        # no published AND no store hit: no candidates -> no patch
+        {
+            "id": "OSV-3",
+            "published": None,
+            "affected": [
+                {
+                    "package": {"name": "curl", "ecosystem": "apk"},
+                    "ranges": [
+                        {
+                            "type": "ECOSYSTEM",
+                            "events": [{"introduced": None, "fixed": "8.0.0"}],
+                        }
+                    ],
+                }
+            ],
+        },
+    ]
+    schema = (
+        "id string, published timestamp, affected array<struct<"
+        "package: struct<name: string, ecosystem: string>, "
+        "ranges: array<struct<type: string, "
+        "events: array<struct<introduced: string, fixed: string>>>>>>"
+    )
+    advisories = spark.createDataFrame(adv_rows, schema)
+    fixdates = spark.createDataFrame(
+        [("OSV-1", "zlib", "apk", "1.2.3", datetime.date(2025, 12, 1), "observed", True)],
+        "vuln_id string, package string, ecosystem string, fix_version string, "
+        "date date, kind string, accurate boolean",
+    )
+    out = osv_patch_fix_dates(advisories, fixdates)
+    return {r["id"]: r.asDict(recursive=True) for r in out.collect()}
+
+
+def test_accurate_store_hit_beats_published(patched):
+    rng = patched["OSV-1"]["affected"][0]["ranges"][0]
+    assert rng["database_specific"]["anchore"]["fixes"] == [
+        {"version": "1.2.3", "date": "2025-12-01", "kind": "observed"}
+    ]
+
+
+def test_published_fallback_when_no_store_hit(patched):
+    rng = patched["OSV-1"]["affected"][1]["ranges"][0]
+    assert rng["database_specific"]["anchore"]["fixes"] == [
+        {"version": "3.0.1", "date": "2026-01-10", "kind": "advisory"}
+    ]
+
+
+def test_range_without_fixed_events_left_unpatched(patched):
+    rng = patched["OSV-1"]["affected"][0]["ranges"][1]
+    assert rng["type"] == "GIT"
+    assert rng["database_specific"] is None
+
+
+def test_structure_and_order_preserved(patched):
+    aff = patched["OSV-1"]["affected"]
+    assert [a["package"]["name"] for a in aff] == ["zlib", "openssl"]
+    r0 = aff[0]["ranges"]
+    assert [r["type"] for r in r0] == ["ECOSYSTEM", "GIT"]
+    # original events untouched (the patch adds a sibling field only)
+    assert r0[0]["events"] == [
+        {"introduced": "0", "fixed": None},
+        {"introduced": None, "fixed": "1.2.3"},
+    ]
+
+
+def test_empty_affected_passthrough(patched):
+    assert patched["OSV-2"]["affected"] == []
+
+
+def test_no_candidates_no_patch(patched):
+    rng = patched["OSV-3"]["affected"][0]["ranges"][0]
+    assert rng["database_specific"] is None

@@ -1,0 +1,164 @@
+"""OSV passthrough pipeline — SURVEY §7.2 phase 5: patch first-observed
+fix dates into nested OSV advisories, leaving everything else untouched.
+
+Reference flow (/root/reference/src/vunnel/utils/osv.py:9-108, used by the
+alma/bitnami/rocky/ubuntu OSV providers): for every ``affected[].ranges[]
+.events[]`` carrying a ``fixed`` version, gather candidate fix dates — the
+first-observed store (accurate) plus the advisory ``published`` date
+(inaccurate fallback) — pick the best accurate-first, and write
+``database_specific.anchore.fixes = [{version, date, kind}]`` on the range.
+
+The reference mutates each advisory dict in place while iterating.  The
+Spark realization is the idiomatic explode -> join -> reassemble: the
+nested document is flattened to fixed-version grain, enriched with ONE
+shuffle-joined candidate pick (priority_pick, same operator as J9), and
+the arrays are rebuilt in their original order from collected position
+structs.  No UDFs, no per-document Python — the whole patch is Catalyst
+expressions, so it scales to an arbitrary advisory corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vunnel_spark.operators.windows import priority_pick
+
+
+def osv_patch_fix_dates(advisories: DataFrame, fixdates: DataFrame) -> DataFrame:
+    """Return ``advisories`` with per-range fix dates patched in.
+
+    ``advisories``: (id, published timestamp, affected array<struct<
+        package struct<name, ecosystem>,
+        ranges array<struct<type, events array<struct<introduced, fixed>>>>>>)
+    ``fixdates``:   (vuln_id, package, ecosystem, fix_version,
+                     date date, kind, accurate boolean)
+
+    Output schema matches the input with ``database_specific
+    .anchore.fixes`` added to each range that has any fixed event
+    (osv.py:104-108: only set when fixes were found).  Empty ``affected``
+    / ``ranges`` arrays pass through as empty arrays.
+    """
+    # -- flatten to fixed-version grain (outer explodes keep empty docs)
+    ex = advisories.select(
+        "id", "published", F.posexplode_outer("affected").alias("a_pos", "aff")
+    )
+    rg = ex.select(
+        "id",
+        "published",
+        "a_pos",
+        F.col("aff.package").alias("package"),
+        F.posexplode_outer("aff.ranges").alias("r_pos", "rng"),
+    )
+    ev = (
+        rg.select(
+            "id",
+            "published",
+            "a_pos",
+            "r_pos",
+            F.col("package.name").alias("pkg"),
+            F.col("package.ecosystem").alias("eco"),
+            F.explode("rng.events").alias("ev"),
+        )
+        .filter(F.col("ev.fixed").isNotNull())
+        .select(
+            "id", "published", "a_pos", "r_pos", "pkg", "eco",
+            F.col("ev.fixed").alias("fixed"),
+        )
+    )
+
+    # -- candidates: store hits (accurate) + advisory published fallback
+    dim = fixdates.select(
+        F.col("vuln_id").alias("id"),
+        F.col("package").alias("pkg"),
+        F.col("ecosystem").alias("eco"),
+        F.col("fix_version").alias("fixed"),
+        "date",
+        "kind",
+        "accurate",
+    )
+    hits = ev.join(dim, ["id", "pkg", "eco", "fixed"])
+    fallback = ev.filter(F.col("published").isNotNull()).select(
+        "id", "published", "a_pos", "r_pos", "pkg", "eco", "fixed",
+        F.col("published").cast("date").alias("date"),
+        F.lit("advisory").alias("kind"),
+        F.lit(False).alias("accurate"),
+    )
+    cand = hits.select(*fallback.columns).unionByName(fallback)
+
+    # -- best candidate per fixed event: accurate first, then earliest
+    # (finder.best, tool/fixdate/finder.py:137-203 — same pick as J9)
+    best = priority_pick(
+        cand,
+        ["id", "a_pos", "r_pos", "fixed"],
+        [~F.col("accurate"), F.col("date"), F.col("kind")],
+    )
+
+    # -- fixes array per range, deterministic version order (O2)
+    fixes = best.groupBy("id", "a_pos", "r_pos").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("fixed").alias("version"),
+                    F.col("date").cast("string").alias("date"),
+                    F.col("kind").alias("kind"),
+                )
+            )
+        ).alias("fixes")
+    )
+
+    # -- rebuild ranges with database_specific patched in
+    patched = rg.join(fixes, ["id", "a_pos", "r_pos"], "left").select(
+        "id",
+        "published",
+        "a_pos",
+        "package",
+        F.when(
+            F.col("rng").isNotNull(),
+            F.struct(
+                F.col("r_pos"),
+                F.struct(
+                    F.col("rng.type").alias("type"),
+                    F.col("rng.events").alias("events"),
+                    F.when(
+                        F.col("fixes").isNotNull(),
+                        F.struct(F.struct(F.col("fixes").alias("fixes")).alias("anchore")),
+                    ).alias("database_specific"),
+                ).alias("rng"),
+            ),
+        ).alias("pos_rng"),
+    )
+
+    # -- reassemble: ranges ordered by r_pos, affected ordered by a_pos
+    aff = (
+        patched.groupBy("id", "a_pos")
+        .agg(
+            F.first("published").alias("published"),
+            F.first("package").alias("package"),
+            F.transform(
+                F.array_sort(F.collect_list("pos_rng")), lambda s: s.getField("rng")
+            ).alias("ranges"),
+        )
+        .select(
+            "id",
+            "published",
+            F.when(
+                F.col("a_pos").isNotNull(),
+                F.struct(
+                    F.col("a_pos"),
+                    F.struct(
+                        F.col("package").alias("package"), F.col("ranges").alias("ranges")
+                    ).alias("aff"),
+                ),
+            ).alias("pos_aff"),
+        )
+    )
+    return (
+        aff.groupBy("id")
+        .agg(
+            F.first("published").alias("published"),
+            F.transform(
+                F.array_sort(F.collect_list("pos_aff")), lambda s: s.getField("aff")
+            ).alias("affected"),
+        )
+    )

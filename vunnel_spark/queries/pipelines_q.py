@@ -253,3 +253,102 @@ def ubuntu1(spark, sf_dir):
     )
     wd = _tf.mkdtemp(prefix="ubuntu1_")
     return ubuntu_pipeline(spark, today, wd)
+
+
+@register(
+    "osv1_fixdate_patch",
+    """
+    SELECT vuln_id, package, fixed_version,
+           CASE WHEN bool_or(acc)
+                THEN min(CASE WHEN acc THEN ship_date END)
+                ELSE min(pub_date) END AS fix_date,
+           CASE WHEN bool_or(acc) THEN 'observed' ELSE 'advisory' END AS fix_kind
+    FROM (
+      SELECT 'OSV-' || CAST(o_orderkey AS VARCHAR) AS vuln_id,
+             'pkg-' || CAST(l_partkey % 50 AS VARCHAR) AS package,
+             '1.' || CAST(l_linenumber AS VARCHAR) || '.'
+                  || CAST(l_partkey % 50 AS VARCHAR) AS fixed_version,
+             l_suppkey % 3 = 0 AS acc,
+             CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(o_orderdate AS DATE) AS pub_date
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    GROUP BY vuln_id, package, fixed_version
+    """,
+    doc="OSV passthrough pipeline end-to-end (utils/osv.py:9-108; "
+        "pipelines/osv.py): nested advisories are built from orders/"
+        "lineitem (one affected per package, fixed events per lineitem), "
+        "patched via explode -> candidate join -> accurate-first pick -> "
+        "in-order array reassembly, then RE-EXPLODED from the rebuilt "
+        "nested doc.  The oracle states every event's expected best fix "
+        "date flat; a pick that prefers the wrong candidate, or a rebuild "
+        "that drops/reorders ranges, changes the re-exploded rows",
+    tags=("pipeline", "join", "explode"),
+)
+def osv1(spark, sf_dir):
+    from vunnel_spark.pipelines.osv import osv_patch_fix_dates
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    ev = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("OSV-"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.col("o_orderdate").alias("published"),
+        F.concat(F.lit("pkg-"), (F.col("l_partkey") % 50).cast("string")).alias("pkg"),
+        F.lit("npm").alias("eco"),
+        F.concat(
+            F.lit("1."), F.col("l_linenumber").cast("string"),
+            F.lit("."), (F.col("l_partkey") % 50).cast("string"),
+        ).alias("fixed"),
+        "l_suppkey", "l_shipdate",
+    )
+    # nested advisories: one affected per (advisory, pkg), one range each,
+    # an 'introduced: 0' event plus one fixed event per lineitem
+    ranges = ev.groupBy("id", "published", "pkg", "eco").agg(
+        F.array(
+            F.struct(
+                F.lit("ECOSYSTEM").alias("type"),
+                F.concat(
+                    F.array(F.struct(
+                        F.lit("0").alias("introduced"),
+                        F.lit(None).cast("string").alias("fixed"),
+                    )),
+                    F.array_sort(F.collect_list(F.struct(
+                        F.lit(None).cast("string").alias("introduced"),
+                        F.col("fixed").alias("fixed"),
+                    ))),
+                ).alias("events"),
+            )
+        ).alias("ranges")
+    )
+    advisories = ranges.groupBy("id").agg(
+        F.first("published").alias("published"),
+        F.collect_list(
+            F.struct(
+                F.struct(F.col("pkg").alias("name"), F.col("eco").alias("ecosystem")).alias("package"),
+                F.col("ranges").alias("ranges"),
+            )
+        ).alias("affected"),
+    )
+    fixdates = ev.filter(F.col("l_suppkey") % 3 == 0).select(
+        F.col("id").alias("vuln_id"),
+        F.col("pkg").alias("package"),
+        F.col("eco").alias("ecosystem"),
+        F.col("fixed").alias("fix_version"),
+        F.col("l_shipdate").cast("date").alias("date"),
+        F.lit("observed").alias("kind"),
+        F.lit(True).alias("accurate"),
+    )
+    patched = osv_patch_fix_dates(advisories, fixdates)
+    # re-explode the REBUILT nested document to flat verification rows
+    out = (
+        patched.select("id", F.explode("affected").alias("aff"))
+        .select("id", F.col("aff.package.name").alias("package"), F.explode("aff.ranges").alias("rng"))
+        .select("id", "package", F.explode("rng.database_specific.anchore.fixes").alias("fx"))
+        .select(
+            F.col("id").alias("vuln_id"),
+            "package",
+            F.col("fx.version").alias("fixed_version"),
+            F.col("fx.date").cast("date").alias("fix_date"),
+            F.col("fx.kind").alias("fix_kind"),
+        )
+    )
+    return out
