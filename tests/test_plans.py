@@ -187,3 +187,22 @@ def test_q2_correlated_min_is_single_pass_window(spark, sf_dir):
     p = plan_of(q("tpch_q2_min_cost_supplier", spark, sf_dir))
     assert "Window" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 5  # each table once
+
+
+def test_gate_window_composition_stable():
+    """The external gate evaluates the FIRST 50 registry entries in
+    insertion order.  All 50 must carry oracles, and the set must not
+    shift: a query added to a module that imports before `filters`
+    (aggregates/dedup/events/explode) would push a currently-green entry
+    out of the window and pull an unchecked one in.  Add new queries to
+    later-sorting modules, or update this pin deliberately."""
+    names = list(REGISTRY)[:50]
+    assert all(REGISTRY[n].oracle for n in names), [
+        n for n in names if not REGISTRY[n].oracle
+    ]
+    prefixes = [n.split("_")[0] for n in names]
+    expected_counts = {"a": 18, "d": 8, "v": 3, "i": 2, "e": 14, "p": 5}
+    got = {}
+    for p in prefixes:
+        got[p[0]] = got.get(p[0], 0) + 1
+    assert got == expected_counts, got
