@@ -206,3 +206,28 @@ def test_gate_window_composition_stable():
     for p in prefixes:
         got[p[0]] = got.get(p[0], 0) + 1
     assert got == expected_counts, got
+
+
+def test_x7_sampler_is_zero_shuffle_pushed_filter(spark, sf_dir):
+    # hash-threshold sampling must stay a pure scan+filter: no Exchange at
+    # all, and the scan reads only the two projected columns
+    p = plan_of(q("x7_hash_stratified_sample", spark, sf_dir))
+    assert "Exchange" not in p, p
+    schema = re.search(r"ReadSchema: struct<(.*?)>", p).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"doc_id", "lang"}, cols
+
+
+def test_x8_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    # global top-100 must be TakeOrderedAndProject (per-partition heaps),
+    # never a rangepartitioned full sort
+    p = plan_of(q("x8_vocab_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_x6_benchmark_side_is_broadcast(spark, sf_dir):
+    # the planted benchmark n-gram set is small: the overlap join must
+    # broadcast it, not shuffle the training corpus's shingles
+    p = plan_of(q("x6_decontamination", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p

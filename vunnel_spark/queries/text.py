@@ -221,3 +221,129 @@ def x5(spark, sf_dir):
         .groupBy("lang", "detected")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# id offset for the planted benchmark set (beyond any real doc_id)
+_BENCH_BASE = 2_000_000
+
+
+@register(
+    "x6_decontamination",
+    f"""
+    WITH bench_docs AS (
+      SELECT doc_id + {_BENCH_BASE} AS doc_id, text
+      FROM documents WHERE doc_id % 37 = 0
+    ), train_words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), bench_words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM bench_docs
+    ), train_sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM train_words, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) g
+      WHERE len(w) >= 5
+    ), bench_sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM bench_words, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) g
+      WHERE len(w) >= 5
+    )
+    SELECT t.doc_id,
+           count(DISTINCT t.s) AS n_shared_ngrams,
+           count(DISTINCT b.doc_id) AS n_benchmark_docs
+    FROM train_sh t JOIN bench_sh b ON t.s = b.s
+    GROUP BY t.doc_id
+    """,
+    doc="Train/eval decontamination: training docs sharing any 5-token "
+        "n-gram with the benchmark set (planted as copies of every 37th "
+        "doc, so ground-truth contamination exists).  The benchmark n-gram "
+        "set is orders of magnitude smaller than the corpus, so the overlap "
+        "join broadcasts the benchmark side — the training corpus shuffles "
+        "only for the per-doc aggregate, never for pair generation",
+    tags=("text", "dedup"),
+)
+def x6(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + _BENCH_BASE).alias("doc_id"), "text"
+    )
+
+    def shingles(df):
+        w = F.split(F.trim(F.col("text")), r"\s+")
+        return (
+            df.select("doc_id", w.alias("w"))
+            .where(F.size("w") >= 5)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - 5),
+                        lambda i: F.concat_ws(" ", F.slice("w", i + 1, 5)),
+                    )
+                ).alias("s"),
+            )
+            .distinct()
+        )
+
+    tr, be = shingles(docs), shingles(bench)
+    return (
+        tr.join(F.broadcast(be.withColumnRenamed("doc_id", "bench_id")), "s")
+        .groupBy(tr["doc_id"])
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+@register(
+    "x7_hash_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          < CASE WHEN lang = 'en' THEN '4' ELSE '8' END
+    """,
+    doc="Deterministic stratified Bernoulli sampling via an engine-portable "
+        "content hash: keep a doc iff its md5 first hex digit falls under "
+        "the per-stratum rate threshold (en 4/16, others 8/16).  ZERO "
+        "shuffles — a pure filter that pushes to the scan — which is why "
+        "hash-threshold sampling, not per-group top-k, is the 100 TB "
+        "downsampling path; exactly reproducible across engines and runs",
+    tags=("text", "sampling"),
+)
+def x7(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang").where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < F.when(F.col("lang") == "en", F.lit("4")).otherwise(F.lit("8"))
+    )
+
+
+@register(
+    "x8_vocab_topk",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS freq FROM words GROUP BY token
+    )
+    SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 100
+    """,
+    doc="Corpus vocabulary: top-100 tokens by frequency with a total "
+        "ordering (freq desc, token asc tie-break).  groupBy(token) gets a "
+        "map-side partial aggregate; the global top-k is orderBy+limit, "
+        "which Spark executes as TakeOrdered (per-partition heaps + driver "
+        "merge of k rows), never a full sort shuffle",
+    tags=("text",),
+)
+def x8(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(100)
+    )
