@@ -1,0 +1,78 @@
+"""as-of / range-bucket join operators (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vunnel_spark.operators.temporal import asof_join, range_bucket_join
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_asof_backward_semantics(spark):
+    dim = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(10), 20.0), (2, _ts(5), 99.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    fact = spark.createDataFrame(
+        [(100, 1, _ts(5)), (101, 1, _ts(10)), (102, 1, _ts(30)),
+         (103, 2, _ts(4)), (104, 3, _ts(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = {r["event_id"]: r["v"] for r in asof_join(fact, dim, ["user_id"], "ts", ["v"]).collect()}
+    assert rows[100] == 10.0          # between versions -> earlier one
+    assert rows[101] == 20.0          # equal ts -> inclusive (<=)
+    assert rows[102] == 20.0          # after last version
+    assert rows[103] is None          # before any version
+    assert rows[104] is None          # key with no dim at all
+
+
+def test_asof_preserves_fact_rowcount(spark):
+    dim = spark.createDataFrame([(1, _ts(0), 1.0)], "user_id long, ts timestamp, v double")
+    fact = spark.createDataFrame(
+        [(i, 1, _ts(i)) for i in range(20)], "event_id long, user_id long, ts timestamp"
+    )
+    assert asof_join(fact, dim, ["user_id"], "ts", ["v"]).count() == 20
+
+
+def test_asof_single_exchange(spark):
+    dim = spark.createDataFrame([(1, _ts(0), 1.0)], "user_id long, ts timestamp, v double")
+    fact = spark.createDataFrame([(1, 1, _ts(1))], "event_id long, user_id long, ts timestamp")
+    plan = asof_join(fact, dim, ["user_id"], "ts", ["v"])._jdf.queryExecution().executedPlan().toString()
+    # one hash-partitioning exchange on the key, no join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_bucket_join_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(30))], "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    pts = spark.createDataFrame(
+        [(_ts(0),), (_ts(30),), (_ts(30, 1),), (_ts(15),)], "ts timestamp"
+    )
+    got = range_bucket_join(pts, iv, "ts", "start_ts", "end_ts", 600).count()
+    assert got == 3  # inclusive both ends; 12:30:01 excluded
+
+
+def test_range_bucket_join_interval_spanning_many_buckets(spark):
+    # interval longer than the bucket width still matches everything inside
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(59))], "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    pts = spark.createDataFrame([( _ts(m),) for m in range(0, 60, 7)], "ts timestamp")
+    got = range_bucket_join(pts, iv, "ts", "start_ts", "end_ts", 300).count()
+    assert got == 9
+
+
+def test_range_bucket_join_no_nested_loop(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(30))], "iid long, start_ts timestamp, end_ts timestamp"
+    )
+    pts = spark.createDataFrame([(_ts(1),)], "ts timestamp")
+    plan = range_bucket_join(pts, iv)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
