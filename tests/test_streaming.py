@@ -142,3 +142,81 @@ def test_streaming_dedup_matches_batch(spark, event_stream_dir):
     assert _as_sets(out, ["event_type", "user_id"]) == _as_sets(
         expect.select("event_type", "user_id"), ["event_type", "user_id"]
     )
+
+
+def test_stream_static_enrich_matches_batch(spark, event_stream_dir):
+    """Stream-static broadcast join: per-user lifetime value dim joined to
+    the purchase stream; identical to the batch expression."""
+    import pyspark.sql.functions as F
+
+    from vunnel_spark.streaming import stream_static_enrich
+
+    static = spark.read.parquet(event_stream_dir)
+    dim = (
+        static.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("lifetime_value"))
+    )
+    stream = (
+        spark.readStream.schema(static.schema).parquet(event_stream_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+    )
+    # append mode: a stream-static join is stateless (no aggregation)
+    q = (
+        stream_static_enrich(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM t_enrich")
+    expect = stream_static_enrich(
+        static.where(F.col("event_type") == "purchase").select("event_id", "user_id"),
+        dim,
+        ["user_id"],
+    )
+    cols = ["event_id", "user_id", "lifetime_value"]
+    assert _as_sets(out, cols) == _as_sets(expect, cols)
+    assert out.count() > 0
+
+
+def test_foreach_batch_upsert_first_and_last_wins(spark, tmp_path):
+    """foreachBatch -> EnvelopeWriter merge: a key re-arriving in a later
+    micro-batch replaces under last_wins and is ignored under first_wins."""
+    import datetime as dt
+
+    from vunnel_spark.sinks.writers import EnvelopeWriter
+    from vunnel_spark.streaming import foreach_batch_upsert
+
+    schema = "identifier string, ts timestamp, payload string"
+
+    for dedup, expect_payload in (("last_wins", "new"), ("first_wins", "old")):
+        src = str(tmp_path / f"in_{dedup}")
+        os.makedirs(src)
+        table = str(tmp_path / f"out_{dedup}")
+        ckpt = str(tmp_path / f"ckpt_{dedup}")
+        writer = EnvelopeWriter(table, key="identifier", dedup=dedup, order_col="ts")
+
+        spark.createDataFrame(
+            [("k1", dt.datetime(2026, 1, 1, 10), "old"),
+             ("k2", dt.datetime(2026, 1, 1, 10), "other")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = foreach_batch_upsert(stream, writer, ckpt)
+        q.processAllAvailable()
+
+        # second micro-batch: k1 re-arrives newer, k3 is new
+        spark.createDataFrame(
+            [("k1", dt.datetime(2026, 1, 2, 10), "new"),
+             ("k3", dt.datetime(2026, 1, 1, 12), "third")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        got = {r.identifier: r.payload for r in writer.read(spark).collect()}
+        assert set(got) == {"k1", "k2", "k3"}
+        assert got["k1"] == expect_payload, (dedup, got)

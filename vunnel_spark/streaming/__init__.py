@@ -6,6 +6,10 @@ with watermarks.  Every transformation here is the SAME expression used by
 the batch queries in queries/events.py — one definition, two run modes.
 """
 
+from vunnel_spark.streaming.enrich import (  # noqa: F401
+    foreach_batch_upsert,
+    stream_static_enrich,
+)
 from vunnel_spark.streaming.windows import (  # noqa: F401
     session_counts,
     streaming_dedup,

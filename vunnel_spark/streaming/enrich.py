@@ -1,0 +1,74 @@
+"""Stream-side enrichment and incremental sink wiring.
+
+Two pieces that complete the streaming story around the windows/stateful
+modules:
+
+``stream_static_enrich``
+    Stream-static join: every micro-batch joins against a (broadcast)
+    static dimension.  This is how the reference's overlay/allow-list
+    joins (J4/P3) run when the fact side is a stream — the dim is read
+    once per micro-batch, so a dim refresh is picked up without
+    restarting the query.
+
+``foreach_batch_upsert``
+    ``foreachBatch`` bridge from a stream to the batch EnvelopeWriter:
+    each micro-batch is merged into the keyed results table under the
+    writer's dedup mode (first-wins ``skip`` == the reference's INSERT OR
+    IGNORE, last-wins ``replace`` == INSERT OR REPLACE; result.py:227-238).
+    This is the streaming realization of the reference's incremental
+    watermark sync (I1, provider.py:188-201): the stream carries only the
+    delta, the writer owns the merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Join a (streaming or batch) fact frame against a small static dim.
+
+    The broadcast hint keeps every micro-batch's join shuffle-free: state
+    stores are untouched (stream-static joins are stateless in Structured
+    Streaming), and the fact side never repartitions.
+    """
+    return stream.join(F.broadcast(dim), keys, how)
+
+
+def foreach_batch_upsert(stream: DataFrame, writer, checkpoint: str):
+    """Start a stream that merges each micro-batch into ``writer``.
+
+    ``writer`` is a sinks.writers.EnvelopeWriter; each micro-batch is
+    unioned with the current table and re-deduped under the writer's mode
+    (read-union-dedup-atomic-swap — the same merge idiom as
+    first_observed_merge), so a key re-arriving in a later batch follows
+    first-wins/last-wins A12 semantics incrementally.  The writer should
+    carry an explicit ``order_col`` — with the monotonic-id fallback the
+    cross-batch winner would depend on merge order, not data.
+
+    Returns the StreamingQuery (caller stops it).  On a real cluster the
+    same bridge targets a transactional table format's MERGE; the atomic
+    stage+swap here is the single-writer parquet equivalent.
+    """
+    import os
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(writer.path):
+            merged = writer.read(batch_df.sparkSession).unionByName(batch_df)
+        else:
+            merged = batch_df
+        writer.write(merged, mode="overwrite")
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
