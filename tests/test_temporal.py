@@ -76,3 +76,46 @@ def test_range_bucket_join_no_nested_loop(spark):
     pts = spark.createDataFrame([(_ts(1),)], "ts timestamp")
     plan = range_bucket_join(pts, iv)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check against an independent implementation: pandas
+    merge_asof(direction='backward', allow_exact_matches=True) on
+    randomized (key, ts) data."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    dim_rows = [
+        (k, base + dt.timedelta(seconds=rng.randrange(0, 3600)), float(i))
+        for i, k in enumerate(rng.choices(range(5), k=40))
+    ]
+    # dedupe (key, ts) collisions the same way the query layer does:
+    # keep the highest value id per (key, ts)
+    ded = {}
+    for k, ts, v in dim_rows:
+        ded[(k, ts)] = max(v, ded.get((k, ts), -1.0))
+    dim_rows = [(k, ts, v) for (k, ts), v in ded.items()]
+    fact_rows = [
+        (i, rng.randrange(0, 6), base + dt.timedelta(seconds=rng.randrange(0, 3600)))
+        for i in range(120)
+    ]
+
+    dim = spark.createDataFrame(dim_rows, "user_id long, ts timestamp, v double")
+    fact = spark.createDataFrame(fact_rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(fact, dim, ["user_id"], "ts", ["v"]).collect()
+    }
+
+    pdim = pd.DataFrame(dim_rows, columns=["user_id", "ts", "v"]).sort_values("ts")
+    pfact = pd.DataFrame(fact_rows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    expect = pd.merge_asof(
+        pfact, pdim, on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True,
+    )
+    for _, row in expect.iterrows():
+        e = None if pd.isna(row["v"]) else row["v"]
+        assert got[row["event_id"]] == e, (row["event_id"], got[row["event_id"]], e)
