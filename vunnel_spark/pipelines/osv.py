@@ -38,6 +38,12 @@ def osv_patch_fix_dates(advisories: DataFrame, fixdates: DataFrame) -> DataFrame
     .anchore.fixes`` added to each range that has any fixed event
     (osv.py:104-108: only set when fixes were found).  Empty ``affected``
     / ``ranges`` arrays pass through as empty arrays.
+
+    Determinism requirement: the nested arrays in ``advisories`` must be
+    DETERMINISTIC per row (e.g. array_sort'ed if built via collect_list).
+    The patch addresses ranges positionally and the input subtree is
+    evaluated more than once in the DAG; a partition-order-dependent
+    array would let the two evaluations disagree on positions.
     """
     # -- flatten to fixed-version grain (outer explodes keep empty docs)
     ex = advisories.select(

@@ -319,12 +319,19 @@ def osv1(spark, sf_dir):
             )
         ).alias("ranges")
     )
+    # array_sort: collect_list order is partition-dependent, and the patch
+    # operator addresses ranges POSITIONALLY (a_pos) — an unsorted array
+    # makes the two computations of this subtree disagree on positions
+    # under some shuffle geometries (bug surfaced at sf0.1 under the plain
+    # 200-partition session: fixes attached to wrong ranges)
     advisories = ranges.groupBy("id").agg(
         F.first("published").alias("published"),
-        F.collect_list(
-            F.struct(
-                F.struct(F.col("pkg").alias("name"), F.col("eco").alias("ecosystem")).alias("package"),
-                F.col("ranges").alias("ranges"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.struct(F.col("pkg").alias("name"), F.col("eco").alias("ecosystem")).alias("package"),
+                    F.col("ranges").alias("ranges"),
+                )
             )
         ).alias("affected"),
     )
@@ -352,3 +359,158 @@ def osv1(spark, sf_dir):
         )
     )
     return out
+
+
+@register(
+    "debian1_legacy_merge_dag",
+    """
+    WITH dsas AS (
+      SELECT o_orderkey % 100 AS dsa_base,
+             o_orderkey AS rev,
+             'pkg' || CAST(o_custkey % 20 AS VARCHAR) AS pkg,
+             CASE WHEN o_orderkey % 3 = 0 THEN []::VARCHAR[]
+                  WHEN o_orderkey % 8 = 0
+                  THEN ['CVE-2024-' || CAST(o_orderkey % 300 AS VARCHAR),
+                        'CVE-2024-' || CAST((o_orderkey + 7) % 300 AS VARCHAR)]
+                  ELSE ['CVE-2024-' || CAST(o_orderkey % 300 AS VARCHAR)]
+             END AS cves
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), filled AS (
+      SELECT dsa_base, rev, pkg,
+             CASE WHEN len(cves) > 0 THEN cves
+                  ELSE max_by(cves, len(cves)*1000000000 + rev)
+                         OVER (PARTITION BY dsa_base) END AS cves
+      FROM dsas
+    ), advisories AS (
+      SELECT 'DSA-' || CAST(dsa_base AS VARCHAR) || '-' || CAST(rev AS VARCHAR)
+               AS dsa_id,
+             pkg, unnest(cves) AS cve
+      FROM filled
+    ), cve_rows AS (
+      SELECT DISTINCT
+             'deb' || CAST(l_suppkey % 3 + 10 AS VARCHAR) AS ns,
+             'CVE-2024-' || CAST(l_orderkey % 300 AS VARCHAR) AS cve,
+             'pkg' || CAST(l_partkey % 20 AS VARCHAR) AS pkg,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
+               CAST(l_linenumber AS VARCHAR) AS fixed_version,
+             CASE l_returnflag WHEN 'A' THEN 'low'
+                               WHEN 'N' THEN 'medium'
+                               ELSE 'exotic' END AS urgency
+      FROM lineitem
+    ), j2 AS (
+      SELECT c.ns, c.cve, c.pkg, c.fixed_version, c.urgency,
+             COALESCE(array_to_string(list_sort(
+               list(a.dsa_id) FILTER (WHERE a.dsa_id IS NOT NULL)), '|'), '')
+               AS advisories
+      FROM cve_rows c
+      LEFT JOIN advisories a ON a.pkg = c.pkg AND a.cve = c.cve
+      GROUP BY c.ns, c.cve, c.pkg, c.fixed_version, c.urgency
+    ), sev AS (
+      SELECT *,
+             CASE urgency WHEN 'unimportant' THEN 'Negligible'
+                          WHEN 'low' THEN 'Low'
+                          WHEN 'medium' THEN 'Medium'
+                          WHEN 'high' THEN 'High'
+                          ELSE 'Unknown' END AS severity
+      FROM j2
+    ), assembled AS (
+      SELECT ns, cve AS vid,
+             max_by(severity, CASE severity WHEN 'Negligible' THEN 1
+                                            WHEN 'Low' THEN 2
+                                            WHEN 'Medium' THEN 3
+                                            WHEN 'High' THEN 4
+                                            WHEN 'Critical' THEN 5
+                                            ELSE 0 END) AS severity,
+             array_to_string(list_transform(
+               list_sort(list(struct_pack(Name := pkg, Version := fixed_version))),
+               s -> s.Name || ':' || s.Version), '|') AS fixed_in,
+             COALESCE(array_to_string(list_sort(list_filter(list_distinct(
+               flatten(list(string_split(advisories, '|')))), x -> x <> '')), '|'), '')
+               AS advisories
+      FROM sev GROUP BY ns, cve
+    ), legacy AS (
+      SELECT DISTINCT 'deb10' AS ns,
+             CASE WHEN o_orderkey % 12 = 0
+                  THEN 'CVE-2024-' || CAST(o_orderkey % 300 AS VARCHAR)
+                  ELSE 'CVE-1999-' || CAST(o_orderkey % 300 AS VARCHAR) END AS vid,
+             'Low' AS severity, 'legacypkg:1.0' AS fixed_in, '' AS advisories
+      FROM orders WHERE o_orderkey % 6 = 0
+    ), merged AS (
+      SELECT ns, vid, severity, fixed_in, advisories, 0 AS from_legacy
+      FROM assembled
+      UNION ALL
+      SELECT l.ns, l.vid, l.severity, l.fixed_in, l.advisories, 1
+      FROM legacy l
+      WHERE NOT EXISTS (SELECT 1 FROM assembled a
+                        WHERE a.ns = l.ns AND a.vid = l.vid)
+    )
+    SELECT ns, vid, severity, fixed_in, advisories,
+           CAST(from_legacy AS INTEGER) AS from_legacy
+    FROM merged
+    """,
+    doc="Debian provider DAG end-to-end (debian/parser.py:109-618; "
+        "pipelines/debian.py): sibling CVE fill-down across DSA revisions "
+        "(J3, windowed max_by — no self-join), CVE-to-DSA advisory join + "
+        "list assembly (J2), urgency normalization + severity max-merge "
+        "(P8/A2), sorted FixedIn record assembly (A1/O2), legacy "
+        "union-merge with current-wins priority (J14), envelope sink.  The "
+        "oracle restates every stage in SQL, so the gate checks the "
+        "composed lifecycle, not just the operator parts",
+    tags=("pipeline", "join", "window", "agg", "sink"),
+)
+def debian1(spark, sf_dir):
+    import tempfile as _tf
+
+    from vunnel_spark.pipelines.debian import debian_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cve = F.concat(F.lit("CVE-2024-"), (F.col("o_orderkey") % 300).cast("string"))
+    cve2 = F.concat(F.lit("CVE-2024-"), ((F.col("o_orderkey") + 7) % 300).cast("string"))
+    dsas = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        (F.col("o_orderkey") % 100).alias("dsa_base"),
+        F.col("o_orderkey").alias("rev"),
+        F.concat(F.lit("pkg"), (F.col("o_custkey") % 20).cast("string")).alias("pkg"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<string>"))
+        .when(F.col("o_orderkey") % 8 == 0, F.array(cve, cve2))
+        .otherwise(F.array(cve))
+        .alias("cves"),
+    )
+    cve_rows = li.select(
+        F.concat(F.lit("deb"), (F.col("l_suppkey") % 3 + 10).cast("string")).alias("ns"),
+        F.concat(F.lit("CVE-2024-"), (F.col("l_orderkey") % 300).cast("string")).alias("cve"),
+        F.concat(F.lit("pkg"), (F.col("l_partkey") % 20).cast("string")).alias("pkg"),
+        F.concat_ws(
+            ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
+        ).alias("fixed_version"),
+        F.when(F.col("l_returnflag") == "A", F.lit("low"))
+        .when(F.col("l_returnflag") == "N", F.lit("medium"))
+        .otherwise(F.lit("exotic"))
+        .alias("urgency"),
+    ).distinct()
+    legacy = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.lit("deb10").alias("ns"),
+        F.concat(
+            F.when(F.col("o_orderkey") % 12 == 0, F.lit("CVE-2024-")).otherwise(F.lit("CVE-1999-")),
+            (F.col("o_orderkey") % 300).cast("string"),
+        ).alias("vid"),
+        F.lit("Low").alias("severity"),
+        F.array(F.struct(F.lit("legacypkg").alias("Name"), F.lit("1.0").alias("Version"))).alias("FixedIn"),
+        F.lit("").alias("advisories"),
+    ).distinct()
+    wd = _tf.mkdtemp(prefix="debian1_")
+    out = debian_pipeline(spark, dsas, cve_rows, wd, legacy=legacy)
+    return out.select(
+        F.col("item.ns").alias("ns"),
+        F.col("item.vid").alias("vid"),
+        F.col("item.severity").alias("severity"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.col("item.FixedIn"),
+                lambda s: F.concat_ws(":", s["Name"], s["Version"]),
+            ),
+        ).alias("fixed_in"),
+        F.col("item.advisories").alias("advisories"),
+        F.col("item.from_legacy").cast("int").alias("from_legacy"),
+    )

@@ -495,7 +495,7 @@ def q22(spark, sf_dir):
         JOIN region   ON n_regionkey = r_regionkey
       WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
     )
-    SELECT s_acctbal, s_name, n_name, p_partkey, round(cost, 4) AS min_cost
+    SELECT s_acctbal, s_name, n_name, p_partkey, cost AS min_cost
     FROM (SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS best FROM eligible)
     WHERE cost = best
     """,
@@ -529,7 +529,12 @@ def q2(spark, sf_dir):
         .filter(F.col("cost") == F.col("best"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
-            F.round("cost", 4).alias("min_cost"),
+            # raw double, deliberately un-rounded: cost is a min of IEEE
+            # divisions (no summation-order sensitivity), so both engines
+            # hold bit-identical values — while round(x, 4) diverges on
+            # exact binary midpoints like price/8 = ....125 (HALF_UP vs
+            # the oracle's rounding of the same double)
+            F.col("cost").alias("min_cost"),
         )
     )
 
