@@ -56,3 +56,49 @@ def test_flatten_criteria_spark(spark):
     # package test with no enclosing namespace test -> null ns (caller decides)
     assert ("d2", None, "pkg:lone", "affirm") in rows
     assert len(rows) == 4
+
+
+def test_oval_pipeline_semantics(spark):
+    """pipelines/oval.py: A13 canonical pick, 3-hop resolution, P6
+    ksplice drop, empty-fix definitions survive with fixed_in ''."""
+    from vunnel_spark.pipelines.oval import oval_pipeline
+
+    defs = spark.createDataFrame(
+        [
+            ("d1", "ELSA-1", 1, "Low"),       # superseded by d2 (higher version)
+            ("d2", "ELSA-1", 2, "Important"),
+            ("d3", "ELSA-2", 1, "Moderate"),  # no pairs -> empty fixed_in
+        ],
+        "def_id string, name string, version int, severity string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("d1", "tns", "t-old"),   # dropped: d1 not canonical
+            ("d2", "tns", "t-ssl"),
+            ("d2", "tns", "t-ssl"),   # duplicate pair -> one fix entry
+            ("d2", "tns", "t-ksp"),   # resolves to a ksplice release -> dropped
+            ("d2", "tns", "t-zlib"),
+        ],
+        "def_id string, ns_test string, pkg_test string",
+    )
+    tests = spark.createDataFrame(
+        [("t-old", "o1", "s1"), ("t-ssl", "o1", "s1"),
+         ("t-ksp", "o2", "s2"), ("t-zlib", "o3", "s3")],
+        "test_id string, object_ref string, state_ref string",
+    )
+    objects = spark.createDataFrame(
+        [("o1", "openssl"), ("o2", "kernel"), ("o3", "zlib")],
+        "object_ref string, pkg string",
+    )
+    states = spark.createDataFrame(
+        [("s1", "0:3.0.1-1", "el8"), ("s2", "0:5.4.17-2", "2.ksplice1.el8"),
+         ("s3", "0:1.2.12-1", "el8")],
+        "state_ref string, evr string, release string",
+    )
+    out = {r.def_id: r for r in
+           oval_pipeline(defs, pairs, tests, objects, states).collect()}
+    assert set(out) == {"d2", "d3"}
+    assert out["d2"].severity == "Important"
+    assert out["d2"].def_version == 2
+    assert out["d2"].fixed_in == "openssl:0:3.0.1-1|zlib:0:1.2.12-1"
+    assert out["d3"].fixed_in == ""

@@ -514,3 +514,113 @@ def debian1(spark, sf_dir):
         F.col("item.advisories").alias("advisories"),
         F.col("item.from_legacy").cast("int").alias("from_legacy"),
     )
+
+
+@register(
+    "oval1_resolution_dag",
+    """
+    WITH defs AS (
+      SELECT 'oval:def:' || CAST(o_orderkey AS VARCHAR) AS def_id,
+             'ELSA-' || CAST(o_orderkey % 500 AS VARCHAR) AS name,
+             o_orderkey % 7 AS version,
+             CASE o_orderstatus WHEN 'F' THEN 'Important'
+                                WHEN 'O' THEN 'Moderate'
+                                ELSE 'Low' END AS severity
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), canon AS (
+      SELECT def_id, name, version, severity FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY name ORDER BY version DESC, def_id DESC) AS rn
+        FROM defs) WHERE rn = 1
+    ), pairs AS (
+      SELECT 'oval:def:' || CAST(l_orderkey AS VARCHAR) AS def_id,
+             'tst:ns' || CAST(l_suppkey % 5 AS VARCHAR) AS ns_test,
+             'tst:' || CAST(l_partkey % 200 AS VARCHAR) AS pkg_test
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ), tests AS (
+      SELECT DISTINCT 'tst:' || CAST(p_partkey % 200 AS VARCHAR) AS test_id,
+             'obj:' || CAST((p_partkey % 200) % 120 AS VARCHAR) AS object_ref,
+             'ste:' || CAST((p_partkey % 200) % 90 AS VARCHAR) AS state_ref
+      FROM part
+    ), objects AS (
+      SELECT DISTINCT 'obj:' || CAST(p_partkey % 120 AS VARCHAR) AS object_ref,
+             'pkg' || CAST((p_partkey % 120) % 60 AS VARCHAR) AS pkg
+      FROM part
+    ), states AS (
+      SELECT DISTINCT 'ste:' || CAST(p_partkey % 90 AS VARCHAR) AS state_ref,
+             '0:1.' || CAST(p_partkey % 90 AS VARCHAR) || '-'
+               || CAST((p_partkey % 90) % 4 AS VARCHAR) AS evr,
+             CASE WHEN (p_partkey % 90) % 7 = 0 THEN 'ksplice1.el'
+                  ELSE 'el' END || CAST((p_partkey % 90) % 3 + 6 AS VARCHAR)
+               AS release
+      FROM part
+    ), resolved AS (
+      SELECT p.def_id, ob.pkg, s.evr
+      FROM pairs p
+      JOIN canon c ON c.def_id = p.def_id
+      JOIN tests tt ON tt.test_id = p.pkg_test
+      JOIN objects ob ON ob.object_ref = tt.object_ref
+      JOIN states s ON s.state_ref = tt.state_ref
+      WHERE s.release IS NULL OR NOT regexp_matches(s.release, 'ksplice')
+    ), fixes AS (
+      SELECT def_id,
+             array_to_string(list_sort(list_distinct(list(pkg || ':' || evr))),
+                             '|') AS fixed_in
+      FROM resolved GROUP BY def_id
+    )
+    SELECT c.name, c.def_id, c.version AS def_version, c.severity,
+           COALESCE(f.fixed_in, '') AS fixed_in
+    FROM canon c LEFT JOIN fixes f ON f.def_id = c.def_id
+    """,
+    doc="OVAL-family provider DAG end-to-end (oracle/oval_parser.py:119-206; "
+        "pipelines/oval.py): A13 duplicate-definition canonical pick "
+        "(windowed row_number, higher version wins), the reference's "
+        "test->object/state dict chain as a 3-hop broadcast equi-join "
+        "(oval_parser.py:119-167), P6 ksplice-release drop "
+        "(parser.py:145-201), sorted FixedIn assembly (A1/O2).  Inputs are "
+        "the four relational frames the S3 XML scan tier emits, synthesized "
+        "deterministically from orders/lineitem/part; the oracle restates "
+        "every stage in SQL so the gate checks the composed lifecycle",
+    tags=("pipeline", "join", "window", "agg"),
+)
+def oval1(spark, sf_dir):
+    from vunnel_spark.pipelines.oval import oval_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    defs = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(F.lit("oval:def:"), F.col("o_orderkey").cast("string")).alias("def_id"),
+        F.concat(F.lit("ELSA-"), (F.col("o_orderkey") % 500).cast("string")).alias("name"),
+        (F.col("o_orderkey") % 7).alias("version"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("Important"))
+        .when(F.col("o_orderstatus") == "O", F.lit("Moderate"))
+        .otherwise(F.lit("Low"))
+        .alias("severity"),
+    )
+    pairs = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.concat(F.lit("oval:def:"), F.col("l_orderkey").cast("string")).alias("def_id"),
+        F.concat(F.lit("tst:ns"), (F.col("l_suppkey") % 5).cast("string")).alias("ns_test"),
+        F.concat(F.lit("tst:"), (F.col("l_partkey") % 200).cast("string")).alias("pkg_test"),
+    )
+    k = F.col("p_partkey") % 200
+    tests = pt.select(
+        F.concat(F.lit("tst:"), k.cast("string")).alias("test_id"),
+        F.concat(F.lit("obj:"), (k % 120).cast("string")).alias("object_ref"),
+        F.concat(F.lit("ste:"), (k % 90).cast("string")).alias("state_ref"),
+    ).distinct()
+    j = F.col("p_partkey") % 120
+    objects = pt.select(
+        F.concat(F.lit("obj:"), j.cast("string")).alias("object_ref"),
+        F.concat(F.lit("pkg"), (j % 60).cast("string")).alias("pkg"),
+    ).distinct()
+    m = F.col("p_partkey") % 90
+    states = pt.select(
+        F.concat(F.lit("ste:"), m.cast("string")).alias("state_ref"),
+        F.concat(F.lit("0:1."), m.cast("string"), F.lit("-"), (m % 4).cast("string")).alias("evr"),
+        F.concat(
+            F.when(m % 7 == 0, F.lit("ksplice1.el")).otherwise(F.lit("el")),
+            (m % 3 + 6).cast("string"),
+        ).alias("release"),
+    ).distinct()
+    return oval_pipeline(defs, pairs, tests, objects, states)
