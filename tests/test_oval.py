@@ -102,3 +102,44 @@ def test_oval_pipeline_semantics(spark):
     assert out["d2"].def_version == 2
     assert out["d2"].fixed_in == "openssl:0:3.0.1-1|zlib:0:1.2.12-1"
     assert out["d3"].fixed_in == ""
+
+
+def test_sles_pipeline_not_affected(spark):
+    """sles_pipeline: not-affected tests emit Version '0' entries, gated on
+    the state's evr being '0', deduped against affected entries, with
+    severity_map normalization."""
+    from vunnel_spark.pipelines.oval import sles_pipeline
+
+    defs = spark.createDataFrame(
+        [("d1", "SUSE-SU-1", 1, "important"), ("d2", "SUSE-SU-2", 1, "weird")],
+        "def_id string, name string, version int, severity string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("d1", None, "t-ssl", "affirm"),
+            ("d1", None, "t-na-zlib", "not_affected"),   # emits zlib:0
+            ("d1", None, "t-na-ssl", "not_affected"),    # deduped: openssl affected
+            ("d2", None, "t-na-bad", "not_affected"),    # state evr != '0' -> skipped
+        ],
+        "def_id string, ns_test string, pkg_test string, polarity string",
+    )
+    tests = spark.createDataFrame(
+        [("t-ssl", "o-ssl", "s-fix"), ("t-na-zlib", "o-zlib", "s-zero"),
+         ("t-na-ssl", "o-ssl", "s-zero"), ("t-na-bad", "o-zlib", "s-fix")],
+        "test_id string, object_ref string, state_ref string",
+    )
+    objects = spark.createDataFrame(
+        [("o-ssl", "openssl"), ("o-zlib", "zlib")], "object_ref string, pkg string"
+    )
+    states = spark.createDataFrame(
+        [("s-fix", "0:3.0.1-1", None), ("s-zero", "0", None)],
+        "state_ref string, evr string, release string",
+    )
+    out = {r.def_id: r for r in sles_pipeline(
+        defs, pairs, tests, objects, states,
+        severity_map={"important": "High"},
+    ).collect()}
+    assert out["d1"].fixed_in == "openssl:0:3.0.1-1|zlib:0"
+    assert out["d1"].severity == "High"
+    assert out["d2"].fixed_in == ""          # defensive skip of non-zero evr
+    assert out["d2"].severity == "Unknown"   # unmapped feed severity

@@ -100,3 +100,53 @@ def oval_pipeline(
     live_pairs = pairs.join(canon.select("def_id"), "def_id", "left_semi")
     resolved = drop_ksplice(resolve_tests(live_pairs, tests, objects, states))
     return assemble(canon, resolved)
+
+
+def sles_pipeline(
+    defs: DataFrame,
+    pairs: DataFrame,
+    tests: DataFrame,
+    objects: DataFrame,
+    states: DataFrame,
+    severity_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """SLES variant (providers/sles/parser.py:40-58, 377-420): ``pairs``
+    carries a ``polarity`` column; 'not_affected' tests resolve through the
+    same chain but emit Version "0" FixedIn entries, only when the
+    referenced state's evr really is "0" (defensive skip otherwise) and the
+    package has no affected-side entry in the same definition (the
+    reference's already_emitted dedup).  ``severity_map`` normalizes the
+    feed's lowercase severities (PARSER_CONFIG.severity_map).
+    """
+    canon = canonical_definitions(defs)
+    live = pairs.join(canon.select("def_id"), "def_id", "left_semi")
+    aff = resolve_tests(
+        live.filter(F.col("polarity") != "not_affected").drop("polarity"),
+        tests, objects, states,
+    )
+    na = (
+        resolve_tests(
+            live.filter(F.col("polarity") == "not_affected").drop("polarity"),
+            tests, objects, states,
+        )
+        .filter(F.col("evr") == "0")
+        .join(aff.select("def_id", "pkg").distinct(), ["def_id", "pkg"], "left_anti")
+        .select("def_id", "pkg")
+        .distinct()
+        .select(
+            "def_id",
+            F.lit(None).cast("string").alias("ns_test"),
+            "pkg",
+            F.lit("0").alias("evr"),
+            F.lit(None).cast("string").alias("release"),
+        )
+    )
+    out = assemble(canon, aff.unionByName(na))
+    if severity_map:
+        mapped = None
+        for raw, cooked in severity_map.items():
+            mapped = (F.when(F.col("severity") == raw, cooked) if mapped is None
+                      else mapped.when(F.col("severity") == raw, cooked))
+        sev = mapped.otherwise(F.lit("Unknown"))
+        out = out.withColumn("severity", sev)
+    return out

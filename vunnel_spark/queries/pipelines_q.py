@@ -624,3 +624,133 @@ def oval1(spark, sf_dir):
         ).alias("release"),
     ).distinct()
     return oval_pipeline(defs, pairs, tests, objects, states)
+
+
+@register(
+    "sles1_not_affected_dag",
+    """
+    WITH defs AS (
+      SELECT 'oval:def:' || CAST(o_orderkey AS VARCHAR) AS def_id,
+             'SUSE-SU-' || CAST(o_orderkey % 500 AS VARCHAR) AS name,
+             o_orderkey % 7 AS version,
+             CASE o_orderstatus WHEN 'F' THEN 'important'
+                                WHEN 'O' THEN 'moderate'
+                                ELSE 'critical' END AS severity
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), canon AS (
+      SELECT def_id, name, version, severity FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY name ORDER BY version DESC, def_id DESC) AS rn
+        FROM defs) WHERE rn = 1
+    ), pairs AS (
+      SELECT 'oval:def:' || CAST(l_orderkey AS VARCHAR) AS def_id,
+             'tst:' || CAST(l_partkey % 200 AS VARCHAR) AS pkg_test,
+             CASE WHEN l_linenumber % 4 = 0 THEN 'not_affected'
+                  ELSE 'affirm' END AS polarity
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ), live AS (
+      SELECT p.* FROM pairs p JOIN canon c ON c.def_id = p.def_id
+    ), tests AS (
+      SELECT DISTINCT 'tst:' || CAST(p_partkey % 200 AS VARCHAR) AS test_id,
+             'obj:' || CAST((p_partkey % 200) % 120 AS VARCHAR) AS object_ref,
+             'ste:' || CAST((p_partkey % 200) % 90 AS VARCHAR) AS state_ref
+      FROM part
+    ), objects AS (
+      SELECT DISTINCT 'obj:' || CAST(p_partkey % 120 AS VARCHAR) AS object_ref,
+             'pkg' || CAST((p_partkey % 120) % 60 AS VARCHAR) AS pkg
+      FROM part
+    ), states AS (
+      SELECT DISTINCT 'ste:' || CAST(p_partkey % 90 AS VARCHAR) AS state_ref,
+             CASE WHEN (p_partkey % 90) % 11 = 0 THEN '0'
+                  ELSE '0:1.' || CAST(p_partkey % 90 AS VARCHAR) || '-'
+                       || CAST((p_partkey % 90) % 4 AS VARCHAR) END AS evr
+      FROM part
+    ), aff AS (
+      SELECT p.def_id, ob.pkg, s.evr
+      FROM live p
+      JOIN tests tt ON tt.test_id = p.pkg_test
+      JOIN objects ob ON ob.object_ref = tt.object_ref
+      JOIN states s ON s.state_ref = tt.state_ref
+      WHERE p.polarity <> 'not_affected'
+    ), na AS (
+      SELECT DISTINCT p.def_id, ob.pkg, '0' AS evr
+      FROM live p
+      JOIN tests tt ON tt.test_id = p.pkg_test
+      JOIN objects ob ON ob.object_ref = tt.object_ref
+      JOIN states s ON s.state_ref = tt.state_ref
+      WHERE p.polarity = 'not_affected' AND s.evr = '0'
+        AND NOT EXISTS (SELECT 1 FROM aff a
+                        WHERE a.def_id = p.def_id AND a.pkg = ob.pkg)
+    ), fixes AS (
+      SELECT def_id,
+             array_to_string(list_sort(list_distinct(list(pkg || ':' || evr))),
+                             '|') AS fixed_in
+      FROM (SELECT * FROM aff UNION ALL SELECT * FROM na) GROUP BY def_id
+    )
+    SELECT c.name, c.def_id, c.version AS def_version,
+           CASE c.severity WHEN 'important' THEN 'High'
+                           WHEN 'moderate' THEN 'Medium'
+                           WHEN 'critical' THEN 'Critical'
+                           ELSE 'Unknown' END AS severity,
+           COALESCE(f.fixed_in, '') AS fixed_in
+    FROM canon c LEFT JOIN fixes f ON f.def_id = c.def_id
+    """,
+    doc="SLES OVAL DAG with not-affected semantics (sles/parser.py:40-58, "
+        "377-420; pipelines/oval.py sles_pipeline): the not_affected "
+        "polarity resolves through the same test/object/state chain but "
+        "emits Version-'0' FixedIn entries, gated on the state's evr "
+        "actually being '0' (the reference's defensive skip) and "
+        "anti-joined against affected entries of the same definition (its "
+        "already_emitted dedup); feed severities normalize through "
+        "PARSER_CONFIG.severity_map.  Inputs synthesized from "
+        "orders/lineitem/part; the oracle restates every stage",
+    tags=("pipeline", "join", "window", "agg"),
+)
+def sles1(spark, sf_dir):
+    from vunnel_spark.pipelines.oval import sles_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    defs = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.concat(F.lit("oval:def:"), F.col("o_orderkey").cast("string")).alias("def_id"),
+        F.concat(F.lit("SUSE-SU-"), (F.col("o_orderkey") % 500).cast("string")).alias("name"),
+        (F.col("o_orderkey") % 7).alias("version"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("important"))
+        .when(F.col("o_orderstatus") == "O", F.lit("moderate"))
+        .otherwise(F.lit("critical"))
+        .alias("severity"),
+    )
+    pairs = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.concat(F.lit("oval:def:"), F.col("l_orderkey").cast("string")).alias("def_id"),
+        F.lit(None).cast("string").alias("ns_test"),
+        F.concat(F.lit("tst:"), (F.col("l_partkey") % 200).cast("string")).alias("pkg_test"),
+        F.when(F.col("l_linenumber") % 4 == 0, F.lit("not_affected"))
+        .otherwise(F.lit("affirm"))
+        .alias("polarity"),
+    )
+    k = F.col("p_partkey") % 200
+    tests = pt.select(
+        F.concat(F.lit("tst:"), k.cast("string")).alias("test_id"),
+        F.concat(F.lit("obj:"), (k % 120).cast("string")).alias("object_ref"),
+        F.concat(F.lit("ste:"), (k % 90).cast("string")).alias("state_ref"),
+    ).distinct()
+    j = F.col("p_partkey") % 120
+    objects = pt.select(
+        F.concat(F.lit("obj:"), j.cast("string")).alias("object_ref"),
+        F.concat(F.lit("pkg"), (j % 60).cast("string")).alias("pkg"),
+    ).distinct()
+    m = F.col("p_partkey") % 90
+    states = pt.select(
+        F.concat(F.lit("ste:"), m.cast("string")).alias("state_ref"),
+        F.when(m % 11 == 0, F.lit("0"))
+        .otherwise(
+            F.concat(F.lit("0:1."), m.cast("string"), F.lit("-"), (m % 4).cast("string"))
+        )
+        .alias("evr"),
+        F.lit(None).cast("string").alias("release"),
+    ).distinct()
+    return sles_pipeline(
+        defs, pairs, tests, objects, states,
+        severity_map={"important": "High", "moderate": "Medium", "critical": "Critical"},
+    )
