@@ -754,3 +754,108 @@ def sles1(spark, sf_dir):
         defs, pairs, tests, objects, states,
         severity_map={"important": "High", "moderate": "Medium", "critical": "Critical"},
     )
+
+
+@register(
+    "ghsa1_per_ecosystem_dag",
+    """
+    WITH advisories AS (
+      SELECT 'GHSA-' || CAST(o_orderkey AS VARCHAR) AS ghsa_id,
+             CASE o_orderstatus
+               WHEN 'F' THEN 'CRITICAL'
+               WHEN 'O' THEN 'MODERATE'
+               ELSE CASE WHEN o_orderkey % 5 = 0 THEN 'BOGUS' ELSE 'LOW' END
+             END AS severity,
+             CASE WHEN o_orderkey % 4 = 0
+                  THEN ['GHSA-' || CAST(o_orderkey AS VARCHAR),
+                        'CVE-2024-' || CAST(o_orderkey % 300 AS VARCHAR),
+                        'CVE-2023-' || CAST(o_orderkey % 100 AS VARCHAR)]
+                  ELSE ['GHSA-' || CAST(o_orderkey AS VARCHAR),
+                        'CVE-2024-' || CAST(o_orderkey % 300 AS VARCHAR)]
+             END AS identifiers,
+             CASE WHEN o_orderkey % 10 = 0 THEN '2024-01-01' END AS withdrawn
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), vuln_nodes AS (
+      SELECT 'GHSA-' || CAST(l_orderkey AS VARCHAR) AS ghsa_id,
+             list_extract(
+               ['COMPOSER','ERLANG','GO','MAVEN','NPM','NUGET','PIP','PUB',
+                'RUBYGEMS','RUST','SWIFT','ACTIONS','DEB','RPM','OTHER'],
+               CAST(l_suppkey % 15 + 1 AS INT)) AS github_ecosystem,
+             'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS pkg,
+             CASE WHEN l_linenumber % 5 = 0 THEN NULL
+                  ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.'
+                       || CAST(l_linenumber AS VARCHAR) END AS first_patched,
+             '>= 1.0, < ' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS vrange
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ), eco_map(github_ecosystem, ecosystem) AS (
+      VALUES ('COMPOSER','composer'), ('ERLANG','erlang'), ('GO','go'),
+             ('MAVEN','java'), ('NPM','npm'), ('NUGET','nuget'),
+             ('PIP','python'), ('PUB','dart'), ('RUBYGEMS','gem'),
+             ('RUST','rust'), ('SWIFT','swift'), ('ACTIONS','github-action')
+    ), mapped AS (
+      SELECT v.ghsa_id, m.ecosystem,
+             v.pkg || ':' || COALESCE(v.first_patched, 'None') || ':'
+               || replace(v.vrange, ',', '') AS fix
+      FROM vuln_nodes v JOIN eco_map m USING (github_ecosystem)
+    ), per_eco AS (
+      SELECT ghsa_id, ecosystem,
+             array_to_string(list_sort(list(fix)), '|') AS fixed_in,
+             count(*) AS n_fixes
+      FROM mapped GROUP BY ghsa_id, ecosystem
+    )
+    SELECT 'github:' || p.ecosystem || '/' || lower(p.ghsa_id) AS identifier,
+           CASE a.severity WHEN 'LOW' THEN 'Low' WHEN 'MODERATE' THEN 'Medium'
+                           WHEN 'HIGH' THEN 'High' WHEN 'CRITICAL' THEN 'Critical'
+                           ELSE 'Unknown' END AS severity,
+           array_to_string(list_sort(list_filter(a.identifiers,
+             x -> NOT starts_with(x, 'GHSA-'))), '|') AS cves,
+           p.fixed_in, p.n_fixes, a.withdrawn
+    FROM per_eco p JOIN advisories a USING (ghsa_id)
+    """,
+    doc="GitHub Security Advisory DAG end-to-end (github/parser.py:42-55, "
+        "576-602, 695-757; __init__.py:73-120; pipelines/github.py): "
+        "ecosystem_map projection with unmapped-node drop, FixedIn records "
+        "with 'None' fallback and comma-stripped ranges, per-(advisory, "
+        "ecosystem) fan-out as groupBy (the reference's write loop), "
+        "broadcast advisory-metadata join, UPPER->canonical severity map, "
+        "non-GHSA identifier extraction as the CVE list.  Inputs "
+        "synthesized from orders/lineitem; the oracle restates every stage",
+    tags=("pipeline", "join", "agg"),
+)
+def ghsa1(spark, sf_dir):
+    from vunnel_spark.pipelines.github import github_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ghsa = F.concat(F.lit("GHSA-"), F.col("o_orderkey").cast("string"))
+    cve1 = F.concat(F.lit("CVE-2024-"), (F.col("o_orderkey") % 300).cast("string"))
+    cve2 = F.concat(F.lit("CVE-2023-"), (F.col("o_orderkey") % 100).cast("string"))
+    advisories = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        ghsa.alias("ghsa_id"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("CRITICAL"))
+        .when(F.col("o_orderstatus") == "O", F.lit("MODERATE"))
+        .otherwise(
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("BOGUS")).otherwise(F.lit("LOW"))
+        )
+        .alias("severity"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.array(ghsa, cve1, cve2))
+        .otherwise(F.array(ghsa, cve1))
+        .alias("identifiers"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("2024-01-01")).alias("withdrawn"),
+    )
+    ecos = ["COMPOSER", "ERLANG", "GO", "MAVEN", "NPM", "NUGET", "PIP", "PUB",
+            "RUBYGEMS", "RUST", "SWIFT", "ACTIONS", "DEB", "RPM", "OTHER"]
+    vuln_nodes = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.concat(F.lit("GHSA-"), F.col("l_orderkey").cast("string")).alias("ghsa_id"),
+        F.element_at(
+            F.array(*[F.lit(e) for e in ecos]),
+            (F.col("l_suppkey") % 15 + 1).cast("int"),
+        ).alias("github_ecosystem"),
+        F.concat(F.lit("pkg"), (F.col("l_partkey") % 50).cast("string")).alias("pkg"),
+        F.when(
+            F.col("l_linenumber") % 5 != 0,
+            F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber")),
+        ).alias("first_patched"),
+        F.concat(F.lit(">= 1.0, < "), F.col("l_quantity").cast("int").cast("string")).alias("vrange"),
+    )
+    return github_pipeline(advisories, vuln_nodes)
