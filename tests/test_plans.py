@@ -231,3 +231,31 @@ def test_x6_benchmark_side_is_broadcast(spark, sf_dir):
     # broadcast it, not shuffle the training corpus's shingles
     p = plan_of(q("x6_decontamination", spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_x9_redaction_is_zero_shuffle_pushed_filter(spark, sf_dir):
+    # regex scrub must stay a pure scan+filter+project: no Exchange, and
+    # the doc_id % 3 filter reaches the parquet scan as a data filter
+    p = plan_of(q("x9_pii_redaction", spark, sf_dir))
+    assert "Exchange" not in p, p
+    schema = re.search(r"ReadSchema: struct<(.*?)>", p).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_x10_word_counts_partial_aggregate(spark, sf_dir):
+    # the word-frequency rollup must partial-aggregate map-side before
+    # the (doc_id, word) shuffle — at 100 TB that's the difference
+    # between shuffling every word occurrence and one row per distinct
+    # word per doc per partition
+    p = plan_of(q("x10_repetition_signals", spark, sf_dir))
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_pipeline_dimension_joins_broadcast(spark, sf_dir):
+    # oval/sles resolution chains and the ghsa metadata join must
+    # broadcast the small sides, never shuffle the big fact frame
+    for name in ("oval1_resolution_dag", "sles1_not_affected_dag",
+                 "ghsa1_per_ecosystem_dag"):
+        p = plan_of(q(name, spark, sf_dir))
+        assert "BroadcastHashJoin" in p, name

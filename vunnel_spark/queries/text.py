@@ -347,3 +347,128 @@ def x8(spark, sf_dir):
         .orderBy(F.desc("freq"), "token")
         .limit(100)
     )
+
+
+@register(
+    "x9_pii_redaction",
+    r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or admin' || CAST(doc_id % 7 AS VARCHAR)
+                  || '@test.org via http://site' || CAST(doc_id AS VARCHAR)
+                  || '.test/page?id=' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '[a-z0-9.]+@[a-z0-9.]+')) - 1
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_split_to_array(text, 'https?://[^ ]+')) - 1
+                AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+',
+                 '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g')) AS redacted_md5,
+           CAST(length(regexp_replace(regexp_replace(text,
+                 '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 'https?://[^ ]+', '<URL>', 'g')) AS BIGINT) AS redacted_len
+    FROM enriched
+    """,
+    doc="PII/URL redaction pass (LLM-pipeline scrubbing): regex-count then "
+        "regex-replace emails and URLs with placeholder tags — pure "
+        "Catalyst regexp_replace, zero shuffles, filter+projection pushed "
+        "to the scan.  PII is injected deterministically per doc_id so the "
+        "operator sees real hits; the oracle restates injection + "
+        "redaction (duckdb needs the 'g' flag for global replace).  Output "
+        "keeps an md5 of the redacted text so the gate hash-checks the "
+        "full redacted payload without shipping it",
+    tags=("text",),
+)
+def x9(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    email_pat = "[a-z0-9.]+@[a-z0-9.]+"
+    url_pat = "https?://[^ ]+"
+    enriched = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("@test.org via http://site"), F.col("doc_id").cast("string"),
+            F.lit(".test/page?id="), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_pat, "<EMAIL>"), url_pat, "<URL>"
+    )
+    return enriched.select(
+        "doc_id",
+        (F.size(F.split(F.col("text"), email_pat)) - 1).cast("long").alias("n_emails"),
+        (F.size(F.split(F.col("text"), url_pat)) - 1).cast("long").alias("n_urls"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@register(
+    "x10_repetition_signals",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word
+    ), stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) AS n_distinct_words,
+             CAST(max(c) AS BIGINT) AS max_word_freq
+      FROM wc GROUP BY doc_id
+    ), top AS (
+      SELECT w.doc_id, min(w.word) AS top_word
+      FROM wc w JOIN stats s ON s.doc_id = w.doc_id AND w.c = s.max_word_freq
+      GROUP BY w.doc_id
+    )
+    SELECT s.doc_id, s.n_words, s.n_distinct_words, s.max_word_freq, t.top_word,
+           s.max_word_freq * 5 >= s.n_words AS is_repetitive
+    FROM stats s JOIN top t ON t.doc_id = s.doc_id
+    """,
+    doc="Gopher-style repetition quality signals per document: duplicate-"
+        "word mass (n_words vs n_distinct_words) and top-word "
+        "concentration, with the repetitive flag as integer arithmetic "
+        "(max_freq*5 >= n_words, i.e. top word >= 20%) so no float "
+        "rounding can diverge between engines.  Shape: word explode -> "
+        "partial-aggregated groupBy(doc_id, word) -> per-doc rollup; the "
+        "argmax word joins back on (doc_id, max freq) with a min(word) "
+        "tie-break for determinism.  At 100 TB this is the same "
+        "shingle-explode geometry as d4 — linear in corpus size, skew "
+        "bounded because a doc's word count caps its group sizes",
+    tags=("text",),
+)
+def x10(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("max_word_freq"),
+    )
+    maxes = stats.select(
+        F.col("doc_id").alias("m_doc_id"), F.col("max_word_freq").alias("m_freq")
+    )
+    top = (
+        wc.join(
+            maxes,
+            (F.col("doc_id") == F.col("m_doc_id")) & (F.col("c") == F.col("m_freq")),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("word").alias("top_word"))
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id", "n_words", "n_distinct_words", "max_word_freq", "top_word",
+        (F.col("max_word_freq") * 5 >= F.col("n_words")).alias("is_repetitive"),
+    )
