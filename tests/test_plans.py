@@ -259,3 +259,12 @@ def test_pipeline_dimension_joins_broadcast(spark, sf_dir):
                  "ghsa1_per_ecosystem_dag"):
         p = plan_of(q(name, spark, sf_dir))
         assert "BroadcastHashJoin" in p, name
+
+
+def test_x11_prefix_sum_is_bucketed_not_global(spark, sf_dir):
+    # the doc-level cumsum must window over hashpartitioning(bucket) — a
+    # global orderBy window would single-partition the whole corpus; the
+    # per-bucket prefix totals join back via broadcast
+    p = plan_of(q("x11_sequence_packing", spark, sf_dir))
+    assert "hashpartitioning(bucket" in p, p
+    assert "BroadcastHashJoin" in p, p

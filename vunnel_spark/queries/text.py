@@ -472,3 +472,88 @@ def x10(spark, sf_dir):
         "doc_id", "n_words", "n_distinct_words", "max_word_freq", "top_word",
         (F.col("max_word_freq") * 5 >= F.col("n_words")).alias("is_repetitive"),
     )
+
+
+@register(
+    "x11_sequence_packing",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST(tokens_before // 512 AS BIGINT) AS start_seq,
+           CAST(tokens_before % 512 AS BIGINT) AS start_offset,
+           CAST((tokens_before + n_tokens - 1) // 512 AS BIGINT) AS end_seq,
+           CAST((tokens_before + n_tokens - 1) // 512
+                - tokens_before // 512 + 1 AS BIGINT) AS n_seqs
+    FROM cum
+    """,
+    doc="Training-sequence packing planner (GPT-style concat-and-chunk): "
+        "documents concatenate in doc_id order and chunk into 512-token "
+        "sequences; each doc learns which sequence(s) it lands in and at "
+        "what offset.  The naive form is a GLOBAL window cumsum — a "
+        "single-partition scan that dies at 100 TB.  This plan is the "
+        "distributed two-phase prefix sum instead: docs bucket by doc_id "
+        "range, the cumsum runs per-bucket (hash-partitioned window), and "
+        "each bucket's exclusive prefix comes from a tiny per-bucket "
+        "total aggregate (rows = #buckets) broadcast back.  The oracle "
+        "states the same arithmetic as the plain global cumsum duckdb can "
+        "afford at gate scale",
+    tags=("text", "window"),
+)
+def x11(spark, sf_dir):
+    from pyspark.sql import Window
+
+    CTX = 512
+    BUCKET = 1000  # docs per bucket; at 100 TB pick ~1e6 rows per bucket
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {BUCKET}").alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tok.withColumn(
+        "local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # tiny frame: one row per bucket; its global window is #buckets rows,
+    # not #docs rows, so the single-partition sort is trivially cheap
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = (
+        tok.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "bucket_before", F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0))
+        )
+        .select("bucket", "bucket_before")
+    )
+    gb = F.col("bucket_before") + F.col("local_before")
+    return (
+        local.join(F.broadcast(prefixes), "bucket")
+        .withColumn("tokens_before", gb)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"tokens_before div {CTX}").alias("start_seq"),
+            (F.col("tokens_before") % CTX).alias("start_offset"),
+            F.expr(f"(tokens_before + n_tokens - 1) div {CTX}").alias("end_seq"),
+            (
+                F.expr(f"(tokens_before + n_tokens - 1) div {CTX}")
+                - F.expr(f"tokens_before div {CTX}")
+                + 1
+            ).alias("n_seqs"),
+        )
+    )
