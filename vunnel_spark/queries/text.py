@@ -557,3 +557,61 @@ def x11(spark, sf_dir):
             ).alias("n_seqs"),
         )
     )
+
+
+@register(
+    "x12_mixture_sampling",
+    """
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 5 THEN 'common'
+                  WHEN doc_id % 10 < 8 THEN 'mid'
+                  ELSE 'rare' END AS src_group
+      FROM documents
+    ), c AS (
+      SELECT src_group, count(*) AS n FROM tagged GROUP BY src_group
+    ), w AS (
+      SELECT src_group, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt FROM c
+    ), tot AS (
+      SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w
+    )
+    SELECT d.doc_id, d.src_group
+    FROM tagged d JOIN w USING (src_group) CROSS JOIN tot
+    WHERE ((d.doc_id * 2654435761) % 4294967296) * tot.tw * w.n
+          < 300 * w.wt * 4294967296
+    """,
+    doc="Per-source mixture sampling (sqrt-temperature reweighting, the "
+        "multi-corpus mixing step of a pretraining pipeline): source "
+        "weights are floor(sqrt(count)), each doc keeps with probability "
+        "min(1, B*w_s/(W*c_s)) via a deterministic multiplicative-hash "
+        "Bernoulli draw.  EVERY quantity is integer arithmetic — weights "
+        "floored, the keep test cross-multiplied — so no pow()/float "
+        "summation can diverge between engines or runs.  Shape: tiny "
+        "per-source count aggregate broadcast back onto a pure scan+filter "
+        "(the x7 zero-shuffle sampling path, now with data-derived rates). "
+        "BIGINT products bound: h*W*c < 9.2e18 holds through sf0.1; the "
+        "100 TB deployment casts the test to DECIMAL(38,0)",
+    tags=("text", "sampling"),
+)
+def x12(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 5, F.lit("common"))
+        .when(F.col("doc_id") % 10 < 8, F.lit("mid"))
+        .otherwise(F.lit("rare"))
+        .alias("src_group"),
+    )
+    w = (
+        tagged.groupBy("src_group")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("wt", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    )
+    tot = w.agg(F.sum("wt").cast("long").alias("tw"))
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        tagged.join(F.broadcast(w), "src_group")
+        .crossJoin(F.broadcast(tot))
+        .filter(h * F.col("tw") * F.col("n") < F.lit(300) * F.col("wt") * F.lit(4294967296))
+        .select("doc_id", "src_group")
+    )
