@@ -143,3 +143,102 @@ def test_sles_pipeline_not_affected(spark):
     assert out["d1"].severity == "High"
     assert out["d2"].fixed_in == ""          # defensive skip of non-zero evr
     assert out["d2"].severity == "Unknown"   # unmapped feed severity
+
+
+# ---- E4: context-inheriting walk (module/arch), reference
+# providers/oracle/oval_parser.py:209-277 semantics ----
+
+E4_TREE = {
+    "operator": "OR",  # outermost OR: one group per platform
+    "children": [
+        {
+            "operator": "AND",
+            "criterions": [{"comment": "Oracle Linux 8 is installed"},
+                           {"comment": "Module perl:5.26 is enabled"}],
+            "children": [
+                {   # child overrides the group-level module
+                    "criterions": [
+                        {"comment": "Module idm:DL1 is enabled"},
+                        {"comment": "ipa is earlier than 4.9.8-7"},
+                    ]
+                },
+                {   # sibling: inherits group module, sets its own arch;
+                    # must NOT see idm:DL1 from the sibling branch
+                    "criterions": [
+                        {"comment": "Architecture is aarch64"},
+                        {"comment": "kernel is earlier than 5.4.17-2136"},
+                    ]
+                },
+            ],
+        },
+        {
+            "operator": "AND",
+            "criterions": [{"comment": "Oracle Linux 9 is installed"},
+                           {"comment": "kernel is earlier than 5.14.0-70"}],
+        },
+        {   # group with packages but no namespace -> dropped, like reference
+            "operator": "AND",
+            "criterions": [{"comment": "orphan is earlier than 1.0"}],
+        },
+    ],
+}
+
+
+def test_collect_affected_context_inheritance():
+    from vunnel_spark.operators.oval import collect_affected_json
+
+    rows = set(collect_affected_json("d1", json.dumps(E4_TREE)))
+    assert rows == {
+        # module overridden by the child's own criterion, no arch
+        ("d1", "Oracle Linux 8", "ipa", "4.9.8-7", "idm:DL1", None),
+        # group module inherited; sibling's module does not leak; arch local
+        ("d1", "Oracle Linux 8", "kernel", "5.4.17-2136", "perl:5.26", "aarch64"),
+        # second platform group: own namespace, no module/arch context
+        ("d1", "Oracle Linux 9", "kernel", "5.14.0-70", None, None),
+    }
+
+
+def test_collect_affected_order_insensitive_within_node():
+    """Criterions are scanned before packages are attributed, so a module
+    criterion listed AFTER the package test still applies (the reference
+    collects all criterions of an element first)."""
+    from vunnel_spark.operators.oval import collect_affected_json
+
+    tree = {
+        "operator": "AND",
+        "criterions": [
+            {"comment": "httpd is earlier than 2.4.37-47"},
+            {"comment": "Module httpd:2.4 is enabled"},
+            {"comment": "Oracle Linux 8 is installed"},
+        ],
+    }
+    rows = collect_affected_json("d", json.dumps(tree))
+    assert rows == [("d", "Oracle Linux 8", "httpd", "2.4.37-47", "httpd:2.4", None)]
+
+
+def test_criteria_xml_to_tree_module_rows():
+    """XML -> tree -> E4 walk golden path: a module-stream ELSA-shaped
+    criteria parses into context-attributed rows."""
+    import xml.etree.ElementTree as ET
+
+    from vunnel_spark.operators.oval import collect_affected_json
+    from vunnel_spark.sources.oval_xml import criteria_to_tree
+
+    xml = """
+    <criteria operator="AND">
+      <criterion comment="Oracle Linux 8 is installed" test_ref="t1"/>
+      <criteria operator="AND">
+        <criterion comment="Module container-tools:ol8 is enabled" test_ref="t2"/>
+        <criteria operator="OR">
+          <criterion comment="podman is earlier than 4.0.2-6" test_ref="t3"/>
+          <criterion comment="buildah is earlier than 1.24.2-4" test_ref="t4"/>
+        </criteria>
+      </criteria>
+    </criteria>
+    """
+    tree = criteria_to_tree(ET.fromstring(xml))
+    rows = set(collect_affected_json("elsa-1", json.dumps(tree)))
+    assert rows == {
+        ("elsa-1", "Oracle Linux 8", "podman", "4.0.2-6", "container-tools:ol8", None),
+        ("elsa-1", "Oracle Linux 8", "buildah", "1.24.2-4", "container-tools:ol8", None),
+    }

@@ -12,6 +12,33 @@ import pytest
 from vunnel_spark.sources import read_csv_with_comment_header, read_jsonl, read_nested_json
 
 
+# Rounds 2 and 3 both shipped a "driver data != builder session" dtype bug
+# (nanos-as-bigint, then TIMESTAMP_NTZ).  Pin the whole class: every column
+# load_table yields must be one of these; any new parquet quirk that leaks
+# through normalization turns this red before it breaks an operator.
+ALLOWED_DTYPES = {
+    "string", "boolean", "int", "bigint", "float", "double",
+    "date", "timestamp",  # never timestamp_ntz, never raw bigint-nanos ts
+    "array<float>", "array<double>", "array<string>", "binary",
+}
+
+
+def test_load_table_dtype_contract(spark, sf_dir):
+    from vunnel_spark.session import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    assert tables, sf_dir
+    offenders = {
+        (name, cname, dtype)
+        for name, df in tables.items()
+        for cname, dtype in df.dtypes
+        if dtype not in ALLOWED_DTYPES
+    }
+    assert not offenders, f"unexpected dtypes from load_table: {offenders}"
+    # the two historical regressions, pinned explicitly
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+
+
 def test_jsonl_explicit_schema_and_corrupt_routing(spark, tmp_path):
     p = str(tmp_path / "in.jsonl")
     with open(p, "w") as f:

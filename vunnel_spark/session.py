@@ -47,6 +47,10 @@ def get_spark(app_name: str = "vunnel_spark", cpus: str | int | None = None) -> 
         # Spark cannot read TIMESTAMP(NANOS) parquet natively; read the raw
         # int64 nanos and convert (load_tables) — matches duckdb's ns→µs trunc
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-naive parquet timestamps load as plain TIMESTAMP, not NTZ: the
+        # session is UTC-pinned so values are identical, and NTZ would break
+        # unix_micros()/withWatermark() and wrap every ts in casts
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -85,7 +89,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # builds its own), so the nanos conf must be applied at read time, not
     # only in get_spark()'s builder.  It is runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Driver parquet may carry tz-naive timestamps, which Spark 4 reads as
+    # TIMESTAMP_NTZ.  unix_micros() and withWatermark() both reject NTZ by
+    # spec; the session timezone is pinned to UTC, so casting to the
+    # tz-aware type is a pure metadata change with identical semantics.
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
