@@ -121,3 +121,40 @@ def test_empty_affected_passthrough(patched):
 def test_no_candidates_no_patch(patched):
     rng = patched["OSV-3"]["affected"][0]["ranges"][0]
     assert rng["database_specific"] is None
+
+
+def test_patched_records_validate_against_osv_schema(patched):
+    """F9: the patched advisories re-assemble into documents that satisfy
+    the OSV schema contract (reference schema/vulnerability/osv/
+    schema-1.6.1.json == the published OSV 1.6 spec)."""
+    import pytest as _pytest
+
+    from vunnel_spark.sinks.schemas import (
+        OSV_SCHEMA,
+        SCHEMA_URL_OSV,
+        validate_envelope_docs,
+    )
+
+    def clean(o):
+        # None-valued optional keys don't appear in emitted OSV JSON
+        if isinstance(o, dict):
+            return {k: clean(v) for k, v in o.items() if v is not None}
+        if isinstance(o, list):
+            return [clean(v) for v in o]
+        return o
+
+    docs = []
+    for vid, row in patched.items():
+        item = {
+            "id": vid,
+            "modified": (row["published"] or __import__("datetime").datetime(2026, 1, 1)).isoformat() + "Z",
+            "affected": clean(row["affected"]),
+        }
+        docs.append({"schema": SCHEMA_URL_OSV, "identifier": vid, "item": item})
+    assert validate_envelope_docs(docs, OSV_SCHEMA) == 3
+
+    jsonschema = _pytest.importorskip("jsonschema")
+    no_id = {"schema": SCHEMA_URL_OSV, "identifier": "x",
+             "item": {"modified": "2026-01-01T00:00:00Z"}}
+    with _pytest.raises(jsonschema.ValidationError):
+        validate_envelope_docs([no_id], OSV_SCHEMA)

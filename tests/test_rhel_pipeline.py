@@ -81,3 +81,33 @@ def test_fixedin_sorted_deterministically(spark, frames):
         (r.cve_id, r.namespace): [tuple(f) for f in r.FixedIn] for r in rows
     }
     assert key(out1) == key(out2)
+
+
+def test_envelopes_validate_against_os_schema(spark, frames):
+    """F9: every emitted envelope validates against the OS-vulnerability
+    schema (reference validates each envelope at test time,
+    tests/conftest.py:246-268 + schema/vulnerability/os/schema-1.0.2.json)."""
+    import json
+
+    import pytest as _pytest
+
+    from vunnel_spark.sinks.schemas import (
+        OS_VULNERABILITY_SCHEMA,
+        os_envelope_json,
+        validate_envelope_docs,
+    )
+
+    out = rhel_pipeline(*frames)
+    docs = [r.doc for r in os_envelope_json(out).collect()]
+    assert validate_envelope_docs(docs, OS_VULNERABILITY_SCHEMA) == out.count() > 0
+
+    # the gate has teeth: stripping a required field must fail validation
+    jsonschema = _pytest.importorskip("jsonschema")
+    broken = json.loads(docs[0])
+    del broken["item"]["Vulnerability"]["Severity"]
+    with _pytest.raises(jsonschema.ValidationError):
+        validate_envelope_docs([broken], OS_VULNERABILITY_SCHEMA)
+    bad_sev = json.loads(docs[0])
+    bad_sev["item"]["Vulnerability"]["Severity"] = "SUPER-BAD"
+    with _pytest.raises(jsonschema.ValidationError):
+        validate_envelope_docs([bad_sev], OS_VULNERABILITY_SCHEMA)
