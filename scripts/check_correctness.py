@@ -89,19 +89,26 @@ def main() -> None:
 
     qs, oracles = all_queries(), all_oracles()
     n_pass = n_fail = n_rows_only = 0
+    report: dict[str, dict] = {}
     for name in sorted(qs):
         if ONLY and name not in ONLY:
             continue
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
             sdf = qs[name](spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            rec["err"] = f"spark error: {type(e).__name__}: {e}"
             n_fail += 1
             continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            rec["err"] = "no oracle (rows-only)"
             n_rows_only += 1
             continue
         try:
@@ -110,16 +117,23 @@ def main() -> None:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
+            rec["err"] = f"oracle error: {type(e).__name__}: {e}"
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(orows)
         problems = []
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             problems.append(f"rows {len(srows)} != {len(orows)}")
-        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        rec["schema_match"] = sorted(c.lower() for c in scols) == sorted(
+            c.lower() for c in ocols
+        )
+        if not rec["schema_match"]:
             problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
         if not problems:
             sh = value_hash([c.lower() for c in scols], [tuple(r) for r in srows])
             oh = value_hash([c.lower() for c in ocols], orows)
+            rec["hash_match"] = sh == oh
             if sh != oh:
                 problems.append(f"hash {sh} != {oh}")
         if problems:
@@ -128,6 +142,12 @@ def main() -> None:
         else:
             print(f"ok    {name} ({len(srows)} rows)")
             n_pass += 1
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
     sys.exit(1 if n_fail else 0)
 

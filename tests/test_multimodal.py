@@ -1,24 +1,79 @@
-"""Multimodal plumbing tests: binary columns flow through mapInPandas
-stages with correct schemas/batching; the stubbed codec is explicit."""
+"""Multimodal tests: the PPM codec round-trips for real, binary columns
+flow through mapInPandas stages with correct schemas/batching, the video
+container demuxes, and unsupported formats stay explicitly stubbed."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from vunnel_spark.operators.multimodal import (
     decode_image,
+    decode_ppm,
+    encode_ppm,
     image_features,
+    iter_frames,
+    pack_frames,
     resize_images,
     sample_video_frames,
     synthesize_media_table,
+    synthesize_ppm_media_table,
+    synthesize_video_table,
 )
 from vunnel_spark.session import load_table
 
 
+# ------------------------------------------------------------ codec units
+
+def test_ppm_roundtrip():
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+def test_ppm_decode_handles_comments_and_whitespace():
+    img = np.full((2, 3, 3), 7, dtype=np.uint8)
+    quirky = b"P6\n# a comment\n 3\t2 # trailing\n255\n" + img.tobytes()
+    assert (decode_ppm(quirky) == img).all()
+
+
+def test_ppm_decode_rejects_truncation_and_wrong_magic():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(img)[:-1])
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + img.tobytes())
+
+
+def test_frame_container_roundtrip():
+    frames = [b"aaa", b"", b"frame-three"]
+    assert list(iter_frames(pack_frames(frames))) == frames
+
+
+def test_unknown_video_container_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        list(iter_frames(b"\x00\x00\x00\x00mp4?"))
+
+
+def test_unknown_image_format_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-a-ppm", 4, 4, fake=False)
+
+
+# --------------------------------------------------------- spark plumbing
+
 @pytest.fixture(scope="module")
-def media(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").limit(50)
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(50)
+
+
+@pytest.fixture(scope="module")
+def media(docs):
     return synthesize_media_table(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def ppm_media(docs):
+    return synthesize_ppm_media_table(docs).cache()
 
 
 def test_media_table_schema(media):
@@ -36,19 +91,41 @@ def test_image_features_deterministic(media):
     assert all(0 <= r.mean_r <= 255 for r in rows1.values())
 
 
-def test_resize_composes(media):
-    resized = resize_images(media, out_w=4, out_h=4, fake=True)
-    feats = image_features(resized, fake=False) if False else None
+def test_real_ppm_features_closed_form(ppm_media):
+    """Channel means through the REAL decode match the synthesis law:
+    G = 7*id mod 256, B = 13*id mod 256, R = mean of the gradient row."""
+    rows = {r.media_id: r for r in image_features(ppm_media, fake=False).collect()}
+    assert len(rows) == 50
+    for mid, r in rows.items():
+        w = mid % 16 + 8
+        assert r.mean_g == (7 * mid) % 256
+        assert r.mean_b == (13 * mid) % 256
+        assert abs(r.mean_r - np.mean((mid + np.arange(w)) % 256)) < 1e-9
+
+
+def test_resize_composes(ppm_media):
+    resized = resize_images(ppm_media, out_w=4, out_h=4, fake=False)
     rows = resized.collect()
     assert all(r.meta.width == 4 and r.meta.height == 4 for r in rows)
-    assert all(r.meta.n_bytes == 4 * 4 * 3 for r in rows)
+    # PPM header "P6\n4 4\n255\n" (11 bytes) + 4*4*3 raster
+    assert all(r.meta.n_bytes == 11 + 4 * 4 * 3 for r in rows)
+    # output is itself decodable: features compose on it
+    feats = image_features(resized, fake=False).collect()
+    assert len(feats) == len(rows)
+    assert all(f.width == 4 and f.height == 4 for f in feats)
 
 
-def test_real_codec_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"bytes", 4, 4, fake=False)
-
-
-def test_video_sampling_contract_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media)
+def test_video_sampling_explodes_and_decodes(docs):
+    videos = synthesize_video_table(docs)
+    frames = sample_video_frames(videos, every_n=2)
+    got = frames.collect()
+    by_id: dict[int, list] = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_id.items():
+        n = mid % 6 + 2
+        assert sorted(r.frame_idx for r in rs) == list(range(0, n, 2))
+        for r in rs:
+            img = decode_ppm(bytes(r.payload))
+            assert img.shape == (4, 4, 3)
+            assert int(img[0, 0, 0]) == (mid + 17 * r.frame_idx) % 256

@@ -19,11 +19,20 @@ def _build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     p_list = sub.add_parser("list", help="list registered queries")
-    p_list.add_argument("--tag", help="filter by tag (U7 include/exclude semantics)")
+    p_list.add_argument(
+        "--tags", nargs="+",
+        help="U7 tag algebra: must have ALL plain tags and NONE of the "
+             "'!'-prefixed ones (reference providers/__init__.py:150-183)",
+    )
+    p_list.add_argument("--tag", help="single-tag shorthand for --tags")
     p_list.add_argument("--no-oracle", action="store_true", help="only rows-only queries")
 
-    p_run = sub.add_parser("run", help="run one query")
-    p_run.add_argument("query")
+    p_run = sub.add_parser("run", help="run one query, or a tag-selected set")
+    p_run.add_argument("query", nargs="?", help="query name (omit with --tags)")
+    p_run.add_argument(
+        "--tags", nargs="+",
+        help="run every query matching the tag algebra instead of one name",
+    )
     p_run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_run.add_argument("--show", type=int, default=10, help="rows to print")
     p_run.add_argument("--explain", action="store_true", help="print the physical plan")
@@ -40,10 +49,18 @@ def main(argv: list[str] | None = None) -> int:
     _ensure_loaded()
 
     if args.cmd == "list":
-        for name in sorted(REGISTRY):
+        from vunnel_spark.registry import select_by_tags
+
+        criteria = list(args.tags or [])
+        if args.tag:
+            criteria.append(args.tag)
+        try:
+            selected = select_by_tags(criteria)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        for name in selected:
             spec = REGISTRY[name]
-            if args.tag and args.tag not in spec.tags:
-                continue
             if args.no_oracle and spec.oracle is not None:
                 continue
             kind = "oracle" if spec.oracle else "rows-only"
@@ -70,22 +87,43 @@ def main(argv: list[str] | None = None) -> int:
         }, indent=2))
         return 0
 
-    # run
-    if args.query not in REGISTRY:
-        close = [n for n in sorted(REGISTRY) if args.query.lower() in n.lower()]
-        print(f"unknown query {args.query!r}", file=sys.stderr)
-        if close:
-            print(f"did you mean: {', '.join(close[:5])}", file=sys.stderr)
+    # run: one named query, or every query a tag expression selects
+    if args.tags:
+        from vunnel_spark.registry import select_by_tags
+
+        try:
+            targets = select_by_tags(args.tags)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        if args.query:
+            print("give a query name OR --tags, not both", file=sys.stderr)
+            return 2
+        if not targets:
+            print("no queries match", file=sys.stderr)
+            return 1
+    elif args.query:
+        if args.query not in REGISTRY:
+            close = [n for n in sorted(REGISTRY) if args.query.lower() in n.lower()]
+            print(f"unknown query {args.query!r}", file=sys.stderr)
+            if close:
+                print(f"did you mean: {', '.join(close[:5])}", file=sys.stderr)
+            return 2
+        targets = [args.query]
+    else:
+        print("query name or --tags required", file=sys.stderr)
         return 2
     spark = get_spark("vunnel_spark_cli")
-    df = REGISTRY[args.query].fn(spark, args.sf_dir)
-    if args.explain:
-        df.explain("formatted")
-    t0 = time.perf_counter()
-    n = df.count()
-    dt = time.perf_counter() - t0
-    df.show(args.show, truncate=False)
-    print(f"{n} rows in {dt:.2f}s  ({args.query} @ {args.sf_dir})")
+    for name in targets:
+        df = REGISTRY[name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        if len(targets) == 1:
+            df.show(args.show, truncate=False)
+        print(f"{n} rows in {dt:.2f}s  ({name} @ {args.sf_dir})")
     return 0
 
 

@@ -7,12 +7,16 @@ sampling) runs in Arrow-batched ``mapInPandas`` stages so the 100 TB path
 is: parquet scan (binary column pruned unless needed) -> partition-local
 Python batches -> columnar output.  No driver-side materialization ever.
 
-The actual codec calls are STUBBED (this container ships no image/audio
-libraries): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic byte-hash-seeded decode
-so the full Spark plumbing — schemas, batching, partitioning, UDF
-signatures — is real and testable.  Swapping in PIL/ffmpeg later changes
-only the inner function body.
+Codecs: PPM (P6) is implemented for real — it is a complete, published
+image format with a trivial header, so the decode/resize/feature stages
+exercise genuine bytes-in/pixels-out behavior end-to-end, and the m1/m2
+queries carry exact SQL oracles over deterministically synthesized
+gradient images.  Compressed formats (PNG/JPEG/mp4...) need libraries
+this container doesn't ship; those paths keep the explicit
+NotImplementedError + ``fake=True`` escape hatch, and swapping in
+PIL/ffmpeg later changes only ``decode_image``'s dispatch.  Video gets a
+minimal length-prefixed frame container (``pack_frames``/``iter_frames``)
+so frame sampling is real, explode-shaped, and testable.
 """
 
 from __future__ import annotations
@@ -47,13 +51,52 @@ FEATURE_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes, width: int, height: int):
-    """Deterministic stand-in for an image codec: bytes -> HxWx3 uint8.
+# ---------------------------------------------------------------- PPM codec
 
-    Seeded from the payload digest so results are stable across runs and
-    executors — the pipeline around it behaves exactly as with a real
-    decoder (same shapes, same dtypes, same batch flow).
+def encode_ppm(arr) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6).  Pure stdlib: header + raw RGB."""
+    h, w = arr.shape[0], arr.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) -> HxWx3 uint8 array.
+
+    Handles the format's whitespace/comment rules (tokens separated by
+    arbitrary whitespace; '#' starts a comment through end-of-line).
     """
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval; then ONE whitespace
+    # byte precedes the raster
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = payload[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _fake_decode(payload: bytes, width: int, height: int):
+    """Deterministic stand-in for compressed-format codecs: bytes ->
+    HxWx3 uint8, seeded from the payload digest so results are stable
+    across runs and executors."""
     import hashlib
 
     import numpy as np
@@ -64,22 +107,44 @@ def _fake_decode(payload: bytes, width: int, height: int):
 
 
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
-    """Decode one image payload.  Real codec NOT available in this
-    environment — callers opt into the deterministic fake explicitly."""
+    """Decode one image payload.
+
+    PPM (P6) decodes for real; other formats need codec libraries this
+    container doesn't ship — callers opt into the deterministic fake
+    explicitly, or get NotImplementedError.
+    """
+    payload = bytes(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
-        "image codec not available in this environment; pass fake=True for "
-        "the deterministic stand-in (see module docstring)"
+        "no codec for this payload format in this environment; PPM (P6) "
+        "decodes natively, or pass fake=True for the deterministic stand-in"
     )
 
 
-def image_features(df: DataFrame, fake: bool = True, batch_hint: int = 64) -> DataFrame:
+# ------------------------------------------------------------- image stages
+
+def image_features(
+    df: DataFrame,
+    fake: bool = True,
+    batch_hint: int = 64,
+    passthrough: tuple = (),
+) -> DataFrame:
     """Per-image channel statistics via mapInPandas.
 
     One Arrow batch of (media_id, payload, meta) rows in, one batch of
-    feature rows out; the binary column never leaves the executor.
+    feature rows out; the binary column never leaves the executor.  The
+    per-image decode is inherent (codecs are per-payload), but the stats
+    vectorize per decoded array — no per-pixel Python.  ``passthrough``
+    columns (e.g. frame_idx from the video demux) are carried to the
+    output unchanged.
     """
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
+    schema = FEATURE_SCHEMA + extra_schema
 
     def compute(batches: Iterator) -> Iterator:
         import numpy as np
@@ -87,81 +152,227 @@ def image_features(df: DataFrame, fake: bool = True, batch_hint: int = 64) -> Da
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for tup in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"],
+                *[pdf[c] for c in passthrough],
+            ):
+                mid, payload, meta, extras = tup[0], tup[1], tup[2], tup[3:]
                 w, h = int(meta["width"]), int(meta["height"])
-                img = decode_image(bytes(row["payload"]), w, h, fake=fake)
+                img = decode_image(payload, w, h, fake=fake)
                 arr = img.astype(np.float64)
                 out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": w,
-                        "height": h,
-                        "mean_r": float(arr[:, :, 0].mean()),
-                        "mean_g": float(arr[:, :, 1].mean()),
-                        "mean_b": float(arr[:, :, 2].mean()),
-                        "std_all": float(arr.std()),
-                    }
+                    (
+                        mid, img.shape[1], img.shape[0],
+                        float(arr[:, :, 0].mean()),
+                        float(arr[:, :, 1].mean()),
+                        float(arr[:, :, 2].mean()),
+                        float(arr.std()),
+                        *extras,
+                    )
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_r", "mean_g",
+                         "mean_b", "std_all", *passthrough],
+            )
 
-    return df.select("media_id", "payload", "meta").mapInPandas(compute, FEATURE_SCHEMA)
+    return df.select("media_id", *passthrough, "payload", "meta").mapInPandas(
+        compute, schema
+    )
 
 
 def resize_images(df: DataFrame, out_w: int, out_h: int, fake: bool = True) -> DataFrame:
-    """Decode -> nearest-neighbor resize -> re-encode (raw bytes out).
+    """Decode -> nearest-neighbor resize -> re-encode as PPM.
 
-    Output schema mirrors the input media schema so resize stages compose.
+    Output schema mirrors the input media schema so resize stages compose;
+    re-encoding as PPM keeps the output a real decodable image.
     """
-    schema = "media_id long, payload binary, meta struct<format:string, width:int, height:int, n_bytes:bigint>"
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
 
     def compute(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        yi = None
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
                 w, h = int(meta["width"]), int(meta["height"])
-                img = decode_image(bytes(row["payload"]), w, h, fake=fake)
-                yi = (np.arange(out_h) * h // out_h).astype(int)
-                xi = (np.arange(out_w) * w // out_w).astype(int)
-                resized = img[yi][:, xi]
-                raw = resized.tobytes()
+                img = decode_image(payload, w, h, fake=fake)
+                h0, w0 = img.shape[0], img.shape[1]
+                yi = (np.arange(out_h) * h0 // out_h).astype(int)
+                xi = (np.arange(out_w) * w0 // out_w).astype(int)
+                resized = np.ascontiguousarray(img[yi][:, xi])
+                raw = encode_ppm(resized)
                 out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "payload": raw,
-                        "meta": {
-                            "format": "raw_rgb",
-                            "width": out_w,
-                            "height": out_h,
-                            "n_bytes": len(raw),
-                        },
-                    }
+                    (mid, raw,
+                     {"format": "ppm", "width": out_w, "height": out_h,
+                      "n_bytes": len(raw)})
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 
     return df.select("media_id", "payload", "meta").mapInPandas(compute, schema)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling stub: video codecs unavailable here.
+# ------------------------------------------------------------ video stages
 
-    The Spark-side contract is defined (one video row -> many frame rows,
-    an explode-shaped mapInPandas); the codec body is the missing piece.
+_VPACK_MAGIC = b"VSPK"
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Pack frame payloads into the engine's length-prefixed container:
+    magic + uint32 frame count + per-frame (uint32 length, payload).
+
+    A deliberately minimal, fully specified container so the distributed
+    frame-sampling stage has real bytes to parse; real-world mp4/webm
+    demuxing slots into ``iter_frames`` when ffmpeg-like tooling exists.
     """
-    raise NotImplementedError(
-        "video codec not available in this environment; the stage contract "
-        "is (media_id, payload, meta) -> (media_id, frame_idx, payload, meta)"
+    import struct
+
+    out = [_VPACK_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def iter_frames(payload: bytes) -> Iterator[bytes]:
+    """Unpack the frame container; yields each frame's payload bytes."""
+    import struct
+
+    payload = bytes(payload)
+    if payload[:4] != _VPACK_MAGIC:
+        raise NotImplementedError(
+            "unrecognized video container; only the VSPK frame pack "
+            "demuxes in this environment (mp4/webm need ffmpeg)"
+        )
+    (n,) = struct.unpack_from("<I", payload, 4)
+    pos = 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        yield payload[pos : pos + ln]
+        pos += ln
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Explode-shaped frame sampling: one video row -> one row per kept
+    frame (indices 0, every_n, 2*every_n, ...).
+
+    mapInPandas so demux happens executor-side per Arrow batch; the frame
+    payloads stay PPM images, so downstream ``image_features`` composes
+    directly on the output.
+    """
+    schema = (
+        "media_id long, frame_idx int, payload binary, "
+        "meta struct<format:string, width:int, height:int, n_bytes:bigint>"
     )
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, frame in enumerate(iter_frames(payload)):
+                    if idx % every_n:
+                        continue
+                    img = decode_ppm(frame)
+                    out.append(
+                        (mid, idx, frame,
+                         {"format": "ppm", "width": img.shape[1],
+                          "height": img.shape[0], "n_bytes": len(frame)})
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "payload", "meta"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(compute, schema)
+
+
+# -------------------------------------------------------------- synthesis
+
+def synthesize_ppm_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-image media table from the documents corpus.
+
+    Each doc becomes a PPM whose pixels are closed-form in the doc id:
+    R varies along x as ``(id + x) mod 256`` (a gradient — exercises real
+    per-pixel decode), G and B are constant ``(7*id) mod 256`` /
+    ``(13*id) mod 256``; dims are ``w = id%16+8``, ``h = id%8+8``.  Every
+    downstream statistic is therefore exactly computable in SQL, which is
+    what gives m1/m2 true value oracles instead of rows-only checks.
+    """
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                row = (did + np.arange(w)) % 256
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = row[None, :]
+                img[:, :, 1] = (7 * did) % 256
+                img[:, :, 2] = (13 * did) % 256
+                payload = encode_ppm(img)
+                out.append(
+                    (did, payload,
+                     {"format": "ppm", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_video_table(
+    docs: DataFrame, id_col: str = "doc_id", frame_w: int = 4, frame_h: int = 4
+) -> DataFrame:
+    """Deterministic video table: each doc becomes a VSPK container of
+    ``id % 6 + 2`` constant-color PPM frames (frame i's pixel value is
+    ``(id + 17*i) mod 256`` on every channel) — every sampled frame's
+    statistics are closed-form in (id, i), giving the m3 query an exact
+    SQL oracle through demux + decode."""
+    schema = "media_id long, payload binary, n_frames int"
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = did % 6 + 2
+                frames = []
+                for i in range(n):
+                    val = (did + 17 * i) % 256
+                    img = np.full((frame_h, frame_w, 3), val, dtype=np.uint8)
+                    frames.append(encode_ppm(img))
+                out.append((did, pack_frames(frames), n))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "n_frames"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
 
 
 def synthesize_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Build a deterministic media table from the documents corpus: payload
-    = utf-8 bytes of the text, dims derived from its length.  Lets every
-    multimodal stage run on driver-provided data only."""
+    """Fake-codec media table (utf-8 text bytes as payload) — kept for the
+    fake-path plumbing tests; real-image synthesis is
+    ``synthesize_ppm_media_table``."""
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),

@@ -17,7 +17,11 @@ from vunnel_spark.queries._util import t
 from vunnel_spark.registry import register
 
 # doc_id offset for synthesized duplicate rows (beyond any real doc_id)
-_DUP_BASE = 1_000_000
+from vunnel_spark.queries._util import (  # noqa: E402
+    DUP_BASE as _DUP_BASE,
+    NEAR_DUPS_SQL as _NEAR_DUPS_SQL,
+    with_near_dups as _with_near_dups,
+)
 
 
 def _with_exact_dups(docs: DataFrame) -> DataFrame:
@@ -74,21 +78,6 @@ def d2(spark, sf_dir):
     return duplicate_groups(docs).select("doc_id", "keep_id", "is_duplicate")
 
 
-_NEAR_DUPS_SQL = f"""
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + {_DUP_BASE} AS doc_id, text || ' spark' AS text
-      FROM documents WHERE doc_id % 5 = 0
-"""
-
-
-def _with_near_dups(docs: DataFrame) -> DataFrame:
-    """documents ∪ one-word-appended variants of every 5th doc."""
-    near = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _DUP_BASE).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" spark")).alias("text"),
-    )
-    return docs.unionByName(near)
 
 
 @register(

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vunnel_spark.queries._util import t
-from vunnel_spark.queries.dedup import _NEAR_DUPS_SQL, _with_near_dups
+from vunnel_spark.queries._util import NEAR_DUPS_SQL as _NEAR_DUPS_SQL
+from vunnel_spark.queries._util import with_near_dups as _with_near_dups
 from vunnel_spark.registry import register
 
 # exact 3-shingle Jaccard pairs at threshold 0.8 — identical to d4's oracle

@@ -1,9 +1,11 @@
 """Multimodal-column queries (LLM-pipeline surface): binary payloads +
 typed metadata through Arrow-batched mapInPandas stages.
 
-The codec is a deterministic fake (this container has no image libs — see
-operators/multimodal.py); the Spark plumbing (binary columns, schemas,
-batch flow, composition) is real, so these are rows-only checks.
+Round 4: the PPM (P6) codec is REAL (operators/multimodal.py), and the
+media tables are synthesized with closed-form pixel values, so m1/m2/m3
+carry exact SQL value oracles — the hash match verifies encode -> decode
+-> stats (and demux, for m3) end-to-end.  The fake-codec path keeps its
+own plumbing coverage in tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -16,44 +18,126 @@ from vunnel_spark.registry import register
 
 @register(
     "m1_image_feature_extract",
-    None,  # decode is the deterministic fake codec — not SQL-portable
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, w, h,
+             (SELECT avg((media_id + x) % 256) FROM xs WHERE x < w) AS mean_r,
+             (SELECT avg(pow((media_id + x) % 256, 2))
+              FROM xs WHERE x < w) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mean_r, 4) AS mean_r, round(g, 4) AS mean_g,
+           round(b, 4) AS mean_b,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
     doc="Image feature extraction over a binary media column via "
-        "mapInPandas (operators/multimodal.py image_features): per-image "
-        "channel stats aggregated per width bucket",
+        "mapInPandas (operators/multimodal.py image_features): REAL PPM "
+        "decode of gradient images whose channel stats are closed-form in "
+        "the id, so the oracle verifies the codec + stats end-to-end",
     tags=("multimodal", "udf"),
 )
 def m1(spark, sf_dir):
-    from vunnel_spark.operators.multimodal import image_features, synthesize_media_table
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_ppm_media_table,
+    )
 
-    media = synthesize_media_table(t(spark, sf_dir, "documents"))
-    feats = image_features(media, fake=True)
-    return (
-        feats.groupBy("width")
-        .agg(
-            F.count(F.lit(1)).alias("n_images"),
-            F.round(F.avg("mean_r"), 2).alias("avg_mean_r"),
-            F.round(F.avg("std_all"), 2).alias("avg_std"),
-        )
+    media = synthesize_ppm_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
     )
 
 
 @register(
     "m2_resize_pipeline",
-    None,  # composed mapInPandas stages on fake-decoded payloads
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w FROM documents
+    ), r AS (
+      SELECT media_id,
+             (SELECT avg((media_id + (x.x * w) // 8) % 256)
+              FROM generate_series(0, 7) AS x(x)) AS mean_r,
+             (SELECT avg(pow((media_id + (x.x * w) // 8) % 256, 2))
+              FROM generate_series(0, 7) AS x(x)) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, 8 AS width, 8 AS height, 203 AS n_bytes,
+           round(mean_r, 4) AS mean_r,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
     doc="Resize stage composition (operators/multimodal.py resize_images): "
-        "media -> 8x8 resize -> feature extract — two chained Arrow stages, "
-        "payloads never leave the executors",
+        "real PPM decode -> nearest-neighbor 8x8 -> PPM re-encode -> "
+        "feature extract; the oracle restates the nearest-neighbor column "
+        "selection ((x*w)//8) in SQL, and n_bytes pins the re-encoded "
+        "payload (11-byte header + 192 raster bytes)",
     tags=("multimodal", "udf"),
 )
 def m2(spark, sf_dir):
     from vunnel_spark.operators.multimodal import (
         image_features,
         resize_images,
-        synthesize_media_table,
+        synthesize_ppm_media_table,
     )
 
-    media = synthesize_media_table(t(spark, sf_dir, "documents"))
-    small = resize_images(media, out_w=8, out_h=8, fake=True)
-    return image_features(small, fake=True).select(
-        "media_id", "width", "height", F.round("std_all", 2).alias("std_all")
+    media = synthesize_ppm_media_table(t(spark, sf_dir, "documents"))
+    small = resize_images(media, out_w=8, out_h=8, fake=False)
+    sizes = small.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+    feats = image_features(small, fake=False)
+    return feats.join(sizes, "media_id").select(
+        "media_id", "width", "height", "n_bytes",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("std_all", 4).alias("std_all"),
+    )
+
+
+@register(
+    "m3_video_frame_sample",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 7) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf FROM documents
+    )
+    SELECT media_id, CAST(x AS INT) AS frame_idx,
+           4 AS width, 4 AS height,
+           round(CAST((media_id + 17 * x) % 256 AS DOUBLE), 4) AS mean_r
+    FROM m JOIN xs ON x < nf
+    WHERE x % 2 = 0
+    """,
+    doc="Video frame sampling (operators/multimodal.py sample_video_frames):"
+        " explode-shaped mapInPandas demux of the length-prefixed frame "
+        "container, every-2nd frame kept, real PPM decode of each kept "
+        "frame; the oracle enumerates the expected (frame_idx, stats) rows",
+    tags=("multimodal", "udf", "explode"),
+)
+def m3(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        sample_video_frames,
+        synthesize_video_table,
+    )
+
+    videos = synthesize_video_table(t(spark, sf_dir, "documents"))
+    frames = sample_video_frames(videos, every_n=2)
+    feats = image_features(frames, fake=False, passthrough=("frame_idx",))
+    return feats.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
     )

@@ -56,6 +56,42 @@ def all_oracles() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
 
 
+def select_by_tags(required_tags: list[str] | None) -> list[str]:
+    """Tag algebra over the registry (SURVEY U7).
+
+    Mirrors the reference's provider selection
+    (src/vunnel/providers/__init__.py:150-183): a ``!``-prefixed tag
+    excludes; a query is selected when it has ALL non-negated tags and
+    NONE of the negated ones.  Empty/None criteria select everything.
+
+    Raises ValueError for an empty tag or a bare ``!``.
+    """
+    _ensure_loaded()
+    if not required_tags:
+        return sorted(REGISTRY)
+    include, exclude = set(), set()
+    for tag in required_tags:
+        if not tag:
+            raise ValueError("invalid empty tag")
+        if tag.startswith("!"):
+            if not tag[1:]:
+                raise ValueError(
+                    "invalid tag: '!' requires a tag name (e.g., '!slow')"
+                )
+            exclude.add(tag[1:])
+        else:
+            include.add(tag)
+    out = []
+    for name, spec in REGISTRY.items():
+        tags = set(spec.tags)
+        if include and not include.issubset(tags):
+            continue
+        if exclude and exclude.intersection(tags):
+            continue
+        out.append(name)
+    return sorted(out)
+
+
 _loaded = False
 
 
