@@ -1,0 +1,154 @@
+"""Landing-tier tests: S15 KV input cache, S8 safe archive extraction +
+distributed member scan, I3 resumable cursor pagination."""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+import pytest
+
+from vunnel_spark.sources import (
+    CursorCheckpoint,
+    KVCache,
+    paginate,
+    read_tar_members,
+    safe_extract,
+)
+
+
+# ------------------------------------------------------------------- S15
+
+def test_kv_cache_put_get_last_wins(spark, tmp_path):
+    cache = KVCache(str(tmp_path / "kv"))
+    df1 = spark.createDataFrame(
+        [("a", bytearray(b"one")), ("b", bytearray(b"two"))],
+        "key string, payload binary",
+    )
+    cache.put(df1)
+    got = {r.key: bytes(r.payload) for r in cache.get_all(spark).collect()}
+    assert got == {"a": b"one", "b": b"two"}
+
+    # re-put: a updated (last wins), c new, b untouched
+    df2 = spark.createDataFrame(
+        [("a", bytearray(b"ONE")), ("c", bytearray(b"three"))],
+        "key string, payload binary",
+    )
+    cache.put(df2)
+    got = {r.key: bytes(r.payload) for r in cache.get_all(spark).collect()}
+    assert got == {"a": b"ONE", "b": b"two", "c": b"three"}
+
+    keyed = {r.key for r in cache.get(spark, ["a", "c"]).collect()}
+    assert keyed == {"a", "c"}
+
+
+def test_kv_cache_changed_keys_skip_compute(spark, tmp_path):
+    cache = KVCache(str(tmp_path / "kv"))
+    incoming = spark.createDataFrame(
+        [("a", bytearray(b"one")), ("b", bytearray(b"two"))],
+        "key string, payload binary",
+    )
+    # empty cache: everything is "changed"
+    assert {r.key for r in cache.changed_keys(incoming).collect()} == {"a", "b"}
+    cache.put(incoming)
+    # identical payloads: nothing to recompute
+    assert cache.changed_keys(incoming).count() == 0
+    # one mutated payload + one new key
+    nxt = spark.createDataFrame(
+        [("a", bytearray(b"one")), ("b", bytearray(b"TWO!")), ("d", bytearray(b"x"))],
+        "key string, payload binary",
+    )
+    assert {r.key for r in cache.changed_keys(nxt).collect()} == {"b", "d"}
+
+
+def test_kv_cache_metadata_sidecar(tmp_path):
+    cache = KVCache(str(tmp_path / "kv"))
+    assert cache.get_metadata() == {}  # lazily initialized
+    cache.set_metadata({"last_run": "2026-08-13", "cursor": "abc"})
+    assert cache.get_metadata()["cursor"] == "abc"
+
+
+# -------------------------------------------------------------------- S8
+
+def _make_tar(path, members: dict, links: dict | None = None):
+    with tarfile.open(path, "w:gz") as tar:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+        for name, target in (links or {}).items():
+            info = tarfile.TarInfo(name)
+            info.type = tarfile.SYMTYPE
+            info.linkname = target
+            tar.addfile(info)
+
+
+def test_safe_extract_blocks_traversal(tmp_path):
+    arc = str(tmp_path / "a.tar.gz")
+    _make_tar(
+        arc,
+        {
+            "ok/data.json": b"{}",
+            "../escape.txt": b"bad",
+            "/abs.txt": b"bad",
+            "nested/../../escape2.txt": b"bad",
+        },
+        links={"ok/link_out": "/etc/passwd"},
+    )
+    dest = str(tmp_path / "out")
+    kept = safe_extract(arc, dest)
+    assert kept == ["ok/data.json"]
+    assert os.path.exists(os.path.join(dest, "ok/data.json"))
+    assert not os.path.exists(str(tmp_path / "escape.txt"))
+    assert not os.path.exists(str(tmp_path / "escape2.txt"))
+
+
+def test_read_tar_members_distributed(spark, tmp_path):
+    for i in range(3):
+        _make_tar(
+            str(tmp_path / f"arc{i}.tar.gz"),
+            {
+                f"d/file{i}.json": b'{"n": %d}' % i,
+                f"d/skip{i}.txt": b"nope",
+                "../evil.json": b"{}",
+            },
+        )
+    df = read_tar_members(spark, str(tmp_path / "*.tar.gz"), suffix=".json")
+    rows = df.collect()
+    # traversal member dropped, .txt pruned by suffix
+    assert {r.member for r in rows} == {"d/file0.json", "d/file1.json", "d/file2.json"}
+    assert all(bytes(r.content).startswith(b'{"n"') for r in rows)
+    assert all(r.n_bytes == len(bytes(r.content)) for r in rows)
+
+
+# -------------------------------------------------------------------- I3
+
+def test_paginate_resumes_from_checkpoint(tmp_path):
+    pages = {None: (["a", "b"], "c2"), "c2": (["c"], "c3"), "c3": (["d"], None)}
+    calls = []
+
+    def fetch(cursor):
+        calls.append(cursor)
+        if cursor == "c3" and len([c for c in calls if c == "c3"]) == 1:
+            raise ConnectionError("flaky network")
+        return pages[cursor]
+
+    ckpt = CursorCheckpoint(str(tmp_path / "state" / "cursor.json"))
+    got = []
+    with pytest.raises(ConnectionError):
+        for items in paginate(fetch, ckpt):
+            got.extend(items)
+    assert got == ["a", "b", "c"]
+    assert ckpt.get()["cursor"] == "c3"  # durable mid-walk state
+
+    # resume: only the in-flight page re-fetches
+    for items in paginate(fetch, ckpt):
+        got.extend(items)
+    assert got == ["a", "b", "c", "d"]
+    assert calls.count(None) == 1  # never restarted from the beginning
+    assert ckpt.get()["done"] is True
+
+    # a completed walk does not re-run
+    for _ in paginate(fetch, ckpt):
+        raise AssertionError("should not fetch after done")

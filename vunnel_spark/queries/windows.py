@@ -211,6 +211,53 @@ def o1(spark, sf_dir):
 
 
 @register(
+    "o2_fixedin_deterministic_order",
+    """
+    SELECT vuln_id,
+           string_agg(name || ':' || ver, '|' ORDER BY name, ver) AS fixed_csv
+    FROM (
+      SELECT DISTINCT 'CVE-' || CAST(l_orderkey % 300 AS VARCHAR) AS vuln_id,
+             'pkg' || CAST(l_partkey % 20 AS VARCHAR) AS name,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
+               CAST(l_linenumber AS VARCHAR) AS ver
+      FROM lineitem)
+    GROUP BY vuln_id
+    """,
+    doc="O2 deterministic FixedIn ordering as a standalone contract "
+        "(reference emits FixedIn sorted by package so repeated runs are "
+        "byte-identical, rhel/parser.py:996-1000): distinct entries fold "
+        "into ONE canonical string per vuln via sort_array(collect_list("
+        "struct)) — the value hash fails if ordering ever depends on "
+        "input partitioning or arrival order",
+    tags=("agg", "window"),
+)
+def o2(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    entries = li.select(
+        F.concat(F.lit("CVE-"), (F.col("l_orderkey") % 300).cast("string")).alias(
+            "vuln_id"
+        ),
+        F.concat(F.lit("pkg"), (F.col("l_partkey") % 20).cast("string")).alias("name"),
+        F.concat_ws(
+            ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
+        ).alias("ver"),
+    ).distinct()
+    # repartition by an unrelated key: the output hash must not care
+    folded = (
+        entries.repartition(7, "ver")
+        .groupBy("vuln_id")
+        .agg(F.array_sort(F.collect_list(F.struct("name", "ver"))).alias("fi"))
+    )
+    return folded.select(
+        "vuln_id",
+        F.array_join(
+            F.transform("fi", lambda s: F.concat_ws(":", s.getField("name"), s.getField("ver"))),
+            "|",
+        ).alias("fixed_csv"),
+    )
+
+
+@register(
     "o3_sorted_listing",
     """
     SELECT fname, row_number() OVER (ORDER BY fname) AS pos FROM (
