@@ -124,6 +124,41 @@ def n5(spark, sf_dir):
 
 
 @register(
+    "n6_ann_lsh_dup_retrieval",
+    f"""
+    SELECT vec_id + {_IVF_DUP_BASE} AS query_id,
+           vec_id AS neighbor_id,
+           round(list_cosine_similarity(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02 + 0.005),
+             CAST(embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+    doc="LSH retrieval gate (mirror of n5's IVF gate): planted near-dups "
+        "must come back as their query's rank-1 neighbor through bucket "
+        "collisions — a near-identical vector keeps its sign pattern on "
+        "every hyperplane except a measure-zero band, so with 3 bits x 16 "
+        "tables at least one co-bucket is certain in practice and the "
+        "exact planted-pair set is the oracle.  Converts the LSH path "
+        "from rows-only to value-verified",
+    tags=("similarity",),
+)
+def n6(spark, sf_dir):
+    from vunnel_spark.operators.similarity import lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _IVF_DUP_BASE).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return (
+        lsh_topk(corpus, planted, k=1, n_bits=3, n_tables=16)
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@register(
     "n3_ann_lsh_recall",
     None,  # derived from n2 (hash-dependent)
     doc="Recall of LSH ANN vs the brute-force baseline per query: "
