@@ -152,3 +152,86 @@ def test_paginate_resumes_from_checkpoint(tmp_path):
     # a completed walk does not re-run
     for _ in paginate(fetch, ckpt):
         raise AssertionError("should not fetch after done")
+
+
+# ------------------------------------------------------------------- S11
+
+def _seq_transport(script):
+    """Transport returning scripted (status, headers, body) responses."""
+    calls = []
+
+    def transport(url, timeout, headers):
+        calls.append(url)
+        resp = script[min(len(calls) - 1, len(script) - 1)]
+        if isinstance(resp, Exception):
+            raise resp
+        return resp
+
+    transport.calls = calls
+    return transport
+
+
+def test_http_retry_succeeds_after_transient_errors():
+    from vunnel_spark.sources.http import get_with_retry
+
+    t = _seq_transport([
+        ConnectionError("reset"),
+        (500, {}, b""),
+        (200, {}, b"payload"),
+    ])
+    slept = []
+    status, _, body = get_with_retry(
+        "http://x/f.json", retries=3, transport=t, sleep=slept.append
+    )
+    assert (status, body) == (200, b"payload")
+    assert len(t.calls) == 3 and len(slept) == 2  # backoff between attempts
+
+
+def test_http_retry_exhaustion_reraises():
+    from vunnel_spark.sources.http import HTTPStatusError, get_with_retry
+
+    t = _seq_transport([(500, {}, b"")])
+    with pytest.raises(HTTPStatusError):
+        get_with_retry("http://x", retries=2, transport=t, sleep=lambda s: None)
+    assert len(t.calls) == 3  # retries + 1
+
+
+def test_http_rate_limit_honors_retry_after():
+    from vunnel_spark.sources.http import get_with_retry
+
+    t = _seq_transport([
+        (429, {"Retry-After": "7"}, b""),
+        (200, {}, b"ok"),
+    ])
+    slept = []
+    status, _, _ = get_with_retry(
+        "http://x", retries=2, transport=t, sleep=slept.append
+    )
+    assert status == 200
+    assert slept == [7.0]  # waited exactly Retry-After, no extra backoff
+
+
+def test_http_status_handler_overrides_validation():
+    from vunnel_spark.sources.http import get_with_retry
+
+    # 405 is acceptable to this caller; default validation would raise
+    t = _seq_transport([(405, {}, b"x")])
+    status, _, _ = get_with_retry(
+        "http://x", retries=0, transport=t,
+        status_handler=lambda s, h, b: None if s in (200, 405) else (_ for _ in ()).throw(ValueError(s)),
+    )
+    assert status == 405
+
+
+# -------------------------------------------------------------------- I5
+
+def test_should_full_sync_policy():
+    import datetime as dt
+
+    from vunnel_spark.sources.http import should_full_sync
+
+    now = dt.datetime(2026, 8, 13, 12, 0, 0)
+    assert should_full_sync({}, 30, now) is True  # never synced
+    meta = {"last_full_sync": "2026-08-01T00:00:00"}
+    assert should_full_sync(meta, 30, now) is False  # 12 days ago
+    assert should_full_sync(meta, 10, now) is True   # interval elapsed
