@@ -274,3 +274,12 @@ def test_x11_prefix_sum_is_bucketed_not_global(spark, sf_dir):
     p = plan_of(q("x11_sequence_packing", spark, sf_dir))
     assert "hashpartitioning(bucket" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_v4_interval_join_is_equi_key_not_nested_loop(spark, sf_dir):
+    # the stream-stream interval join hashes on user_id; the time bound is
+    # a post-join filter — never a BroadcastNestedLoopJoin (the shape that
+    # makes interval joins explode at scale)
+    p = plan_of(q("v4_stream_stream_interval_join", spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p, p
+    assert "CartesianProduct" not in p, p
