@@ -147,7 +147,7 @@ def d4(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
     """,
-    doc="MinHash(32) + banded LSH(16 bands, r=2) near-dup candidates, Jaccard-"
+    doc="MinHash(64) + banded LSH(16 bands) near-dup candidates, Jaccard-"
         "verified on candidates only (operators/dedup.py minhash_lsh_pairs). "
         "Because the output is EXACT-Jaccard-verified, it equals the exact "
         "pair set whenever LSH recall is 1.0 — which holds on this corpus at "
@@ -161,15 +161,12 @@ def d3(spark, sf_dir):
     from vunnel_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    # 32 hashes / 16 bands (rows=2): halves the signature hashing of the
-    # 64/16 default at equal-or-better recall for this query's 0.8
-    # verification threshold — collision prob per band at J=0.8 is 0.64,
-    # so the 16-band miss probability is (1-0.64)^16 ~ 8e-8.  The exact-
-    # Jaccard verify step makes the OUTPUT identical either way; only the
-    # candidate set (and the signature cost) changes.
-    return minhash_lsh_pairs(
-        docs, num_hashes=32, bands=16, verify_threshold=0.8
-    )
+    # 64 hashes / 16 bands (r=4).  A 32/16 (r=2) variant was A/B-tested:
+    # the halved signature hashing was dwarfed by the ~3x candidate volume
+    # its lower S-curve admits (more verify work), measuring net slower
+    # (min-of-4 4.7s vs 5.1s at sf0.1).  The verify threshold makes the
+    # output identical either way, so the knob is pure cost: keep r=4.
+    return minhash_lsh_pairs(docs, verify_threshold=0.8)
 
 
 # DuckDB replica of the md5-prefix simhash: hamming distance is hash-defined,
