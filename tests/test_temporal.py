@@ -119,3 +119,41 @@ def test_asof_matches_pandas_merge_asof(spark):
     for _, row in expect.iterrows():
         e = None if pd.isna(row["v"]) else row["v"]
         assert got[row["event_id"]] == e, (row["event_id"], got[row["event_id"]], e)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Property check for the stream-stream interval join's batch mode
+    against an O(n*m) reference: randomized per-key event sets, right
+    event within [left.ts - within, left.ts]."""
+    import random
+
+    from vunnel_spark.streaming.joins import interval_join
+
+    rng = random.Random(29)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, rng.randrange(0, 6), base + dt.timedelta(seconds=rng.randrange(0, 7200)))
+        for i in range(80)
+    ]
+    right_rows = [
+        (1000 + i, rng.randrange(0, 6), base + dt.timedelta(seconds=rng.randrange(0, 7200)))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in interval_join(
+            left.select("user_id", "ts", "event_id"),
+            right.select("user_id", "ts", "event_id"),
+            within="30 minutes",
+        ).collect()
+    }
+    within = dt.timedelta(minutes=30)
+    expect = {
+        (li, ri)
+        for (li, lk, lts) in left_rows
+        for (ri, rk, rts) in right_rows
+        if lk == rk and lts - within <= rts <= lts
+    }
+    assert got == expect and expect  # non-vacuous
