@@ -137,3 +137,44 @@ def i6(spark, sf_dir):
     )
     overwrite_partitions(today, path, "release")
     return spark.read.parquet(path).select("ident", "status", "release")
+
+
+@register(
+    "s15_kv_cache_changed_keys",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS key FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT CAST(doc_id + 9000000 AS VARCHAR) FROM documents WHERE doc_id % 11 = 0
+    """,
+    doc="S15 file-based KV input cache (utils/fdb.py:15-123 re-expressed "
+        "as a keyed parquet landing store, sources/kv_cache.py): put the "
+        "corpus, then offer a second batch with every 7th payload mutated "
+        "and every 11th key new — changed_keys (digest anti-join) must "
+        "return exactly that set; unchanged payloads are skipped without "
+        "any byte comparison",
+    tags=("sink", "incremental"),
+)
+def s15(spark, sf_dir):
+    from vunnel_spark.sources.kv_cache import KVCache
+
+    cache = KVCache(os.path.join(tempfile.mkdtemp(prefix="s15_"), "kv"))
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    cache.put(docs)
+    base = t(spark, sf_dir, "documents")
+    incoming = base.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode(
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" CHANGED")))
+            .otherwise(F.col("text")),
+            "utf-8",
+        ).alias("payload"),
+    ).unionByName(
+        base.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 9000000).cast("string").alias("key"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    return cache.changed_keys(incoming)
