@@ -151,6 +151,72 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster embeddings with a k-means coarse quantizer, then
+    prune within-cluster pairs whose cosine exceeds ``threshold`` — the
+    higher id of each such pair is marked dropped (keep-lowest, matching
+    exact_dedup's survivor rule).
+
+    Scale shape: cell assignment is a pure-Catalyst constant-expression
+    scan (centroids as plan literals, same as IVF search); the quadratic
+    work is bounded per cell, never corpus-wide; one shuffle on cell id.
+    Returns (dropped_id, kept_id, cos_sim).
+    """
+    from vunnel_spark.functions.vectors import cosine
+    from vunnel_spark.operators.similarity import add_ivf_cells
+
+    cells = add_ivf_cells(df, centroids, vec_col, nprobe=1).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    grouped = (
+        cells.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("vec")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x.getField("id").alias("kept_id"),
+                    y.getField("id").alias("dropped_id"),
+                    F.round(
+                        cosine(x.getField("vec"), y.getField("vec")), 6
+                    ).alias("cos_sim"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.dropped_id", "p.kept_id", "p.cos_sim")
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # a doc may match several kept docs in its cell; report its best match
+    w = Window.partitionBy("dropped_id").orderBy(
+        F.col("cos_sim").desc(), F.col("kept_id")
+    )
+    return (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
 def _word_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) distinct word-k-gram rows, built with JVM expressions.
 

@@ -342,3 +342,39 @@ def d8(spark, sf_dir):
 
     docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_freq=5)
+
+
+_SEM_DUP_BASE = 1_000_000
+
+
+@register(
+    "d9_semantic_dedup",
+    f"""
+    SELECT vec_id + {_SEM_DUP_BASE} AS dropped_id,
+           vec_id AS kept_id,
+           round(list_cosine_similarity(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02 + 0.005),
+             CAST(embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+    doc="SemDeDup-style semantic dedup (operators/dedup.py semantic_dedup; "
+        "Abbas et al. 2023): k-means cells via the IVF quantizer, within-"
+        "cell cosine pruning, keep-lowest survivor.  Planted 2%-scaled "
+        "near-dups are the only pairs above 0.95 (organic max cosine "
+        "~0.43), so the exact planted set is the oracle — through "
+        "distributed k-means training, literal-centroid cell assignment, "
+        "and in-cell pair generation",
+    tags=("dedup", "similarity"),
+)
+def d9(spark, sf_dir):
+    from vunnel_spark.operators.dedup import semantic_dedup
+    from vunnel_spark.operators.similarity import train_ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _SEM_DUP_BASE).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = train_ivf_centroids(corpus, nlist=8)
+    return semantic_dedup(corpus, cents, threshold=0.95)
