@@ -104,3 +104,27 @@ def test_lsh_topk_recall(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"ANN recall {recall:.2f} < 0.8"
+
+
+def test_semantic_dedup_keep_lowest_and_best_match(spark):
+    """Unit semantics: within a cell, every >=threshold pair marks the
+    HIGHER id dropped; a doc near two kept docs reports its best match."""
+    from vunnel_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),      # kept
+        (2, [0.999, 0.01]),   # dup of 1
+        (3, [0.0, 1.0]),      # kept, different direction
+        (4, [0.97, 0.08]),    # near 1 AND 2; best match decides kept_id
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one centroid: everything lands in a single cell -> pure semantics test
+    out = {
+        r.dropped_id: (r.kept_id, r.cos_sim)
+        for r in semantic_dedup(df, [[0.5, 0.5]], threshold=0.95).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2][0] == 1
+    # 4's best match is whichever of 1/2 has higher cosine (tie -> lower id)
+    assert out[4][0] in (1, 2) and out[4][1] >= 0.95
+    # 1 and 3 never dropped (cos(1,3)=0)

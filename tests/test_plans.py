@@ -283,3 +283,20 @@ def test_v4_interval_join_is_equi_key_not_nested_loop(spark, sf_dir):
     p = plan_of(q("v4_stream_stream_interval_join", spark, sf_dir))
     assert "BroadcastNestedLoop" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_d9_semantic_dedup_no_cartesian_single_scan(spark, sf_dir):
+    # cell assignment is a constant-expression scan; pair generation is
+    # in-cell only — one corpus scan in the pruning plan, no cross join
+    p = plan_of(q("d9_semantic_dedup", spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" not in p  # pure Catalyst: no Python in the hot path
+
+
+def test_m1_payload_stays_in_arrow_stage(spark, sf_dir):
+    # the only Python stage is the Arrow-batched decode; upstream scan
+    # feeds it directly (no shuffle of payload bytes before decode)
+    p = plan_of(q("m1_image_feature_extract", spark, sf_dir))
+    assert p.count("MapInPandas") >= 1
+    head = p.split("MapInPandas")[0]
+    assert "Exchange" not in head, head
