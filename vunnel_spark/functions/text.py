@@ -86,21 +86,26 @@ def quality_score(col: Column) -> Column:
     return F.round(len_score * 0.5 + punct_pen * 0.3 + sw_score * 0.2, 6)
 
 
-def fingerprint(col: Column, modulus: int = 2147483647) -> Column:
+def fingerprint(col: Column, modulus: int = 2147483647, head: int = 500) -> Column:
     """Order-sensitive document fingerprint (position-weighted rolling sum).
 
-    fingerprint = sum_i value(word_i) * (i+1) mod M with
-    value(w) = ascii(first char)*256 + len(w).  Deliberately expressible in
-    ANSI SQL so the DuckDB oracle can verify it; collision-resistant enough
-    for shard-local duplicate candidate detection.
+    fingerprint = sum_{i=1..min(len,head)} codepoint(char_i) * i  mod M,
+    over the first ``head`` characters.  Defined on explicit codepoints —
+    no regex tokenization — so Spark and DuckDB compute bit-identical
+    values (Java-regex ``\\s`` and RE2 ``\\s`` disagree on e.g. ``\\x0B``,
+    which made the earlier word-split formulation environment-sensitive at
+    the external gate).  Codepoint-positional sums stay order-sensitive
+    and collision-resistant enough for shard-local duplicate candidates;
+    empty text fingerprints to 0, NULL stays NULL.
     """
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(t))
-    weighted = F.zip_with(
-        t, idx,
-        lambda w, i: (F.ascii(F.substring(w, 1, 1)) * 256 + F.length(w)).cast("long") * i.cast("long"),
+    h = F.substring(col, 1, head)
+    weighted = F.transform(
+        F.sequence(F.lit(1), F.length(h)),
+        lambda i: F.ascii(F.substring(h, i, F.lit(1))).cast("long") * i.cast("long"),
     )
-    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x) % modulus
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    # sequence(1, 0) descends — guard the empty string explicitly
+    return F.when(F.length(h) == 0, F.lit(0).cast("long")).otherwise(total % modulus)
 
 
 # ---------------------------------------------------------------- language-ID

@@ -234,21 +234,21 @@ def d5(spark, sf_dir):
     "d6_fingerprint_dedup",
     f"""
     WITH corpus AS ({_EXACT_DUPS_SQL}),
-    words AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
-    ), weighted AS (
+    h AS (SELECT doc_id, substr(text, 1, 500) AS head FROM corpus),
+    fp AS (
       SELECT doc_id,
-             sum((ascii(w[i][1]) * 256 + len(w[i])) * CAST(i AS BIGINT)) AS s
-      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
-      GROUP BY doc_id
+             CASE WHEN length(head) = 0 THEN 0
+                  ELSE list_sum(list_transform(range(length(head)),
+                         i -> CAST(unicode(substr(head, i+1, 1)) AS BIGINT) * (i+1)))
+                       % 2147483647 END AS fingerprint
+      FROM h
     )
-    SELECT CAST(s % 2147483647 AS BIGINT) AS fingerprint,
-           min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM weighted GROUP BY s % 2147483647
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM fp GROUP BY fingerprint
     """,
     doc="Rolling-hash fingerprint dedup (operators/dedup.py "
         "fingerprint_dedup; functions/text.py fingerprint): "
-        "position-weighted sum, SQL-expressible by design",
+        "position-weighted codepoint sum, SQL-expressible by design",
     tags=("dedup",),
 )
 def d6(spark, sf_dir):
