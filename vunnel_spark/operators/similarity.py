@@ -106,6 +106,31 @@ def add_lsh_buckets(
     )
 
 
+def fixed_centroids(
+    nlist: int = 8, dim: int = 64, scale: float = 0.15
+) -> list[list[float]]:
+    """Deterministic sha256-derived coarse centroids (no training pass).
+
+    Same derivation discipline as the LSH hyperplanes: any process —
+    including an external SQL oracle — can regenerate the exact doubles,
+    so IVF cell assignment becomes engine-portable.  Used where a
+    data-trained quantizer would make external verification impossible
+    (the n4 gate query); the trained path (``train_ivf_centroids``) is
+    verified by n5's planted-pair oracle and the recall tests.  ``scale``
+    places the Voronoi sites inside the embedding cloud's radius.
+    """
+    import hashlib
+
+    out = []
+    for j in range(nlist):
+        row = []
+        for i in range(dim):
+            h = hashlib.sha256(f"ivf:{j}:{i}".encode()).digest()
+            row.append((int.from_bytes(h[:8], "big") / float(2**63) - 1.0) * scale)
+        out.append(row)
+    return out
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     nlist: int = 16,

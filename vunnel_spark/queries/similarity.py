@@ -1,19 +1,178 @@
 """Similarity-search queries over the ``embeddings`` table
 (LLM-pipeline surface): brute-force cosine top-k as the correctness
-baseline, LSH-bucketed ANN as the scale path, and a recall query binding
-the two together.
+baseline, LSH/IVF-bucketed ANN as the scale paths, and a recall query
+binding them together.
+
+Every query here carries a DuckDB oracle.  The ANN oracles replicate the
+*exact* candidate generation, not just the scoring: the LSH hyperplanes
+and the n4 IVF centroids are sha256-derived constants (operators/
+similarity.py), so the oracle SQL embeds the same doubles as text-parsed
+literals ('<repr>'::DOUBLE — parsing via DECIMAL would lose ulps) and
+reproduces Spark's left-fold dot products with list_reduce, giving
+bit-identical bucket/cell assignment.  The data-trained k-means path
+(train_ivf_centroids) cannot appear in a static oracle string; it is
+gated by n5's planted-pair oracle and the recall tests instead.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from vunnel_spark.operators.similarity import _plane_value, fixed_centroids
 from vunnel_spark.queries._util import t
 from vunnel_spark.registry import register
 
 _N_QUERIES = 8  # small query set; corpus side stays the full table
 _K = 5
+_DIM = 64
+_N_TABLES = 16
+_N_BITS = 3
+_NLIST = 8
+_NPROBE = 4
 
+
+# ---------------------------------------------------------- oracle builders
+
+def _dvec(vals: list[float]) -> str:
+    """DOUBLE[] literal parsed text->double (bit-exact round-trip).
+
+    A bare decimal literal goes through DECIMAL(38,x) first and DuckDB's
+    decimal->double conversion divides by 10^17 in double arithmetic,
+    which is lossy above 2^53 — measured ~1 ulp off on half the values,
+    enough to flip a sign-bit bucket near zero.
+    """
+    return "[" + ",".join(f"'{v!r}'::DOUBLE" for v in vals) + "]"
+
+
+def _fold_dot(vec: str, plane: str, dim: int = _DIM) -> str:
+    """Strict left-fold dot product — matches functions/vectors.dot
+    bit-for-bit (list_dot_product uses a different accumulation order)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range({dim}), "
+        f"i -> {vec}[i+1] * {plane}[i+1])), (a, b) -> a + b)"
+    )
+
+
+def _fold_l2sq(vec: str, cent: str, dim: int = _DIM) -> str:
+    """Strict left-fold squared L2 — matches operators/similarity.add_ivf_cells."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range({dim}), "
+        f"i -> ({vec}[i+1] - {cent}[i+1]) * ({vec}[i+1] - {cent}[i+1]))), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _lsh_ctes() -> str:
+    """CTE chain replicating add_lsh_buckets + lsh_topk candidate gen."""
+    plane_rows = ",\n        ".join(
+        _dvec([_plane_value(tb, b, i) for i in range(_DIM)])
+        for tb in range(_N_TABLES)
+        for b in range(_N_BITS)
+    )
+    bucket_exprs = ",\n          ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN {_fold_dot('v', f'pl[{tb * _N_BITS + b + 1}]')} >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(_N_BITS)
+        )
+        + ")"
+        for tb in range(_N_TABLES)
+    )
+    return f"""
+    planes AS (SELECT [
+        {plane_rows}
+      ] AS pl),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, [
+          {bucket_exprs}
+        ] AS buckets FROM c, planes),
+    q AS (SELECT * FROM b WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT q.vec_id AS query_id, cb.vec_id AS neighbor_id, q.v AS qv, cb.v AS cv
+      FROM q JOIN b cb ON q.vec_id <> cb.vec_id
+       AND len(list_filter(range({_N_TABLES}),
+                           i -> q.buckets[i+1] = cb.buckets[i+1])) > 0
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+            FROM cand)
+    )"""
+
+
+_N2_ORACLE = f"""
+    WITH {_lsh_ctes()}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM lsh WHERE rank <= {_K}
+    """
+
+_N3_ORACLE = f"""
+    WITH {_lsh_ctes()},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, cb.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, cb.v), 6) DESC,
+                          cb.vec_id) AS rank
+        FROM q JOIN c cb ON q.vec_id <> cb.vec_id)
+      WHERE rank <= {_K}
+    ),
+    lshk AS (SELECT query_id, neighbor_id FROM lsh WHERE rank <= {_K}),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact e JOIN lshk l USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    )
+    SELECT eg.query_id,
+           round(coalesce(h.n_hits, 0) / eg.n_exact, 4) AS recall
+    FROM (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id) eg
+    LEFT JOIN hits h USING (query_id)
+    """
+
+
+def _ivf_ctes() -> str:
+    """CTE chain replicating add_ivf_cells + ivf_topk with the
+    deterministic fixed_centroids quantizer."""
+    cent_rows = ",\n        ".join(_dvec(c) for c in fixed_centroids(_NLIST, _DIM))
+    dlist = ", ".join(
+        f"{{'d2': {_fold_l2sq('v', f'cents[{j + 1}]')}, 'cell': {j}}}"
+        for j in range(_NLIST)
+    )
+    return f"""
+    cent AS (SELECT [
+        {cent_rows}
+      ] AS cents),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cells AS (SELECT vec_id, v, list_sort([{dlist}]) AS ranked FROM c, cent),
+    corpus AS (SELECT vec_id AS neighbor_id, v AS cv, ranked[1].cell AS cell
+               FROM cells),
+    qcells AS (
+      SELECT vec_id AS query_id, v AS qv, s.cell AS cell
+      FROM cells, unnest(list_slice(ranked, 1, {_NPROBE})) AS u(s)
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM (SELECT query_id, neighbor_id,
+                   round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+            FROM corpus JOIN qcells USING (cell)
+            WHERE query_id <> neighbor_id)
+    )"""
+
+
+_N4_ORACLE = f"""
+    WITH {_ivf_ctes()}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ivf WHERE rank <= {_K}
+    """
+
+
+# ----------------------------------------------------------------- queries
 
 @register(
     "n1_ann_bruteforce_topk",
@@ -46,10 +205,14 @@ def n1(spark, sf_dir):
 
 @register(
     "n2_ann_lsh_topk",
-    None,  # bucket keys derive from xxhash64 hyperplanes — not SQL-portable
+    _N2_ORACLE,
     doc="LSH-bucketed ANN top-k (operators/similarity.py lsh_topk): "
         "sign-bit hyperplane buckets, candidates from bucket collisions "
-        "only — each query touches ~1/2^bits of the corpus per table",
+        "only — each query touches ~1/2^bits of the corpus per table.  "
+        "The oracle regenerates the sha256-derived hyperplanes and "
+        "replicates bucket assignment bit-exactly (left-fold dot, "
+        "text-parsed double literals), so the full candidate pipeline is "
+        "value-verified, not just row counts",
     tags=("similarity",),
 )
 def n2(spark, sf_dir):
@@ -61,27 +224,30 @@ def n2(spark, sf_dir):
     # vectors (max pair cosine ~0.43), so buckets must stay coarse for
     # recall ~0.95; clustered real-world embeddings support 8+ bits with
     # far fewer tables.  Recall is measured by n3 and gated in tests.
-    return lsh_topk(emb, queries, k=_K, n_bits=3, n_tables=16).select(
+    return lsh_topk(emb, queries, k=_K, n_bits=_N_BITS, n_tables=_N_TABLES).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
 
 
 @register(
     "n4_ann_ivf_topk",
-    None,  # cells come from a fitted k-means model — not SQL-portable
-    doc="IVF ANN top-k (operators/similarity.py ivf_topk): k-means coarse "
-        "quantizer (pyspark.ml, trained distributed), centroids shipped as "
-        "plan literals; corpus lives in its nearest cell, queries probe "
-        "nprobe cells — each query touches ~nprobe/nlist of the corpus",
+    _N4_ORACLE,
+    doc="IVF ANN top-k (operators/similarity.py ivf_topk): coarse-quantized "
+        "inverted lists, corpus in its nearest cell, queries probe nprobe "
+        "cells — each query touches ~nprobe/nlist of the corpus.  Uses the "
+        "deterministic fixed_centroids quantizer so the oracle replicates "
+        "cell assignment bit-exactly; the k-means-trained quantizer "
+        "(train_ivf_centroids, pyspark.ml distributed) is exercised by "
+        "n5's planted-pair gate and tests/test_similarity.py",
     tags=("similarity",),
 )
 def n4(spark, sf_dir):
-    from vunnel_spark.operators.similarity import ivf_topk, train_ivf_centroids
+    from vunnel_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    cents = train_ivf_centroids(emb, nlist=8)
-    return ivf_topk(emb, queries, cents, k=_K, nprobe=4).select(
+    cents = fixed_centroids(_NLIST, _DIM)
+    return ivf_topk(emb, queries, cents, k=_K, nprobe=_NPROBE).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
 
@@ -103,7 +269,9 @@ _IVF_DUP_BASE = 1_000_000
         "must come back as their query's rank-1 neighbor through the cell "
         "probe — near-identical vectors quantize into the same (or an "
         "adjacent probed) cell, so the exact planted-pair set is the "
-        "oracle; a miss here means the quantizer or probe path broke",
+        "oracle; a miss here means the quantizer or probe path broke.  "
+        "This is the query that keeps the TRAINED k-means quantizer "
+        "under external verification (n4 uses the fixed one)",
     tags=("similarity",),
 )
 def n5(spark, sf_dir):
@@ -138,8 +306,7 @@ def n5(spark, sf_dir):
         "collisions — a near-identical vector keeps its sign pattern on "
         "every hyperplane except a measure-zero band, so with 3 bits x 16 "
         "tables at least one co-bucket is certain in practice and the "
-        "exact planted-pair set is the oracle.  Converts the LSH path "
-        "from rows-only to value-verified",
+        "exact planted-pair set is the oracle",
     tags=("similarity",),
 )
 def n6(spark, sf_dir):
@@ -152,7 +319,7 @@ def n6(spark, sf_dir):
     )
     corpus = emb.unionByName(planted)
     return (
-        lsh_topk(corpus, planted, k=1, n_bits=3, n_tables=16)
+        lsh_topk(corpus, planted, k=1, n_bits=_N_BITS, n_tables=_N_TABLES)
         .filter(F.col("cos_sim") >= 0.9)
         .select("query_id", "neighbor_id", "cos_sim")
     )
@@ -160,9 +327,12 @@ def n6(spark, sf_dir):
 
 @register(
     "n3_ann_lsh_recall",
-    None,  # derived from n2 (hash-dependent)
+    _N3_ORACLE,
     doc="Recall of LSH ANN vs the brute-force baseline per query: "
-        "|lsh ∩ exact| / k — the metric that gates any ANN parameter change",
+        "|lsh ∩ exact| / k — the metric that gates any ANN parameter "
+        "change.  Oracle-checked end-to-end: DuckDB recomputes both the "
+        "exact top-k and the bit-exact LSH top-k and derives the same "
+        "recall numbers",
     tags=("similarity",),
 )
 def n3(spark, sf_dir):
@@ -171,7 +341,7 @@ def n3(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     exact = brute_force_topk(emb, queries, k=_K).select("query_id", "neighbor_id")
-    approx = lsh_topk(emb, queries, k=_K, n_bits=3, n_tables=16).select(
+    approx = lsh_topk(emb, queries, k=_K, n_bits=_N_BITS, n_tables=_N_TABLES).select(
         "query_id", "neighbor_id"
     )
     hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
