@@ -192,13 +192,16 @@ def test_q2_correlated_min_is_single_pass_window(spark, sf_dir):
 def test_gate_window_composition_stable():
     """The external gate evaluates the FIRST 50 registry entries in
     insertion order.  All 50 must carry oracles, and the set must not
-    shift accidentally: queries/__init__.py front-loads the flagship
-    modules (_GATE_MODULES) deliberately — rotated in round 4 so that,
-    combined with the round-3 window (aggregates/dedup/events/explode/
-    filters, green in CORRECTNESS_r03.json), ~100 distinct queries carry
-    external verification.  Update this pin only on purpose, and never
-    let a module-level import drag another query module in early (shared
-    helpers belong in queries/_util.py)."""
+    shift accidentally: queries/__init__.py front-loads whichever
+    families still lack external verification — rotated in round 5 to
+    the 49 queries no prior gate window ever saw (joins/windows/setops/
+    scalars/similarity/sinks_q/multimodal) plus x4 as entry #50 to prove
+    the fingerprint-portability fix.  With rounds 3 (aggregates/dedup/
+    events/explode/filters) and 4 (tpch/pipelines/text/temporal/graph/
+    oval_ctx/html/s12) every registered query has seen a gate at least
+    once.  Update this pin only on purpose, and never let a module-level
+    import drag another query module in early (shared helpers belong in
+    queries/_util.py)."""
     names = list(REGISTRY)[:50]
     assert all(REGISTRY[n].oracle for n in names), [
         n for n in names if not REGISTRY[n].oracle
@@ -208,10 +211,10 @@ def test_gate_window_composition_stable():
         m = REGISTRY[n].fn.__module__.rsplit(".", 1)[-1]
         by_module[m] = by_module.get(m, 0) + 1
     assert by_module == {
-        "tpch": 22, "pipelines_q": 8, "text": 12, "temporal": 2,
-        "graph_q": 3, "oval_ctx": 1, "html_q": 1, "sinks_q": 1,
+        "joins": 14, "windows": 9, "setops": 5, "scalars": 7,
+        "similarity": 6, "sinks_q": 5, "multimodal": 3, "text": 1,
     }, by_module
-    assert names[49] == "s12_sink_roundtrip", names[45:]
+    assert names[49] == "x4_document_fingerprints", names[45:]
 
 
 def test_x7_sampler_is_zero_shuffle_pushed_filter(spark, sf_dir):
