@@ -235,3 +235,57 @@ def test_should_full_sync_policy():
     meta = {"last_full_sync": "2026-08-01T00:00:00"}
     assert should_full_sync(meta, 30, now) is False  # 12 days ago
     assert should_full_sync(meta, 10, now) is True   # interval elapsed
+
+
+def test_http_default_transport_returns_error_responses(monkeypatch):
+    """urlopen raises HTTPError for status >= 400 — the default transport
+    must surface it as a (status, headers, body) response so the 3-step
+    handling (Retry-After wait, status_handler override, then raise)
+    applies, matching the reference's requests-based http.get."""
+    import email.message
+    import io
+    import urllib.error
+    import urllib.request
+
+    from vunnel_spark.sources.http import _default_transport, get_with_retry
+
+    def raising_urlopen(req, timeout=None):
+        hdrs = email.message.Message()
+        hdrs["Retry-After"] = "3"
+        raise urllib.error.HTTPError(
+            req.full_url, 404, "not found", hdrs, io.BytesIO(b"missing")
+        )
+
+    monkeypatch.setattr(urllib.request, "urlopen", raising_urlopen)
+    status, headers, body = _default_transport("http://x/y", 1.0, {})
+    assert (status, body) == (404, b"missing")
+    assert headers.get("Retry-After") == "3"
+
+    # a caller accepting 404 gets the response instead of retry+raise
+    status, _, body = get_with_retry(
+        "http://x/y", retries=0,
+        status_handler=lambda s, h, b: None if s in (200, 404) else (_ for _ in ()).throw(ValueError(s)),
+    )
+    assert (status, body) == (404, b"missing")
+
+
+def test_kv_cache_put_collapses_batch_duplicates(spark, tmp_path):
+    """put() keeps one row per key even when the INCOMING batch itself
+    carries duplicates — get()/changed_keys() rely on that invariant."""
+    cache = KVCache(str(tmp_path / "kv"))
+    df = spark.createDataFrame(
+        [("a", bytearray(b"one")), ("a", bytearray(b"uno")),
+         ("a", bytearray(b"one")), ("b", bytearray(b"two"))],
+        "key string, payload binary",
+    )
+    cache.put(df)
+    rows = cache.get_all(spark).collect()
+    assert len(rows) == 2
+    by_key = {r.key: bytes(r.payload) for r in rows}
+    assert by_key["b"] == b"two" and by_key["a"] in (b"one", b"uno")
+
+    # deterministic: re-putting the same batch (repartitioned) is a no-op
+    winner = by_key["a"]
+    cache.put(df.repartition(7))
+    again = {r.key: bytes(r.payload) for r in cache.get_all(spark).collect()}
+    assert again["a"] == winner

@@ -156,3 +156,23 @@ def test_snapshot_import_rejects_tampered(spark, outdir):
     with _pytest.raises(ValueError, match="checksum"):
         import_snapshot(snap, dest)
     assert not os.path.exists(dest), "tampered snapshot must not install"
+
+
+def test_dedup_without_order_col_stable_across_partitioning(spark, outdir):
+    """A12 semantics must not depend on partition layout: with no
+    order_col the surviving duplicate is picked by a content hash, so the
+    same data written under different partitionings yields byte-identical
+    results (the old monotonically_increasing_id fallback did not)."""
+    rows = [("a", i, f"payload-{i}") for i in range(6)] + [("b", 0, "only")]
+    df = spark.createDataFrame(rows, "identifier string, seq int, payload string")
+
+    outs = []
+    for i, shaped in enumerate([df.repartition(1), df.repartition(8, "seq"), df.coalesce(2)]):
+        p = os.path.join(outdir, f"stable{i}")
+        EnvelopeWriter(p, dedup="last_wins").write(shaped)
+        outs.append(sorted(
+            (r.identifier, r.seq, r.payload)
+            for r in spark.read.parquet(p).collect()
+        ))
+    assert outs[0] == outs[1] == outs[2]
+    assert [r[0] for r in outs[0]] == ["a", "b"]

@@ -157,12 +157,19 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): cluster embeddings with a k-means coarse quantizer, then
     prune within-cluster pairs whose cosine exceeds ``threshold`` — the
     higher id of each such pair is marked dropped (keep-lowest, matching
     exact_dedup's survivor rule).
+
+    ``nprobe`` > 1 assigns each vector to its n nearest cells, so a
+    near-dup pair straddling a Voronoi boundary still shares at least
+    one cell — recall stops depending on quantizer boundaries at the
+    cost of ~nprobe× membership (duplicate pairs collapse in the
+    keep-best window).
 
     Scale shape: cell assignment is a pure-Catalyst constant-expression
     scan (centroids as plan literals, same as IVF search); the quadratic
@@ -172,10 +179,10 @@ def semantic_dedup(
     from vunnel_spark.functions.vectors import cosine
     from vunnel_spark.operators.similarity import add_ivf_cells
 
-    cells = add_ivf_cells(df, centroids, vec_col, nprobe=1).select(
+    cells = add_ivf_cells(df, centroids, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.element_at("cells", 1).alias("cell"),
+        F.explode("cells").alias("cell"),
     )
     grouped = (
         cells.groupBy("cell")

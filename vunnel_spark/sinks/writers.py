@@ -53,6 +53,10 @@ class EnvelopeWriter:
         ``order_col`` survives
       - ``first_wins`` (INSERT OR IGNORE, result.py:227-238): lowest wins
       - ``None``: no dedup
+    Without an ``order_col`` the winner is picked by a deterministic
+    content hash (stable across partitioning/reruns, but not "arrival
+    order" — a distributed batch has none); pass ``order_col`` whenever
+    a specific duplicate must survive.
     """
 
     def __init__(
@@ -72,7 +76,18 @@ class EnvelopeWriter:
     def _apply_dedup(self, df: DataFrame) -> DataFrame:
         if not self.dedup:
             return df
-        order = F.col(self.order_col) if self.order_col else F.monotonically_increasing_id()
+        if self.order_col:
+            order = F.col(self.order_col)
+        else:
+            # A distributed batch has no arrival order, so "last"/"first"
+            # must not depend on partition layout (the earlier
+            # monotonically_increasing_id fallback did, making the
+            # surviving row nondeterministic across runs).  Fall back to a
+            # content hash of the whole row: the winner is then a pure
+            # function of the data — stable under repartitioning — and
+            # callers that care WHICH duplicate survives pass order_col.
+            # to_json first: xxhash64 rejects map-typed item fields.
+            order = F.xxhash64(F.to_json(F.struct(*df.columns)))
         if self.dedup == "last_wins":
             order = order.desc()
         w = Window.partitionBy(self.key).orderBy(order)

@@ -33,11 +33,21 @@ def backoff_sleep_interval(
 
 
 def _default_transport(url: str, timeout: float, headers: dict):
+    import urllib.error
     import urllib.request
 
     req = urllib.request.Request(url, headers=headers)
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-        return resp.status, dict(resp.headers), resp.read()
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        # urlopen raises for status >= 400; return it as a response so the
+        # documented 3-step handling (Retry-After wait, status_handler
+        # override, then raise) applies to the default transport too —
+        # matching the reference's requests-based http.get, which never
+        # raises on status alone (utils/http_wrapper.py:26-120).
+        with e:
+            return e.code, dict(e.headers), e.read()
 
 
 def get_with_retry(

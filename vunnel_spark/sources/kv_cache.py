@@ -51,14 +51,27 @@ class KVCache:
     def put(self, df: DataFrame) -> None:
         """Upsert payload rows; last-wins per key on re-put.
 
-        Stages the merged table next to the live one and renames — readers
-        never observe a half-written cache (the reference's tmp+swap
-        discipline, result.py:259-302, applied to the input side).
+        Duplicate keys WITHIN one incoming batch are also collapsed to a
+        single row (greatest digest wins — a distributed batch has no
+        arrival order, so the tie-break must be a value, not a position),
+        keeping the one-row-per-key invariant that get()/changed_keys()
+        rely on.  Stages the merged table next to the live one and
+        renames — readers never observe a half-written cache (the
+        reference's tmp+swap discipline, result.py:259-302, applied to
+        the input side).
         """
+        from pyspark.sql import Window
+
         incoming = df.select(
             F.col(self.key_col).cast("string").alias("key"),
             F.col(self.payload_col).alias("payload"),
         ).withColumn("digest", F.xxhash64("payload"))
+        w = Window.partitionBy("key").orderBy(F.col("digest").desc())
+        incoming = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         spark = df.sparkSession
         if self.exists():
             current = self.get_all(spark)
