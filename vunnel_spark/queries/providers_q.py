@@ -4,6 +4,7 @@ pipelines_q inside the window)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vunnel_spark.queries._util import t
@@ -158,4 +159,158 @@ def alas1(spark, sf_dir):
             "description",
             "fixed_csv",
         )
+    )
+
+
+@register(
+    "kev1_end_to_end_dag",
+    """
+    WITH entries AS (
+      SELECT 'CVE-2021-' || CAST(o_orderkey % 500 AS VARCHAR) AS cve_id,
+             'vendor' || CAST(o_custkey % 30 AS VARCHAR) AS vendor_project,
+             'prod' || CAST(o_orderkey % 60 AS VARCHAR) AS product,
+             CAST(o_orderdate AS VARCHAR) AS date_added,
+             o_orderkey % 7 = 0 AS known_ransomware,
+             o_orderkey AS seq
+      FROM orders
+    )
+    SELECT cve_id AS identifier, vendor_project, product, date_added,
+           known_ransomware
+    FROM (SELECT *, row_number() OVER (PARTITION BY cve_id ORDER BY seq DESC) AS rn
+          FROM entries)
+    WHERE rn = 1
+    """,
+    doc="KEV provider DAG end-to-end (reference providers/kev/"
+        "manager.py:26-41): the catalog document's vulnerabilities[] array "
+        "(synthesized from orders, one catalog page per 20 orders) is "
+        "exploded to one envelope per entry keyed lower-case cveID, with "
+        "the A12 last-wins dedup a re-published catalog entry gets on "
+        "write (INSERT OR REPLACE, result.py:95-99) expressed as a "
+        "row_number window over the entry sequence",
+    tags=("pipeline", "explode"),
+)
+def kev1(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    # catalog shape: one doc per 20-order page, vulnerabilities[] inside —
+    # the explode mirrors kev/manager._parse over catalog["vulnerabilities"]
+    catalog = o.groupBy((F.col("o_orderkey") % 20).alias("page")).agg(
+        F.collect_list(
+            F.struct(
+                F.concat(F.lit("CVE-2021-"), (F.col("o_orderkey") % 500).cast("string")).alias("cveID"),
+                F.concat(F.lit("vendor"), (F.col("o_custkey") % 30).cast("string")).alias("vendorProject"),
+                F.concat(F.lit("prod"), (F.col("o_orderkey") % 60).cast("string")).alias("product"),
+                F.col("o_orderdate").cast("string").alias("dateAdded"),
+                (F.col("o_orderkey") % 7 == 0).alias("knownRansomwareCampaignUse"),
+                F.col("o_orderkey").alias("seq"),
+            )
+        ).alias("vulnerabilities")
+    )
+    entries = catalog.select(F.explode("vulnerabilities").alias("v")).select(
+        F.col("v.cveID").alias("identifier"),
+        F.col("v.vendorProject").alias("vendor_project"),
+        F.col("v.product").alias("product"),
+        F.col("v.dateAdded").alias("date_added"),
+        F.col("v.knownRansomwareCampaignUse").alias("known_ransomware"),
+        F.col("v.seq").alias("seq"),
+    )
+    w = Window.partitionBy("identifier").orderBy(F.col("seq").desc())
+    return (
+        entries.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "seq")
+    )
+
+
+@register(
+    "epss1_end_to_end_dag",
+    """
+    WITH scores AS (
+      SELECT 'CVE-2022-' || CAST(o_orderkey % 1000 AS VARCHAR) AS cve,
+             max(round((o_orderkey % 997) / 997.0, 4)) AS epss
+      FROM orders GROUP BY o_orderkey % 1000
+    )
+    SELECT cve, epss,
+           round(percent_rank() OVER (ORDER BY epss), 6) AS percentile,
+           '2026-08-14' AS score_date
+    FROM scores
+    """,
+    doc="EPSS provider DAG end-to-end (reference providers/epss/"
+        "manager.py:64-134): the S5 CSV-with-comment-header scan shape — "
+        "float score casts, the '#…score_date' comment lifted into a "
+        "literal column (read_csv_with_comment_header, unit-tested in "
+        "tests/test_sources.py), one record per CVE with its percentile; "
+        "percent_rank is rank-based so ties stay deterministic",
+    tags=("pipeline", "scalar"),
+)
+def epss1(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    scores = (
+        o.select(
+            F.concat(F.lit("CVE-2022-"), (F.col("o_orderkey") % 1000).cast("string")).alias("cve"),
+            F.round((F.col("o_orderkey") % 997) / 997.0, 4).alias("epss0"),
+        )
+        .groupBy("cve")
+        .agg(F.max("epss0").alias("epss"))
+    )
+    return scores.select(
+        "cve",
+        "epss",
+        F.round(F.percent_rank().over(Window.orderBy("epss")), 6).alias("percentile"),
+        F.lit("2026-08-14").alias("score_date"),
+    )
+
+
+@register(
+    "eol1_end_to_end_dag",
+    """
+    WITH cycles AS (
+      SELECT 'product' || CAST(p_partkey % 80 AS VARCHAR) AS product,
+             CAST(p_partkey AS VARCHAR) || '.' || CAST(g.c AS VARCHAR) AS cycle,
+             CASE WHEN (p_partkey + g.c) % 3 = 0
+                  THEN CAST(DATE '2024-01-01' + CAST((p_partkey + g.c * 37) % 900 AS INT) AS VARCHAR)
+                  ELSE NULL END AS eol_date,
+             (p_partkey + g.c) % 3 <> 0 AS supported
+      FROM part, LATERAL (SELECT unnest(generate_series(1, p_size % 4 + 1)) AS c) g
+    )
+    SELECT product, cycle, eol_date, supported,
+           product || '/' || cycle AS identifier
+    FROM cycles
+    """,
+    doc="EOL provider DAG end-to-end (reference providers/eol/"
+        "manager.py:31-56): endoflife.date products JSON (synthesized "
+        "nested from part) exploded to one record per (product, release) "
+        "with the product name stamped into each cycle record, and the "
+        "eol field's date-or-boolean union normalized to "
+        "(eol_date, supported)",
+    tags=("pipeline", "explode"),
+)
+def eol1(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    # nested product docs: releases[] built per part row, then exploded —
+    # mirrors the manager's per-product, per-release yield
+    docs = p.select(
+        F.concat(F.lit("product"), (F.col("p_partkey") % 80).cast("string")).alias("name"),
+        F.transform(
+            F.sequence(F.lit(1), F.col("p_size") % 4 + 1),
+            lambda c: F.struct(
+                F.concat(F.col("p_partkey").cast("string"), F.lit("."), c.cast("string")).alias("name"),
+                F.when(
+                    (F.col("p_partkey") + c) % 3 == 0,
+                    (
+                        F.date_add(F.lit("2024-01-01").cast("date"),
+                                   ((F.col("p_partkey") + c * 37) % 900).cast("int"))
+                    ).cast("string"),
+                ).alias("eol"),
+            ),
+        ).alias("releases"),
+    )
+    cycles = docs.select(
+        F.col("name").alias("product"), F.explode("releases").alias("r")
+    )
+    return cycles.select(
+        "product",
+        F.col("r.name").alias("cycle"),
+        F.col("r.eol").alias("eol_date"),
+        F.col("r.eol").isNull().alias("supported"),
+        F.concat_ws("/", "product", F.col("r.name")).alias("identifier"),
     )
