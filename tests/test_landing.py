@@ -289,3 +289,168 @@ def test_kv_cache_put_collapses_batch_duplicates(spark, tmp_path):
     cache.put(df.repartition(7))
     again = {r.key: bytes(r.payload) for r in cache.get_all(spark).collect()}
     assert again["a"] == winner
+
+
+# -------------------------------------------------------------------- S7
+
+def _git(args, cwd):
+    import subprocess
+
+    return subprocess.check_output(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+        text=True, stderr=subprocess.PIPE, cwd=cwd,
+    )
+
+
+@pytest.fixture()
+def local_repo(tmp_path):
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    _git(["init", "-b", "main"], src)
+    with open(os.path.join(src, "adv.json"), "w") as f:
+        f.write('{"id": "OSV-1"}')
+    _git(["add", "."], src)
+    _git(["commit", "-m", "one"], src)
+    return src
+
+
+def test_git_landing_clone_then_update(local_repo, tmp_path):
+    import os
+
+    from vunnel_spark.sources.git import GitLanding
+
+    dest = str(tmp_path / "landing" / "osv")
+    g = GitLanding(local_repo, "main", dest, depth=None)
+    assert g.clone_or_update() == dest
+    assert os.path.exists(os.path.join(dest, "adv.json"))
+    first = g.head_commit()
+
+    # upstream grows a file; clone_or_update pulls instead of recloning
+    with open(os.path.join(local_repo, "adv2.json"), "w") as f:
+        f.write('{"id": "OSV-2"}')
+    _git(["add", "."], local_repo)
+    _git(["commit", "-m", "two"], local_repo)
+    g.clone_or_update()
+    assert os.path.exists(os.path.join(dest, "adv2.json"))
+    assert g.head_commit() != first
+
+
+def test_git_landing_recovers_from_corrupt_checkout(local_repo, tmp_path):
+    import os
+    import shutil
+
+    from vunnel_spark.sources.git import GitLanding
+
+    dest = str(tmp_path / "landing" / "osv")
+    g = GitLanding(local_repo, "main", dest, depth=None)
+    g.clone_or_update()
+    shutil.rmtree(os.path.join(dest, ".git"))  # corrupt: no longer a repo
+    g.clone_or_update()
+    assert os.path.exists(os.path.join(dest, "adv.json"))
+
+
+def test_git_landing_retries_transient_failures(tmp_path):
+    from vunnel_spark.sources.git import GitLanding
+
+    calls = []
+
+    def flaky_runner(args, cwd=None):
+        calls.append(args)
+        if len(calls) < 3:
+            raise ConnectionError("network")
+        import os
+
+        os.makedirs(str(tmp_path / "dst"), exist_ok=True)
+        return ""
+
+    g = GitLanding(
+        "http://x/r.git", "main", str(tmp_path / "dst"),
+        runner=flaky_runner, sleep=lambda s: None, retries=3,
+    )
+    assert g.clone_or_update() == str(tmp_path / "dst")
+    assert len(calls) >= 3
+
+
+# ------------------------------------------------------------------- S10
+
+def _oci_transport(manifest, blobs):
+    """Scripted OCI registry: /manifests/ and /blobs/ URL routing."""
+    import json as _json
+
+    calls = []
+
+    def transport(url, timeout, headers):
+        calls.append(url)
+        if "/manifests/" in url:
+            return 200, {}, _json.dumps(manifest).encode()
+        digest = url.rsplit("/", 1)[1]
+        if digest in blobs:
+            return 200, {}, blobs[digest]
+        return 404, {}, b""
+
+    transport.calls = calls
+    return transport
+
+
+def _digest_of(b):
+    import hashlib
+
+    return "sha256:" + hashlib.sha256(b).hexdigest()
+
+
+def test_oci_fetch_writes_verified_layers(tmp_path):
+    from vunnel_spark.sources.oci import fetch_oci_artifact
+
+    body = b'{"rows": [1, 2]}'
+    manifest = {
+        "layers": [
+            {
+                "digest": _digest_of(body),
+                "annotations": {"org.opencontainers.image.title": "fixdates.json"},
+            }
+        ]
+    }
+    t = _oci_transport(manifest, {_digest_of(body): body})
+    out = fetch_oci_artifact(
+        "registry.example", "db/first-observed", "latest",
+        str(tmp_path / "oci"), transport=t,
+    )
+    assert [p.rsplit("/", 1)[1] for p in out] == ["fixdates.json"]
+    with open(out[0], "rb") as f:
+        assert f.read() == body
+    assert any("/v2/db/first-observed/manifests/latest" in u for u in t.calls)
+
+
+def test_oci_fetch_rejects_tampered_blob(tmp_path):
+    from vunnel_spark.sources.oci import OCIDigestMismatch, fetch_oci_artifact
+
+    good = b"real"
+    manifest = {"layers": [{"digest": _digest_of(good)}]}
+    t = _oci_transport(manifest, {_digest_of(good): b"tampered"})
+    with pytest.raises(OCIDigestMismatch):
+        fetch_oci_artifact(
+            "registry.example", "r", "v1", str(tmp_path / "oci"),
+            transport=t, retries=0,
+        )
+
+
+def test_oci_fetch_sanitizes_layer_title(tmp_path):
+    import os
+
+    from vunnel_spark.sources.oci import fetch_oci_artifact
+
+    body = b"x"
+    manifest = {
+        "layers": [
+            {
+                "digest": _digest_of(body),
+                "annotations": {"org.opencontainers.image.title": "../../evil"},
+            }
+        ]
+    }
+    t = _oci_transport(manifest, {_digest_of(body): body})
+    dest = str(tmp_path / "oci")
+    out = fetch_oci_artifact("r.example", "r", "v1", dest, transport=t)
+    assert os.path.dirname(out[0]) == dest  # never escapes the landing dir

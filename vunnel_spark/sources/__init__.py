@@ -11,7 +11,9 @@ from vunnel_spark.sources.archive import (  # noqa: F401
     safe_extract,
 )
 from vunnel_spark.sources.cursor import CursorCheckpoint, paginate  # noqa: F401
+from vunnel_spark.sources.git import GitLanding  # noqa: F401
 from vunnel_spark.sources.kv_cache import KVCache  # noqa: F401
+from vunnel_spark.sources.oci import fetch_oci_artifact  # noqa: F401
 from vunnel_spark.sources.oval_xml import read_oval_xml  # noqa: F401
 from vunnel_spark.sources.readers import (  # noqa: F401
     read_csv_with_comment_header,
