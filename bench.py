@@ -62,35 +62,41 @@ def main() -> None:
         df.count()
 
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        # Each query runs twice and the better run is reported: run 1 pays
-        # one-time whole-stage-codegen compilation (Janino) for this plan
-        # shape, which at real scale amortizes to nothing over hours of
-        # execution; min-of-2 also de-noises a shared benchmark host.
+        # One discarded warm-up run pays the one-time whole-stage-codegen
+        # compilation (Janino) for this plan shape — at real scale that
+        # amortizes to nothing over hours of execution — then THREE
+        # measured runs with the MEDIAN reported: on a shared host
+        # individual sub-second queries moved ±35% between rounds, so a
+        # single sample (or min-of-2) made round-over-round deltas noise.
         # Persisted intermediates do NOT carry over (each run constructs a
-        # fresh plan with fresh persist handles), so run 2 re-executes the
-        # full pipeline.  The timer covers construction AND the action:
-        # operators that eagerly persist intermediate frames (d3's
-        # candidate cache) do real work at construction time, which a
-        # count()-only timer would hide.
-        best = None
-        for _ in range(2):
+        # fresh plan with fresh persist handles), so every run re-executes
+        # the full pipeline.  The timer covers construction AND the
+        # action: operators that eagerly persist intermediate frames
+        # (d3's candidate cache) do real work at construction time, which
+        # a count()-only timer would hide.
+        samples: list[float] = []
+        for run in range(4):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.count()  # full materialization of the plan
             elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            if run:  # run 0 = codegen warm-up, discarded
+                samples.append(elapsed)
             # Drop any intermediates the query persisted (d3's candidate
             # cache).  Between runs: an identical plan maps to the same
-            # CacheManager entry, so run 2 would silently re-read run 1's
+            # CacheManager entry, so later runs would silently re-read
             # cached blocks ("Asked to cache already cached data" in the
             # round-3 artifact) and under-report the true pipeline cost.
             # Between queries: cached blocks pin executor storage memory
             # and skew every later measurement.  Each run starts cold;
-            # only codegen/JIT warmth carries, which is what min-of-2 is
-            # meant to amortize.
+            # only codegen/JIT warmth carries, which is what the warm-up
+            # run is for.
             spark.catalog.clearCache()
-        times[name] = round(best, 3)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(times.values()), 3)
     print(
@@ -100,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
             }
         )
