@@ -239,7 +239,12 @@ def kev1(spark, sf_dir):
         "float score casts, the '#…score_date' comment lifted into a "
         "literal column (read_csv_with_comment_header, unit-tested in "
         "tests/test_sources.py), one record per CVE with its percentile; "
-        "percent_rank is rank-based so ties stay deterministic",
+        "percent_rank is rank-based so ties stay deterministic.  The "
+        "unpartitioned window runs AFTER the per-CVE aggregation, so its "
+        "input is bounded by the CVE id space (~300k in the real feed, "
+        "a few MB) regardless of corpus size — the single-partition "
+        "WindowExec is deliberate and safe at that cardinality, exactly "
+        "like the feed file itself is a single global CSV",
     tags=("pipeline", "scalar"),
 )
 def epss1(spark, sf_dir):
