@@ -128,3 +128,46 @@ def test_semantic_dedup_keep_lowest_and_best_match(spark):
     # 4's best match is whichever of 1/2 has higher cosine (tie -> lower id)
     assert out[4][0] in (1, 2) and out[4][1] >= 0.95
     # 1 and 3 never dropped (cos(1,3)=0)
+
+
+def test_shared_span_pairs_exact_runs(spark):
+    """Known geometry: B copies tokens 3..12 of A (10 tokens); C shares
+    nothing; D repeats A's span twice (longest single run still 10)."""
+    from vunnel_spark.operators.dedup import shared_span_pairs
+
+    a = "w0 w1 w2 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 w13 w14"
+    span = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    docs = spark.createDataFrame(
+        [
+            (1, a),
+            (2, f"x0 x1 {span} x2"),
+            (3, "y0 y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+            (4, f"z0 {span} z1 {span}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.span_tokens
+        for r in shared_span_pairs(docs, k=3, min_span_tokens=8).collect()
+    }
+    assert out[(1, 2)] == 10 and out[(1, 4)] == 10 and out[(2, 4)] == 10
+    assert not any(3 in pair for pair in out)
+
+    # below-threshold spans are excluded; k-1 overlap never counts as a run
+    none = shared_span_pairs(docs, k=3, min_span_tokens=11).collect()
+    assert none == []
+
+
+def test_shared_span_pairs_freq_cap_splits_runs(spark):
+    """A shingle over the cap drops out, splitting runs deterministically
+    — the skew guard changes ground truth the same way in both engines."""
+    from vunnel_spark.operators.dedup import shared_span_pairs
+
+    span = "s0 s1 s2 s3 s4 s5 s6 s7"
+    rows = [(i, f"p{i} {span} q{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every span shingle occurs 6x; cap=5 drops them all -> no pairs
+    assert shared_span_pairs(docs, k=3, min_span_tokens=5, max_shingle_freq=5).collect() == []
+    out = shared_span_pairs(docs, k=3, min_span_tokens=5, max_shingle_freq=6).collect()
+    assert len(out) == 15  # all C(6,2) pairs share the full 8-token span
+    assert all(r.span_tokens == 8 for r in out)

@@ -244,6 +244,89 @@ def _word_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 3) -> 
     )
 
 
+def _positioned_shingles(
+    df: DataFrame, content_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, shingle) word-k-gram rows WITH start positions (0-based).
+
+    Unlike _word_shingles this keeps every occurrence — positions are the
+    payload here — and drops documents shorter than k tokens (a span
+    below shingle width is below any sensible min_span threshold).
+    """
+    base = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(content_col)), r"\s+").alias("_w"),
+        )
+        .filter(F.size("_w") >= k)
+    )
+    return base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - k + 1),
+                lambda i: F.concat_ws(" ", F.slice("_w", i, k)),
+            )
+        ).alias("pos", "shingle"),
+    )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_span_tokens: int = 15,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Longest EXACT shared token span per document pair — substring-level
+    dedup (the public method of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", re-expressed relationally; the
+    paper's suffix array is a single-machine construction, this is the
+    shuffle-native equivalent for the >= min_span regime).
+
+    A shared run of L >= k consecutive tokens appears as exactly L-k+1
+    matching k-shingles at consecutive positions with a CONSTANT position
+    offset between the two documents.  So: positioned shingles ->
+    equi-join on shingle (id_a < id_b) -> group by (pair, pos_a - pos_b)
+    -> gaps-and-islands (pos_a - row_number is constant within a
+    consecutive run) -> longest island per pair + k - 1 tokens.
+
+    Scale shape: candidate generation is the shingle equi-join — ONE
+    shuffle keyed on the shingle, linear-ish under the standard
+    ``max_shingle_freq`` cap against stopword-shingle floods (same knob
+    as ngram_jaccard_pairs); the island windows partition by
+    (id_a, id_b, diff), bounded by document length, never corpus-wide.
+    Returns (id_a, id_b, span_tokens) for pairs sharing a span of at
+    least ``min_span_tokens`` tokens.
+    """
+    sh = _positioned_shingles(df, content_col, id_col, k)
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
+    a, b = sh.alias("a"), sh.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("_diff"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "_diff").orderBy("pos_a")
+    islands = matches.withColumn("_island", F.col("pos_a") - F.row_number().over(w))
+    runs = islands.groupBy("id_a", "id_b", "_diff", "_island").agg(
+        F.count(F.lit(1)).alias("_run")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg((F.max("_run") + F.lit(k - 1)).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= min_span_tokens)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str = "text",

@@ -380,3 +380,75 @@ def d9(spark, sf_dir):
     # nprobe=2: a planted pair straddling a k-means Voronoi boundary still
     # shares a cell, so the oracle never depends on quantizer boundaries
     return semantic_dedup(corpus, cents, threshold=0.95, nprobe=2)
+
+
+_CHIM_BASE = 2_000_000
+
+
+@register(
+    "d10_shared_span_pairs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             'chim' || CAST(doc_id AS VARCHAR) || ' ' ||
+             array_to_string((regexp_split_to_array(trim(text), '\\s+'))[6:35], ' ') AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus),
+    sh AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+    ),
+    capped AS (
+      SELECT * FROM sh WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 8)
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+             a.pos - b.pos AS diff
+      FROM capped a JOIN capped b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT id_a, id_b, diff,
+             pos_a - row_number() OVER (
+               PARTITION BY id_a, id_b, diff ORDER BY pos_a) AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT id_a, id_b, count(*) AS run
+      FROM isl GROUP BY id_a, id_b, diff, island
+    )
+    SELECT id_a, id_b, CAST(max(run) + 2 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY id_a, id_b HAVING max(run) + 2 >= 15
+    """,
+    doc="Substring-level dedup: longest exact shared token span per pair "
+        "(operators/dedup.py shared_span_pairs; Lee et al. 2022 public "
+        "method, gaps-and-islands relational form).  Chimera docs planted "
+        "from a 30-token slice of every 7th doc guarantee true spans; the "
+        "oracle replicates the whole computation — positioned shingles, "
+        "frequency cap, constant-offset islands — so ground truth is "
+        "engine-checked, not assumed",
+    tags=("dedup", "text"),
+)
+def d10(spark, sf_dir):
+    from vunnel_spark.operators.dedup import shared_span_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    chim = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _CHIM_BASE).alias("doc_id"),
+        F.concat(
+            F.lit("chim"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.concat_ws(" ", F.slice(words, 6, 30)),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(chim)
+    return shared_span_pairs(
+        corpus, k=3, min_span_tokens=15, max_shingle_freq=8
+    )
