@@ -303,3 +303,13 @@ def test_m1_payload_stays_in_arrow_stage(spark, sf_dir):
     assert p.count("MapInPandas") >= 1
     head = p.split("MapInPandas")[0]
     assert "Exchange" not in head, head
+
+
+def test_d10_shared_spans_equijoin_no_cartesian(spark, sf_dir):
+    # substring-span detection must pair via the shingle equi-join and
+    # island windows partitioned per (pair, offset) — never an all-pairs
+    # product, never a global (unpartitioned) window
+    p = plan_of(q("d10_shared_span_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "shingle" in p
+    assert not re.search(r"Window \[[^\]]*\bwindowspecdefinition\(_w?pos", p)

@@ -135,20 +135,23 @@ def embedding_dup_pairs(
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Hash-repartition on the id when the input is under-parallel.
+    """Hash-repartition on the id before explode/hash-heavy map stages.
 
-    Document corpora often arrive as a handful of parquet files, so the
-    explode/hash-heavy map stages would run on a couple of tasks while the
-    rest of the cluster idles.  Repartitioning by id costs one shuffle of
-    the raw text but (a) unlocks full parallelism for shingling/hashing and
-    (b) pre-aligns the data with every downstream groupBy(id) — when the
-    partition count matches spark.sql.shuffle.partitions, Catalyst reuses
-    the partitioning and those aggregations become shuffle-free.
+    Document corpora often arrive as a handful of parquet files, so
+    shingling/hashing would run on a couple of tasks while the rest of
+    the cluster idles.  Repartitioning by id is unconditional and placed
+    at the CHEAPEST point — one row per raw doc, before the ~200x shingle
+    explode — and (a) unlocks full parallelism for the map stages while
+    (b) pre-aligning the data with every downstream groupBy(id), which
+    then satisfies its ClusteredDistribution without another exchange.
+    (An earlier version probed df.rdd.getNumPartitions() to skip the
+    shuffle on already-parallel input; the probe forces RDD conversion
+    of the logical plan and bypasses AQE's coalescing knowledge, and the
+    "saved" exchange just resurfaced at the first groupBy(id) — on the
+    exploded frame, where it is far more expensive.)
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(id_col))
-    return df
+    return df.repartition(target, F.col(id_col))
 
 
 def semantic_dedup(
