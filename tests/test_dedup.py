@@ -171,3 +171,45 @@ def test_shared_span_pairs_freq_cap_splits_runs(spark):
     out = shared_span_pairs(docs, k=3, min_span_tokens=5, max_shingle_freq=6).collect()
     assert len(out) == 15  # all C(6,2) pairs share the full 8-token span
     assert all(r.span_tokens == 8 for r in out)
+
+
+def test_shared_span_pairs_matches_dp_reference(spark):
+    """Randomized cross-check: the islands formulation must equal the
+    classic longest-common-substring-of-tokens DP for every pair.  Small
+    alphabet on purpose — repeated tokens create overlapping shingle
+    matches at many offsets, the hard case for run detection."""
+    import random
+
+    from vunnel_spark.operators.dedup import shared_span_pairs
+
+    def lcs_tokens(a, b):
+        best, prev = 0, [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        toks = {
+            i: [rng.choice("abcdefgh") for _ in range(rng.randint(3, 25))]
+            for i in range(14)
+        }
+        docs = spark.createDataFrame(
+            [(i, " ".join(ts)) for i, ts in toks.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.span_tokens
+            for r in shared_span_pairs(docs, k=3, min_span_tokens=4).collect()
+        }
+        want = {}
+        for i in toks:
+            for j in toks:
+                if i < j and (span := lcs_tokens(toks[i], toks[j])) >= 4:
+                    want[(i, j)] = span
+        assert got == want, (seed, got, want)
