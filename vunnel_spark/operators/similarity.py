@@ -280,3 +280,64 @@ def lsh_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def write_ivf_partitioned(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus PARTITIONED BY its IVF cell — the ANN
+    serving layout.
+
+    At query time the cell equi-join against the (broadcast) probed
+    query cells becomes a dynamic partition filter on this store:
+    Spark reads only the probed cells' directories, so a probe touches
+    ~nprobe/nlist of the BYTES, not just of the rows — the difference
+    between pruning compute and pruning I/O at 100 TB.
+    """
+    cb = add_ivf_cells(corpus, centroids, vec_col, nprobe=1).select(
+        F.col(id_col), F.col(vec_col), F.element_at("cells", 1).alias("cell")
+    )
+    cb.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k over a cell-partitioned store (write_ivf_partitioned).
+
+    Same rank/tie semantics as ivf_topk; the difference is physical:
+    corpus cells are precomputed (no per-scan centroid arithmetic) and
+    the cell join key is the store's PARTITION column, so dynamic
+    partition pruning drops unprobed cells at the file-listing level.
+    """
+    cb = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "cell",
+    )
+    qb = add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode("cells").alias("cell"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
