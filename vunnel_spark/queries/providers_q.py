@@ -19,7 +19,7 @@ from vunnel_spark.registry import register
              'pkg' || CAST(o_orderkey % 40 AS VARCHAR) AS name,
              '1.' || CAST(o_orderkey % 5 AS VARCHAR) AS version,
              'CVE-2024-' || CAST(o_orderkey % 300 AS VARCHAR) AS vid,
-             o_orderkey % 13 = 0 AS rej
+             o_orderkey % 26 = 0 AS rej
       FROM orders
     ), rejected_pairs AS (
       SELECT DISTINCT name, vid FROM fixes WHERE rej
@@ -76,7 +76,7 @@ def secdb1(spark, sf_dir):
     )
     fixes = cve_filter(explode_fixes(db))
     rejections = (
-        o.filter(F.col("o_orderkey") % 13 == 0)
+        o.filter(F.col("o_orderkey") % 26 == 0)
         .select(
             F.concat(F.lit("pkg"), (F.col("o_orderkey") % 40).cast("string")).alias(
                 "pkg"
