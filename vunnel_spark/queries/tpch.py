@@ -447,17 +447,29 @@ def q21(spark, sf_dir):
       SELECT substring(c_mktsegment, 1, 1) AS seg, c_acctbal
       FROM customer c
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'))
     GROUP BY seg
     """,
     doc="TPC-H Q22 shape: scalar AVG subquery (1-row broadcast) + NOT "
-        "EXISTS anti-join — customers above average balance with no orders",
+        "EXISTS anti-join — customers above average balance with no "
+        "RECENT orders.  (Classic Q22 uses customers with no orders at "
+        "all; the driver generator gives nearly every customer an order, "
+        "which made that form return an empty set at sf0.01 — a recency "
+        "cutoff keeps the identical anti-join plan shape with a "
+        "non-degenerate result at every SF)",
     tags=("bench", "join", "agg"),
 )
 def q22(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
-    orders = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
     return (
         cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
