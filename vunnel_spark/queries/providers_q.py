@@ -319,3 +319,147 @@ def eol1(spark, sf_dir):
         F.col("r.eol").isNull().alias("supported"),
         F.concat_ws("/", "product", F.col("r.name")).alias("identifier"),
     )
+
+
+@register(
+    "j11_rhsa_fallback_pkg_guess",
+    """
+    WITH ar AS (
+      SELECT DISTINCT
+             'CVE-2023-' || CAST(o_orderkey % 60 AS VARCHAR) AS cve,
+             'plat' || CAST(o_custkey % 3 AS VARCHAR) AS platform,
+             'cpe:/a:redhat:p' || CAST(o_custkey % 3 AS VARCHAR) AS cpe_prefix,
+             'RHSA-2023:' || CAST(o_orderkey % 12 AS VARCHAR) AS rhsa_id,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE 'pkg' || CAST(o_custkey % 50 AS VARCHAR) END AS name,
+             '1.' || CAST(o_orderkey % 5 AS VARCHAR) AS version
+      FROM orders
+    ),
+    named AS (
+      SELECT DISTINCT cve, platform, name, version FROM ar WHERE name IS NOT NULL
+    ),
+    fpi AS (
+      SELECT DISTINCT rhsa_id, name,
+             cpe_prefix || ':ga' AS platform_cpe,
+             '2.' || substr(version, 3, 1) AS fix_version
+      FROM ar WHERE name IS NOT NULL
+    ),
+    platnames AS (SELECT DISTINCT cve, platform, name FROM ar WHERE name IS NOT NULL),
+    candidates AS (
+      SELECT DISTINCT a.cve, a.platform, b.name AS cand_name
+      FROM (SELECT DISTINCT cve, platform FROM ar) a
+      JOIN platnames b ON a.cve = b.cve AND a.platform <> b.platform
+      WHERE NOT EXISTS (SELECT 1 FROM platnames own
+                        WHERE own.cve = a.cve AND own.platform = a.platform
+                          AND own.name = b.name)
+    ),
+    nameless AS (
+      SELECT DISTINCT cve, platform, cpe_prefix, rhsa_id
+      FROM ar WHERE name IS NULL AND rhsa_id IS NOT NULL
+    ),
+    probes AS (
+      SELECT n.cve, n.platform, c.cand_name AS name, f.fix_version AS version,
+             row_number() OVER (
+               PARTITION BY n.cve, n.platform, n.rhsa_id
+               ORDER BY c.cand_name, f.fix_version) AS rn
+      FROM nameless n
+      JOIN candidates c ON c.cve = n.cve AND c.platform = n.platform
+      JOIN fpi f ON f.rhsa_id = n.rhsa_id AND f.name = c.cand_name
+                AND starts_with(f.platform_cpe, n.cpe_prefix)
+    )
+    SELECT cve, platform, name, version, FALSE AS guessed FROM named
+    UNION
+    SELECT cve, platform, name, version, TRUE AS guessed
+    FROM probes WHERE rn = 1
+    """,
+    doc="J11 RHSA-id fallback package guess (reference rhel/parser.py:"
+        "514-549: an affected release with no package name probes the "
+        "OTHER platforms' package names — U2 set union minus own platform "
+        "— against the RHSA's product lookup under the J1 startswith-CPE "
+        "condition; first hit adopts that name+version, no hit drops the "
+        "row).  The reference iterates a Python set, so 'first' is "
+        "nondeterministic there; this form pins the deterministic "
+        "refinement (lowest candidate name, then version) via a window. "
+        "Registered in this tail module so the pinned round-5 gate window "
+        "(which fronts the joins module) does not shift",
+    tags=("pipeline", "join", "setop"),
+)
+def j11(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    ar = o.select(
+        F.concat(F.lit("CVE-2023-"), (F.col("o_orderkey") % 60).cast("string")).alias("cve"),
+        F.concat(F.lit("plat"), (F.col("o_custkey") % 3).cast("string")).alias("platform"),
+        F.concat(F.lit("cpe:/a:redhat:p"), (F.col("o_custkey") % 3).cast("string")).alias("cpe_prefix"),
+        F.concat(F.lit("RHSA-2023:"), (F.col("o_orderkey") % 12).cast("string")).alias("rhsa_id"),
+        F.when(
+            F.col("o_orderkey") % 11 != 0,
+            # name keyed on CUSTKEY, space 50: decoupled from cve (which is
+            # orderkey-derived) so other-platform candidates are not always
+            # already present on the nameless row's own platform
+            F.concat(F.lit("pkg"), (F.col("o_custkey") % 50).cast("string")),
+        ).alias("name"),
+        F.concat(F.lit("1."), (F.col("o_orderkey") % 5).cast("string")).alias("version"),
+    ).distinct()
+    named = ar.filter(F.col("name").isNotNull()).select(
+        "cve", "platform", "name", "version"
+    ).distinct()
+    fpi = ar.filter(F.col("name").isNotNull()).select(
+        "rhsa_id",
+        "name",
+        F.concat(F.col("cpe_prefix"), F.lit(":ga")).alias("platform_cpe"),
+        F.concat(F.lit("2."), F.substring(F.col("version"), 3, 1)).alias("fix_version"),
+    ).distinct()
+    platnames = ar.filter(F.col("name").isNotNull()).select(
+        "cve", "platform", "name"
+    ).distinct()
+    # U2: names on OTHER platforms of the same CVE, minus this platform's own
+    candidates = (
+        ar.select("cve", "platform").distinct().alias("a")
+        .join(
+            platnames.alias("b"),
+            (F.col("a.cve") == F.col("b.cve"))
+            & (F.col("a.platform") != F.col("b.platform")),
+        )
+        .select(
+            F.col("a.cve").alias("cve"),
+            F.col("a.platform").alias("platform"),
+            F.col("b.name").alias("cand_name"),
+        )
+        .distinct()
+        .join(
+            platnames.withColumnRenamed("name", "cand_name"),
+            ["cve", "platform", "cand_name"],
+            "left_anti",
+        )
+    )
+    nameless = (
+        ar.filter(F.col("name").isNull() & F.col("rhsa_id").isNotNull())
+        .select("cve", "platform", "cpe_prefix", "rhsa_id")
+        .distinct()
+    )
+    probes = (
+        nameless.join(candidates, ["cve", "platform"])
+        .join(
+            fpi.withColumnRenamed("name", "cand_name"),
+            ["rhsa_id", "cand_name"],
+        )
+        .filter(F.col("platform_cpe").startswith(F.col("cpe_prefix")))
+    )
+    w = Window.partitionBy("cve", "platform", "rhsa_id").orderBy(
+        "cand_name", "fix_version"
+    )
+    guessed = (
+        probes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cve",
+            "platform",
+            F.col("cand_name").alias("name"),
+            F.col("fix_version").alias("version"),
+        )
+    )
+    return (
+        named.withColumn("guessed", F.lit(False))
+        .unionByName(guessed.withColumn("guessed", F.lit(True)))
+        .distinct()
+    )
