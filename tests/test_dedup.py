@@ -5,6 +5,8 @@ candidate-only verification path must not regress pair quality.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -213,3 +215,66 @@ def test_shared_span_pairs_matches_dp_reference(spark):
                 if i < j and (span := lcs_tokens(toks[i], toks[j])) >= 4:
                     want[(i, j)] = span
         assert got == want, (seed, got, want)
+
+
+def test_incremental_lsh_probes_index_without_rereading_corpus(spark, tmp_path):
+    """Batch N+1 signs only its own docs: planted near-dups of indexed
+    corpus docs must surface as (new, corpus) candidates via the stored
+    bucket table, and the probe plan must scan the INDEX parquet, never
+    the corpus documents."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        write_lsh_index,
+    )
+    from vunnel_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    index = str(tmp_path / "lsh_index")
+    write_lsh_index(docs, index)
+
+    # new batch: near-dup variants of every 10th corpus doc + one novel doc
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" incremental")).alias("text"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(9_999_999, "entirely novel text with no twin anywhere qq zz")],
+            "doc_id long, text string",
+        )
+    )
+    cand = minhash_lsh_pairs_incremental(new, index)
+    got = {(r.new_id, r.corpus_id) for r in cand.collect()}
+    planted = {
+        (r.doc_id + 5_000_000, r.doc_id)
+        for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    assert planted <= got  # every planted pair recalled
+    assert not any(n == 9_999_999 for n, _ in got)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    assert "lsh_index" in plan
+    # exactly ONE documents scan — the new batch's own source; the CORPUS
+    # side enters via the index table only (a non-incremental formulation
+    # would scan documents twice: once per join side)
+    assert len(re.findall(r"Location.*documents\.parquet", plan)) == 1, plan
+
+    # appending the batch makes the next batch see it
+    write_lsh_index(new, index, mode="append")
+    again = minhash_lsh_pairs_incremental(
+        spark.createDataFrame(
+            [(8_888_888, "entirely novel text with no twin anywhere qq zz")],
+            "doc_id long, text string",
+        ),
+        index,
+    )
+    assert {(r.new_id, r.corpus_id) for r in again.collect()} == {(8_888_888, 9_999_999)}

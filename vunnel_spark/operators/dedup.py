@@ -405,6 +405,105 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, band, bucket) banded-LSH bucket rows for a document frame.
+
+    All ``bands`` bucket keys in ONE projection with literal band indices:
+    xxhash64 directly over the band's signature longs.  (The first form
+    exploded 16 band rows per doc and then built a per-row STRING from a
+    runtime slice — cast + concat_ws dominated the stage; hashing fixed-
+    width longs is ~3x cheaper and the explode now carries a precomputed
+    16-long array instead of the 64-long signature.)
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, k, num_hashes)
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(F.col("sig"), b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(bucket_arr).alias("band", "bucket"))
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the (id, band, bucket) LSH index for a corpus — the
+    incremental-dedup serving layout.
+
+    At 100 TB the corpus is signed ONCE; each ingest batch signs only its
+    own documents and probes this table (minhash_lsh_pairs_incremental).
+    The index is ~24 bytes x bands per document regardless of text size.
+    Append new batches' buckets with ``mode="append"`` after probing so
+    the next batch sees them.
+    """
+    _band_buckets(df, content_col, id_col, k, num_hashes, bands).write.mode(
+        mode
+    ).parquet(path)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup CANDIDATES between a new batch and an indexed corpus.
+
+    The corpus side is the persisted (id, band, bucket) table from
+    write_lsh_index — its documents are never re-read, re-shingled, or
+    re-hashed; only the new batch runs the signature pipeline.  One
+    equi-join on (band, bucket) with the new side broadcast when small
+    (left to AQE).  Returns distinct (new_id, corpus_id) pairs; callers
+    verify against their corpus text store exactly like the batch
+    operator's candidates-only verify phase, then append the new batch's
+    buckets to the index.  ``max_bucket_size`` caps per-(band, bucket)
+    corpus membership against degenerate boilerplate buckets.
+    """
+    spark = new_docs.sparkSession
+    corpus = spark.read.parquet(index_path)
+    if max_bucket_size:
+        sizes = corpus.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        corpus = corpus.join(
+            sizes.filter(F.col("_n") <= max_bucket_size), ["band", "bucket"]
+        ).drop("_n")
+    nb = _band_buckets(new_docs, content_col, id_col, k, num_hashes, bands)
+    return (
+        corpus.withColumnRenamed("id", "corpus_id")
+        .join(nb.withColumnRenamed("id", "new_id"), ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -430,27 +529,7 @@ def minhash_lsh_pairs(
     pairs, so one pathological bucket can dominate the output; capping
     mirrors the max_shingle_freq knob and standard LSH practice.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, content_col, id_col, k, num_hashes)
-    # All `bands` bucket keys in ONE projection with literal band indices:
-    # xxhash64 directly over the band's signature longs.  (The first form
-    # exploded 16 band rows per doc and then built a per-row STRING from a
-    # runtime slice — cast + concat_ws dominated the stage; hashing fixed-
-    # width longs is ~3x cheaper and the explode now carries a precomputed
-    # 16-long array instead of the 64-long signature.)
-    bucket_arr = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at(F.col("sig"), b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select("id", F.posexplode(bucket_arr).alias("band", "bucket"))
+    buckets = _band_buckets(df, content_col, id_col, k, num_hashes, bands)
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
