@@ -621,3 +621,57 @@ def x12(spark, sf_dir):
         .filter(h * F.col("tw") * F.col("n") < F.lit(300) * F.col("wt") * F.lit(4294967296))
         .select("doc_id", "src_group")
     )
+
+
+@register(
+    "x13_unigram_logprob_filter",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      FROM documents
+    ), freq AS (
+      SELECT word, count(*) AS c FROM words GROUP BY word
+    ), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    scored AS (
+      SELECT w.doc_id,
+             round(avg(ln(t.n) - ln(f.c)), 6) AS avg_nll,
+             count(*) AS n_tokens
+      FROM words w JOIN freq f USING (word), tot t
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, avg_nll, CAST(n_tokens AS BIGINT) AS n_tokens,
+           avg_nll <= 8.0 AS kept
+    FROM scored
+    """,
+    doc="Pseudo-perplexity quality filter (the public CCNet-style LM "
+        "filter with a corpus-unigram proxy model): per-token negative "
+        "log-likelihood -ln(freq/N) averaged per document — documents "
+        "full of corpus-rare tokens (boilerplate ids, garbled text) "
+        "score high and are dropped.  Shape: token explode -> vocab "
+        "frequency aggregate (a vocab-sized dim, broadcastable at any "
+        "corpus scale) -> token-frequency join -> per-doc average; the "
+        "corpus total rides a 1-row broadcast like x8/x12.  The kept "
+        "flag compares the ROUNDED score so both engines decide from "
+        "identical values",
+    tags=("text",),
+)
+def x13(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("n")) - F.log(F.col("c"))), 6).alias("avg_nll"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        "doc_id", "avg_nll", "n_tokens", (F.col("avg_nll") <= 8.0).alias("kept")
+    )
