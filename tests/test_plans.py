@@ -313,3 +313,46 @@ def test_d10_shared_spans_equijoin_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "shingle" in p
     assert not re.search(r"Window \[[^\]]*\bwindowspecdefinition\(_w?pos", p)
+
+
+# Queries whose physical plan legitimately contains a
+# BroadcastNestedLoopJoin — every entry is a non-equi join whose BUILD
+# side is bounded by construction (a 1-row scalar aggregate or a
+# fixed-size dim), so the "nested loop" is a constant-factor probe, not
+# a quadratic blowup:
+#   i1   watermark predicate vs 1-row max-watermark aggregate
+#   j1   theta startswith probe vs the broadcast CSAF dim (bounded lookup)
+#   n1   brute-force ANN baseline: corpus scan x broadcast query set (by design)
+#   n3   recall metric — reuses n1's baseline
+#   q11  scalar-fraction subquery: 1-row broadcast
+#   q22  scalar AVG subquery: 1-row broadcast
+#   u2   global set-union: 1-row broadcast
+#   x12  mixture weights total: 1-row broadcast
+#   x13  corpus token total: 1-row broadcast
+_BNLJ_ALLOWED = {
+    "i1_watermark_delta_filter",
+    "j1_theta_startswith_join",
+    "n1_ann_bruteforce_topk",
+    "n3_ann_lsh_recall",
+    "tpch_q11_important_stock",
+    "tpch_q22_global_sales_opportunity",
+    "u2_flatten_collect_except",
+    "x12_mixture_sampling",
+    "x13_unigram_logprob_filter",
+}
+
+
+def test_every_registered_plan_free_of_unbounded_joins(spark, sf_dir):
+    """Blanket scale guard over the WHOLE registry: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where the build side is
+    bounded by construction (_BNLJ_ALLOWED, each justified above).  A new
+    query — or a plan regression in an old one — that silently introduces
+    an all-pairs join fails here before any large run would."""
+    offenders = {}
+    for name in REGISTRY:
+        p = plan_of(q(name, spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not offenders, offenders
