@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vunnel_spark.functions.vectors import cosine, dot
+from vunnel_spark.functions.vectors import cosine
 
 
 def brute_force_topk(
