@@ -267,3 +267,53 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
     assert _as_sets(out, ["l_event_id", "r_event_id"]) == _as_sets(
         expect, ["l_event_id", "r_event_id"]
     )
+
+
+def test_streaming_near_dup_filter_grows_index_across_batches(spark, tmp_path):
+    """Ingestion dedup end-to-end: batch 1 seeds accepted docs (dropping
+    its in-batch twin and a near-dup of the PRE-SEEDED corpus); batch 2's
+    near-dup of a batch-1 SURVIVOR is then dropped because the index grew."""
+    from vunnel_spark.operators.dedup import write_lsh_index
+    from vunnel_spark.streaming import foreach_batch_near_dup_filter
+
+    def doc(seed, tweak=""):
+        base = " ".join(f"tok{seed}w{i}" for i in range(40))
+        return base + (" " + tweak if tweak else "")
+
+    schema = "doc_id long, text string"
+    index = str(tmp_path / "index")
+    survivors = str(tmp_path / "survivors")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    # pre-seeded accepted corpus: docs 1, 2
+    corpus = spark.createDataFrame([(1, doc("a")), (2, doc("b"))], schema)
+    write_lsh_index(corpus, index)
+
+    # batch 1: near-dup of corpus doc 1 (drop), twin pair 11/12 (keep 11),
+    # novel 13 (keep)
+    spark.createDataFrame(
+        [(10, doc("a", "changed")), (11, doc("c")), (12, doc("c", "x")),
+         (13, doc("d"))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = foreach_batch_near_dup_filter(
+        stream, index, survivors, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+
+    got1 = {r.doc_id for r in spark.read.parquet(survivors).collect()}
+    assert got1 == {11, 13}, got1
+
+    # batch 2: near-dup of batch-1 survivor 11 (drop — index grew),
+    # novel 21 (keep)
+    spark.createDataFrame(
+        [(20, doc("c", "again")), (21, doc("e"))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got2 = {r.doc_id for r in spark.read.parquet(survivors).collect()}
+    assert got2 == {11, 13, 21}, got2

@@ -6,6 +6,7 @@ with watermarks.  Every transformation here is the SAME expression used by
 the batch queries in queries/events.py — one definition, two run modes.
 """
 
+from vunnel_spark.streaming.dedup import foreach_batch_near_dup_filter  # noqa: F401
 from vunnel_spark.streaming.joins import interval_join  # noqa: F401
 from vunnel_spark.streaming.enrich import (  # noqa: F401
     foreach_batch_upsert,
