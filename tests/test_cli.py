@@ -59,3 +59,34 @@ def test_cli_list_bad_tag_is_error(capsys):
 def test_cli_run_requires_name_or_tags(capsys):
     assert main(["run"]) == 2
     assert main(["run", "x1_token_count_stats", "--tags", "text"]) == 2
+
+
+def test_cli_clear_removes_known_members_only(tmp_path, capsys):
+    import os
+
+    from vunnel_spark.cli import main
+
+    ws = tmp_path / "ws"
+    for member in ("input", "results", "checkpoints"):
+        (ws / member).mkdir(parents=True)
+        (ws / member / "f").write_text("x")
+    (ws / "results.__old__").mkdir()          # stale backup from a crash
+    (ws / "unrelated").mkdir()                # must survive
+    (ws / "_state.json").write_text("{}")
+
+    # dry-run touches nothing
+    assert main(["clear", str(ws), "--dry-run"]) == 0
+    assert (ws / "results").exists() and (ws / "input").exists()
+
+    assert main(["clear", str(ws), "--results-only"]) == 0
+    assert not (ws / "results").exists()
+    assert not (ws / "results.__old__").exists()
+    assert not (ws / "_state.json").exists()
+    assert (ws / "input").exists() and (ws / "unrelated").exists()
+
+    assert main(["clear", str(ws)]) == 0
+    assert not (ws / "input").exists()
+    assert (ws / "unrelated").exists()
+
+    assert main(["clear", str(ws / "missing")]) == 2
+    assert main(["clear", str(ws), "--input-only", "--results-only"]) == 2

@@ -1,9 +1,10 @@
-"""Engine CLI — run/list/status parity with the reference's command surface
-(/root/reference/src/vunnel/cli/cli.py:150-311: run, list, status, clear).
+"""Engine CLI — run/list/status/clear parity with the reference's command
+surface (/root/reference/src/vunnel/cli/cli.py:150-311).
 
     python -m vunnel_spark list [--tag TAG]
     python -m vunnel_spark run QUERY [--sf-dir DIR] [--show N] [--explain]
     python -m vunnel_spark status [--sf-dir DIR]
+    python -m vunnel_spark clear WORKSPACE [--input-only|--results-only] [--dry-run]
 """
 
 from __future__ import annotations
@@ -39,7 +40,55 @@ def _build_parser() -> argparse.ArgumentParser:
 
     p_status = sub.add_parser("status", help="registry + table inventory")
     p_status.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
+    p_clear = sub.add_parser(
+        "clear",
+        help="reset a pipeline workspace (reference workspace.clear(): "
+             "input/ + results/ + run state; cli.py clear command)",
+    )
+    p_clear.add_argument("workspace", help="workspace root directory")
+    p_clear.add_argument("--input-only", action="store_true")
+    p_clear.add_argument("--results-only", action="store_true")
+    p_clear.add_argument("--dry-run", action="store_true")
     return p
+
+
+#: workspace members `clear` may remove — never arbitrary paths
+_CLEAR_INPUT = ("input", "landing", "cache")
+_CLEAR_RESULTS = ("results", "checkpoints", "_state.json", "checksums")
+
+
+def _clear_workspace(root: str, input_only: bool, results_only: bool, dry_run: bool) -> list[str]:
+    """Remove a workspace's known members plus stale stage/backup dirs.
+
+    Mirrors the reference's Workspace.clear()/clear_input()/clear_results()
+    (workspace.py:162-194) with the same safety shape: only RECOGNIZED
+    member names under the given root are touched, so a mistyped path
+    cannot delete unrelated data.  Stale ``.__stage__*``/``.__old__``
+    leftovers from a crashed atomic publish are always swept.
+    """
+    import glob
+    import os
+    import shutil
+
+    members: tuple[str, ...] = ()
+    if not results_only:
+        members += _CLEAR_INPUT
+    if not input_only:
+        members += _CLEAR_RESULTS
+    removed = []
+    for m in members:
+        target = os.path.join(root, m)
+        for path in [target] + glob.glob(f"{target}.__stage__*") + [f"{target}.__old__"]:
+            if os.path.isdir(path):
+                if not dry_run:
+                    shutil.rmtree(path)
+                removed.append(path)
+            elif os.path.isfile(path):
+                if not dry_run:
+                    os.remove(path)
+                removed.append(path)
+    return removed
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -65,6 +114,24 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             kind = "oracle" if spec.oracle else "rows-only"
             print(f"{name:38s} {kind:9s} {','.join(spec.tags)}")
+        return 0
+
+    if args.cmd == "clear":
+        import os
+
+        if args.input_only and args.results_only:
+            print("--input-only and --results-only are exclusive", file=sys.stderr)
+            return 2
+        if not os.path.isdir(args.workspace):
+            print(f"no such workspace: {args.workspace}", file=sys.stderr)
+            return 2
+        removed = _clear_workspace(
+            args.workspace, args.input_only, args.results_only, args.dry_run
+        )
+        verb = "would remove" if args.dry_run else "removed"
+        for path in removed:
+            print(f"{verb} {path}")
+        print(f"{verb} {len(removed)} workspace member(s)")
         return 0
 
     from vunnel_spark.session import get_spark
