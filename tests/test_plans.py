@@ -324,6 +324,8 @@ def test_d10_shared_spans_equijoin_no_cartesian(spark, sf_dir):
 #   j1   theta startswith probe vs the broadcast CSAF dim (bounded lookup)
 #   n1   brute-force ANN baseline: corpus scan x broadcast query set (by design)
 #   n3   recall metric — reuses n1's baseline
+#   n7   PQ ADC scan: corpus CODES x broadcast query set (8 bytes/row scanned)
+#   n8   PQ shortlist is the same shape; the rerank join itself is equi
 #   q11  scalar-fraction subquery: 1-row broadcast
 #   q22  scalar AVG subquery: 1-row broadcast
 #   u2   global set-union: 1-row broadcast
@@ -334,6 +336,8 @@ _BNLJ_ALLOWED = {
     "j1_theta_startswith_join",
     "n1_ann_bruteforce_topk",
     "n3_ann_lsh_recall",
+    "n7_pq_adc_topk",
+    "n8_pq_rerank_retrieval",
     "tpch_q11_important_stock",
     "tpch_q22_global_sales_opportunity",
     "u2_flatten_collect_except",
@@ -356,3 +360,29 @@ def test_every_registered_plan_free_of_unbounded_joins(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
     assert not offenders, offenders
+
+
+def test_b1_bucketed_join_single_exchange(spark, sf_dir):
+    """The bucketed layout must replace BOTH shuffles: the per-order
+    aggregation and the fact⋈fact sort-merge join read the bucket spec,
+    leaving exactly one Exchange (the final 5-row priority rollup).  A
+    second Exchange means the layout contract broke — at 100 TB that is
+    the difference between reading the join and re-shuffling the store."""
+    df = q("b1_bucketed_colocated_join", spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+
+
+def test_b2_lookup_prunes_buckets(spark, sf_dir):
+    """The IN-list on the bucket column must prune the scan to the
+    buckets its keys hash into — fewer than all 8 — and push the filter
+    into the parquet scan.  (Requires autoBucketedScan pinned off: the
+    DisableUnnecessaryBucketedScan heuristic is pruning-blind.)"""
+    df = q("b2_bucket_pruned_lookup", spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+    assert m, p
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    assert "PushedFilters: [In(o_orderkey" in p, p

@@ -113,3 +113,96 @@ def test_ivf_partitioned_store_prunes_and_matches(spark, sf_dir, tmp_path):
         served.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------- PQ
+
+
+@pytest.fixture(scope="module")
+def pq_books(spark, emb):
+    from vunnel_spark.operators.similarity import train_pq_codebooks
+
+    return train_pq_codebooks(emb, m=8, ks=16)
+
+
+def test_pq_encode_shape_and_range(spark, emb, pq_books):
+    from vunnel_spark.operators.similarity import pq_encode
+
+    rows = pq_encode(emb, pq_books).select("vec_id", "code").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r.code) == 8
+        assert all(0 <= c < 16 for c in r.code), r.code
+
+
+def test_pq_encode_picks_nearest_codeword(spark, emb, pq_books):
+    # spot-check one vector against a pure-python argmin
+    from vunnel_spark.operators.similarity import pq_encode
+
+    r = pq_encode(emb.limit(1), pq_books).select("embedding", "code").collect()[0]
+    vec = [float(x) for x in r.embedding]
+    for j, book in enumerate(pq_books):
+        sub = vec[j * 8:(j + 1) * 8]
+        dists = [sum((a - b) ** 2 for a, b in zip(sub, cw)) for cw in book]
+        assert r.code[j] == dists.index(min(dists))
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark, emb, pq_books):
+    # shortlist+rerank top-1 must recover the exact top-1 for most
+    # queries: with a 64-deep ADC shortlist over a 500-vector corpus the
+    # only misses are genuine quantization losses, bounded here
+    from vunnel_spark.operators.similarity import brute_force_topk, pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in pq_adc_topk(emb, queries, pq_books, k=1, rerank=64).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits / len(exact) >= 0.6, f"rerank recall {hits}/{len(exact)}"
+
+
+def test_pq_adc_join_is_broadcast_no_shuffle_of_corpus(spark, emb, pq_books):
+    # the ADC scan must be corpus-scan x broadcast-queries: no Exchange
+    # of the corpus side before the per-query top-k window
+    from vunnel_spark.operators.similarity import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    p = plan_of(pq_adc_topk(emb, queries, pq_books, k=5))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ivfpq_candidates_are_cell_equi_join(spark, emb, pq_books):
+    # two-level index: candidate generation must be an equi-join on the
+    # cell id with the query side broadcast — never all-pairs
+    from vunnel_spark.operators.similarity import fixed_centroids, ivf_pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = fixed_centroids(8, 64)
+    p = plan_of(ivf_pq_topk(emb, queries, cents, pq_books, k=5, nprobe=4))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_ivfpq_subset_of_pq_ranking(spark, emb, pq_books):
+    # with the SAME codebooks, IVF+PQ scores a subset of what plain PQ
+    # scores: any (query, neighbor) both return must carry the same ADC
+    from vunnel_spark.operators.similarity import (
+        fixed_centroids, ivf_pq_topk, pq_adc_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = fixed_centroids(8, 64)
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_adc_topk(emb, queries, pq_books, k=500).collect()
+    }
+    pruned = ivf_pq_topk(emb, queries, cents, pq_books, k=5, nprobe=4).collect()
+    assert len(pruned) > 0
+    for r in pruned:
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_dist

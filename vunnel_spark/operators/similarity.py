@@ -341,3 +341,236 @@ def ivf_topk_partitioned(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------- product
+# quantization: the 100 TB compression path.  IVF prunes WHICH vectors a
+# query touches; PQ shrinks WHAT is read per vector — an m-byte code
+# instead of dim*4 bytes (64-dim float -> 8 bytes here, 32x).  FAISS-style
+# IVF+PQ is the de facto layout for web-scale ANN; both halves compose
+# here because each is a plain column (cell id, code array).
+
+def fixed_pq_codebooks(
+    m: int = 8, ks: int = 16, dim: int = 64, scale: float = 0.15
+) -> list[list[list[float]]]:
+    """Deterministic sha256-derived PQ codebooks: ``m`` subspaces of
+    ``dim//m`` dims, ``ks`` codewords each.
+
+    Same engine-portability discipline as fixed_centroids/_plane_value —
+    an external SQL oracle regenerates the exact doubles, so code
+    assignment and ADC distances verify bit-for-bit outside Spark.
+    """
+    import hashlib
+
+    sub = dim // m
+    books = []
+    for j in range(m):
+        book = []
+        for c in range(ks):
+            row = []
+            for i in range(sub):
+                h = hashlib.sha256(f"pq:{j}:{c}:{i}".encode()).digest()
+                row.append((int.from_bytes(h[:8], "big") / float(2**63) - 1.0) * scale)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: one distributed k-means per subspace slice.
+
+    The model is m*ks*(dim/m) floats (= dim*ks, a few KB) shipped as plan
+    literals; like train_ivf_centroids, training runs on a deterministic
+    hash sample and never collects vectors to the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus
+    if sample_mod > 1:
+        df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
+    sub = dim // m
+    books = []
+    for j in range(m):
+        feat = df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=ks, seed=seed + j, maxIter=max_iter).fit(feat)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "code",
+) -> DataFrame:
+    """Assign each vector its per-subspace nearest-codeword indices.
+
+    Pure Catalyst, the add_ivf_cells shape per subspace: distances to the
+    ks literal codewords, array_sort over (d2, idx) structs, take the
+    head.  Ties break to the LOWEST codeword index — matched by the
+    oracle's first-occurrence list_position.  At write time this column
+    replaces the raw vector in the serving store.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = []
+        for cidx, cw in enumerate(book):
+            lit = F.array(*[F.lit(v) for v in cw])
+            d2 = F.aggregate(
+                F.zip_with(
+                    sl, lit,
+                    lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dists.append(F.struct(d2.alias("d2"), F.lit(cidx).alias("c")))
+        codes.append(
+            F.element_at(F.array_sort(F.array(*dists)), 1).getField("c")
+        )
+    return df.withColumn(out_col, F.array(*codes).cast("array<int>"))
+
+
+def _adc_distance(qv, code, codebooks: list[list[list[float]]]):
+    """Asymmetric (query-exact vs corpus-code) squared L2: a strict
+    left-to-right chain of per-subspace left folds, so an oracle adding
+    in the same order reproduces the double bit-for-bit."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    total = None
+    for j, book in enumerate(codebooks):
+        lit_book = F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in book])
+        cw = F.element_at(lit_book, F.element_at(code, j + 1) + 1)
+        d2 = F.aggregate(
+            F.zip_with(
+                F.slice(qv, j * sub + 1, sub), cw,
+                lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        total = d2 if total is None else total + d2
+    return total
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation.
+
+    The corpus side carries only (id, code) — at scale the scan reads m
+    small ints per vector instead of the embedding column (32x less IO
+    at the defaults); queries are broadcast with their exact vectors.
+    ``rerank > 0`` switches to the production shape: ADC shortlists
+    ``rerank`` candidates per query, then ONLY those join back to the
+    corpus vectors for exact cosine — so full-precision reads are
+    k-bounded per query, not corpus-bounded.
+
+    Output: (query_id, neighbor_id, adc_dist, rank) ranked by ascending
+    rounded ADC; with rerank, (query_id, neighbor_id, cos_sim, rank)
+    ranked like brute_force_topk for direct recall comparison.
+    """
+    codes = pq_encode(corpus, codebooks, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "code"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    scored = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_dist",
+            F.round(_adc_distance(F.col("_qv"), F.col("code"), codebooks), 6),
+        )
+        .drop("code")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank if rerank else k))
+    )
+    if not rerank:
+        return shortlist.drop("_qv")
+    exact = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.drop("rank", "adc_dist")
+        .join(exact, "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv")
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composed ANN (the FAISS IVFPQ layout, the de facto shape
+    for web-scale vector stores): the coarse quantizer prunes WHICH
+    inverted lists a query touches (~nprobe/nlist of the corpus), and
+    the product quantizer shrinks WHAT is read per candidate (m code
+    bytes, not the vector).
+
+    Both index columns are plain Catalyst projections, so at scale the
+    corpus side materializes once as (id, cell, code) — cell as the
+    partition column (dynamic partition pruning, see
+    write_ivf_partitioned), code instead of the embedding.  Scoring is
+    ADC against broadcast query vectors, rank/tie rules as pq_adc_topk.
+    """
+    cb = pq_encode(
+        add_ivf_cells(corpus, centroids, vec_col, nprobe=1), codebooks, vec_col
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at("cells", 1).alias("cell"),
+        "code",
+    )
+    qb = add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode("cells").alias("cell"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc_dist",
+            F.round(_adc_distance(F.col("_qv"), F.col("code"), codebooks), 6),
+        )
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

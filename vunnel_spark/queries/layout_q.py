@@ -1,0 +1,138 @@
+"""Bucketed-layout queries: shuffle amortized at write time.
+
+The 100 TB argument in executable form.  ``b1`` writes the two largest
+fact tables bucketed+sorted on the join key, then runs a per-key
+aggregate AND a fact⋈fact join with ZERO exchanges before the final
+small rollup — the layout replaces the shuffle (pinned by
+tests/test_plans.py::test_b1_bucketed_join_single_exchange).  ``b2``
+shows the read side of the same contract: an IN-list filter on the
+bucket column prunes the scan to the matching buckets
+(``SelectedBucketsCount`` in the FileScan), the serving-path analogue
+of the reference's keyed SQLite lookup (result.py:233-259 reads one
+envelope by identifier instead of scanning the store).
+
+All money arithmetic is DECIMAL so the oracle comparison is exact —
+a double sum's value depends on accumulation order across partitions,
+a decimal sum's does not.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vunnel_spark.queries._util import t
+from vunnel_spark.registry import register
+
+_N_BUCKETS = 8
+
+
+def _bucketed_pair(spark, sf_dir, prefix: str):
+    """orders + lineitem written bucketed on the order key."""
+    from vunnel_spark.sinks.bucketed import write_bucketed
+
+    root = tempfile.mkdtemp(prefix=f"{prefix}_")
+    ot = write_bucketed(
+        t(spark, sf_dir, "orders"),
+        f"{prefix}_orders",
+        os.path.join(root, "orders"),
+        "o_orderkey",
+        _N_BUCKETS,
+    )
+    lt = write_bucketed(
+        t(spark, sf_dir, "lineitem"),
+        f"{prefix}_lineitem",
+        os.path.join(root, "lineitem"),
+        "l_orderkey",
+        _N_BUCKETS,
+    )
+    return ot, lt
+
+
+@register(
+    "b1_bucketed_colocated_join",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS order_revenue
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(n_lines) AS n_lines,
+           CAST(sum(order_revenue) AS DECIMAL(20,2)) AS revenue
+    FROM per_order JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Bucketed co-located join: orders and lineitem written "
+        "bucketBy(8, orderkey)+sortBy, then per-order agg + sort-merge "
+        "join + rollup with exactly ONE exchange (the final 5-row "
+        "rollup) in the whole plan — the write-time layout replaces the "
+        "two join/agg shuffles that dominate at 100 TB.  Plan pinned by "
+        "tests/test_plans.py; content oracle is layout-independent SQL",
+    tags=("layout", "join", "sink"),
+)
+def b1(spark, sf_dir):
+    ot, lt = _bucketed_pair(spark, sf_dir, "b1")
+    per_order = lt.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("order_revenue"),
+    )
+    joined = per_order.join(
+        ot.hint("merge"), per_order["l_orderkey"] == ot["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("order_revenue").cast("decimal(20,2)").alias("revenue"),
+    )
+
+
+_B2_KEYS = (11, 23, 35, 47, 59)
+
+
+@register(
+    "b2_bucket_pruned_lookup",
+    f"""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders WHERE o_orderkey IN {_B2_KEYS}
+    """,
+    doc="Bucket-pruned point lookup: an IN-list on the bucket column "
+        "scans only the buckets those keys hash into "
+        "(SelectedBucketsCount < 8 in the FileScan, pinned) — the "
+        "serving path for keyed reads over a 100 TB store, no full "
+        "scan, no shuffle",
+    tags=("layout", "source"),
+)
+def b2(spark, sf_dir):
+    from vunnel_spark.sinks.bucketed import write_bucketed
+
+    # DisableUnnecessaryBucketedScan sees no downstream operator that
+    # wants the hash distribution and silently drops the bucketed read —
+    # which ALSO drops bucket pruning, turning the point lookup back
+    # into a full scan.  The rule is pruning-blind (it only weighs
+    # distribution reuse), so serving-style lookups must pin the scan
+    # on.  Safe to leave set: it only suppresses an optional disable
+    # heuristic and non-bucketed reads never consult it.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    root = tempfile.mkdtemp(prefix="b2_")
+    ot = write_bucketed(
+        t(spark, sf_dir, "orders"),
+        "b2_orders",
+        os.path.join(root, "orders"),
+        "o_orderkey",
+        _N_BUCKETS,
+    )
+    return ot.filter(F.col("o_orderkey").isin(*_B2_KEYS)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
