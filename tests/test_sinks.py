@@ -176,3 +176,35 @@ def test_dedup_without_order_col_stable_across_partitioning(spark, outdir):
         ))
     assert outs[0] == outs[1] == outs[2]
     assert [r[0] for r in outs[0]] == ["a", "b"]
+
+
+def test_hash_bucket_keyed_read_prunes_and_matches(spark, sf_dir, outdir):
+    # metastore-free hash bucketing: read_keys must (a) return exactly
+    # the filter-on-full-read rows, (b) fold each key's bucket to a
+    # literal so PartitionFilters prune unmatched bucket dirs, (c) hide
+    # the layout column from both read paths
+    import re
+
+    path = os.path.join(outdir, "bucketed_store")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ident"), F.col("o_totalprice").alias("price")
+    )
+    w = EnvelopeWriter(path, key="ident", order_col="ident", hash_buckets=8)
+    w.write(orders)
+
+    keys = [11, 23, 35]
+    got = {r.ident for r in w.read_keys(spark, keys).collect()}
+    want = {r.ident for r in w.read(spark).filter(F.col("ident").isin(keys)).collect()}
+    assert got == want and got == set(keys)
+
+    df = w.read_keys(spark, keys)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)", p)
+    assert m and "_bucket" in m.group(1), p
+    # folded literals, strictly fewer buckets than written
+    n_buckets = len(re.findall(r"_bucket#\d+ = \d+", m.group(1)))
+    assert 0 < n_buckets < 8, m.group(1)
+    assert "_bucket" not in df.columns
+    assert "_bucket" not in w.read(spark).columns
+    # the layout really is hive-partitioned on disk
+    assert any(d.startswith("_bucket=") for d in os.listdir(path)), os.listdir(path)

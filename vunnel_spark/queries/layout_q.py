@@ -136,3 +136,37 @@ def b2(spark, sf_dir):
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
+
+
+@register(
+    "s14_hash_bucket_keyed_read",
+    f"""
+    SELECT o_orderkey AS ident, o_orderstatus AS status,
+           round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey IN {_B2_KEYS}
+    """,
+    doc="S14 keyed point read through the envelope store's metastore-"
+        "free hash bucketing (sinks/writers.py read_keys): the store is "
+        "written partitioned by _bucket = pmod(xxhash64(key), n), each "
+        "requested key's bucket constant-folds from a literal, and the "
+        "scan's PartitionFilters prune every unmatched bucket dir — the "
+        "reference's keyed SQLite lookup (result.py:233-259) restated "
+        "as file-level pruning that survives the atomic-swap publish",
+    tags=("layout", "sink"),
+)
+def s14(spark, sf_dir):
+    from vunnel_spark.sinks import EnvelopeWriter
+
+    out = os.path.join(tempfile.mkdtemp(prefix="s14_"), "results")
+    orders = t(spark, sf_dir, "orders")
+    writer = EnvelopeWriter(
+        out, key="ident", dedup="last_wins", order_col="ident", hash_buckets=8
+    )
+    writer.write(
+        orders.select(
+            F.col("o_orderkey").alias("ident"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    return writer.read_keys(spark, list(_B2_KEYS))

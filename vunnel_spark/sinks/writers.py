@@ -57,7 +57,19 @@ class EnvelopeWriter:
     content hash (stable across partitioning/reruns, but not "arrival
     order" — a distributed batch has none); pass ``order_col`` whenever
     a specific duplicate must survive.
+
+    ``hash_buckets`` adds a derived ``_bucket = pmod(xxhash64(key), n)``
+    PARTITION column — metastore-free hash bucketing that survives the
+    atomic-swap publish (Spark's native ``bucketBy`` needs a catalog
+    table, which the stage+rename protocol can't carry).  ``read_keys``
+    then rebuilds each key's bucket as a CONSTANT-FOLDABLE expression
+    (``pmod(xxhash64(lit(key)), n)``), so Catalyst folds the predicate
+    to ``_bucket IN (literals)`` and prunes unmatched partition dirs at
+    file-listing time — the keyed serving read over a 100 TB store
+    touches ~|keys|/n of the files, not all of them.
     """
+
+    BUCKET_COL = "_bucket"
 
     def __init__(
         self,
@@ -66,12 +78,14 @@ class EnvelopeWriter:
         dedup: str | None = "last_wins",
         order_col: str | None = None,
         partition_by: Sequence[str] = (),
+        hash_buckets: int | None = None,
     ):
         self.path = path
         self.key = key
         self.dedup = dedup
         self.order_col = order_col
         self.partition_by = list(partition_by)
+        self.hash_buckets = hash_buckets
 
     def _apply_dedup(self, df: DataFrame) -> DataFrame:
         if not self.dedup:
@@ -97,12 +111,24 @@ class EnvelopeWriter:
             .drop("_rn")
         )
 
+    def _bucket_of(self, key_expr) -> F.Column:
+        """Bucket id for a key expression — used identically at write
+        time (on the key column) and read time (on literals, where it
+        constant-folds, enabling partition pruning)."""
+        return F.pmod(F.xxhash64(key_expr.cast("string")), F.lit(self.hash_buckets))
+
+    def _partition_cols(self) -> list[str]:
+        return ([self.BUCKET_COL] if self.hash_buckets else []) + self.partition_by
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         out = self._apply_dedup(df)
+        if self.hash_buckets:
+            out = out.withColumn(self.BUCKET_COL, self._bucket_of(F.col(self.key)))
+        parts = self._partition_cols()
         if mode == "append":
             w = out.write.mode("append")
-            if self.partition_by:
-                w = w.partitionBy(*self.partition_by)
+            if parts:
+                w = w.partitionBy(*parts)
             w.parquet(self.path)
             return
         # atomic publish: write to a stage dir, then swap into place.
@@ -117,14 +143,37 @@ class EnvelopeWriter:
                 shutil.rmtree(stale)
         stage = f"{self.path}.__stage__{uuid.uuid4().hex[:8]}"
         w = out.write.mode("overwrite")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
+        if parts:
+            w = w.partitionBy(*parts)
         w.parquet(stage)
         _atomic_install(stage, self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """S14 keyed read-back: the table itself (filter for point lookups)."""
-        return spark.read.parquet(self.path)
+        df = spark.read.parquet(self.path)
+        if self.hash_buckets:
+            df = df.drop(self.BUCKET_COL)
+        return df
+
+    def read_keys(self, spark: SparkSession, keys: Sequence) -> DataFrame:
+        """S14 keyed point read.  With ``hash_buckets`` the bucket of
+        each requested key is recomputed over a LITERAL, so Catalyst
+        constant-folds it and the scan's PartitionFilters prune every
+        unmatched bucket dir — a |keys|-bounded read, never a full scan
+        (pinned by tests/test_sinks.py)."""
+        from functools import reduce
+
+        df = spark.read.parquet(self.path)
+        key_filter = F.col(self.key).isin(list(keys))
+        if not self.hash_buckets:
+            return df.filter(key_filter)
+        # the write hashed key.cast(string); literals must hash the same
+        # text, so keys are stringified through the same cast
+        buckets = [self._bucket_of(F.lit(k)) for k in keys]
+        bucket_filter = reduce(
+            lambda a, b: a | b, [F.col(self.BUCKET_COL) == b for b in buckets]
+        )
+        return df.filter(bucket_filter & key_filter).drop(self.BUCKET_COL)
 
 
 def _atomic_install(stage: str, path: str) -> None:
