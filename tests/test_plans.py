@@ -386,3 +386,26 @@ def test_b2_lookup_prunes_buckets(spark, sf_dir):
     assert m, p
     assert int(m.group(1)) < int(m.group(2)), m.group(0)
     assert "PushedFilters: [In(o_orderkey" in p, p
+
+
+def test_c2_lloyd_update_single_kxdim_shuffle(spark, sf_dir):
+    """The Lloyd update must aggregate the 64 dimension sums in ONE pass
+    (map-side combine, one Exchange on cell) and only Generate (explode)
+    AFTER the aggregate — on k rows, never the corpus.  A posexplode
+    before the agg would shuffle dim x corpus rows, the exact pathology
+    the simhash bit-sum fix removed."""
+    df = q("c2_lloyd_centroid_update", spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+    gen = p.find("Generate")
+    agg = p.find("HashAggregate")
+    assert gen != -1 and agg != -1 and gen < agg, (gen, agg)
+
+
+def test_c3_balanced_sample_broadcasts_cell_counts(spark, sf_dir):
+    """The per-cell count frame is k rows — it must come back as a
+    BroadcastHashJoin onto the scan, never a sort-merge shuffle of the
+    corpus."""
+    p = plan_of(q("c3_cluster_balanced_sample", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
