@@ -409,3 +409,27 @@ def test_c3_balanced_sample_broadcasts_cell_counts(spark, sf_dir):
     p = plan_of(q("c3_cluster_balanced_sample", spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_h1_salted_agg_two_phase_shape(spark, sf_dir):
+    """Salting must actually change the shuffle shape: TWO Exchanges,
+    and the first (inner) one hash-partitions on (lang, _salt) so the
+    hot key spreads — if _salt vanishes from the first exchange the
+    rewrite silently degenerated to a plain one-shuffle groupBy."""
+    df = q("h1_salted_skew_agg", spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 2, p
+    import re as _re
+    first = [m for m in _re.finditer(r"hashpartitioning\(([^)]*)\)", p)]
+    assert any("_salt" in m.group(1) and "lang" in m.group(1) for m in first), p
+
+
+def test_h2_salted_join_carries_salt_key(spark, sf_dir):
+    """The salted join must stay sort-merge (the dim-too-big regime the
+    operator exists for) and join on (lang, _salt), not lang alone."""
+    df = q("h2_salted_skew_join", spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
+    m = re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", p)
+    assert m and "_salt" in m.group(1), p

@@ -1,0 +1,87 @@
+"""Result-transparency tests for the skew-salting and incremental-merge
+operators: the rewrites must change plan shape ONLY — outputs equal the
+plain forms on any partitioning, and state merges commute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vunnel_spark.operators.incremental import aggregate_state, merge_agg_state
+from vunnel_spark.operators.skew import salted_agg, salted_join
+from vunnel_spark.session import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plain = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.min("n_chars").alias("min_n_chars"),
+    )
+    salted = salted_agg(
+        docs.repartition(13), ["lang"], "doc_id", num_buckets=5,
+        sum_cols=("n_chars",), min_cols=("n_chars",),
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    dim = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    plain = docs.join(dim, "lang").select("doc_id", "lang", "lang_total")
+    salted = salted_join(
+        docs, dim, on=["lang"], big_salt_src="doc_id", num_buckets=4
+    ).select("doc_id", "lang", "lang_total")
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame(
+        [(1, "en"), (2, "xx")], "doc_id long, lang string"
+    )
+    dim = spark.createDataFrame([("en", 10)], "lang string, lang_total long")
+    out = {
+        (r["doc_id"], r["lang_total"])
+        for r in salted_join(
+            big, dim, on=["lang"], big_salt_src="doc_id", num_buckets=3,
+            how="left",
+        ).collect()
+    }
+    assert out == {(1, 10), (2, None)}
+
+
+def test_merge_state_equals_full_aggregate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    kw = dict(keys=["user_id"], sum_cols=("value",), min_cols=("ts",), max_cols=("ts",))
+    full = aggregate_state(ev, **kw)
+    # split three ways, aggregate each, merge in two different orders
+    parts = [
+        aggregate_state(ev.filter(F.dayofmonth("ts") % 3 == i), **kw)
+        for i in range(3)
+    ]
+    m1 = merge_agg_state(parts, **kw)
+    m2 = merge_agg_state([parts[2], merge_agg_state(parts[:2], **kw)], **kw)
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["n_rows"], round(r["sum_value"], 6),
+             r["min_ts"], r["max_ts"])
+            for r in df.collect()
+        )
+
+    assert canon(m1) == canon(full)
+    assert canon(m2) == canon(full)
+
+
+def test_merge_state_disjoint_keys_pass_through(spark):
+    a = spark.createDataFrame([(1, 2, 5.0)], "k long, n_rows long, sum_v double")
+    b = spark.createDataFrame([(2, 3, 7.0)], "k long, n_rows long, sum_v double")
+    out = {
+        (r["k"], r["n_rows"], r["sum_v"])
+        for r in merge_agg_state([a, b], keys=["k"], sum_cols=("v",)).collect()
+    }
+    assert out == {(1, 2, 5.0), (2, 3, 7.0)}

@@ -1,0 +1,97 @@
+"""Explicit skew-salting operators — the 100 TB hot-key playbook as
+first-class, testable plan shapes.
+
+Policy: AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`) is the
+FIRST line of defense and is on in this engine's session defaults — it
+fixes skew AQE can see (oversized shuffle partitions at join time).  These
+operators cover what AQE cannot: a single group-by key so hot that one
+reducer's *aggregation state* (not just its input bytes) blows up, and
+map-side pre-aggregation that must be forced through an extra key.  The
+same discipline appears in every large-scale engine's skew documentation;
+results are BY CONSTRUCTION identical to the unsalted plan, which is what
+makes both operators oracle-checkable against plain GROUP BY / JOIN SQL.
+
+- ``salted_agg``: two-phase aggregation.  Phase 1 groups by
+  (keys, salt) — the hot key's rows spread over ``num_buckets`` reducers —
+  phase 2 re-aggregates the per-salt partials on the true keys (k x
+  buckets rows, trivial).  Only decomposable aggregates are offered
+  (count/sum/min/max); a mean is sum/count downstream.
+- ``salted_join``: replicate-and-salt equi-join for a skewed big side
+  against a dim too large to broadcast: big rows get a deterministic salt
+  from a unique column, the dim is exploded x ``num_buckets`` so every
+  (key, salt) bucket finds its dim row.  Replication cost is
+  |dim| x buckets — the knob trades dim duplication for hot-key spread.
+
+The salt is ``pmod(xxhash64(salt_src), buckets)`` — deterministic per
+row, so retries/speculative tasks and re-runs produce identical output
+(a ``rand()`` salt would not survive task retry semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def add_salt(
+    df: DataFrame, salt_src: str | Column, num_buckets: int, salt_col: str = "_salt"
+) -> DataFrame:
+    """Deterministic per-row salt in [0, num_buckets)."""
+    src = F.col(salt_src) if isinstance(salt_src, str) else salt_src
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(src), F.lit(num_buckets)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt_src: str,
+    num_buckets: int = 8,
+    count_col: str | None = "n_rows",
+    sum_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Two-phase salted aggregation; output == plain groupBy(keys).
+
+    Output columns: ``count_col`` plus ``sum_<c>``/``min_<c>``/``max_<c>``
+    for each requested column.
+    """
+    salted = add_salt(df, salt_src, num_buckets)
+    partials, finals = [], []
+    if count_col:
+        partials.append(F.count(F.lit(1)).alias("_pc"))
+        finals.append(F.sum("_pc").alias(count_col))
+    for c in sum_cols:
+        partials.append(F.sum(c).alias(f"_ps_{c}"))
+        finals.append(F.sum(f"_ps_{c}").alias(f"sum_{c}"))
+    for c in min_cols:
+        partials.append(F.min(c).alias(f"_pn_{c}"))
+        finals.append(F.min(f"_pn_{c}").alias(f"min_{c}"))
+    for c in max_cols:
+        partials.append(F.max(c).alias(f"_px_{c}"))
+        finals.append(F.max(f"_px_{c}").alias(f"max_{c}"))
+    phase1 = salted.groupBy(*keys, "_salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    big_salt_src: str,
+    num_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt equi-join; output == big.join(dim, on, how).
+
+    The dim side is exploded ``num_buckets`` ways so every salted bucket
+    of a hot key meets its dim row; a ``merge`` hint keeps the
+    demonstration in the sort-merge regime (with a broadcastable dim you
+    would just broadcast — salting is for the dim-too-big case).
+    """
+    salted_big = add_salt(big, big_salt_src, num_buckets)
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_buckets)]))
+    )
+    joined = salted_big.join(exploded_dim.hint("merge"), [*on, "_salt"], how)
+    return joined.drop("_salt")
