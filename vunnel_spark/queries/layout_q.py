@@ -170,3 +170,47 @@ def s14(spark, sf_dir):
         )
     )
     return writer.read_keys(spark, list(_B2_KEYS))
+
+
+@register(
+    "b3_zorder_range_query",
+    """
+    SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 2 AND 6
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY event_type
+    """,
+    doc="Z-order clustered layout (functions/zorder.py): events rewritten "
+        "range-partitioned+sorted by the Morton interleave of "
+        "(user_id, day), so BOTH filter columns' per-file min/max stats "
+        "are tight and a 2-D range predicate prunes files a time-sorted "
+        "layout must read (tests/test_zorder.py counts the touched "
+        "bounding boxes from the parquet footers: z < linear).  The "
+        "clustering key is write-time only — readers filter the real "
+        "columns and the answer (the oracle's plain filter+agg) is "
+        "layout-independent",
+    tags=("layout", "sink"),
+)
+def b3(spark, sf_dir):
+    from vunnel_spark.functions.zorder import read_clustered, write_clustered, z_value
+
+    ev = t(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="b3_"), "events_z")
+    write_clustered(
+        ev, path, z_value("user_id", F.dayofmonth("ts"), bits_a=11, bits_b=5)
+    )
+    zev = read_clustered(spark, path)
+    return (
+        zev.filter(
+            F.col("user_id").between(2, 6)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-21 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
