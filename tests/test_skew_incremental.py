@@ -54,6 +54,16 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert out == {(1, 10), (2, None)}
 
 
+def test_salted_join_rejects_dim_preserving_modes(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    dim = spark.createDataFrame([("en", 1)], "lang string, n long")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, dim, on=["lang"], big_salt_src="doc_id", how=how)
+
+
 def test_merge_state_equals_full_aggregate(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     kw = dict(keys=["user_id"], sum_cols=("value",), min_cols=("ts",), max_cols=("ts",))

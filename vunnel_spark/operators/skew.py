@@ -17,6 +17,9 @@ makes both operators oracle-checkable against plain GROUP BY / JOIN SQL.
   buckets rows, trivial).  Only decomposable aggregates are offered
   (count/sum/min/max); a mean is sum/count downstream.
 - ``salted_join``: replicate-and-salt equi-join for a skewed big side
+  (generalizes ``operators/joins.py salted_join`` — the provider-tier
+  original — with an explicit salt source, multi-column keys, and a
+  sort-merge hint)
   against a dim too large to broadcast: big rows get a deterministic salt
   from a unique column, the dim is exploded x ``num_buckets`` so every
   (key, salt) bucket finds its dim row.  Replication cost is
@@ -85,10 +88,22 @@ def salted_join(
     """Replicate-and-salt equi-join; output == big.join(dim, on, how).
 
     The dim side is exploded ``num_buckets`` ways so every salted bucket
-    of a hot key meets its dim row; a ``merge`` hint keeps the
-    demonstration in the sort-merge regime (with a broadcastable dim you
-    would just broadcast — salting is for the dim-too-big case).
+    of a hot key meets its dim row; a ``merge`` hint keeps the join in
+    the sort-merge regime (with a broadcastable dim you would just
+    broadcast — salting is for the dim-too-big case).
+
+    Same algorithm as ``operators/joins.py salted_join`` (the original,
+    all-columns-hash variant) and the same correctness constraint, which
+    it shares by construction: modes that preserve the DIM side would
+    emit each unmatched dim row once per salt replica, so only
+    inner/left (big-preserving) are allowed.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "outer modes preserving the dim side would emit its unmatched "
+            "rows once per salt replica"
+        )
     salted_big = add_salt(big, big_salt_src, num_buckets)
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_buckets)]))
