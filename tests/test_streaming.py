@@ -317,3 +317,49 @@ def test_streaming_near_dup_filter_grows_index_across_batches(spark, tmp_path):
 
     got2 = {r.doc_id for r in spark.read.parquet(survivors).collect()}
     assert got2 == {11, 13, 21}, got2
+
+
+def test_foreach_batch_rollup_matches_full_aggregate(spark, tmp_path):
+    """Streaming rollup maintenance (foreach_batch_rollup): after two
+    micro-batches the persisted state equals a full batch aggregate of
+    everything seen — and the second batch merged into existing state
+    (per-key counts accumulate, not reset)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from vunnel_spark.streaming.enrich import foreach_batch_rollup
+
+    src_dir = str(tmp_path / "roll_in")
+    state = str(tmp_path / "roll_state")
+    ckpt = str(tmp_path / "roll_ckpt")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    write_batch([(1, dt.datetime(2026, 1, 1, 10), 2.0),
+                 (2, dt.datetime(2026, 1, 1, 11), 3.0)])
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = foreach_batch_rollup(
+        stream, state, ckpt, keys=["user_id"],
+        sum_cols=("value",), max_cols=("ts",),
+    )
+    q.processAllAvailable()
+    write_batch([(1, dt.datetime(2026, 1, 2, 9), 5.0),
+                 (3, dt.datetime(2026, 1, 2, 10), 7.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["user_id"]: (r["n_rows"], r["sum_value"], str(r["max_ts"]))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {
+        1: (2, 7.0, "2026-01-02 09:00:00"),
+        2: (1, 3.0, "2026-01-01 11:00:00"),
+        3: (1, 7.0, "2026-01-02 10:00:00"),
+    }

@@ -72,3 +72,61 @@ def foreach_batch_upsert(stream: DataFrame, writer, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_rollup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    count_col: str = "n_rows",
+    sum_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+):
+    """Streaming materialized-rollup maintenance — the streaming face of
+    i7 (operators/incremental.py): each micro-batch aggregates to per-key
+    partials, merges with the persisted state table by the aggregates'
+    own algebra (sum of counts/sums, min/max of min/maxs), and publishes
+    the new state under the EnvelopeWriter's stage+atomic-swap protocol
+    (a reader never sees a half-written state, a crashed publish rolls
+    back).  Per batch this costs one |keys|-row merge shuffle and zero
+    history rescans — the rollup over an unbounded stream stays O(state),
+    not O(everything ever seen).
+
+    Returns the StreamingQuery (caller stops it).
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from vunnel_spark.operators.incremental import aggregate_state, merge_agg_state
+    from vunnel_spark.sinks.writers import _atomic_install
+
+    kw = dict(
+        keys=keys, count_col=count_col,
+        sum_cols=sum_cols, min_cols=min_cols, max_cols=max_cols,
+    )
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = aggregate_state(batch_df, **kw)
+        if os.path.exists(state_path):
+            new = merge_agg_state([spark.read.parquet(state_path), delta], **kw)
+        else:
+            new = delta
+        for stale in glob.glob(f"{state_path}.__stage__*") + [f"{state_path}.__old__"]:
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        stage = f"{state_path}.__stage__{uuid.uuid4().hex[:8]}"
+        new.write.mode("overwrite").parquet(stage)
+        _atomic_install(stage, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
