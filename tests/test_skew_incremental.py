@@ -95,3 +95,40 @@ def test_merge_state_disjoint_keys_pass_through(spark):
         for r in merge_agg_state([a, b], keys=["k"], sum_cols=("v",)).collect()
     }
     assert out == {(1, 2, 5.0), (2, 3, 7.0)}
+
+
+def test_distinct_state_merge_is_idempotent_and_exactish(spark, sf_dir):
+    from vunnel_spark.operators.incremental import (
+        distinct_state,
+        estimate_distinct,
+        merge_distinct_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    splits = [ev.filter(F.dayofmonth("ts") % 3 == i) for i in range(3)]
+    states = [distinct_state(d, keys, "user_id") for d in splits]
+
+    def est(state):
+        return {
+            r["event_type"]: r["e"]
+            for r in estimate_distinct(state, "user_id", "e").collect()
+        }
+
+    merged = merge_distinct_state(states, keys, "user_id")
+    direct = distinct_state(ev, keys, "user_id")
+    assert est(merged) == est(direct)
+
+    # IDEMPOTENT: replaying a delta (at-least-once delivery) changes nothing
+    replayed = merge_distinct_state([merged, states[0]], keys, "user_id")
+    assert est(replayed) == est(merged)
+
+    # and the estimate tracks exact distinct within the HLL bound
+    exact = {
+        r["event_type"]: r["x"]
+        for r in ev.groupBy(*keys).agg(
+            F.countDistinct("user_id").alias("x")
+        ).collect()
+    }
+    for k, e in est(merged).items():
+        assert abs(e - exact[k]) <= 0.05 * exact[k], (k, e, exact[k])

@@ -62,3 +62,43 @@ def merge_agg_state(
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def distinct_state(
+    df: DataFrame, keys: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable per-key DISTINCT-count state: a Datasketches HLL sketch
+    per key (``hll_<col>`` binary column).
+
+    Exact distinct is the canonical NON-decomposable aggregate — final
+    counts cannot merge (union sizes are not sums), so the
+    ``merge_agg_state`` path cannot maintain it.  The sketch CAN: HLL
+    register state unions by max, which is associative, commutative and
+    IDEMPOTENT — a replayed delta batch cannot double-count, the
+    property that makes the maintenance loop safe under at-least-once
+    delivery (where a retried count/sum delta would corrupt i7-style
+    state).  ~2^lg_k bytes per key, ~2% relative error at the default.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias(f"hll_{value_col}")
+    )
+
+
+def merge_distinct_state(
+    states: list[DataFrame], keys: list[str], value_col: str
+) -> DataFrame:
+    """Union per-key sketches across state/delta frames: one |keys|-row
+    shuffle of fixed-size binaries, zero history rescans."""
+    col = f"hll_{value_col}"
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(F.hll_union_agg(col).alias(col))
+
+
+def estimate_distinct(state: DataFrame, value_col: str, out_col: str | None = None) -> DataFrame:
+    """Read the estimate off the sketch state."""
+    col = f"hll_{value_col}"
+    return state.withColumn(
+        out_col or f"approx_distinct_{value_col}", F.hll_sketch_estimate(F.col(col))
+    )

@@ -43,3 +43,48 @@ def i7(spark, sf_dir):
         F.round("sum_value", 4).alias("sum_value"),
         F.col("max_ts"),
     )
+
+
+@register(
+    "i8_incremental_distinct_merge",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           1 AS within_tolerance
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental DISTINCT-count maintenance via mergeable HLL "
+        "sketches (operators/incremental.py distinct_state/"
+        "merge_distinct_state): exact distinct is non-decomposable, so "
+        "the rollup keeps ~4 KB register state per key and unions deltas "
+        "by register-max — associative AND idempotent, so a replayed "
+        "delta cannot double-count (the at-least-once-safe counterpart "
+        "of i7).  Gate uses the a16 tolerance trick: Spark emits "
+        "|merged-sketch estimate - exact| <= 5%*exact as "
+        "within_tolerance, the oracle emits exact counts + literal 1",
+    tags=("incremental", "agg"),
+)
+def i8(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    history = ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+    delta = ev.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    from vunnel_spark.operators.incremental import (
+        distinct_state,
+        estimate_distinct,
+        merge_distinct_state,
+    )
+
+    keys = ["event_type"]
+    state = distinct_state(history, keys, "user_id")
+    merged = merge_distinct_state(
+        [state, distinct_state(delta, keys, "user_id")], keys, "user_id"
+    )
+    est = estimate_distinct(merged, "user_id", "est")
+    exact = ev.groupBy(*keys).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        est.join(exact, keys)
+        .select(
+            "event_type", "exact_users",
+            (F.abs(F.col("est") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).cast("int").alias("within_tolerance"),
+        )
+    )
