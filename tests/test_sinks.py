@@ -208,3 +208,19 @@ def test_hash_bucket_keyed_read_prunes_and_matches(spark, sf_dir, outdir):
     assert "_bucket" not in w.read(spark).columns
     # the layout really is hive-partitioned on disk
     assert any(d.startswith("_bucket=") for d in os.listdir(path)), os.listdir(path)
+
+
+def test_recover_backup_restores_crashed_swap(spark, tmp_path):
+    """A hard kill between _atomic_install's two renames leaves the prior
+    store parked as __old__ with nothing at the path; the next write must
+    restore it, not treat the store as empty."""
+    import os
+
+    from vunnel_spark.sinks.writers import _recover_backup
+
+    path = str(tmp_path / "store")
+    spark.range(5).write.parquet(path)
+    os.rename(path, f"{path}.__old__")  # simulate the crash window
+    _recover_backup(path)
+    assert spark.read.parquet(path).count() == 5
+    assert not os.path.exists(f"{path}.__old__")

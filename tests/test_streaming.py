@@ -363,3 +363,38 @@ def test_foreach_batch_rollup_matches_full_aggregate(spark, tmp_path):
         2: (1, 3.0, "2026-01-01 11:00:00"),
         3: (1, 7.0, "2026-01-02 10:00:00"),
     }
+
+
+def test_foreach_batch_rollup_replayed_batches_skip(spark, tmp_path):
+    """At-least-once safety: re-delivering already-applied micro-batches
+    (fresh checkpoint over the same source) must NOT double the state —
+    the published batch-id watermark rejects them."""
+    import datetime as dt
+
+    from vunnel_spark.streaming.enrich import foreach_batch_rollup
+
+    src_dir = str(tmp_path / "rp_in")
+    state = str(tmp_path / "rp_state")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 10), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = foreach_batch_rollup(
+            stream, state, str(tmp_path / ckpt), keys=["user_id"],
+            sum_cols=("value",),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    before = {(r["user_id"], r["n_rows"], r["sum_value"])
+              for r in spark.read.parquet(state).collect()}
+    # a fresh checkpoint re-delivers batch 0 — the guard must drop it
+    run("ck2")
+    after = {(r["user_id"], r["n_rows"], r["sum_value"])
+             for r in spark.read.parquet(state).collect()}
+    assert before == after == {(1, 1, 2.0)}

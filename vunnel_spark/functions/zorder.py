@@ -81,6 +81,11 @@ def write_clustered(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        else:
+            # get(key, None) returns None when the conf was never set;
+            # leaving micros behind would silently change the format of
+            # every LATER parquet write in the session
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
 
 
 def read_clustered(spark: SparkSession, path: str) -> DataFrame:
@@ -108,7 +113,10 @@ def file_prune_stats(
                 c = g.column(ci)
                 col = c.path_in_schema
                 st = c.statistics
-                if st is None:
+                if st is None or not st.has_min_max:
+                    # all-null or stats-truncated row group: no bounds
+                    # (files_touched already counts a boundless file as
+                    # touched, the engine-conservative answer)
                     continue
                 if col == col_a:
                     lo_a = st.min if lo_a is None else min(lo_a, st.min)

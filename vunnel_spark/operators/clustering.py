@@ -39,25 +39,6 @@ _HASH_MULT = 2654435761
 _HASH_MOD = 4294967296
 
 
-def _ranked_cells(vec_col: str, centroids: list[list[float]]):
-    """array<struct<d2,cell>> sorted by (distance, cell) — the shared
-    assignment expression (squared L2, strict left fold, bit-identical
-    to operators/similarity.add_ivf_cells)."""
-    dists = []
-    for cell_id, c in enumerate(centroids):
-        plane = F.array(*[F.lit(v) for v in c])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), plane,
-                lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        dists.append(F.struct(d2.alias("d2"), F.lit(cell_id).alias("cell")))
-    return F.array_sort(F.array(*dists))
-
-
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
@@ -67,8 +48,13 @@ def assign_clusters(
 ) -> DataFrame:
     """Nearest-centroid assignment: adds ``cell`` (int) and optionally the
     squared distance to it.  Ties break on the lower cell id (struct sort
-    order).  Pure Catalyst — pipelines with the scan."""
-    best = F.element_at(_ranked_cells(vec_col, centroids), 1)
+    order).  A cluster assignment IS an nprobe=1 IVF cell assignment, so
+    this is the ANN family's ranked_cells expression (one definition —
+    the SQL oracles replicate its fold arithmetic bit-for-bit).  Pure
+    Catalyst — pipelines with the scan."""
+    from vunnel_spark.operators.similarity import ranked_cells
+
+    best = F.element_at(ranked_cells(vec_col, centroids), 1)
     out = df.withColumn(cell_col, best.getField("cell"))
     if d2_col:
         out = out.withColumn(d2_col, best.getField("d2"))
@@ -171,18 +157,28 @@ def cluster_balanced_sample(
 
     Keep probability min(1, cap/n_cell) is drawn with the integer-exact
     multiplicative hash: keep iff ((id * 2654435761) mod 2^32) * n_cell
-    < cap * 2^32 — all BIGINT cross-multiplication, no float rates, so
+    < cap * 2^32 — exact integer cross-multiplication, no float rates, so
     the sample is deterministic and engine-portable (min(1, .) is
     automatic: h < 2^32 makes the test always true when n <= cap).
+    The arithmetic runs in DECIMAL(38,0), not BIGINT: id * 2654435761
+    overflows a long for ids >= ~3.5e9 (an ANSI-mode crash — exactly the
+    id range a 100 TB corpus has), while the decimal products stay exact
+    through id ~1e19 and cells of ~1e12 rows.  Values are identical to
+    the narrow arithmetic wherever both are defined, so the SQL oracle's
+    BIGINT form matches on test-scale ids.
     Shape: zero-shuffle assignment + a broadcast k-row count join back
     onto the scan — the x7/x12 sampling discipline with data-derived
     rates.
     """
     assigned = assign_clusters(df, centroids, vec_col, d2_col=None)
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
-    h = (F.col(id_col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    dec = "decimal(38,0)"
+    h = F.pmod(F.col(id_col).cast(dec) * F.lit(_HASH_MULT), F.lit(_HASH_MOD))
     return (
         assigned.join(F.broadcast(counts), "cell")
-        .filter(h * F.col("n_cell") < F.lit(cap_per_cell) * F.lit(_HASH_MOD))
+        .filter(
+            h * F.col("n_cell").cast(dec)
+            < F.lit(cap_per_cell * _HASH_MOD).cast(dec)
+        )
         .select(id_col, "cell")
     )

@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    on: str,
+    on: str | Sequence[str],
     n_salts: int = 8,
     how: str = "inner",
+    salt_src: str | None = None,
+    merge_hint: bool = False,
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side exploded.
 
@@ -35,6 +37,12 @@ def salted_join(
     (on, salt) so a skewed hot key spreads across n_salts partitions.
     Replication cost: |small| * n_salts rows shuffled — use only when
     ``small`` is modest but above the broadcast threshold.
+
+    ``salt_src`` names a single (ideally unique) column to derive the
+    salt from; default is a hash of the whole row.  ``merge_hint`` pins
+    the sort-merge strategy — the dim-too-big-to-broadcast regime the
+    operator exists for (an auto-broadcast would silently drop the salt
+    spread being demonstrated/tested).
 
     ``how`` is restricted to 'inner'/'left' (left = big side preserved):
     any outer mode that preserves the *small* side would emit each
@@ -46,13 +54,15 @@ def salted_join(
             "outer modes preserving the small side would emit its unmatched "
             "rows once per salt replica"
         )
-    salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
-    )
+    on_cols = [on] if isinstance(on, str) else list(on)
+    src = [F.col(salt_src)] if salt_src else [F.col(c) for c in big.columns]
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(*src), F.lit(n_salts)))
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    out = salted_big.join(salted_small, [on, "_salt"], how)
+    if merge_hint:
+        salted_small = salted_small.hint("merge")
+    out = salted_big.join(salted_small, [*on_cols, "_salt"], how)
     return out.drop("_salt")
 
 

@@ -167,20 +167,13 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def add_ivf_cells(
-    df: DataFrame,
-    centroids: list[list[float]],
-    vec_col: str = "embedding",
-    nprobe: int = 1,
-    out_col: str = "cells",
-) -> DataFrame:
-    """Assign each vector its ``nprobe`` nearest coarse cells (squared L2).
-
-    Pure Catalyst: per-centroid distances are aggregates over zip_with
-    with the centroid as a literal array, ranked via array_sort over
-    (distance, cell_id) structs — zero Python at runtime, so cell
-    assignment pipelines into the same whole-stage-codegen span as the
-    parquet scan.
+def ranked_cells(vec_col: str, centroids: list[list[float]]):
+    """array<struct<d2,cell>> sorted by (squared L2 distance, cell id) —
+    THE quantizer-assignment expression, shared by IVF cell assignment
+    here and k-means clustering (operators/clustering.py).  One
+    definition so the strict left-fold arithmetic the SQL oracles
+    replicate bit-for-bit can never drift between the two families.
+    Pure Catalyst: centroids are plan literals, distances zip_with folds.
     """
     dists = []
     for cell_id, c in enumerate(centroids):
@@ -194,7 +187,22 @@ def add_ivf_cells(
             lambda acc, v: acc + v,
         )
         dists.append(F.struct(d2.alias("d2"), F.lit(cell_id).alias("cell")))
-    ranked = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
+    return F.array_sort(F.array(*dists))
+
+
+def add_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest coarse cells (squared L2).
+
+    Zero Python at runtime (see ranked_cells), so cell assignment
+    pipelines into the same whole-stage-codegen span as the parquet scan.
+    """
+    ranked = F.slice(ranked_cells(vec_col, centroids), 1, nprobe)
     return df.withColumn(
         out_col, F.transform(ranked, lambda s: s.getField("cell"))
     )

@@ -87,26 +87,15 @@ def salted_join(
 ) -> DataFrame:
     """Replicate-and-salt equi-join; output == big.join(dim, on, how).
 
-    The dim side is exploded ``num_buckets`` ways so every salted bucket
-    of a hot key meets its dim row; a ``merge`` hint keeps the join in
-    the sort-merge regime (with a broadcastable dim you would just
-    broadcast — salting is for the dim-too-big case).
-
-    Same algorithm as ``operators/joins.py salted_join`` (the original,
-    all-columns-hash variant) and the same correctness constraint, which
-    it shares by construction: modes that preserve the DIM side would
-    emit each unmatched dim row once per salt replica, so only
-    inner/left (big-preserving) are allowed.
+    Thin adapter over the ONE implementation in ``operators/joins.py
+    salted_join`` (explicit salt source + pinned sort-merge — the
+    dim-too-big-to-broadcast regime), which also owns the correctness
+    guard: dim-preserving outer modes would emit each unmatched dim row
+    once per salt replica and are rejected.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
-        raise ValueError(
-            f"salted_join supports how='inner'|'left' only (got {how!r}): "
-            "outer modes preserving the dim side would emit its unmatched "
-            "rows once per salt replica"
-        )
-    salted_big = add_salt(big, big_salt_src, num_buckets)
-    exploded_dim = dim.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_buckets)]))
+    from vunnel_spark.operators.joins import salted_join as _impl
+
+    return _impl(
+        big, dim, on=on, n_salts=num_buckets, how=how,
+        salt_src=big_salt_src, merge_hint=True,
     )
-    joined = salted_big.join(exploded_dim.hint("merge"), [*on, "_salt"], how)
-    return joined.drop("_salt")

@@ -137,6 +137,7 @@ class EnvelopeWriter:
         # the backup is only discarded after the new data is installed, and
         # a failed install rolls the backup back — the prior results are
         # never the casualty of a failed publish.
+        _recover_backup(self.path)
         backup = f"{self.path}.__old__"
         for stale in glob.glob(f"{self.path}.__stage__*") + [backup]:
             if os.path.exists(stale):
@@ -176,10 +177,21 @@ class EnvelopeWriter:
         return df.filter(bucket_filter & key_filter).drop(self.BUCKET_COL)
 
 
+def _recover_backup(path: str) -> None:
+    """Crash recovery for the swap window: a hard kill between
+    _atomic_install's two renames leaves the prior data parked in
+    ``__old__`` and nothing at ``path``.  Restore it — treating the store
+    as empty there would silently discard all prior state."""
+    backup = f"{path}.__old__"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+
+
 def _atomic_install(stage: str, path: str) -> None:
     """Swap a fully-written stage dir into place (single-writer protocol):
     the prior dir is parked as a backup, restored on a failed install, and
     discarded only after the new data is live."""
+    _recover_backup(path)
     backup = f"{path}.__old__"
     if os.path.exists(backup):
         shutil.rmtree(backup)

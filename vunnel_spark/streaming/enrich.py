@@ -94,35 +94,57 @@ def foreach_batch_rollup(
     history rescans — the rollup over an unbounded stream stays O(state),
     not O(everything ever seen).
 
+    Replay safety: ``foreachBatch`` is at-least-once — a crash after the
+    state publishes but before the checkpoint commits re-delivers the
+    same micro-batch, and re-merging a count/sum delta would double it.
+    The published state therefore carries the last applied ``batch_id``
+    (in ``_rollup_meta.json``, swapped atomically WITH the data), and a
+    batch at or below it is skipped.  Consequence: the state dir and the
+    checkpoint are one unit — drop both together, never just one.
+
     Returns the StreamingQuery (caller stops it).
     """
     import glob
+    import json
     import os
     import shutil
     import uuid
 
     from vunnel_spark.operators.incremental import aggregate_state, merge_agg_state
-    from vunnel_spark.sinks.writers import _atomic_install
+    from vunnel_spark.sinks.writers import _atomic_install, _recover_backup
 
     kw = dict(
         keys=keys, count_col=count_col,
         sum_cols=sum_cols, min_cols=min_cols, max_cols=max_cols,
     )
+    meta_name = "_rollup_meta.json"  # leading _ : invisible to parquet readers
+
+    def _last_applied(path: str) -> int:
+        m = os.path.join(path, meta_name)
+        if os.path.exists(m):
+            with open(m) as f:
+                return json.load(f).get("batch_id", -1)
+        return -1
 
     def _roll(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _recover_backup(state_path)
+        if os.path.exists(state_path) and batch_id <= _last_applied(state_path):
+            return  # replayed delivery: this delta is already in the state
         spark = batch_df.sparkSession
         delta = aggregate_state(batch_df, **kw)
         if os.path.exists(state_path):
             new = merge_agg_state([spark.read.parquet(state_path), delta], **kw)
         else:
             new = delta
-        for stale in glob.glob(f"{state_path}.__stage__*") + [f"{state_path}.__old__"]:
+        for stale in glob.glob(f"{state_path}.__stage__*"):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
         stage = f"{state_path}.__stage__{uuid.uuid4().hex[:8]}"
         new.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, meta_name), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
         _atomic_install(stage, state_path)
 
     return (
