@@ -595,8 +595,9 @@ def x11(spark, sf_dir):
         "summation can diverge between engines or runs.  Shape: tiny "
         "per-source count aggregate broadcast back onto a pure scan+filter "
         "(the x7 zero-shuffle sampling path, now with data-derived rates). "
-        "BIGINT products bound: h*W*c < 9.2e18 holds through sf0.1; the "
-        "100 TB deployment casts the test to DECIMAL(38,0)",
+        "the keep test runs in DECIMAL(38,0) so the "
+        "products stay exact at any corpus size (a BIGINT form overflows "
+        "once h*W*c crosses 9.2e18)",
     tags=("text", "sampling"),
 )
 def x12(spark, sf_dir):
@@ -614,11 +615,19 @@ def x12(spark, sf_dir):
         .withColumn("wt", F.floor(F.sqrt(F.col("n"))).cast("long"))
     )
     tot = w.agg(F.sum("wt").cast("long").alias("tw"))
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # DECIMAL(38,0), not BIGINT: doc_id * 2654435761 overflows a long for
+    # ids >= ~3.5e9 (ANSI crash at corpus scale); values are identical to
+    # the narrow arithmetic wherever both are defined, so the oracle's
+    # BIGINT form still hash-matches on test-scale ids
+    dec = "decimal(38,0)"
+    h = F.pmod(F.col("doc_id").cast(dec) * F.lit(2654435761), F.lit(4294967296))
     return (
         tagged.join(F.broadcast(w), "src_group")
         .crossJoin(F.broadcast(tot))
-        .filter(h * F.col("tw") * F.col("n") < F.lit(300) * F.col("wt") * F.lit(4294967296))
+        .filter(
+            h * F.col("tw").cast(dec) * F.col("n").cast(dec)
+            < F.lit(300) * F.col("wt").cast(dec) * F.lit(4294967296)
+        )
         .select("doc_id", "src_group")
     )
 
