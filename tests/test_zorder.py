@@ -74,3 +74,35 @@ def test_clustered_write_emits_timestamp_stats(spark, sf_dir):
     write_clustered(ev, p, F.col("ts"), n_files=4)
     stats = file_prune_stats(p, "user_id", "ts")
     assert stats and all(s[2][0] is not None for s in stats), stats[:2]
+
+
+def test_z_value_matches_python_reference_property(spark):
+    """Property check vs an independent bit-twiddling reference, over the
+    full interleave pattern for unequal widths (11/5) including mask
+    wraparound for out-of-range values."""
+    import random
+
+    rng = random.Random(7)
+    cases = [(rng.randrange(0, 1 << 13), rng.randrange(0, 1 << 7))
+             for _ in range(300)]
+
+    def ref(a, b, bits_a, bits_b):
+        a &= (1 << bits_a) - 1
+        b &= (1 << bits_b) - 1
+        z = pos = 0
+        for i in range(max(bits_a, bits_b)):
+            if i < bits_a:
+                z |= ((a >> i) & 1) << pos
+                pos += 1
+            if i < bits_b:
+                z |= ((b >> i) & 1) << pos
+                pos += 1
+        return z
+
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", z_value("a", "b", 11, 5).alias("z")).collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == ref(a, b, 11, 5), (a, b)
