@@ -433,3 +433,14 @@ def test_h2_salted_join_carries_salt_key(spark, sf_dir):
     assert "BroadcastHashJoin" not in p, p
     m = re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", p)
     assert m and "_salt" in m.group(1), p
+
+
+def test_x15_inference_is_scan_fused_zero_shuffle(spark, sf_dir):
+    """Exported-model inference must stay a pure projection over the
+    scan — weights are literals, the sigmoid is codegen'd, and nothing
+    shuffles.  An Exchange here means the model scoring stopped being
+    embarrassingly parallel."""
+    p = plan_of(q("x15_quality_inference", spark, sf_dir))
+    assert "Exchange" not in p, p
+    # the leading '*' marks whole-stage-codegen'd nodes in formatted plans
+    assert "* Project" in p, p
