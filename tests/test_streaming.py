@@ -398,3 +398,78 @@ def test_foreach_batch_rollup_replayed_batches_skip(spark, tmp_path):
     after = {(r["user_id"], r["n_rows"], r["sum_value"])
              for r in spark.read.parquet(state).collect()}
     assert before == after == {(1, 1, 2.0)}
+
+
+def test_foreach_batch_rollup_bucketed_rewrites_only_touched(spark, tmp_path):
+    """Bucketed state (hash_buckets): correctness equals the whole-swap
+    mode, untouched bucket dirs are byte-identical across batches, and a
+    fresh-checkpoint replay is still rejected per bucket."""
+    import datetime as dt
+
+    from vunnel_spark.streaming.enrich import foreach_batch_rollup
+
+    src_dir = str(tmp_path / "bk_in")
+    state = str(tmp_path / "bk_state")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = foreach_batch_rollup(
+            stream, state, str(tmp_path / ckpt), keys=["user_id"],
+            sum_cols=("value",), hash_buckets=4,
+        )
+        q.processAllAvailable()
+        q.stop()
+        return q
+
+    # batch 1: several users spread over buckets
+    write_batch([(u, dt.datetime(2026, 1, 1, 10), float(u)) for u in range(8)])
+    run("ck1")
+
+    def listing():
+        out = {}
+        for d in sorted(os.listdir(state)):
+            if d.startswith("_bucket="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(state, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    assert len(before) >= 2  # users actually spread across buckets
+
+    # batch 2 touches ONE user -> only that user's bucket dir may change
+    write_batch([(3, dt.datetime(2026, 1, 2, 9), 10.0)])
+    run("ck1")
+    after = listing()
+    from pyspark.sql import functions as SF
+    b3 = (
+        spark.createDataFrame([(3,)], "user_id long")
+        .select(SF.pmod(SF.xxhash64(SF.col("user_id").cast("string")), SF.lit(4)))
+        .collect()[0][0]
+    )
+    for d in before:
+        if d != f"_bucket={b3}":
+            assert after[d] == before[d], d  # untouched bucket byte-listing stable
+
+    got = {
+        (r["user_id"], r["n_rows"], r["sum_value"])
+        for r in spark.read.parquet(state).drop("_bucket").collect()
+    }
+    expect = {(u, 1, float(u)) for u in range(8) if u != 3} | {(3, 2, 13.0)}
+    assert got == expect
+
+    # fresh checkpoint replays batches 0 and 1 — per-bucket meta rejects both
+    run("ck2")
+    got2 = {
+        (r["user_id"], r["n_rows"], r["sum_value"])
+        for r in spark.read.parquet(state).drop("_bucket").collect()
+    }
+    assert got2 == expect

@@ -83,6 +83,7 @@ def foreach_batch_rollup(
     sum_cols: tuple[str, ...] = (),
     min_cols: tuple[str, ...] = (),
     max_cols: tuple[str, ...] = (),
+    hash_buckets: int | None = None,
 ):
     """Streaming materialized-rollup maintenance — the streaming face of
     i7 (operators/incremental.py): each micro-batch aggregates to per-key
@@ -94,13 +95,24 @@ def foreach_batch_rollup(
     history rescans — the rollup over an unbounded stream stays O(state),
     not O(everything ever seen).
 
+    ``hash_buckets`` partitions the state by ``_bucket =
+    pmod(xxhash64(keys), n)`` (the envelope store's metastore-free
+    bucketing, s14) and each batch rewrites ONLY the buckets its delta
+    touches — the i6 frozen-fragment idiom applied to streaming state.
+    At a large key cardinality this turns the per-batch publish from
+    O(|state|) to O(|state| x touched/n): a skewed or keyed stream that
+    touches few buckets leaves the rest of the store byte-identical.
+    Unset (None) keeps the single-directory whole-swap layout.
+
     Replay safety: ``foreachBatch`` is at-least-once — a crash after the
     state publishes but before the checkpoint commits re-delivers the
     same micro-batch, and re-merging a count/sum delta would double it.
     The published state therefore carries the last applied ``batch_id``
-    (in ``_rollup_meta.json``, swapped atomically WITH the data), and a
-    batch at or below it is skipped.  Consequence: the state dir and the
-    checkpoint are one unit — drop both together, never just one.
+    (in ``_rollup_meta.json``, swapped atomically WITH the data — one per
+    bucket when bucketed, so a crash mid-publish replays exactly the
+    buckets that missed), and an already-applied delta is skipped.
+    Consequence: the state dir and the checkpoint are one unit — drop
+    both together, never just one.
 
     Returns the StreamingQuery (caller stops it).
     """
@@ -126,26 +138,89 @@ def foreach_batch_rollup(
                 return json.load(f).get("batch_id", -1)
         return -1
 
-    def _roll(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def _clear_stage_dirs() -> None:
+        for stale in glob.glob(f"{state_path}.__stage__*"):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+
+    def _publish(df: DataFrame, dest: str, batch_id: int) -> None:
+        stage = f"{state_path}.__stage__{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, meta_name), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        _atomic_install(stage, dest)
+
+    def _bucket_expr():
+        return F.pmod(
+            F.xxhash64(*[F.col(k).cast("string") for k in keys]),
+            F.lit(hash_buckets),
+        )
+
+    def _roll_whole(spark, delta: DataFrame, batch_id: int) -> None:
         _recover_backup(state_path)
         if os.path.exists(state_path) and batch_id <= _last_applied(state_path):
             return  # replayed delivery: this delta is already in the state
-        spark = batch_df.sparkSession
-        delta = aggregate_state(batch_df, **kw)
         if os.path.exists(state_path):
             new = merge_agg_state([spark.read.parquet(state_path), delta], **kw)
         else:
             new = delta
-        for stale in glob.glob(f"{state_path}.__stage__*"):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        _clear_stage_dirs()
+        _publish(new, state_path, batch_id)
+
+    def _roll_bucketed(spark, delta: DataFrame, batch_id: int) -> None:
+        delta = delta.withColumn("_bucket", _bucket_expr())
+        touched = sorted(
+            r["_bucket"] for r in delta.select("_bucket").distinct().collect()
+        )
+        pending = []
+        for b in touched:
+            bpath = os.path.join(state_path, f"_bucket={b}")
+            _recover_backup(bpath)
+            if not (os.path.exists(bpath) and batch_id <= _last_applied(bpath)):
+                pending.append(b)
+        if not pending:
+            return  # full replay: every touched bucket already has this batch
+        delta = delta.filter(F.col("_bucket").isin(pending)).drop("_bucket")
+        existing = [
+            b for b in pending
+            if os.path.exists(os.path.join(state_path, f"_bucket={b}"))
+        ]
+        if existing:
+            prior = spark.read.parquet(
+                *[os.path.join(state_path, f"_bucket={b}") for b in existing]
+            )
+            new = merge_agg_state([prior, delta], **kw)
+        else:
+            new = delta
+        _clear_stage_dirs()
+        # one job writes every pending bucket; each bucket dir then swaps
+        # independently (per-bucket meta ⇒ a crash replays only the rest)
         stage = f"{state_path}.__stage__{uuid.uuid4().hex[:8]}"
-        new.write.mode("overwrite").parquet(stage)
-        with open(os.path.join(stage, meta_name), "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        _atomic_install(stage, state_path)
+        (
+            new.withColumn("_bucket", _bucket_expr())
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(stage)
+        )
+        os.makedirs(state_path, exist_ok=True)
+        for b in pending:
+            bstage = os.path.join(stage, f"_bucket={b}")
+            if not os.path.exists(bstage):  # delta had rows, merge emptied none
+                os.makedirs(bstage)
+            with open(os.path.join(bstage, meta_name), "w") as f:
+                json.dump({"batch_id": batch_id}, f)
+            _atomic_install(bstage, os.path.join(state_path, f"_bucket={b}"))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = aggregate_state(batch_df, **kw)
+        if hash_buckets:
+            _roll_bucketed(spark, delta, batch_id)
+        else:
+            _roll_whole(spark, delta, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_roll)
