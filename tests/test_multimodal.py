@@ -129,3 +129,54 @@ def test_video_sampling_explodes_and_decodes(docs):
             img = decode_ppm(bytes(r.payload))
             assert img.shape == (4, 4, 3)
             assert int(img[0, 0, 0]) == (mid + 17 * r.frame_idx) % 256
+
+
+def test_wav_payload_is_honest_riff(spark, sf_dir):
+    """The audio payload must be a REAL RIFF/WAVE file: stdlib wave (an
+    independent parser from the synth's writer handle) reads the header
+    and frames, and the first samples match the closed-form sine."""
+    import io
+    import math
+    import wave as wavmod
+
+    from vunnel_spark.operators.multimodal import synthesize_wav_table
+    from vunnel_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    rows = synthesize_wav_table(docs).collect()
+    assert rows
+    for r in rows:
+        did = r["media_id"]
+        payload = bytes(r["payload"])
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        with wavmod.open(io.BytesIO(payload), "rb") as w:
+            assert w.getframerate() == r["meta"]["sample_rate"] == 8000
+            assert w.getnframes() == r["meta"]["n_samples"]
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            raw = w.readframes(4)
+        f = 100 + (did % 400)
+        a = 1000 + (did % 9000)
+        for t in range(4):
+            expect = math.trunc(a * math.sin(2 * math.pi * f * t / 8000))
+            got = int.from_bytes(raw[2 * t:2 * t + 2], "little", signed=True)
+            assert got == expect, (did, t, got, expect)
+
+
+def test_audio_features_prune_and_values(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        audio_features,
+        synthesize_wav_table,
+    )
+    from vunnel_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = {r["media_id"]: r for r in audio_features(synthesize_wav_table(docs)).collect()}
+    for did, r in out.items():
+        n = 160 + (did % 50) * 8
+        a = 1000 + (did % 9000)
+        assert r["n_samples"] == n and r["duration_ms"] == n // 8
+        # peak of a truncated sine is within 1 of the amplitude for any
+        # clip spanning >= a few periods
+        assert a - 50 <= r["peak_amplitude"] <= a
+        # RMS of a sine ~ a/sqrt(2), loose band (finite clip, truncation)
+        assert 0.5 * a <= r["rms"] * (2 ** 0.5) <= 1.1 * a

@@ -383,3 +383,106 @@ def synthesize_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: st
             F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+# ----------------------------------------------------------------- audio
+
+def synthesize_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-audio media table: each doc becomes an honest
+    RIFF/WAVE file (stdlib ``wave`` writer — real header, real 16-bit PCM
+    mono frames), carrying a sine tone whose every sample is closed-form
+    in the doc id:
+
+        sr = 8000 Hz,  n = 160 + (id % 50) * 8   (multiple of 8, so the
+                                                  ms duration is integral)
+        f  = 100 + (id % 400) Hz (< Nyquist),  a = 1000 + (id % 9000)
+        s_t = trunc(a * sin(2*pi*f*t / sr))     (trunc, matching SQL)
+
+    Closed-form samples are what upgrade the audio family from rows-only
+    to exact value oracles — the same discipline as the PPM gradient
+    images.  Audio completes the image/audio/video triple with a second
+    REAL codec (PPM, WAV); only PNG/JPEG/mp4 remain honest
+    NotImplementedError escape hatches.
+    """
+    schema = (
+        "media_id long, payload binary, "
+        "meta struct<format:string, sample_rate:int, n_samples:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        sr = 8000
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 160 + (did % 50) * 8
+                f = 100 + (did % 400)
+                a = 1000 + (did % 9000)
+                t = np.arange(n, dtype=np.float64)
+                samples = np.trunc(a * np.sin(2.0 * np.pi * f * t / sr)).astype(
+                    np.int16
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(samples.tobytes())
+                payload = buf.getvalue()
+                out.append(
+                    (did, payload,
+                     {"format": "wav", "sample_rate": sr, "n_samples": n,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio features off REAL WAV decode (stdlib ``wave``
+    parses the RIFF header, numpy views the PCM frames): sample rate and
+    length from the container, peak amplitude and RMS from the samples,
+    integral duration in ms.  Arrow-batched mapInPandas — the payload
+    column is pruned upstream unless requested, and each batch decodes
+    in one Python hop (the multimodal plumbing contract; at 100 TB the
+    decode cost is per-payload CPU, embarrassingly parallel)."""
+    schema = (
+        "media_id long, sample_rate int, n_samples int, duration_ms int, "
+        "peak_amplitude int, rms double"
+    )
+
+    def compute(batches: Iterator) -> Iterator:
+        import io
+        import math
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                rms = round(math.sqrt(float(np.mean(samples * samples))), 4)
+                out.append(
+                    (int(mid), sr, n, n * 1000 // sr,
+                     int(np.max(np.abs(samples))), rms)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "duration_ms", "peak_amplitude", "rms"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(compute, schema)

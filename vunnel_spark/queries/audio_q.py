@@ -1,0 +1,56 @@
+"""Audio query (multimodal family; registered in a tail module so the
+pinned gate-window composition is untouched): REAL WAV round-trip —
+stdlib ``wave`` writes honest RIFF/PCM payloads into a binary column,
+Arrow-batched mapInPandas decodes them back and extracts features.
+
+The oracle recomputes every PCM sample analytically (the synth's sine is
+closed-form in the doc id, trunc matching trunc), so the decode path is
+VALUE-verified end-to-end, not rows-only — the same discipline that
+gives the PPM image queries exact oracles.
+"""
+
+from __future__ import annotations
+
+from vunnel_spark.queries._util import t
+from vunnel_spark.registry import register
+
+_MAX_N = 160 + 49 * 8  # longest clip the synth emits
+
+
+@register(
+    "m4_audio_features",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             160 + (doc_id % 50) * 8 AS n,
+             100 + (doc_id % 400) AS f,
+             1000 + (doc_id % 9000) AS a
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             trunc(a * sin(2 * pi() * f * g.t / 8000)) AS v
+      FROM p, generate_series(0, {_MAX_N - 1}) AS g(t)
+      WHERE g.t < n
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n // 8 AS INTEGER) AS duration_ms,
+           CAST(max(abs(v)) AS INTEGER) AS peak_amplitude,
+           round(sqrt(avg(v * v)), 4) AS rms
+    FROM s GROUP BY doc_id, n
+    """,
+    doc="Real-WAV audio feature extraction (operators/multimodal.py "
+        "synthesize_wav_table + audio_features): honest RIFF/PCM payloads "
+        "written and parsed by the stdlib wave codec, features (peak, "
+        "RMS, duration) computed from the decoded 16-bit frames in one "
+        "Arrow batch hop.  The oracle regenerates every sample "
+        "analytically — sine closed-form in the doc id, trunc-for-trunc — "
+        "so the whole decode path is value-verified, not rows-only",
+    tags=("multimodal", "audio"),
+)
+def m4(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import audio_features, synthesize_wav_table
+
+    docs = t(spark, sf_dir, "documents")
+    return audio_features(synthesize_wav_table(docs))
