@@ -486,3 +486,40 @@ def audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(compute, schema)
+
+
+def audio_windowed_energy(df: DataFrame, window: int = 80) -> DataFrame:
+    """Fixed-window energy track per clip — the audio analogue of video
+    frame sampling: decode once, reshape the PCM frames into
+    ``window``-sample blocks (10 ms at 8 kHz for the default), emit one
+    RMS row per complete window (trailing partial windows drop, matching
+    the analytic oracle).  Feature tracks like this are the front end of
+    audio dedup/quality filtering; shape-wise it is one Arrow hop that
+    explodes each clip into n/window rows — bounded by clip length,
+    never corpus-wide."""
+    schema = "media_id long, window_idx int, rms double"
+
+    def compute(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                n_win = len(samples) // window
+                if not n_win:
+                    continue
+                blocks = samples[: n_win * window].reshape(n_win, window)
+                rms = np.sqrt((blocks * blocks).mean(axis=1))
+                out.extend(
+                    (int(mid), i, round(float(v), 4)) for i, v in enumerate(rms)
+                )
+            yield pd.DataFrame(out, columns=["media_id", "window_idx", "rms"])
+
+    return df.select("media_id", "payload").mapInPandas(compute, schema)

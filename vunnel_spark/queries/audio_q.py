@@ -54,3 +54,40 @@ def m4(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return audio_features(synthesize_wav_table(docs))
+
+
+@register(
+    "m5_audio_windowed_energy",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             160 + (doc_id % 50) * 8 AS n,
+             100 + (doc_id % 400) AS f,
+             1000 + (doc_id % 9000) AS a
+      FROM documents
+    ), s AS (
+      SELECT doc_id, g.t // 80 AS window_idx,
+             trunc(a * sin(2 * pi() * f * g.t / 8000)) AS v
+      FROM p, generate_series(0, {_MAX_N - 1}) AS g(t)
+      WHERE g.t < (n // 80) * 80
+    )
+    SELECT doc_id AS media_id, CAST(window_idx AS INTEGER) AS window_idx,
+           round(sqrt(avg(v * v)), 4) AS rms
+    FROM s GROUP BY doc_id, window_idx
+    """,
+    doc="Windowed audio energy track (operators/multimodal.py "
+        "audio_windowed_energy): each decoded clip reshapes into 80-sample "
+        "(10 ms) blocks, one RMS row per complete window — the audio "
+        "analogue of video frame sampling, and the front end of audio "
+        "dedup/quality filters.  Value-verified: the oracle regenerates "
+        "every windowed sample analytically",
+    tags=("multimodal", "audio"),
+)
+def m5(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        audio_windowed_energy,
+        synthesize_wav_table,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return audio_windowed_energy(synthesize_wav_table(docs))
