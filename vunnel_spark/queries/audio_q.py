@@ -91,3 +91,48 @@ def m5(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return audio_windowed_energy(synthesize_wav_table(docs))
+
+
+#: multiple of lcm(50, 400, 9000) = 18000 — the synth parameters (and so
+#: the payload BYTES) of doc_id and doc_id + _DUP_OFFSET are identical
+_DUP_OFFSET = 1_800_000
+
+
+@register(
+    "m6_audio_exact_dedup",
+    f"""
+    SELECT doc_id + {_DUP_OFFSET} AS dup_id, doc_id AS canonical_id
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    doc="Exact media dedup by payload digest (the d1 discipline on a "
+        "BINARY column — the standard first pass of any media pipeline): "
+        "clips synthesized for doc ∪ (every-5th doc + 1.8M, a parameter-"
+        "colliding offset, so the planted copies are byte-identical), "
+        "grouped on sha2(payload), lowest id canonical.  Raw payloads "
+        "never shuffle — only the 32-byte digest does.  The oracle "
+        "derives the planted pair set analytically (valid while the "
+        "corpus is smaller than the synth's 18000-id parameter period, "
+        "i.e. through sf0.1 — beyond that the synth itself repeats "
+        "payloads organically and the pair set grows)",
+    tags=("multimodal", "audio", "dedup"),
+)
+def m6(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.operators.multimodal import synthesize_wav_table
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id")
+    )
+    media = synthesize_wav_table(docs.unionByName(planted))
+    digests = media.select(
+        "media_id", F.sha2(F.col("payload"), 256).alias("_digest")
+    )
+    w = Window.partitionBy("_digest")
+    return (
+        digests.withColumn("canonical_id", F.min("media_id").over(w))
+        .filter(F.col("media_id") != F.col("canonical_id"))
+        .select(F.col("media_id").alias("dup_id"), "canonical_id")
+    )
