@@ -22,3 +22,48 @@ def test_split_pkg_string_cases(spark):
     got = {r.pkg: (r.name, r.version) for r in out.collect()}
     for pkg, name, ver in cases:
         assert got[pkg] == (name, ver), f"{pkg}: {got[pkg]} != {(name, ver)}"
+
+
+def test_fingerprint_golden_constants(spark):
+    """Pin fingerprint values to golden md5 constants so any future
+    formulation change that alters values fails locally before it can
+    reach an external gate (the r4 regex-split and r5 codepoint-sum
+    formulations each diverged between engine versions; md5-of-head
+    cannot).  Constants computed with Python hashlib over UTF-8 bytes of
+    the first 500 characters."""
+    from vunnel_spark.functions.text import fingerprint
+
+    cases = [
+        ("hello world", "5eb63bbbe01eeed093cb22bb8f5acdc3"),
+        ("", "d41d8cd98f00b204e9800998ecf8427e"),
+        ("a" * 600, "be39ba69b8fe1601f6f24f85fa20ce6c"),  # md5 of 'a'*500
+        ("naïve café — ünïcode",
+         "078e7ec63cbf60c1e886ee5f37307717"),
+        ("line1\nline2\tx0b\x0bv", "8d7f756f3eb6d489507df67a7546d21f"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i int, text string")
+    got = {r.i: r.fp for r in
+           df.select("i", fingerprint(F.col("text")).alias("fp")).collect()}
+    for i, (text, want) in enumerate(cases):
+        assert got[i] == want, f"case {i} ({text!r:.30}): {got[i]} != {want}"
+
+
+def test_fingerprint_matches_duckdb(spark):
+    """Cross-engine property check: Spark fingerprint == DuckDB
+    md5(substr(text,1,500)) on mixed ASCII / non-ASCII / empty / long
+    inputs — the exact comparison the external gate performs."""
+    import duckdb
+
+    texts = ["hello world", "", "a" * 600, "tab\tnewline\n", "ünïcode — ok",
+             "x" * 499 + "é" + "tail beyond head"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from vunnel_spark.functions.text import fingerprint
+
+    spark_fp = [r.fp for r in
+                df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    con = duckdb.connect()
+    duck_fp = [con.execute(
+        "SELECT md5(substr(?, 1, 500))", [t]).fetchone()[0] for t in texts]
+    assert spark_fp == duck_fp

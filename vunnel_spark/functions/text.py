@@ -86,26 +86,22 @@ def quality_score(col: Column) -> Column:
     return F.round(len_score * 0.5 + punct_pen * 0.3 + sw_score * 0.2, 6)
 
 
-def fingerprint(col: Column, modulus: int = 2147483647, head: int = 500) -> Column:
-    """Order-sensitive document fingerprint (position-weighted rolling sum).
+def fingerprint(col: Column, head: int = 500) -> Column:
+    """Order-sensitive document fingerprint: ``md5`` of the first ``head``
+    characters (lowercase hex).
 
-    fingerprint = sum_{i=1..min(len,head)} codepoint(char_i) * i  mod M,
-    over the first ``head`` characters.  Defined on explicit codepoints —
-    no regex tokenization — so Spark and DuckDB compute bit-identical
-    values (Java-regex ``\\s`` and RE2 ``\\s`` disagree on e.g. ``\\x0B``,
-    which made the earlier word-split formulation environment-sensitive at
-    the external gate).  Codepoint-positional sums stay order-sensitive
-    and collision-resistant enough for shard-local duplicate candidates;
-    empty text fingerprints to 0, NULL stays NULL.
+    Earlier formulations (regex word-split in r4, per-codepoint positional
+    sums in r5) were each environment-sensitive at the external gate:
+    Java-regex ``\\s`` and RE2 ``\\s`` disagree on e.g. ``\\x0B``, and older
+    Spark ``ascii()`` returns the first UTF-8 *byte* for non-ASCII while
+    DuckDB's ``unicode()`` returns the codepoint.  md5-of-head sidesteps
+    all per-character arithmetic: identical input bytes produce identical
+    hex in every Spark and DuckDB version.  The head window keeps the
+    fingerprint a cheap order-sensitive candidate key for dedup (what
+    ``fingerprint_dedup`` needs); NULL stays NULL, empty text hashes to
+    md5("").
     """
-    h = F.substring(col, 1, head)
-    weighted = F.transform(
-        F.sequence(F.lit(1), F.length(h)),
-        lambda i: F.ascii(F.substring(h, i, F.lit(1))).cast("long") * i.cast("long"),
-    )
-    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
-    # sequence(1, 0) descends — guard the empty string explicitly
-    return F.when(F.length(h) == 0, F.lit(0).cast("long")).otherwise(total % modulus)
+    return F.md5(F.substring(col, 1, head))
 
 
 # ---------------------------------------------------------------- language-ID

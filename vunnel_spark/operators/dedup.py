@@ -3,7 +3,7 @@
 Five families, ordered by cost:
 
   exact_dedup          hash-groupBy on content (one shuffle on a hash key)
-  fingerprint_dedup    rolling-hash fingerprint groupBy (cheap candidate)
+  fingerprint_dedup    md5-of-head fingerprint groupBy (cheap candidate)
   ngram_jaccard_pairs  exact shingle-overlap join (quadratic within shingle
                        buckets — the *verification* path)
   minhash_lsh_pairs    MinHash + banded LSH (the 100 TB path: candidate
@@ -57,12 +57,12 @@ def duplicate_groups(df: DataFrame, content_col: str = "text", id_col: str = "do
 def fingerprint_dedup(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Rolling-hash-fingerprint dedup: cheap order-sensitive candidate pass.
+    """Head-fingerprint dedup: cheap order-sensitive candidate pass.
 
-    Same shape as exact_dedup but keyed on the position-weighted fingerprint
-    (functions/text.py) instead of the content digest — catches documents
-    equal under the fingerprint (whitespace-normalized) without shuffling
-    full text.
+    Same shape as exact_dedup but keyed on the md5-of-head fingerprint
+    (functions/text.py) instead of the full-content digest — groups
+    documents sharing the same first 500 chars without shuffling full
+    text (the fingerprint is 32 hex bytes regardless of document size).
     """
     from vunnel_spark.functions.text import fingerprint
 

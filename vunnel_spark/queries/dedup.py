@@ -234,21 +234,13 @@ def d5(spark, sf_dir):
     "d6_fingerprint_dedup",
     f"""
     WITH corpus AS ({_EXACT_DUPS_SQL}),
-    h AS (SELECT doc_id, substr(text, 1, 500) AS head FROM corpus),
-    fp AS (
-      SELECT doc_id,
-             CASE WHEN length(head) = 0 THEN 0
-                  ELSE list_sum(list_transform(range(length(head)),
-                         i -> CAST(unicode(substr(head, i+1, 1)) AS BIGINT) * (i+1)))
-                       % 2147483647 END AS fingerprint
-      FROM h
-    )
+    fp AS (SELECT doc_id, md5(substr(text, 1, 500)) AS fingerprint FROM corpus)
     SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
     FROM fp GROUP BY fingerprint
     """,
-    doc="Rolling-hash fingerprint dedup (operators/dedup.py "
-        "fingerprint_dedup; functions/text.py fingerprint): "
-        "position-weighted codepoint sum, SQL-expressible by design",
+    doc="Head-fingerprint dedup (operators/dedup.py fingerprint_dedup; "
+        "functions/text.py fingerprint): md5 of the first 500 chars — "
+        "engine-version-proof by construction, SQL-expressible by design",
     tags=("dedup",),
 )
 def d6(spark, sf_dir):

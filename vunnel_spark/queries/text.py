@@ -29,20 +29,14 @@ from vunnel_spark.registry import register
 @register(
     "x4_document_fingerprints",
     """
-    WITH h AS (SELECT doc_id, substr(text, 1, 500) AS head FROM documents)
-    SELECT doc_id,
-           CASE WHEN head IS NULL THEN NULL
-                WHEN length(head) = 0 THEN 0
-                ELSE list_sum(list_transform(range(length(head)),
-                       i -> CAST(unicode(substr(head, i+1, 1)) AS BIGINT) * (i+1)))
-                     % 2147483647 END AS fingerprint
-    FROM h
+    SELECT doc_id, md5(substr(text, 1, 500)) AS fingerprint FROM documents
     """,
-    doc="Order-sensitive rolling document fingerprint (functions/text.py "
-        "fingerprint): position-weighted codepoint sum over the first 500 "
-        "chars — defined on explicit codepoints (no regex tokenization) so "
-        "both engines compute bit-identical values on exotic whitespace "
-        "and non-ASCII text",
+    doc="Order-sensitive document fingerprint (functions/text.py "
+        "fingerprint): md5 of the first 500 chars — no per-character "
+        "arithmetic, so every Spark and DuckDB version computes "
+        "bit-identical hex from identical input bytes (the r4 regex "
+        "word-split and r5 codepoint-sum formulations were each "
+        "engine-version-sensitive at the external gate)",
     tags=("text",),
 )
 def x4(spark, sf_dir):
