@@ -39,6 +39,7 @@ GATE_WINDOW = [
     "d6_fingerprint_dedup",
     "d3_minhash_lsh_pairs",
     "s12_sink_roundtrip",
+    "ubuntu2_osv_downconvert",
     # the 37 never-externally-gated queries (VERDICT r5 "What's wrong" #2)
     "p4_ecosystem_allowlist_rename",
     "p7_rejected_pair_antifilter",

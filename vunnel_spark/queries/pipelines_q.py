@@ -859,3 +859,183 @@ def ghsa1(spark, sf_dir):
         F.concat(F.lit(">= 1.0, < "), F.col("l_quantity").cast("int").cast("string")).alias("vrange"),
     )
     return github_pipeline(advisories, vuln_nodes)
+
+
+@register(
+    "ubuntu2_osv_downconvert",
+    r"""
+    WITH sl AS (
+      SELECT l_orderkey % 400 AS rec,
+             CASE l_suppkey % 6
+               WHEN 0 THEN 'Ubuntu:22.04:LTS'
+               WHEN 1 THEN 'Ubuntu:24.04'
+               WHEN 2 THEN 'Ubuntu:Pro:22.04:LTS'
+               WHEN 3 THEN 'Ubuntu:Pro:16.04'
+               WHEN 4 THEN 'Ubuntu:Pro:FIPS:22.04:LTS'
+               ELSE 'Ubuntu:Nvidia-BlueField:22.04' END AS eco,
+             l_partkey % 50 AS pkgnum,
+             ((l_orderkey % 400) * 7 + l_partkey % 50) % 3 AS st,
+             l_quantity, l_linenumber
+      FROM lineitem
+    ),
+    s2 AS (
+      SELECT rec, eco, st,
+             CASE WHEN (rec + pkgnum) % 23 = 0 THEN NULL
+                  ELSE 'pkg' || CAST(pkgnum AS VARCHAR) END AS pkg,
+             CASE WHEN st = 0 THEN CAST(CAST(l_quantity AS INT) AS VARCHAR)
+                       || '.' || CAST(l_linenumber AS VARCHAR) END AS fv,
+             CASE WHEN st = 0 AND l_linenumber % 2 = 1
+                  THEN '2024-0' || CAST(l_linenumber AS VARCHAR) || '-15' END AS fdate
+      FROM sl
+    ),
+    eco_ns AS (
+      SELECT DISTINCT eco,
+             CASE WHEN regexp_extract(eco, '^Ubuntu:(\d+\.\d+)(:LTS)?$', 1) <> ''
+                  THEN 'ubuntu:' || regexp_extract(eco, '^Ubuntu:(\d+\.\d+)(:LTS)?$', 1)
+                  WHEN regexp_extract(eco, '^Ubuntu:Pro:(\d+\.\d+)(:LTS)?$', 1) <> ''
+                  THEN 'ubuntu:' || regexp_extract(eco, '^Ubuntu:Pro:(\d+\.\d+)(:LTS)?$', 1) || '+esm'
+             END AS ns
+      FROM sl
+    ),
+    v AS (
+      SELECT r.rec, r.eco, e.ns,
+             'CVE-2024-' || CAST(r.rec AS VARCHAR) AS vuln_name,
+             CASE r.rec % 8 WHEN 0 THEN 'Negligible' WHEN 1 THEN 'Low'
+                  WHEN 2 THEN 'Medium' WHEN 3 THEN 'High'
+                  WHEN 4 THEN 'Critical' ELSE 'Unknown' END AS severity
+      FROM (SELECT DISTINCT rec, eco FROM sl
+            WHERE rec % 17 <> 0 AND rec % 19 <> 0) r
+      JOIN eco_ns e ON r.eco = e.eco
+      WHERE e.ns IS NOT NULL
+    ),
+    fixed_rows AS (
+      SELECT v.ns, v.vuln_name, v.severity, s.pkg, s.fv, s.fdate
+      FROM v JOIN s2 s ON v.rec = s.rec AND v.eco = s.eco
+      WHERE s.st = 0 AND s.pkg IS NOT NULL
+    ),
+    none_rows AS (
+      SELECT DISTINCT v.ns, v.vuln_name, v.severity, s.pkg, s.st
+      FROM v JOIN s2 s ON v.rec = s.rec AND v.eco = s.eco
+      WHERE s.st <> 0 AND s.pkg IS NOT NULL AND v.ns NOT LIKE '%+esm'
+    ),
+    empty_recs AS (
+      SELECT DISTINCT v.ns, v.vuln_name, v.severity
+      FROM v
+      WHERE v.ns NOT LIKE '%+esm'
+        AND NOT EXISTS (SELECT 1 FROM fixed_rows f
+                        WHERE f.ns = v.ns AND f.vuln_name = v.vuln_name)
+        AND NOT EXISTS (SELECT 1 FROM none_rows n
+                        WHERE n.ns = v.ns AND n.vuln_name = v.vuln_name)
+    )
+    SELECT ns || '/' || lower(vuln_name) AS identifier, vuln_name,
+           ns AS namespace, severity,
+           'https://ubuntu.com/security/' || vuln_name AS link,
+           pkg AS fixed_name, 'dpkg' AS version_format, fv AS version,
+           FALSE AS no_advisory, fdate AS available_date,
+           CASE WHEN fdate IS NOT NULL THEN 'advisory' END AS available_kind
+    FROM fixed_rows
+    UNION ALL
+    SELECT ns || '/' || lower(vuln_name), vuln_name, ns, severity,
+           'https://ubuntu.com/security/' || vuln_name,
+           pkg, 'dpkg', 'None', st = 1,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM none_rows
+    UNION ALL
+    SELECT ns || '/' || lower(vuln_name), vuln_name, ns, severity,
+           'https://ubuntu.com/security/' || vuln_name,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM empty_recs
+    """,
+    doc="OSV->OS downconvert end-to-end (ubuntu/os_downconvert.py:1-266): "
+        "synthesizes per-ecosystem OSV envelopes (base/Pro/FIPS/"
+        "Nvidia-BlueField, LTS and non-LTS, withdrawn, missing-CVE, every "
+        "severity variant, fixed/wont-fix/no-fix entries, fix-date lookup "
+        "hits and misses, null package names) as genuinely NESTED "
+        "affected[]/ranges[]/events[] frames, then runs the pure-Catalyst "
+        "pipelines/ubuntu.py osv_to_os: ESM channel mapping "
+        "(Ubuntu:Pro:X.YY -> ubuntu:X.YY+esm), +esm no-fix suppression, "
+        "wont-fix NoAdvisory encoding, Available date/kind deref.  The "
+        "oracle derives the same result RELATIONALLY from the flat rows — "
+        "two independent formulations of the reference semantics",
+    tags=("pipeline", "explode"),
+)
+def ubuntu2(spark, sf_dir):
+    from vunnel_spark.pipelines.ubuntu import osv_to_os
+
+    li = t(spark, sf_dir, "lineitem")
+    rec = F.col("l_orderkey") % 400
+    pkgnum = F.col("l_partkey") % 50
+    st = (rec * 7 + pkgnum) % 3
+    eco = (
+        F.when(F.col("l_suppkey") % 6 == 0, F.lit("Ubuntu:22.04:LTS"))
+        .when(F.col("l_suppkey") % 6 == 1, F.lit("Ubuntu:24.04"))
+        .when(F.col("l_suppkey") % 6 == 2, F.lit("Ubuntu:Pro:22.04:LTS"))
+        .when(F.col("l_suppkey") % 6 == 3, F.lit("Ubuntu:Pro:16.04"))
+        .when(F.col("l_suppkey") % 6 == 4, F.lit("Ubuntu:Pro:FIPS:22.04:LTS"))
+        .otherwise(F.lit("Ubuntu:Nvidia-BlueField:22.04"))
+    )
+    pkg = F.when((rec + pkgnum) % 23 != 0, F.concat(F.lit("pkg"), pkgnum.cast("string")))
+    fv = F.when(
+        st == 0,
+        F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber")),
+    )
+    fdate = F.when(
+        (st == 0) & (F.col("l_linenumber") % 2 == 1),
+        F.concat(F.lit("2024-0"), F.col("l_linenumber").cast("string"), F.lit("-15")),
+    )
+    sl = li.select(
+        rec.alias("rec"), eco.alias("eco"), pkg.alias("pkg"),
+        F.when(st == 1, F.lit("wont-fix")).alias("status"),
+        # one OSV range per source row; empty-filter gives typed empty arrays
+        F.struct(
+            F.filter(
+                F.array(F.struct(fv.alias("fixed"))),
+                lambda e: e["fixed"].isNotNull(),
+            ).alias("events"),
+            F.filter(
+                F.array(F.struct(fv.alias("version"), fdate.alias("date"),
+                                 F.lit("advisory").alias("kind"))),
+                lambda x: x["date"].isNotNull(),
+            ).alias("fixes"),
+        ).alias("rng"),
+    )
+    entries = sl.groupBy("rec", "eco", "pkg").agg(
+        F.collect_list("rng").alias("ranges"), F.max("status").alias("status")
+    )
+    sev_score = (
+        F.when(F.col("rec") % 8 == 0, F.lit("negligible"))
+        .when(F.col("rec") % 8 == 1, F.lit("low"))
+        .when(F.col("rec") % 8 == 2, F.lit("medium"))
+        .when(F.col("rec") % 8 == 3, F.lit("high"))
+        .when(F.col("rec") % 8 == 4, F.lit("critical"))
+        .otherwise(F.lit("untriaged"))
+    )
+    cve = F.concat(F.lit("CVE-2024-"), F.col("rec").cast("string"))
+    osv = entries.groupBy("rec", "eco").agg(
+        F.collect_list(
+            F.struct(
+                F.struct(F.col("eco").alias("ecosystem"), F.col("pkg").alias("name"))
+                .alias("package"),
+                F.col("ranges"),
+                F.col("status"),
+            )
+        ).alias("affected")
+    ).select(
+        F.concat_ws("/", F.lit("UBUNTU-CVE"), "rec", "eco").alias("record_id"),
+        F.when(F.col("rec") % 17 == 0, F.lit("2024-01-01")).alias("withdrawn"),
+        F.when(F.col("rec") % 19 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(cve)).alias("upstream"),
+        F.when(
+            F.col("rec") % 8 == 7,
+            F.array(F.struct(F.lit("CVSS_V3").alias("type"), F.lit("9.8").alias("score"))),
+        )
+        .when(
+            F.col("rec") % 8 == 6,
+            F.array(F.struct(F.lit("Ubuntu").alias("type"), F.lit("").alias("score"))),
+        )
+        .otherwise(F.array(F.struct(F.lit("Ubuntu").alias("type"), sev_score.alias("score"))))
+        .alias("severity"),
+        "affected",
+    )
+    return osv_to_os(osv)
