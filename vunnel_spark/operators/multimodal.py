@@ -7,16 +7,17 @@ sampling) runs in Arrow-batched ``mapInPandas`` stages so the 100 TB path
 is: parquet scan (binary column pruned unless needed) -> partition-local
 Python batches -> columnar output.  No driver-side materialization ever.
 
-Codecs: PPM (P6) is implemented for real — it is a complete, published
-image format with a trivial header, so the decode/resize/feature stages
-exercise genuine bytes-in/pixels-out behavior end-to-end, and the m1/m2
-queries carry exact SQL oracles over deterministically synthesized
-gradient images.  Compressed formats (PNG/JPEG/mp4...) need libraries
-this container doesn't ship; those paths keep the explicit
-NotImplementedError + ``fake=True`` escape hatch, and swapping in
-PIL/ffmpeg later changes only ``decode_image``'s dispatch.  Video gets a
-minimal length-prefixed frame container (``pack_frames``/``iter_frames``)
-so frame sampling is real, explode-shaped, and testable.
+Codecs: PPM (P6) and PNG (zlib DEFLATE + the five spec scanline filters,
+8-bit gray/truecolor) are implemented for real, so the decode/resize/
+feature stages exercise genuine bytes-in/pixels-out behavior — including
+a real compressed format — end-to-end, and the m1/m2/m7/m8 queries carry
+exact SQL oracles over deterministically synthesized gradient images.
+Remaining compressed formats (JPEG/mp4...) need libraries this container
+doesn't ship; those paths keep the explicit NotImplementedError +
+``fake=True`` escape hatch, and swapping in PIL/ffmpeg later changes
+only ``decode_image``'s dispatch.  Video gets a minimal length-prefixed
+frame container (``pack_frames``/``iter_frames``) so frame sampling is
+real, explode-shaped, and testable.
 """
 
 from __future__ import annotations
@@ -93,6 +94,169 @@ def decode_ppm(payload: bytes):
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------- PNG codec
+#
+# Real PNG support from the published spec (RFC 2083 / W3C PNG): stdlib
+# zlib provides the DEFLATE layer and CRC-32; the scanline filters
+# (None/Sub/Up/Average/Paeth) are implemented here.  Supported subset:
+# 8-bit depth, truecolor (type 2) and grayscale (type 0), no interlace —
+# enough for every image this engine synthesizes, and an honest
+# bytes-in/pixels-out codec for the m7/m8 value oracles.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr, row_filter=None) -> bytes:
+    """HxWx3 (or HxW grayscale) uint8 -> PNG bytes.
+
+    ``row_filter``: callable ``y -> 0..4`` choosing the scanline filter
+    per row (default all-0/None).  The encoder computes the filtered
+    bytes from the reconstructed data, so any mix of the five spec
+    filters round-trips — the synthesized test images use ``y % 5`` to
+    exercise every de-filter path in ``decode_png``.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[0], arr.shape[1]
+    ch = 1 if gray else arr.shape[2]
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported channel count {ch}")
+    recon = arr.reshape(h, w * ch).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = int(row_filter(y)) if row_filter else 0
+        cur = recon[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros_like(prev)
+        upleft[ch:] = prev[:-ch]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth_predictor(left, prev, upleft)
+        lines.append(f)
+        lines.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    color_type = 0 if ch == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predictor(a, b, c):
+    """Vectorized Paeth predictor (PNG spec §6.6) over int32 arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes):
+    """PNG bytes -> HxWx3 (truecolor) or HxW (grayscale) uint8 array.
+
+    Full chunk walk with CRC-32 verification, multi-IDAT concatenation,
+    zlib inflate, and all five scanline de-filters.  Filters 0/2 (None/
+    Up) reconstruct vectorized; 1/3/4 (Sub/Average/Paeth) depend on the
+    just-reconstructed left neighbor, so they run a per-scanline loop —
+    per-payload work inside an Arrow batch, never per-pixel Python at
+    the plan level.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}); supported: 8-bit gray/truecolor, "
+            "no interlace"
+        )
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG image data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).astype(np.int32)
+        p += 1 + stride
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prev) % 256
+        elif f in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
+
+
 def _fake_decode(payload: bytes, width: int, height: int):
     """Deterministic stand-in for compressed-format codecs: bytes ->
     HxWx3 uint8, seeded from the payload digest so results are stable
@@ -109,18 +273,27 @@ def _fake_decode(payload: bytes, width: int, height: int):
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     """Decode one image payload.
 
-    PPM (P6) decodes for real; other formats need codec libraries this
-    container doesn't ship — callers opt into the deterministic fake
-    explicitly, or get NotImplementedError.
+    PPM (P6) and PNG (8-bit gray/truecolor) decode for real; remaining
+    compressed formats (JPEG/mp4...) need codec libraries this container
+    doesn't ship — callers opt into the deterministic fake explicitly,
+    or get NotImplementedError.
     """
+    import numpy as np
+
     payload = bytes(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        if img.ndim == 2:  # grayscale -> replicated RGB for uniform stages
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
         "no codec for this payload format in this environment; PPM (P6) "
-        "decodes natively, or pass fake=True for the deterministic stand-in"
+        "and PNG (8-bit gray/truecolor) decode natively, or pass "
+        "fake=True for the deterministic stand-in"
     )
 
 
@@ -332,6 +505,48 @@ def synthesize_ppm_media_table(
                 out.append(
                     (did, payload,
                      {"format": "ppm", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_png_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-PNG media table from the documents corpus.
+
+    Same closed-form pixel model as ``synthesize_ppm_media_table`` (R is
+    the ``(id + x) mod 256`` gradient, G/B constant in the id, dims
+    ``w = id%16+8`` / ``h = id%8+8``) but zlib-compressed PNG payloads
+    whose scanline filter cycles ``y % 5`` — every row of every image
+    exercises one of the five spec de-filter paths, so a single decoded
+    corpus proves the whole filter surface against the SQL oracle.
+    """
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                row = (did + np.arange(w)) % 256
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = row[None, :]
+                img[:, :, 1] = (7 * did) % 256
+                img[:, :, 2] = (13 * did) % 256
+                payload = encode_png(img, row_filter=lambda y: y % 5)
+                out.append(
+                    (did, payload,
+                     {"format": "png", "width": w, "height": h,
                       "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])

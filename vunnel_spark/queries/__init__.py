@@ -40,6 +40,8 @@ GATE_WINDOW = [
     "d3_minhash_lsh_pairs",
     "s12_sink_roundtrip",
     "ubuntu2_osv_downconvert",
+    "m7_png_feature_extract",
+    "m8_png_resize_pipeline",
     # the 37 never-externally-gated queries (VERDICT r5 "What's wrong" #2)
     "p4_ecosystem_allowlist_rename",
     "p7_rejected_pair_antifilter",

@@ -141,3 +141,96 @@ def m3(spark, sf_dir):
         "media_id", "frame_idx", "width", "height",
         F.round("mean_r", 4).alias("mean_r"),
     )
+
+
+@register(
+    "m7_png_feature_extract",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, w, h,
+             (SELECT avg((media_id + x) % 256) FROM xs WHERE x < w) AS mean_r,
+             (SELECT avg(pow((media_id + x) % 256, 2))
+              FROM xs WHERE x < w) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mean_r, 4) AS mean_r, round(g, 4) AS mean_g,
+           round(b, 4) AS mean_b,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
+    doc="REAL compressed-codec image pipeline: PNG payloads (stdlib-zlib "
+        "DEFLATE + all five spec scanline filters via y%5 row cycling, "
+        "operators/multimodal.py encode_png/decode_png) decoded by the "
+        "same mapInPandas feature stage as m1; the closed-form gradient "
+        "oracle verifies CRC walk + inflate + every de-filter path "
+        "end-to-end by value",
+    tags=("multimodal", "udf"),
+)
+def m7(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_png_media_table,
+    )
+
+    media = synthesize_png_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
+
+
+@register(
+    "m8_png_resize_pipeline",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w FROM documents
+    ), r AS (
+      SELECT media_id,
+             (SELECT avg((media_id + (x.x * w) // 8) % 256)
+              FROM generate_series(0, 7) AS x(x)) AS mean_r,
+             (SELECT avg(pow((media_id + (x.x * w) // 8) % 256, 2))
+              FROM generate_series(0, 7) AS x(x)) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, 8 AS width, 8 AS height, 203 AS n_bytes,
+           round(mean_r, 4) AS mean_r,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
+    doc="Cross-codec resize composition: PNG decode -> nearest-neighbor "
+        "8x8 -> PPM re-encode -> feature extract.  Identical oracle to "
+        "m2 (including the 203-byte re-encoded-PPM pin), so a value "
+        "mismatch isolates the PNG decode stage",
+    tags=("multimodal", "udf"),
+)
+def m8(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+        synthesize_png_media_table,
+    )
+
+    media = synthesize_png_media_table(t(spark, sf_dir, "documents"))
+    small = resize_images(media, out_w=8, out_h=8, fake=False)
+    sizes = small.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+    feats = image_features(small, fake=False)
+    return feats.join(sizes, "media_id").select(
+        "media_id", "width", "height", "n_bytes",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("std_all", 4).alias("std_all"),
+    )
