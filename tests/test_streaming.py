@@ -473,3 +473,70 @@ def test_foreach_batch_rollup_bucketed_rewrites_only_touched(spark, tmp_path):
         for r in spark.read.parquet(state).drop("_bucket").collect()
     }
     assert got2 == expect
+
+
+def test_bucketed_rollup_backups_parked_outside_state_and_recovered(spark, tmp_path):
+    """Two swap-safety contracts for bucketed rollup state:
+
+    1. a reader of the state dir can NEVER list a backup — per-bucket
+       backups park under ``<state>.__bucketbak__/``, outside the store,
+       because an in-store ``_bucket=N.__old__`` sibling (the '='
+       makes it non-hidden to partition discovery) would show up as a
+       duplicated/string-typed partition mid-swap;
+    2. a batch recovers EVERY parked backup, including buckets its own
+       delta does not touch — a crash with a replaced checkpoint must
+       not strand a bucket's state forever.
+    """
+    import datetime as dt
+
+    from vunnel_spark.streaming.enrich import foreach_batch_rollup
+
+    src_dir = str(tmp_path / "pk_in")
+    state = str(tmp_path / "pk_state")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = foreach_batch_rollup(
+            stream, state, str(tmp_path / ckpt), keys=["user_id"],
+            sum_cols=("value",), hash_buckets=4,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch([(u, dt.datetime(2026, 1, 1, 10), float(u)) for u in range(8)])
+    run("ck1")
+
+    # contract 1: nothing backup-shaped inside the state dir, ever
+    assert not [d for d in os.listdir(state) if "__old__" in d or "bak" in d]
+    before = {
+        (r.user_id, r.sum_value)
+        for r in spark.read.parquet(state).drop("_bucket").collect()
+    }
+
+    # simulate a crash mid-swap: one bucket's state is parked in the bak
+    # root and missing from the store, and NO later batch touches it
+    buckets = sorted(d for d in os.listdir(state) if d.startswith("_bucket="))
+    victim = buckets[0]
+    bak_root = f"{state}.__bucketbak__"
+    os.makedirs(bak_root)
+    os.rename(os.path.join(state, victim), os.path.join(bak_root, victim))
+
+    # next batch (same checkpoint) delivers only user 100 — whichever
+    # bucket that hashes to, recovery must also restore the victim even
+    # when the delta doesn't touch it
+    write_batch([(100, dt.datetime(2026, 1, 1, 11), 5.0)])
+    run("ck1")
+
+    after = {
+        (r.user_id, r.sum_value)
+        for r in spark.read.parquet(state).drop("_bucket").collect()
+    }
+    assert before | {(100, 5.0)} == after  # victim bucket's rows are back
+    assert not os.path.exists(bak_root) or not os.listdir(bak_root)

@@ -19,9 +19,14 @@ the real columns at read time).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# serializes the session-global outputTimestampType toggle in
+# write_clustered (concurrent clustered writes would race on the conf)
+_TS_CONF_LOCK = threading.Lock()
 
 
 def z_value(
@@ -65,27 +70,36 @@ def write_clustered(
     Timestamps are written as TIMESTAMP_MICROS, not Spark's default
     INT96: INT96 carries NO parquet min/max statistics, which silently
     disables stats-based pruning on the time dimension for every reader
-    — the opposite of what a clustered layout exists for."""
+    — the opposite of what a clustered layout exists for.
+
+    The timestamp-type toggle mutates SESSION-global conf for the
+    duration of the write, so concurrent writes in one session are
+    serialized through a module lock; an unrelated parquet write racing
+    on another thread of the same session can still observe the
+    temporary TIMESTAMP_MICROS setting (harmless for data correctness —
+    micros is the safer format — but set the conf once at session build
+    if that matters)."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try:
-        (
-            df.withColumn("_cluster_key", order_expr)
-            .repartitionByRange(n_files, "_cluster_key")
-            .sortWithinPartitions("_cluster_key")
-            .drop("_cluster_key")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
-        else:
-            # get(key, None) returns None when the conf was never set;
-            # leaving micros behind would silently change the format of
-            # every LATER parquet write in the session
-            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    with _TS_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (
+                df.withColumn("_cluster_key", order_expr)
+                .repartitionByRange(n_files, "_cluster_key")
+                .sortWithinPartitions("_cluster_key")
+                .drop("_cluster_key")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+            else:
+                # get(key, None) returns None when the conf was never set;
+                # leaving micros behind would silently change the format of
+                # every LATER parquet write in the session
+                spark.conf.unset("spark.sql.parquet.outputTimestampType")
 
 
 def read_clustered(spark: SparkSession, path: str) -> DataFrame:

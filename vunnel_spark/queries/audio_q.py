@@ -123,6 +123,21 @@ def m6(spark, sf_dir):
     from vunnel_spark.operators.multimodal import synthesize_wav_table
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
+    # The analytic oracle enumerates ONLY the planted pairs, which is the
+    # complete duplicate set iff no two organic ids share synth
+    # parameters — true while every doc_id is below the synth's 18000-id
+    # parameter period (holds through sf0.1).  Past that the operator is
+    # still correct but the oracle is stale, so fail loudly instead of
+    # letting the gate go red with no hint of which side is wrong.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= 18_000:
+        raise AssertionError(
+            f"m6's planted-pair oracle is only valid while max(doc_id) < "
+            f"18000 (the wav synth's parameter period); this corpus has "
+            f"max(doc_id)={max_id}, where organic payload repeats add "
+            "pairs the oracle does not list — regenerate the oracle for "
+            "this scale factor instead of trusting it"
+        )
     planted = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + _DUP_OFFSET).alias("doc_id")
     )

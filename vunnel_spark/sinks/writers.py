@@ -177,26 +177,37 @@ class EnvelopeWriter:
         return df.filter(bucket_filter & key_filter).drop(self.BUCKET_COL)
 
 
-def _recover_backup(path: str) -> None:
+def _recover_backup(path: str, backup: str | None = None) -> None:
     """Crash recovery for the swap window: a hard kill between
     _atomic_install's two renames leaves the prior data parked in
-    ``__old__`` and nothing at ``path``.  Restore it — treating the store
-    as empty there would silently discard all prior state."""
-    backup = f"{path}.__old__"
+    the backup dir and nothing at ``path``.  Restore it — treating the
+    store as empty there would silently discard all prior state."""
+    backup = backup or f"{path}.__old__"
     if not os.path.exists(path) and os.path.exists(backup):
         os.rename(backup, path)
 
 
-def _atomic_install(stage: str, path: str) -> None:
+def _atomic_install(stage: str, path: str, backup: str | None = None) -> None:
     """Swap a fully-written stage dir into place (single-writer protocol):
     the prior dir is parked as a backup, restored on a failed install, and
-    discarded only after the new data is live."""
-    _recover_backup(path)
-    backup = f"{path}.__old__"
+    discarded only after the new data is live.
+
+    ``backup`` overrides where the prior dir is parked.  Callers swapping
+    a PARTITION dir inside a live partitioned store must park the backup
+    OUTSIDE the store: the default sibling name would contain ``=``,
+    which Spark partition discovery does not treat as hidden, so a
+    concurrent reader of the store could list the backup as a duplicate
+    (string-valued) partition during the swap window.
+    """
+    _recover_backup(path, backup)
+    backup = backup or f"{path}.__old__"
     if os.path.exists(backup):
         shutil.rmtree(backup)
     had_prior = os.path.exists(path)
     if had_prior:
+        parent = os.path.dirname(backup)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         os.rename(path, backup)
     try:
         os.rename(stage, path)

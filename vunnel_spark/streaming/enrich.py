@@ -167,7 +167,31 @@ def foreach_batch_rollup(
         _clear_stage_dirs()
         _publish(new, state_path, batch_id)
 
+    # Per-bucket backups are parked OUTSIDE the state dir: an in-place
+    # sibling name would contain '=', which Spark partition discovery
+    # does NOT treat as hidden, so a concurrent spark.read.parquet of
+    # the state would see duplicated bucket rows (or a string-typed
+    # _bucket) during the swap window.  Parked here, a reader of
+    # state_path can never list a backup.
+    bucket_bak_root = f"{state_path}.__bucketbak__"
+
+    def _bucket_backup(b) -> str:
+        return os.path.join(bucket_bak_root, f"_bucket={b}")
+
+    def _recover_all_bucket_backups() -> None:
+        """Recover EVERY parked bucket backup, not just the buckets this
+        delta touches: a crash between the two renames leaves a backup
+        parked, and if no later batch touches that bucket (e.g. the
+        checkpoint was replaced so the batch never replays) its state
+        would otherwise stay missing indefinitely."""
+        for bak in glob.glob(os.path.join(bucket_bak_root, "_bucket=*")):
+            dest = os.path.join(state_path, os.path.basename(bak))
+            _recover_backup(dest, bak)
+        if os.path.isdir(bucket_bak_root) and not os.listdir(bucket_bak_root):
+            os.rmdir(bucket_bak_root)
+
     def _roll_bucketed(spark, delta: DataFrame, batch_id: int) -> None:
+        _recover_all_bucket_backups()
         delta = delta.withColumn("_bucket", _bucket_expr())
         touched = sorted(
             r["_bucket"] for r in delta.select("_bucket").distinct().collect()
@@ -175,7 +199,6 @@ def foreach_batch_rollup(
         pending = []
         for b in touched:
             bpath = os.path.join(state_path, f"_bucket={b}")
-            _recover_backup(bpath)
             if not (os.path.exists(bpath) and batch_id <= _last_applied(bpath)):
                 pending.append(b)
         if not pending:
@@ -209,8 +232,13 @@ def foreach_batch_rollup(
                 os.makedirs(bstage)
             with open(os.path.join(bstage, meta_name), "w") as f:
                 json.dump({"batch_id": batch_id}, f)
-            _atomic_install(bstage, os.path.join(state_path, f"_bucket={b}"))
+            _atomic_install(
+                bstage,
+                os.path.join(state_path, f"_bucket={b}"),
+                backup=_bucket_backup(b),
+            )
         shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(bucket_bak_root, ignore_errors=True)
 
     def _roll(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
