@@ -224,3 +224,67 @@ def test_recover_backup_restores_crashed_swap(spark, tmp_path):
     _recover_backup(path)
     assert spark.read.parquet(path).count() == 5
     assert not os.path.exists(f"{path}.__old__")
+
+
+# --------------------------------------------------- table-format adapter
+
+def test_delta_adapter_availability_probe(spark):
+    """delta_available() must answer without raising in every
+    environment; in this container (no delta-spark) it reports False and
+    both sink idioms fall back to the parquet swap."""
+    from vunnel_spark.sinks.table_format import delta_available
+
+    assert delta_available(spark) in (True, False)
+
+
+def test_forced_delta_raises_cleanly_when_unavailable(spark, tmp_path):
+    import pytest
+
+    from vunnel_spark.sinks.table_format import delta_available
+    from vunnel_spark.sinks.writers import first_observed_merge, overwrite_partitions
+
+    if delta_available(spark):
+        pytest.skip("delta-spark present; the forced path is exercised below")
+    obs = spark.createDataFrame([("k1",), ("k2",)], "k string")
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        first_observed_merge(
+            spark, str(tmp_path / "fo"), obs, ["k"], table_format="delta"
+        )
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        overwrite_partitions(
+            obs.withColumn("p", obs.k), str(tmp_path / "ow"), "p",
+            table_format="delta",
+        )
+
+
+def test_delta_merge_and_replacewhere_roundtrip(spark, tmp_path):
+    """Runs only where delta-spark is installed (CI with the jar): the
+    MERGE INTO path must keep first_observed_merge's insert-on-miss
+    idempotence, and replaceWhere must leave absent partitions frozen."""
+    import pytest
+
+    from vunnel_spark.sinks.table_format import delta_available
+    from vunnel_spark.sinks.writers import first_observed_merge, overwrite_partitions
+
+    if not delta_available(spark):
+        pytest.skip("delta-spark not on the classpath")
+
+    fo = str(tmp_path / "fo")
+    obs1 = spark.createDataFrame([("a",), ("b",)], "k string")
+    got1 = first_observed_merge(spark, fo, obs1, ["k"], today="2026-01-01")
+    assert got1.count() == 2
+    # re-merge same keys + one new key on a later day: dates never change
+    obs2 = spark.createDataFrame([("a",), ("c",)], "k string")
+    got2 = {r.k: str(r.first_observed)
+            for r in first_observed_merge(spark, fo, obs2, ["k"],
+                                          today="2026-02-02").collect()}
+    assert got2 == {"a": "2026-01-01", "b": "2026-01-01", "c": "2026-02-02"}
+
+    ow = str(tmp_path / "ow")
+    day1 = spark.createDataFrame([("p1", 1), ("p2", 2)], "p string, v int")
+    overwrite_partitions(day1, ow, "p")
+    day2 = spark.createDataFrame([("p2", 20)], "p string, v int")
+    overwrite_partitions(day2, ow, "p")
+    rows = {(r.p, r.v) for r in
+            spark.read.format("delta").load(ow).collect()}
+    assert rows == {("p1", 1), ("p2", 20)}  # p1 frozen, p2 replaced

@@ -278,14 +278,33 @@ def first_observed_merge(
     key_cols: Sequence[str],
     date_col: str = "first_observed",
     today: str | None = None,
+    table_format: str = "auto",
 ) -> DataFrame:
-    """I4 first-observed state store as a merge-on-miss Parquet table.
+    """I4 first-observed state store as a merge-on-miss table.
 
     Semantics (tool/fixdate/first_observed.py:35-63): look up each key; on
     miss, insert today's date; always return the (key, first_observed) map
     covering every input key.  Idempotent per run: re-merging the same keys
     never changes existing dates.
+
+    ``table_format``: 'auto' routes through a real Delta MERGE INTO when
+    delta-spark is on the classpath (multi-writer safe) and otherwise
+    uses the single-writer parquet swap; 'delta'/'parquet' force a path
+    ('delta' raising if unavailable).
     """
+    from vunnel_spark.sinks.table_format import (
+        delta_available,
+        merge_first_observed_delta,
+    )
+
+    use_delta = table_format == "delta" or (
+        table_format == "auto" and delta_available(spark)
+    )
+    if use_delta:
+        return merge_first_observed_delta(
+            spark, path, observations.select(*key_cols), key_cols,
+            date_col=date_col, today=today,
+        )
     new_keys = observations.select(*key_cols).distinct()
     today_col = F.lit(today).cast("date") if today else F.current_date()
     if os.path.exists(path):
@@ -341,7 +360,11 @@ def validate_checksum_listing(path: str, listing_path: str) -> bool:
 
 
 def overwrite_partitions(
-    df: DataFrame, path: str, partition_col: str, partitions: Sequence[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    partitions: Sequence[str] | None = None,
+    table_format: str = "auto",
 ) -> None:
     """I6 frozen-fragment layering (ubuntu/parser.py:307-373): rewrite ONLY
     the partitions present in today's data (or an explicit list); absent
@@ -349,8 +372,21 @@ def overwrite_partitions(
 
     Dynamic partition overwrite — Spark's ``partitionOverwriteMode=dynamic``
     replaces exactly the partitions the frame contains, atomically per
-    partition directory.
+    partition directory.  ``table_format='auto'`` upgrades to Delta's
+    transactional ``replaceWhere`` (whole-set-atomic) when delta-spark is
+    on the classpath; 'delta'/'parquet' force a path.
     """
+    from vunnel_spark.sinks.table_format import (
+        delta_available,
+        overwrite_partitions_delta,
+    )
+
+    use_delta = table_format == "delta" or (
+        table_format == "auto" and delta_available(df.sparkSession)
+    )
+    if use_delta:
+        overwrite_partitions_delta(df, path, partition_col, partitions)
+        return
     out = df
     if partitions is not None:
         out = df.filter(F.col(partition_col).isin(list(partitions)))
