@@ -90,3 +90,75 @@ def test_cli_clear_removes_known_members_only(tmp_path, capsys):
 
     assert main(["clear", str(ws / "missing")]) == 2
     assert main(["clear", str(ws), "--input-only", "--results-only"]) == 2
+
+
+# ------------------------------------------------------- config file + env
+
+def test_config_defaults_when_no_file(tmp_path):
+    from vunnel_spark.config import load
+
+    cfg = load(str(tmp_path / "absent.yaml"))
+    assert cfg.sf_dir == "/root/testdata/sf0.001"
+    assert cfg.show == 10 and cfg.explain is False
+    assert cfg.spark.app_name == "vunnel_spark_cli"
+
+
+def test_config_file_then_env_precedence(tmp_path, monkeypatch):
+    from vunnel_spark.config import load
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "sf_dir: /data/sfX\nshow: 25\nspark:\n  shuffle_partitions: 64\n"
+        "log:\n  level: DEBUG\n"
+    )
+    cfg = load(str(p))
+    assert (cfg.sf_dir, cfg.show, cfg.spark.shuffle_partitions,
+            cfg.log.level) == ("/data/sfX", 25, 64, "DEBUG")
+
+    # env overrides the file, including nested fields and bool coercion
+    monkeypatch.setenv("VUNNEL_SPARK_SF_DIR", "/data/env")
+    monkeypatch.setenv("VUNNEL_SPARK_EXPLAIN", "yes")
+    monkeypatch.setenv("VUNNEL_SPARK_SPARK_SHUFFLE_PARTITIONS", "128")
+    monkeypatch.setenv("VUNNEL_SPARK_LOG_SHOW_TIMINGS", "on")
+    cfg = load(str(p))
+    assert cfg.sf_dir == "/data/env" and cfg.explain is True
+    assert cfg.spark.shuffle_partitions == 128
+    assert cfg.log.show_timings is True
+
+
+def test_config_rejects_unknown_keys_and_bad_env(tmp_path, monkeypatch):
+    import pytest
+
+    from vunnel_spark.config import load
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text("sfdir: oops\n")
+    with pytest.raises(ValueError, match="unknown config key: sfdir"):
+        load(str(p))
+
+    p.write_text("show: notanint\n")
+    with pytest.raises(ValueError, match="show must be an integer"):
+        load(str(p))
+
+    p.write_text("show: 5\n")
+    monkeypatch.setenv("VUNNEL_SPARK_SHOW", "many")
+    with pytest.raises(ValueError, match="VUNNEL_SPARK_SHOW"):
+        load(str(p))
+
+
+def test_cli_run_uses_config_file_sf_dir_and_flag_wins(tmp_path, monkeypatch, capsys):
+    """End-to-end through main(): the config file supplies sf_dir, an
+    explicit flag beats it."""
+    from vunnel_spark.cli import main
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text("sf_dir: /root/testdata/sf0.001\nshow: 3\n")
+    rc = main(["-c", str(p), "run", "p1_regex_filter"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "@ /root/testdata/sf0.001" in out
+
+    monkeypatch.setenv("VUNNEL_SPARK_SF_DIR", "/nonexistent/sfZ")
+    rc = main(["-c", str(p), "run", "p1_regex_filter",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0  # explicit flag wins over the (broken) env value

@@ -1,10 +1,15 @@
 """Engine CLI — run/list/status/clear parity with the reference's command
 surface (/root/reference/src/vunnel/cli/cli.py:150-311).
 
-    python -m vunnel_spark list [--tag TAG]
+    python -m vunnel_spark [-c CONFIG.yaml] list [--tag TAG]
     python -m vunnel_spark run QUERY [--sf-dir DIR] [--show N] [--explain]
     python -m vunnel_spark status [--sf-dir DIR]
     python -m vunnel_spark clear WORKSPACE [--input-only|--results-only] [--dry-run]
+
+Defaults resolve config-file-then-env (reference cli/config.py:157-235
+parity): a ``.vunnel_spark.yaml`` (or ``-c`` path) supplies defaults for
+``sf_dir``/``show``/``explain`` and the Spark session knobs, and
+``VUNNEL_SPARK_*`` env vars override the file; explicit flags beat both.
 """
 
 from __future__ import annotations
@@ -17,6 +22,11 @@ import time
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vunnel_spark", description=__doc__)
+    p.add_argument(
+        "-c", "--config", default=".vunnel_spark.yaml",
+        help="YAML config file (missing file = dataclass defaults); "
+             "VUNNEL_SPARK_* env vars override it, flags override both",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     p_list = sub.add_parser("list", help="list registered queries")
@@ -34,12 +44,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "--tags", nargs="+",
         help="run every query matching the tag algebra instead of one name",
     )
-    p_run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    p_run.add_argument("--show", type=int, default=10, help="rows to print")
-    p_run.add_argument("--explain", action="store_true", help="print the physical plan")
+    p_run.add_argument("--sf-dir", default=None)
+    p_run.add_argument("--show", type=int, default=None, help="rows to print")
+    p_run.add_argument("--explain", action="store_true", default=None,
+                       help="print the physical plan")
 
     p_status = sub.add_parser("status", help="registry + table inventory")
-    p_status.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_status.add_argument("--sf-dir", default=None)
 
     p_clear = sub.add_parser(
         "clear",
@@ -93,6 +104,18 @@ def _clear_workspace(root: str, input_only: bool, results_only: bool, dry_run: b
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    from vunnel_spark.config import load as load_config
+
+    try:
+        cfg = load_config(args.config)
+    except ValueError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
+    # flags > env > config file > dataclass defaults
+    for attr, fallback in (("sf_dir", cfg.sf_dir), ("show", cfg.show),
+                           ("explain", cfg.explain)):
+        if getattr(args, attr, None) is None and hasattr(args, attr):
+            setattr(args, attr, fallback)
     from vunnel_spark.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
@@ -136,10 +159,18 @@ def main(argv: list[str] | None = None) -> int:
 
     from vunnel_spark.session import get_spark
 
+    def _session():
+        spark = get_spark(cfg.spark.app_name)
+        if cfg.spark.shuffle_partitions > 0:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(cfg.spark.shuffle_partitions)
+            )
+        return spark
+
     if args.cmd == "status":
         import os
 
-        spark = get_spark("vunnel_spark_cli")
+        spark = _session()
         tables = {}
         for t in ["region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings"]:
@@ -180,7 +211,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         print("query name or --tags required", file=sys.stderr)
         return 2
-    spark = get_spark("vunnel_spark_cli")
+    spark = _session()
     for name in targets:
         df = REGISTRY[name].fn(spark, args.sf_dir)
         if args.explain:
