@@ -161,12 +161,26 @@ def d3(spark, sf_dir):
     from vunnel_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    # 64 hashes / 16 bands (r=4).  A 32/16 (r=2) variant was A/B-tested:
-    # the halved signature hashing was dwarfed by the ~3x candidate volume
-    # its lower S-curve admits (more verify work), measuring net slower
-    # (min-of-4 4.7s vs 5.1s at sf0.1).  The verify threshold makes the
-    # output identical either way, so the knob is pure cost: keep r=4.
-    return minhash_lsh_pairs(docs, verify_threshold=0.8)
+    # 48 hashes / 16 bands (r=3).  Round-6 A/B at sf0.1 (median-of-5,
+    # warm), recall measured against the exact-Jaccard pair set at BOTH
+    # gate SFs:
+    #   64/16 r=4: 2.02s  miss 0/139 sf0.01, 0/1374 sf0.1   (old default)
+    #   48/16 r=3: 1.58s  miss 0 + 0; P(miss | j=0.8) = (1-.8^3)^16 ~ 1e-5
+    #   48/12 r=4: 1.48s  miss 0 + 0; but P(miss | j=0.8) ~ 2e-3 and the
+    #              corpus HAS j=0.80-0.82 pairs -> one red gate row per
+    #              ~500 runs, not worth 7%
+    #   48/8  r=6: 3.77s first-run AND missed 1/139 at sf0.01 -> rejected
+    #   32/16 r=2: 1.21s  miss 0 + 0 here, but its S-curve admits 12% of
+    #              j=0.2 pairs as candidates -- fine on this corpus,
+    #              quadratic poison at web scale; the r5 note that it
+    #              measured net-SLOWER predates the bucket pair-gen
+    #              rewrite, superseded by these numbers.
+    # Signature hashing is the scale-invariant win (48 vs 64 permutations:
+    # 1.28s vs 2.29s for the signature stage alone); r=3x16 keeps the
+    # marginal-pair miss probability below 1e-5, so the exact-equality
+    # oracle stays safe.  Library defaults stay 64/16 (persisted-index
+    # compatibility: write_lsh_index and its probes must share params).
+    return minhash_lsh_pairs(docs, num_hashes=48, bands=16, verify_threshold=0.8)
 
 
 # DuckDB replica of the md5-prefix simhash: hamming distance is hash-defined,
