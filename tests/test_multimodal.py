@@ -250,3 +250,59 @@ def test_decode_image_dispatches_png_and_gray_replication():
     assert out.shape == (3, 4, 3)
     assert np.array_equal(out[:, :, 0], gray)
     assert np.array_equal(out[:, :, 1], gray)
+
+
+# --------------------------------------------------------------- JPEG codec
+
+def test_jpeg_exact_roundtrip_even_block_constant():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(7)
+    blocks = (rng.integers(0, 128, size=(3, 4)) * 2).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+
+
+def test_jpeg_lossy_on_general_content_but_bounded_on_smooth():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    # smooth horizontal gradient: quantization error stays tiny
+    g = np.tile(np.arange(0, 256, 8, dtype=np.uint8), (8, 1))[:8, :32]
+    dec = decode_jpeg_gray(encode_jpeg_gray(g))
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+    # DC prediction across many blocks round-trips (chained diffs)
+    wide = np.kron(np.arange(0, 240, 16, dtype=np.uint8)[None, :] * 0 + 100,
+                   np.ones((8, 8), dtype=np.uint8))
+    assert decode_jpeg_gray(encode_jpeg_gray(wide)).shape == wide.shape
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    enc = bytearray(encode_jpeg_gray(img))
+    # flip SOF0 (FFC0) to SOF2 (FFC2, progressive)
+    idx = bytes(enc).find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(bytes(enc))
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg_gray(np.zeros((7, 8), dtype=np.uint8))
+
+
+def test_decode_image_dispatches_jpeg():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_image, encode_jpeg_gray
+
+    img = np.full((8, 16), 42, dtype=np.uint8)
+    out = decode_image(encode_jpeg_gray(img), 16, 8)
+    assert out.shape == (8, 16, 3) and np.all(out == 42)

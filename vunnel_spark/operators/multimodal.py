@@ -257,6 +257,329 @@ def decode_png(payload: bytes):
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
 
 
+# --------------------------------------------------------------- JPEG codec
+#
+# Real baseline JPEG (ITU-T T.81 / JFIF) for 8-bit GRAYSCALE: forward /
+# inverse DCT in numpy, the public Annex-K Huffman tables, DC prediction,
+# zigzag + run-length AC coding, FF byte stuffing.  Lossy in general —
+# but an image whose 8x8 blocks are CONSTANT with EVEN values survives
+# the round trip bit-exactly (all AC coefficients are zero and the DC
+# quantization step of 16 divides 8*(c-128) exactly), which is what lets
+# m9 carry an exact SQL oracle over genuinely Huffman+DCT-coded bytes.
+# Color (chroma subsampling), progressive mode, and restart markers are
+# out of scope and rejected explicitly.
+
+# Annex K.1 luminance quantization table, zigzag order is applied at use
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K.3: luminance DC — BITS (codes per length 1..16), then HUFFVALs
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+# Annex K.5: luminance AC
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_codes(bits, vals):
+    """(symbol -> (code, length)) from a BITS/HUFFVAL table (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+    return m  # M @ block @ M.T = DCT coefficients
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """DC/AC magnitude category + the value bits (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a, bits = abs(v), v
+    cat = a.bit_length()
+    if v < 0:
+        bits = v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_jpeg_gray(arr) -> bytes:
+    """HxW uint8 grayscale -> baseline JFIF bytes.  H and W must be
+    multiples of 8 (the synthesizer guarantees it; general images would
+    need edge-block padding)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    m = _dct_matrix()
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = arr[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coeff = m @ block @ m.T
+            qc = np.round(coeff / q).astype(np.int64)
+            zz = qc.flatten()[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat, bits = _jpeg_category(diff)
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(bits, cat)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, bits = _jpeg_category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(bits, cat)
+                run = 0
+            if last_nz != 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = bytes(int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i]) for i in range(64))
+    dqt = seg(0xFFDB, b"\x00" + zz_q)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"unexpected marker in scan: FF{nxt:02X}")
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Baseline JFIF bytes -> HxW uint8 grayscale array.
+
+    Full marker walk (DQT/SOF0/DHT/SOS), Huffman + DC-prediction decode,
+    dequantize, float IDCT, level shift.  Rejects progressive (SOF2),
+    color, and restart-interval streams explicitly.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    scan_data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(b[1:65])
+                b = b[65:]
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise NotImplementedError("only grayscale JPEG supported")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential JPEG supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nvals = sum(bits)
+                vals = list(b[17 : 17 + nvals])
+                codes = _jpeg_huff_codes(bits, vals)
+                # invert: (length, code) -> symbol
+                huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+                b = b[17 + nvals :]
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows until EOI
+            scan_data = payload[pos + ln : -2]
+            pos += ln
+            break
+        pos += ln
+    if h is None or scan_data is None:
+        raise ValueError("missing SOF0/SOS")
+    q = np.array(qtables[0], dtype=np.float64)
+    deq = np.empty(64)
+    deq[_JPEG_ZIGZAG] = q  # un-zigzag the stored table
+    deq = deq.reshape(8, 8)
+    m = _dct_matrix()
+    dc_tab, ac_tab = huff[(0, 0)], huff[(1, 0)]
+
+    def read_symbol(br, tab):
+        code, ln_ = 0, 0
+        while ln_ <= 16:
+            code = (code << 1) | br.read_bit()
+            ln_ += 1
+            if (ln_, code) in tab:
+                return tab[(ln_, code)]
+        raise ValueError("invalid Huffman code")
+
+    br = _BitReader(scan_data)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            zz = np.zeros(64, dtype=np.float64)
+            cat = read_symbol(br, dc_tab)
+            prev_dc += _jpeg_extend(br.read_bits(cat), cat)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 0xF
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = _jpeg_extend(br.read_bits(cat), cat)
+                i += 1
+            coeff = np.zeros(64)
+            coeff[_JPEG_ZIGZAG] = zz
+            block = m.T @ (coeff.reshape(8, 8) * deq) @ m + 128.0
+            out[by : by + 8, bx : bx + 8] = np.clip(np.round(block), 0, 255).astype(np.uint8)
+    return out
+
+
 def _fake_decode(payload: bytes, width: int, height: int):
     """Deterministic stand-in for compressed-format codecs: bytes ->
     HxWx3 uint8, seeded from the payload digest so results are stable
@@ -288,6 +611,9 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
         if img.ndim == 2:  # grayscale -> replicated RGB for uniform stages
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
+    if payload[:2] == b"\xff\xd8":
+        img = decode_jpeg_gray(payload)
+        return np.repeat(img[:, :, None], 3, axis=2)
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
@@ -547,6 +873,49 @@ def synthesize_png_media_table(
                 out.append(
                     (did, payload,
                      {"format": "png", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_jpeg_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-JPEG media table from the documents corpus.
+
+    Each doc becomes a baseline-JFIF grayscale image of constant 8x8
+    blocks: block (r, c) holds the EVEN value ``2*((id*7 + r*5 + c*3) %
+    128)``, dims ``(id%2+1) x (id%3+1)`` blocks.  Even block-constant
+    images survive the lossy pipeline bit-exactly (all AC coefficients
+    are zero; the DC quant step of 16 divides 8*(c-128)), so the decoded
+    pixels — and every downstream statistic — stay closed-form in the id
+    while the payload is genuinely Huffman-coded, DC-predicted,
+    byte-stuffed entropy data.
+    """
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                hb, wb = did % 2 + 1, did % 3 + 1
+                r = np.arange(hb)[:, None]
+                c = np.arange(wb)[None, :]
+                blocks = (2 * ((did * 7 + r * 5 + c * 3) % 128)).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                payload = encode_jpeg_gray(img)
+                out.append(
+                    (did, payload,
+                     {"format": "jpeg", "width": wb * 8, "height": hb * 8,
                       "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])

@@ -234,3 +234,49 @@ def m8(spark, sf_dir):
         F.round("mean_r", 4).alias("mean_r"),
         F.round("std_all", 4).alias("std_all"),
     )
+
+
+@register(
+    "m9_jpeg_feature_extract",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 2 + 1 AS hb, doc_id % 3 + 1 AS wb
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, hb, wb,
+             CAST(2 * ((media_id * 7 + r.r * 5 + c.c * 3) % 128) AS DOUBLE) AS v
+      FROM m
+      JOIN (SELECT unnest(generate_series(0, 1)) AS r) r ON r.r < hb
+      JOIN (SELECT unnest(generate_series(0, 2)) AS c) c ON c.c < wb
+    )
+    SELECT media_id,
+           CAST(max(wb) * 8 AS INT) AS width, CAST(max(hb) * 8 AS INT) AS height,
+           round(avg(v), 4) AS mean_r, round(avg(v), 4) AS mean_g,
+           round(avg(v), 4) AS mean_b,
+           round(sqrt(avg(v*v) - avg(v)*avg(v)), 4) AS std_all
+    FROM b GROUP BY media_id
+    """,
+    doc="REAL baseline-JPEG pipeline (operators/multimodal.py "
+        "encode_jpeg_gray/decode_jpeg_gray: numpy DCT, Annex-K Huffman "
+        "tables, DC prediction, byte stuffing): even block-constant "
+        "images survive the lossy codec bit-exactly (zero AC, DC quant "
+        "step divides), so the SQL oracle verifies Huffman decode + "
+        "dequantize + IDCT by exact value",
+    tags=("multimodal", "udf"),
+)
+def m9(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_jpeg_media_table,
+    )
+
+    media = synthesize_jpeg_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
