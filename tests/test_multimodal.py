@@ -306,3 +306,46 @@ def test_decode_image_dispatches_jpeg():
     img = np.full((8, 16), 42, dtype=np.uint8)
     out = decode_image(encode_jpeg_gray(img), 16, 8)
     assert out.shape == (8, 16, 3) and np.all(out == 42)
+
+
+# ---------------------------------------------------------- AVI/MJPEG
+
+def test_avi_mjpeg_roundtrip_and_structure():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_avi_mjpeg,
+        encode_jpeg_gray,
+        iter_avi_frames,
+        iter_frames,
+    )
+
+    frames = [encode_jpeg_gray(np.full((8, 8), 2 * v, dtype=np.uint8))
+              for v in (10, 60, 110)]
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    # RIFF structure basics
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert b"MJPG" in avi and b"movi" in avi and b"idx1" in avi
+    # demux returns the exact frame bytes, via both entry points
+    assert list(iter_avi_frames(avi)) == frames
+    assert list(iter_frames(avi)) == frames
+    # and each demuxed frame decodes to its constant
+    for f, v in zip(iter_avi_frames(avi), (20, 120, 220)):
+        assert np.all(decode_jpeg_gray(f) == v)
+
+
+def test_avi_odd_sized_frames_word_alignment():
+    from vunnel_spark.operators.multimodal import encode_avi_mjpeg, iter_avi_frames
+
+    frames = [b"\xff\xd8" + b"x" * 7, b"\xff\xd8" + b"y" * 4]  # odd + even
+    assert list(iter_avi_frames(encode_avi_mjpeg(frames, 8, 8))) == frames
+
+
+def test_iter_frames_rejects_unknown_container():
+    import pytest
+
+    from vunnel_spark.operators.multimodal import iter_frames
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        list(iter_frames(b"\x00\x00\x00\x18ftypisom...."))

@@ -740,15 +740,95 @@ def pack_frames(frames: list[bytes]) -> bytes:
     return b"".join(out)
 
 
-def iter_frames(payload: bytes) -> Iterator[bytes]:
-    """Unpack the frame container; yields each frame's payload bytes."""
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 30) -> bytes:
+    """JPEG frame payloads -> a real AVI (RIFF) MJPEG container.
+
+    Standard public layout: RIFF('AVI ') / LIST('hdrl'){avih,
+    LIST('strl'){strh('vids'/'MJPG'), strf(BITMAPINFOHEADER)}} /
+    LIST('movi'){'00dc' chunks, word-aligned} / 'idx1'.  Anything that
+    reads MJPEG-AVI (ffmpeg, mplayer, OpenCV) plays these files; the
+    engine's demux side is ``iter_avi_frames``.
+    """
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", list_type + data)
+
+    n = len(frames)
+    max_frame = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, max_frame * fps, 0, 0x10, n, 0, 1,
+        max_frame, width, height,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_frame, 0xFFFFFFFF)
+        + struct.pack("<I", 0) + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx_entries, off = [], 4  # offsets relative to 'movi' fourcc
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def iter_avi_frames(payload: bytes) -> Iterator[bytes]:
+    """Demux an AVI (RIFF) container: yields every video-data chunk
+    (``##dc``/``##db``) inside the ``movi`` LIST, in stream order."""
     import struct
 
     payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos = 12
+    end = 8 + struct.unpack_from("<I", payload, 4)[0]
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            mpos = pos + 12
+            mend = pos + 8 + size
+            while mpos + 8 <= mend:
+                cc = payload[mpos : mpos + 4]
+                (csize,) = struct.unpack_from("<I", payload, mpos + 4)
+                if cc[2:4] in (b"dc", b"db"):
+                    yield payload[mpos + 8 : mpos + 8 + csize]
+                mpos += 8 + csize + (csize % 2)
+            return
+        pos += 8 + size + (size % 2)
+    raise ValueError("no movi LIST in AVI payload")
+
+
+def iter_frames(payload: bytes) -> Iterator[bytes]:
+    """Unpack a video container; yields each frame's payload bytes.
+
+    Dispatches on magic: AVI/RIFF (real MJPEG containers) or the VSPK
+    length-prefixed pack; mp4/webm would need ffmpeg-like tooling and
+    stay explicitly unsupported.
+    """
+    import struct
+
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        yield from iter_avi_frames(payload)
+        return
     if payload[:4] != _VPACK_MAGIC:
         raise NotImplementedError(
-            "unrecognized video container; only the VSPK frame pack "
-            "demuxes in this environment (mp4/webm need ffmpeg)"
+            "unrecognized video container; AVI (MJPEG) and the VSPK "
+            "frame pack demux in this environment (mp4/webm need ffmpeg)"
         )
     (n,) = struct.unpack_from("<I", payload, 4)
     pos = 8
@@ -763,9 +843,9 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Explode-shaped frame sampling: one video row -> one row per kept
     frame (indices 0, every_n, 2*every_n, ...).
 
-    mapInPandas so demux happens executor-side per Arrow batch; the frame
-    payloads stay PPM images, so downstream ``image_features`` composes
-    directly on the output.
+    mapInPandas so demux happens executor-side per Arrow batch; frame
+    payloads are real images (PPM in VSPK packs, JPEG in AVI/MJPEG), so
+    downstream ``image_features`` composes directly on the output.
     """
     schema = (
         "media_id long, frame_idx int, payload binary, "
@@ -781,10 +861,11 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                 for idx, frame in enumerate(iter_frames(payload)):
                     if idx % every_n:
                         continue
-                    img = decode_ppm(frame)
+                    img = decode_image(frame, 0, 0)
+                    fmt = "jpeg" if frame[:2] == b"\xff\xd8" else "ppm"
                     out.append(
                         (mid, idx, frame,
-                         {"format": "ppm", "width": img.shape[1],
+                         {"format": fmt, "width": img.shape[1],
                           "height": img.shape[0], "n_bytes": len(frame)})
                     )
             yield pd.DataFrame(
@@ -874,6 +955,46 @@ def synthesize_png_media_table(
                     (did, payload,
                      {"format": "png", "width": w, "height": h,
                       "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_avi_mjpeg_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-video table: each doc becomes an AVI (RIFF)
+    MJPEG container of ``id%6+2`` genuine baseline-JPEG frames, each one
+    8x8 constant at the EVEN value ``2*((id*3 + 17*f) % 128)`` — the
+    JPEG exactness trick (see synthesize_jpeg_media_table) extended to
+    the video path, so container demux + per-frame entropy decode verify
+    by exact value.
+    """
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "n_frames:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf = did % 6 + 2
+                frames = []
+                for f in range(nf):
+                    v = 2 * ((did * 3 + 17 * f) % 128)
+                    frames.append(
+                        encode_jpeg_gray(np.full((8, 8), v, dtype=np.uint8))
+                    )
+                payload = encode_avi_mjpeg(frames, 8, 8)
+                out.append(
+                    (did, payload,
+                     {"format": "avi", "n_frames": nf, "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 

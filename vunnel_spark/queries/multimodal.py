@@ -280,3 +280,39 @@ def m9(spark, sf_dir):
         F.round("mean_b", 4).alias("mean_b"),
         F.round("std_all", 4).alias("std_all"),
     )
+
+
+@register(
+    "m10_avi_mjpeg_frame_sample",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 7) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf FROM documents
+    )
+    SELECT media_id, CAST(x AS INT) AS frame_idx, 8 AS width, 8 AS height,
+           round(CAST(2 * ((media_id * 3 + 17 * x) % 128) AS DOUBLE), 4) AS mean_r
+    FROM m JOIN xs ON x < nf
+    WHERE x % 2 = 0
+    """,
+    doc="REAL video container end-to-end: AVI (RIFF) MJPEG demux "
+        "(operators/multimodal.py encode_avi_mjpeg/iter_avi_frames — the "
+        "public hdrl/movi/idx1 layout any MJPEG player reads) + baseline "
+        "JPEG decode of every 2nd frame; even constant-value frames make "
+        "the lossy codec exact, so the oracle enumerates the expected "
+        "(frame_idx, mean) rows in closed form",
+    tags=("multimodal", "udf", "explode"),
+)
+def m10(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        sample_video_frames,
+        synthesize_avi_mjpeg_table,
+    )
+
+    videos = synthesize_avi_mjpeg_table(t(spark, sf_dir, "documents"))
+    frames = sample_video_frames(videos, every_n=2)
+    feats = image_features(frames, fake=False, passthrough=("frame_idx",))
+    return feats.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+    )
