@@ -349,3 +349,55 @@ def test_iter_frames_rejects_unknown_container():
 
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         list(iter_frames(b"\x00\x00\x00\x18ftypisom...."))
+
+
+# ---------------------------------------------- codec property tests
+
+def test_png_roundtrip_property():
+    """Hypothesis: ANY uint8 image (gray or RGB, any dims, any per-row
+    filter assignment) round-trips bit-exactly through the PNG codec."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vunnel_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        rgb=st.booleans(), seed=st.integers(0, 2**31),
+        filter_seed=st.integers(0, 2**31),
+    )
+    def check(h, w, rgb, seed, filter_seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        frng = np.random.default_rng(filter_seed)
+        filters = frng.integers(0, 5, size=h)
+        enc = encode_png(img, row_filter=lambda y: int(filters[y]))
+        assert np.array_equal(decode_png(enc), img)
+
+    check()
+
+
+def test_jpeg_property_block_constant_even_exact_and_general_bounded():
+    """Hypothesis: even block-constant images are EXACT through JPEG;
+    arbitrary images decode to the right shape with values in range."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vunnel_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    @settings(max_examples=25, deadline=None)
+    @given(hb=st.integers(1, 4), wb=st.integers(1, 4), seed=st.integers(0, 2**31))
+    def check(hb, wb, seed):
+        rng = np.random.default_rng(seed)
+        blocks = (rng.integers(0, 128, size=(hb, wb)) * 2).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(img)), img)
+        noisy = rng.integers(0, 256, size=img.shape, dtype=np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(noisy))
+        assert dec.shape == noisy.shape and dec.dtype == np.uint8
+
+    check()

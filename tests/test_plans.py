@@ -436,3 +436,16 @@ def test_x15_inference_is_scan_fused_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in p, p
     # the leading '*' marks whole-stage-codegen'd nodes in formatted plans
     assert "* Project" in p, p
+
+
+def test_ubuntu2_downconvert_is_jvm_only_bounded_shuffle(spark, sf_dir):
+    """The OSV->OS downconvert must stay pure Catalyst: zero Python
+    nodes anywhere (the nested affected[]/ranges[]/events[] walk is all
+    higher-order functions), and the only exchanges are the two
+    collect_list groupBys that ASSEMBLE the synthetic nested input —
+    the downconvert itself adds none (its per-record array work is a
+    generator + projection)."""
+    p = plan_of(q("ubuntu2_osv_downconvert", spark, sf_dir))
+    assert "Python" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "Generate" in p  # the FixedIn explode_outer
