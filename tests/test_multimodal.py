@@ -347,8 +347,9 @@ def test_iter_frames_rejects_unknown_container():
 
     from vunnel_spark.operators.multimodal import iter_frames
 
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        list(iter_frames(b"\x00\x00\x00\x18ftypisom...."))
+    # webm/EBML magic: not AVI, not ISO-BMFF, not VSPK
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        list(iter_frames(b"\x1a\x45\xdf\xa3webm-stream-bytes"))
 
 
 # ---------------------------------------------- codec property tests
@@ -401,3 +402,44 @@ def test_jpeg_property_block_constant_even_exact_and_general_bounded():
         assert dec.shape == noisy.shape and dec.dtype == np.uint8
 
     check()
+
+
+# ---------------------------------------------------------- ISO-BMFF mp4
+
+def test_mp4_mjpeg_roundtrip_and_structure():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_mp4_mjpeg,
+        iter_frames,
+        iter_mp4_frames,
+    )
+
+    frames = [encode_jpeg_gray(np.full((8, 8), 2 * v, dtype=np.uint8))
+              for v in (5, 55, 105)]
+    mp4 = encode_mp4_mjpeg(frames, 8, 8)
+    assert mp4[4:8] == b"ftyp" and b"moov" in mp4 and b"stsz" in mp4
+    assert list(iter_mp4_frames(mp4)) == frames
+    assert list(iter_frames(mp4)) == frames
+    for f, v in zip(iter_mp4_frames(mp4), (10, 110, 210)):
+        assert np.all(decode_jpeg_gray(f) == v)
+    # odd sample sizes: mp4 has no word alignment, byte ranges must be exact
+    odd = [b"\xff\xd8" + b"a" * 7, b"\xff\xd8" + b"b" * 10]
+    assert list(iter_mp4_frames(encode_mp4_mjpeg(odd, 8, 8))) == odd
+
+
+def test_mp4_rejects_fragmented_and_non_bmff():
+    import pytest
+
+    from vunnel_spark.operators.multimodal import encode_mp4_mjpeg, iter_mp4_frames
+
+    mp4 = bytearray(encode_mp4_mjpeg([b"\xff\xd8xx"], 8, 8))
+    # graft a top-level moof box onto the end
+    import struct
+    mp4 += struct.pack(">I", 8) + b"moof"
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        list(iter_mp4_frames(bytes(mp4)))
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        list(iter_mp4_frames(b"RIFFxxxxAVI "))

@@ -812,12 +812,155 @@ def iter_avi_frames(payload: bytes) -> Iterator[bytes]:
     raise ValueError("no movi LIST in AVI payload")
 
 
+def encode_mp4_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 30) -> bytes:
+    """JPEG frame payloads -> a minimal ISO-BMFF (mp4) container.
+
+    Standard public layout (ISO/IEC 14496-12): ``ftyp`` + ``mdat``
+    (concatenated samples) + ``moov/trak/mdia/minf/stbl`` carrying the
+    four sample tables (stsd 'jpeg', stts, stsc, stsz, stco) that map
+    samples to byte ranges.  mdat precedes moov so chunk offsets are
+    known at write time (the classic non-faststart layout).
+    """
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def full(btype: bytes, payload: bytes, version: int = 0) -> bytes:
+        return box(btype, struct.pack(">I", version << 24) + payload)
+
+    n = len(frames)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    data_off = len(ftyp) + 8  # first sample starts after mdat's header
+
+    timescale = fps
+    dur = n  # 1 tick per frame at `fps` ticks/sec
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, dur)
+                + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 12
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", width << 16, height << 16), version=0)
+    # flags=3 (enabled+in-movie) live in the low bits of the version word
+    tkhd = bytearray(tkhd); tkhd[11] = 3; tkhd = bytes(tkhd)
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    sample_entry = (
+        struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000) + struct.pack(">I", 0)
+        + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + sample_entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, 1))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))  # 1 chunk, n samples
+    stsz = full(b"stsz", struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = full(b"stco", struct.pack(">II", 1, data_off))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # url_ full box with the self-contained flag set
+    url_ = struct.pack(">I", 12) + b"url " + struct.pack(">I", 1)
+    dref = full(b"dref", struct.pack(">I", 1) + url_)
+    dinf = box(b"dinf", dref)
+    vmhd = bytearray(full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0)))
+    vmhd[11] = 1
+    minf = box(b"minf", bytes(vmhd) + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body_off = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+            body_off = pos + 8
+        else:
+            body_off = pos + 8
+        yield btype, body_off, pos + size
+        pos += size
+
+
+def _find_box(payload: bytes, path: list[bytes], start: int, end: int):
+    for btype, body, bend in _walk_boxes(payload, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return body, bend
+            return _find_box(payload, path[1:], body, bend)
+    raise ValueError(f"missing {b'/'.join(path).decode()} box")
+
+
+def iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
+    """Demux an ISO-BMFF (mp4) container: locate the video track's
+    sample tables (stsz sizes, stco chunk offsets, stsc run-lengths) and
+    yield each sample's byte range — the standard stbl walk every mp4
+    reader performs.  Fragmented (moof) files are rejected explicitly.
+    """
+    import struct
+
+    payload = bytes(payload)
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    if b"moof" in {t for t, _, _ in _walk_boxes(payload, 0, len(payload))}:
+        raise NotImplementedError("fragmented mp4 (moof) unsupported")
+    stbl, stbl_end = _find_box(
+        payload, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], 0, len(payload)
+    )
+    tables = {}
+    for btype, body, bend in _walk_boxes(payload, stbl, stbl_end):
+        tables[btype] = (body, bend)
+    for need in (b"stsz", b"stco", b"stsc"):
+        if need not in tables:
+            raise ValueError(f"missing {need.decode()} table")
+
+    b, _ = tables[b"stsz"]
+    default_size, n = struct.unpack_from(">II", payload, b + 4)
+    sizes = (
+        [default_size] * n
+        if default_size
+        else [struct.unpack_from(">I", payload, b + 12 + 4 * i)[0] for i in range(n)]
+    )
+    b, _ = tables[b"stco"]
+    (n_chunks,) = struct.unpack_from(">I", payload, b + 4)
+    offsets = [struct.unpack_from(">I", payload, b + 8 + 4 * i)[0] for i in range(n_chunks)]
+    b, _ = tables[b"stsc"]
+    (n_runs,) = struct.unpack_from(">I", payload, b + 4)
+    runs = [struct.unpack_from(">III", payload, b + 8 + 12 * i) for i in range(n_runs)]
+
+    # expand stsc runs -> samples-per-chunk for every chunk
+    per_chunk = []
+    for i, (first, spc, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    sample = 0
+    for chunk_idx, spc in enumerate(per_chunk):
+        off = offsets[chunk_idx]
+        for _ in range(spc):
+            if sample >= len(sizes):
+                return
+            yield payload[off : off + sizes[sample]]
+            off += sizes[sample]
+            sample += 1
+
+
 def iter_frames(payload: bytes) -> Iterator[bytes]:
     """Unpack a video container; yields each frame's payload bytes.
 
-    Dispatches on magic: AVI/RIFF (real MJPEG containers) or the VSPK
-    length-prefixed pack; mp4/webm would need ffmpeg-like tooling and
-    stay explicitly unsupported.
+    Dispatches on magic: AVI/RIFF and ISO-BMFF mp4 (real public
+    containers, MJPEG samples) or the VSPK length-prefixed pack; webm
+    and fragmented mp4 stay explicitly unsupported.
     """
     import struct
 
@@ -825,10 +968,13 @@ def iter_frames(payload: bytes) -> Iterator[bytes]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         yield from iter_avi_frames(payload)
         return
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        yield from iter_mp4_frames(payload)
+        return
     if payload[:4] != _VPACK_MAGIC:
         raise NotImplementedError(
-            "unrecognized video container; AVI (MJPEG) and the VSPK "
-            "frame pack demux in this environment (mp4/webm need ffmpeg)"
+            "unrecognized video container; AVI (MJPEG), ISO-BMFF mp4 and "
+            "the VSPK frame pack demux in this environment"
         )
     (n,) = struct.unpack_from("<I", payload, 4)
     pos = 8
@@ -995,6 +1141,42 @@ def synthesize_avi_mjpeg_table(
                 out.append(
                     (did, payload,
                      {"format": "avi", "n_frames": nf, "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_mp4_mjpeg_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-mp4 table: like ``synthesize_avi_mjpeg_table``
+    but packed in ISO-BMFF — ``id%6+2`` exact-roundtrip JPEG frames at
+    the EVEN value ``2*((id*5 + 13*f) % 128)`` per frame f."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "n_frames:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf = did % 6 + 2
+                frames = [
+                    encode_jpeg_gray(
+                        np.full((8, 8), 2 * ((did * 5 + 13 * f) % 128), dtype=np.uint8)
+                    )
+                    for f in range(nf)
+                ]
+                payload = encode_mp4_mjpeg(frames, 8, 8)
+                out.append(
+                    (did, payload,
+                     {"format": "mp4", "n_frames": nf, "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 

@@ -42,18 +42,18 @@ GATE_WINDOW = [
     "ubuntu2_osv_downconvert",
     "m7_png_feature_extract",
     "m8_png_resize_pipeline",
-    # r6 churn-adjacent re-verification: decode_image gained PNG/JPEG
-    # dispatch (m2 exercises its PPM path through resize+re-encode),
-    # sample_video_frames gained the AVI demux + decode_image frame path
-    # (m3), first_observed_merge gained table-format routing (i4;
-    # overwrite_partitions' routing is covered end-to-end by ubuntu1),
-    # and pipelines/ubuntu.py carries the new downconvert (ubuntu1)
-    "m2_resize_pipeline",
+    # r6 churn-adjacent re-verification: sample_video_frames gained the
+    # AVI/mp4 demux + decode_image frame path (m3 covers the VSPK/PPM
+    # side; m8 covers decode_image's PPM resize path), first_observed_
+    # merge gained table-format routing (i4; overwrite_partitions'
+    # routing is covered end-to-end by ubuntu1), and pipelines/ubuntu.py
+    # carries the new downconvert (ubuntu1)
     "m3_video_frame_sample",
     "i4_first_observed_merge",
     "ubuntu1_pro_inference",
     "m9_jpeg_feature_extract",
     "m10_avi_mjpeg_frame_sample",
+    "m11_mp4_frame_sample",
     # the 37 never-externally-gated queries (VERDICT r5 "What's wrong" #2)
     "p4_ecosystem_allowlist_rename",
     "p7_rejected_pair_antifilter",

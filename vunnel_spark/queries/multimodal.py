@@ -316,3 +316,39 @@ def m10(spark, sf_dir):
         "media_id", "frame_idx", "width", "height",
         F.round("mean_r", 4).alias("mean_r"),
     )
+
+
+@register(
+    "m11_mp4_frame_sample",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 7) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf FROM documents
+    )
+    SELECT media_id, CAST(x AS INT) AS frame_idx, 8 AS width, 8 AS height,
+           round(CAST(2 * ((media_id * 5 + 13 * x) % 128) AS DOUBLE), 4) AS mean_r
+    FROM m JOIN xs ON x < nf
+    WHERE x % 2 = 0
+    """,
+    doc="REAL ISO-BMFF (mp4) demux end-to-end: the standard "
+        "moov/trak/mdia/minf/stbl sample-table walk (stsz sizes, stco "
+        "chunk offsets, stsc run expansion — operators/multimodal.py "
+        "encode_mp4_mjpeg/iter_mp4_frames) slices MJPEG samples out of "
+        "mdat; every 2nd frame JPEG-decoded, exact via even "
+        "constant-value frames, oracle enumerates the expected rows",
+    tags=("multimodal", "udf", "explode"),
+)
+def m11(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        sample_video_frames,
+        synthesize_mp4_mjpeg_table,
+    )
+
+    videos = synthesize_mp4_mjpeg_table(t(spark, sf_dir, "documents"))
+    frames = sample_video_frames(videos, every_n=2)
+    feats = image_features(frames, fake=False, passthrough=("frame_idx",))
+    return feats.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+    )
