@@ -443,3 +443,48 @@ def test_mp4_rejects_fragmented_and_non_bmff():
         list(iter_mp4_frames(bytes(mp4)))
     with pytest.raises(ValueError, match="ISO-BMFF"):
         list(iter_mp4_frames(b"RIFFxxxxAVI "))
+
+
+# ------------------------------------------------------------ color JPEG
+
+def test_color_jpeg_grayvalued_exact_and_general_lossy():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(11)
+    blocks = (rng.integers(0, 128, size=(2, 3)) * 2).astype(np.uint8)
+    gray = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_jpeg(encode_jpeg_rgb(rgb)), rgb)
+
+    color = rng.integers(0, 256, size=(16, 8, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg_rgb(color))
+    assert dec.shape == color.shape and dec.dtype == np.uint8
+
+
+def test_color_jpeg_smooth_gradient_bounded_error():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_jpeg, encode_jpeg_rgb
+
+    smooth = np.zeros((8, 32, 3), np.uint8)
+    smooth[:, :, 0] = np.arange(32) * 8
+    smooth[:, :, 1] = 100
+    smooth[:, :, 2] = 200
+    dec = decode_jpeg(encode_jpeg_rgb(smooth))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 5
+
+
+def test_decode_jpeg_gray_rejects_color():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_rgb
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="color"):
+        decode_jpeg_gray(encode_jpeg_rgb(rgb))

@@ -367,12 +367,74 @@ def _jpeg_category(v: int) -> tuple[int, int]:
     return cat, bits
 
 
+def _encode_jpeg_block(bw, block_u8, q, m, dc_codes, ac_codes, prev_dc: int) -> int:
+    """Encode one level-shifted 8x8 block; returns the new DC predictor."""
+    import numpy as np
+
+    block = block_u8.astype(np.float64) - 128.0
+    coeff = m @ block @ m.T
+    qc = np.round(coeff / q).astype(np.int64)
+    zz = qc.flatten()[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    prev_dc = int(zz[0])
+    cat, bits = _jpeg_category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat, bits = _jpeg_category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits, cat)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return prev_dc
+
+
+def _jpeg_headers(h: int, w: int, ncomp: int) -> tuple[bytes, bytes, bytes, bytes]:
+    """(DQT, SOF0, DHT, SOS) segments for 1 (gray) or 3 (YCbCr 4:4:4)
+    components; one shared quant + Huffman table pair, no subsampling."""
+    import struct
+
+    import numpy as np
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = bytes(
+        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
+        for i in range(64)
+    )
+    dqt = seg(0xFFDB, b"\x00" + zz_q)
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos_comps = b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+    sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return dqt, sof, dht, sos
+
+
 def encode_jpeg_gray(arr) -> bytes:
     """HxW uint8 grayscale -> baseline JFIF bytes.  H and W must be
     multiples of 8 (the synthesizer guarantees it; general images would
     need edge-block padding)."""
-    import struct
-
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -387,51 +449,64 @@ def encode_jpeg_gray(arr) -> bytes:
     prev_dc = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = arr[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coeff = m @ block @ m.T
-            qc = np.round(coeff / q).astype(np.int64)
-            zz = qc.flatten()[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat, bits = _jpeg_category(diff)
-            code, ln = dc_codes[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(bits, cat)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat, bits = _jpeg_category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(bits, cat)
-                run = 0
-            if last_nz != 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
-    scan = bw.flush()
+            prev_dc = _encode_jpeg_block(
+                bw, arr[by : by + 8, bx : bx + 8], q, m, dc_codes, ac_codes, prev_dc
+            )
+    dqt, sof, dht, sos = _jpeg_headers(h, w, 1)
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    zz_q = bytes(int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i]) for i in range(64))
-    dqt = seg(0xFFDB, b"\x00" + zz_q)
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(
-        0xFFC4,
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+def rgb_to_ycbcr(arr):
+    """HxWx3 uint8 RGB -> (Y, Cb, Cr) float arrays per JFIF/BT.601."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def ycbcr_to_rgb(y, cb, cr):
+    """(Y, Cb, Cr) float arrays -> HxWx3 uint8 RGB per JFIF/BT.601."""
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype("uint8")
+
+
+def encode_jpeg_rgb(arr) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes, YCbCr 4:4:4 (no chroma
+    subsampling), interleaved Y/Cb/Cr MCUs with per-component DC
+    prediction.  Grayscale-valued input (R=G=B) converts to Y=R,
+    Cb=Cr=128 exactly, which is what keeps the m12 oracle closed-form."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_rgb needs multiple-of-8 dims")
+    planes = [np.round(p).astype(np.uint8) for p in rgb_to_ycbcr(arr)]
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    m = _dct_matrix()
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, plane in enumerate(planes):
+                prev[ci] = _encode_jpeg_block(
+                    bw, plane[by : by + 8, bx : bx + 8], q, m,
+                    dc_codes, ac_codes, prev[ci],
+                )
+    dqt, sof, dht, sos = _jpeg_headers(h, w, 3)
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
 class _BitReader:
@@ -473,12 +548,15 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits
 
 
-def decode_jpeg_gray(payload: bytes):
-    """Baseline JFIF bytes -> HxW uint8 grayscale array.
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF bytes -> HxW uint8 grayscale (1 component) or
+    HxWx3 uint8 RGB (3 components, 4:4:4 only).
 
-    Full marker walk (DQT/SOF0/DHT/SOS), Huffman + DC-prediction decode,
-    dequantize, float IDCT, level shift.  Rejects progressive (SOF2),
-    color, and restart-interval streams explicitly.
+    Full marker walk (DQT/SOF0/DHT/SOS), interleaved-MCU Huffman decode
+    with per-component DC prediction and table selectors, dequantize,
+    float IDCT, level shift, and JFIF YCbCr->RGB for color.  Rejects
+    progressive (SOF2), subsampled, and restart-interval streams
+    explicitly.
     """
     import struct
 
@@ -490,6 +568,8 @@ def decode_jpeg_gray(payload: bytes):
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
+    comp_q: list[int] = []  # per-component quant table id (SOF order)
+    comp_tabs: list[tuple[int, int]] = []  # per-component (dc, ac) ids (SOS)
     scan_data = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -510,8 +590,15 @@ def decode_jpeg_gray(payload: bytes):
                 b = b[65:]
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise NotImplementedError("only grayscale JPEG supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"unsupported component count {ncomp}")
+            for c in range(ncomp):
+                _cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comp_q.append(tq)
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential JPEG supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -528,18 +615,23 @@ def decode_jpeg_gray(payload: bytes):
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
+            ns = body[0]
+            for c in range(ns):
+                _cid, sel = body[1 + 2 * c : 3 + 2 * c]
+                comp_tabs.append((sel >> 4, sel & 0xF))
             scan_data = payload[pos + ln : -2]
             pos += ln
             break
         pos += ln
     if h is None or scan_data is None:
         raise ValueError("missing SOF0/SOS")
-    q = np.array(qtables[0], dtype=np.float64)
-    deq = np.empty(64)
-    deq[_JPEG_ZIGZAG] = q  # un-zigzag the stored table
-    deq = deq.reshape(8, 8)
+    ncomp = len(comp_q)
     m = _dct_matrix()
-    dc_tab, ac_tab = huff[(0, 0)], huff[(1, 0)]
+    deqs = []
+    for tq in comp_q:
+        deq = np.empty(64)
+        deq[_JPEG_ZIGZAG] = np.array(qtables[tq], dtype=np.float64)
+        deqs.append(deq.reshape(8, 8))
 
     def read_symbol(br, tab):
         code, ln_ = 0, 0
@@ -551,32 +643,46 @@ def decode_jpeg_gray(payload: bytes):
         raise ValueError("invalid Huffman code")
 
     br = _BitReader(scan_data)
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev_dc = 0
+    planes = [np.zeros((h, w), dtype=np.float64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            zz = np.zeros(64, dtype=np.float64)
-            cat = read_symbol(br, dc_tab)
-            prev_dc += _jpeg_extend(br.read_bits(cat), cat)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _jpeg_extend(br.read_bits(cat), cat)
-                i += 1
-            coeff = np.zeros(64)
-            coeff[_JPEG_ZIGZAG] = zz
-            block = m.T @ (coeff.reshape(8, 8) * deq) @ m + 128.0
-            out[by : by + 8, bx : bx + 8] = np.clip(np.round(block), 0, 255).astype(np.uint8)
+            for ci in range(ncomp):
+                dc_tab = huff[(0, comp_tabs[ci][0])]
+                ac_tab = huff[(1, comp_tabs[ci][1])]
+                zz = np.zeros(64, dtype=np.float64)
+                cat = read_symbol(br, dc_tab)
+                prev_dc[ci] += _jpeg_extend(br.read_bits(cat), cat)
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = read_symbol(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    zz[i] = _jpeg_extend(br.read_bits(cat), cat)
+                    i += 1
+                coeff = np.zeros(64)
+                coeff[_JPEG_ZIGZAG] = zz
+                block = m.T @ (coeff.reshape(8, 8) * deqs[ci]) @ m + 128.0
+                planes[ci][by : by + 8, bx : bx + 8] = block
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Baseline JFIF bytes -> HxW uint8 grayscale array (1-component
+    streams only; ``decode_jpeg`` handles color)."""
+    out = decode_jpeg(payload)
+    if out.ndim != 2:
+        raise ValueError("color JPEG passed to decode_jpeg_gray")
     return out
 
 
@@ -612,8 +718,10 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
     if payload[:2] == b"\xff\xd8":
-        img = decode_jpeg_gray(payload)
-        return np.repeat(img[:, :, None], 3, axis=2)
+        img = decode_jpeg(payload)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
@@ -1177,6 +1285,45 @@ def synthesize_mp4_mjpeg_table(
                 out.append(
                     (did, payload,
                      {"format": "mp4", "n_frames": nf, "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_color_jpeg_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL color-JPEG media table: like
+    ``synthesize_jpeg_media_table`` but 3-component YCbCr 4:4:4 payloads
+    of grayscale-valued (R=G=B) even blocks — block (r, c) holds
+    ``2*((id*11 + r*3 + c*7) % 128)`` — which convert to Y=value,
+    Cb=Cr=128 exactly and therefore survive the color pipeline
+    bit-exactly."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                hb, wb = did % 2 + 1, did % 3 + 1
+                r = np.arange(hb)[:, None]
+                c = np.arange(wb)[None, :]
+                blocks = (2 * ((did * 11 + r * 3 + c * 7) % 128)).astype(np.uint8)
+                gray = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                payload = encode_jpeg_rgb(rgb)
+                out.append(
+                    (did, payload,
+                     {"format": "jpeg", "width": wb * 8, "height": hb * 8,
+                      "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 

@@ -44,16 +44,16 @@ GATE_WINDOW = [
     "m8_png_resize_pipeline",
     # r6 churn-adjacent re-verification: sample_video_frames gained the
     # AVI/mp4 demux + decode_image frame path (m3 covers the VSPK/PPM
-    # side; m8 covers decode_image's PPM resize path), first_observed_
-    # merge gained table-format routing (i4; overwrite_partitions'
-    # routing is covered end-to-end by ubuntu1), and pipelines/ubuntu.py
-    # carries the new downconvert (ubuntu1)
+    # side; m8 covers decode_image's PPM resize path) and
+    # first_observed_merge gained table-format routing (i4;
+    # overwrite_partitions' routing is exercised by the golden-snapshot
+    # suite via ubuntu1's fragment writes)
     "m3_video_frame_sample",
     "i4_first_observed_merge",
-    "ubuntu1_pro_inference",
     "m9_jpeg_feature_extract",
     "m10_avi_mjpeg_frame_sample",
     "m11_mp4_frame_sample",
+    "m12_color_jpeg_feature_extract",
     # the 37 never-externally-gated queries (VERDICT r5 "What's wrong" #2)
     "p4_ecosystem_allowlist_rename",
     "p7_rejected_pair_antifilter",

@@ -352,3 +352,50 @@ def m11(spark, sf_dir):
         "media_id", "frame_idx", "width", "height",
         F.round("mean_r", 4).alias("mean_r"),
     )
+
+
+@register(
+    "m12_color_jpeg_feature_extract",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 2 + 1 AS hb, doc_id % 3 + 1 AS wb
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, hb, wb,
+             CAST(2 * ((media_id * 11 + r.r * 3 + c.c * 7) % 128) AS DOUBLE) AS v
+      FROM m
+      JOIN (SELECT unnest(generate_series(0, 1)) AS r) r ON r.r < hb
+      JOIN (SELECT unnest(generate_series(0, 2)) AS c) c ON c.c < wb
+    )
+    SELECT media_id,
+           CAST(max(wb) * 8 AS INT) AS width, CAST(max(hb) * 8 AS INT) AS height,
+           round(avg(v), 4) AS mean_r, round(avg(v), 4) AS mean_g,
+           round(avg(v), 4) AS mean_b,
+           round(sqrt(avg(v*v) - avg(v)*avg(v)), 4) AS std_all
+    FROM b GROUP BY media_id
+    """,
+    doc="REAL color (3-component YCbCr 4:4:4) JPEG pipeline "
+        "(operators/multimodal.py encode_jpeg_rgb/decode_jpeg: "
+        "interleaved MCUs, per-component DC prediction and table "
+        "selectors, BT.601 color conversion): grayscale-valued even "
+        "blocks convert to Y=R, Cb=Cr=128 exactly, so the whole color "
+        "path — entropy decode of 3x the blocks, chroma dequantize, "
+        "color transform — verifies by exact value",
+    tags=("multimodal", "udf"),
+)
+def m12(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_color_jpeg_media_table,
+    )
+
+    media = synthesize_color_jpeg_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
