@@ -132,3 +132,41 @@ def test_distinct_state_merge_is_idempotent_and_exactish(spark, sf_dir):
     }
     for k, e in est(merged).items():
         assert abs(e - exact[k]) <= 0.05 * exact[k], (k, e, exact[k])
+
+
+def test_histogram_state_merge_is_exact_under_any_split(spark):
+    """Merging per-split histogram states must be BIT-IDENTICAL to the
+    histogram of the concatenated data, for any split — the property
+    that makes i9's maintenance loop verifiable by exact value."""
+    from vunnel_spark.operators.incremental import (
+        estimate_quantiles,
+        histogram_state,
+        merge_histogram_state,
+    )
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        ((F.col("id") * 37 % 997) / 2.0).alias("v"),
+    )
+    keys, lo, hi, nb = ["k"], 0.0, 500.0, 50
+    whole = {r.k: r.bins for r in histogram_state(df, keys, "v", lo, hi, nb).collect()}
+    parts = [
+        spark.range(0, 3000).filter(F.col("id") % 4 == i).select(
+            (F.col("id") % 3).cast("string").alias("k"),
+            ((F.col("id") * 37 % 997) / 2.0).alias("v"),
+        )
+        for i in range(4)
+    ]
+    states = [histogram_state(p, keys, "v", lo, hi, nb) for p in parts]
+    merged = {r.k: r.bins for r in merge_histogram_state(states, keys).collect()}
+    assert merged == whole  # exact integer equality, not approximate
+
+    q = {r.k: (r.p50, r.p95, r.p99)
+         for r in estimate_quantiles(
+             merge_histogram_state(states, keys), keys, lo, hi).collect()}
+    qw = {r.k: (r.p50, r.p95, r.p99)
+          for r in estimate_quantiles(
+              histogram_state(df, keys, "v", lo, hi, nb), keys, lo, hi).collect()}
+    assert q == qw

@@ -102,3 +102,105 @@ def estimate_distinct(state: DataFrame, value_col: str, out_col: str | None = No
     return state.withColumn(
         out_col or f"approx_distinct_{value_col}", F.hll_sketch_estimate(F.col(col))
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Mergeable per-key QUANTILE state: fixed-bin histogram counts.
+
+    Quantiles are the other canonical non-decomposable aggregate (final
+    percentiles cannot merge).  A fixed-bin histogram CAN: bin counts
+    add, exactly and associatively, so the maintenance loop merges a
+    delta's histogram into state with integer addition — no history
+    rescan, and (unlike sketch quantiles) the merged state is
+    BIT-IDENTICAL to the histogram of the concatenated raw data, which
+    is what lets the gate verify this path by exact value.  Resolution
+    is (hi-lo)/n_bins; values outside [lo, hi) clamp into the edge bins.
+
+    Plan shape: ``n_bins`` conditional sums in ONE groupBy — map-side
+    partials, a single |keys|-row shuffle of fixed-width arrays (the
+    minhash signature trick applied to binning; no per-bin explode).
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_idx = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    d = df.filter(v.isNotNull()).withColumn("_bin", bin_idx)
+    sums = [
+        F.sum(F.when(F.col("_bin") == i, 1).otherwise(0)).alias(f"_b{i}")
+        for i in range(n_bins)
+    ]
+    return (
+        d.groupBy(*keys)
+        .agg(*sums)
+        .select(
+            *keys, F.array(*[F.col(f"_b{i}") for i in range(n_bins)]).alias("bins")
+        )
+    )
+
+
+def merge_histogram_state(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Element-wise bin addition across state/delta frames: one
+    |keys|-row shuffle of fixed-width long arrays."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    exploded = merged.select(*keys, F.posexplode("bins").alias("_bin", "_cnt"))
+    return (
+        exploded.groupBy(*keys, "_bin")
+        .agg(F.sum("_cnt").alias("_cnt"))
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("_bin", "_cnt"))).alias("_bc"))
+        .select(*keys, F.transform("_bc", lambda x: x["_cnt"]).alias("bins"))
+    )
+
+
+def estimate_quantiles(
+    state: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    percentiles: tuple[int, ...] = (50, 95, 99),
+) -> DataFrame:
+    """Quantile read-off from histogram state: percentile p maps to the
+    LOWER EDGE of the smallest bin whose cumulative count reaches
+    ``p%`` of the total — integer threshold arithmetic (100*cum >=
+    p*total), so every engine computes the identical bin and the value
+    is exactly reproducible in SQL (no interpolation ambiguity)."""
+    from pyspark.sql import Window
+
+    ex = state.select(
+        *keys, F.size("bins").alias("_n"), F.posexplode("bins").alias("_bin", "_cnt")
+    )
+    wcum = (
+        Window.partitionBy(*keys).orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    ex = ex.withColumn("_cum", F.sum("_cnt").over(wcum)).withColumn(
+        "_total", F.sum("_cnt").over(wall)
+    )
+    picks = [
+        F.min(
+            F.when(100 * F.col("_cum") >= p * F.col("_total"), F.col("_bin"))
+        ).alias(f"_bin_p{p}")
+        for p in percentiles
+    ]
+    agg = ex.groupBy(*keys, "_n").agg(*picks)
+    out = agg.select(
+        *keys,
+        *[
+            (F.lit(lo) + F.col(f"_bin_p{p}") * (F.lit(hi - lo) / F.col("_n")))
+            .alias(f"p{p}")
+            for p in percentiles
+        ],
+    )
+    return out

@@ -42,18 +42,17 @@ GATE_WINDOW = [
     "ubuntu2_osv_downconvert",
     "m7_png_feature_extract",
     "m8_png_resize_pipeline",
-    # r6 churn-adjacent re-verification: sample_video_frames gained the
-    # AVI/mp4 demux + decode_image frame path (m3 covers the VSPK/PPM
-    # side; m8 covers decode_image's PPM resize path) and
-    # first_observed_merge gained table-format routing (i4;
-    # overwrite_partitions' routing is exercised by the golden-snapshot
-    # suite via ubuntu1's fragment writes)
-    "m3_video_frame_sample",
+    # r6 churn-adjacent re-verification: first_observed_merge gained
+    # table-format routing and the sink swap gained parameterized
+    # backups (i4 exercises both through the parquet path; the changed
+    # frame sampler is exercised by m10/m11, its unchanged VSPK branch
+    # was ext-green in r5 via m3)
     "i4_first_observed_merge",
     "m9_jpeg_feature_extract",
     "m10_avi_mjpeg_frame_sample",
     "m11_mp4_frame_sample",
     "m12_color_jpeg_feature_extract",
+    "i9_incremental_quantile_merge",
     # the 37 never-externally-gated queries (VERDICT r5 "What's wrong" #2)
     "p4_ecosystem_allowlist_rename",
     "p7_rejected_pair_antifilter",

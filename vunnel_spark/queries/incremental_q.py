@@ -88,3 +88,58 @@ def i8(spark, sf_dir):
              <= 0.05 * F.col("exact_users")).cast("int").alias("within_tolerance"),
         )
     )
+
+
+@register(
+    "i9_incremental_quantile_merge",
+    """
+    WITH b AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(floor(value / 10.0) AS BIGINT), 0), 59) AS bin
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM c
+    )
+    SELECT event_type,
+           CAST(min(CASE WHEN 100 * cum >= 50 * total THEN bin END) * 10.0
+                AS DOUBLE) AS p50,
+           CAST(min(CASE WHEN 100 * cum >= 95 * total THEN bin END) * 10.0
+                AS DOUBLE) AS p95,
+           CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bin END) * 10.0
+                AS DOUBLE) AS p99
+    FROM cum GROUP BY event_type
+    """,
+    doc="Incremental QUANTILE maintenance via mergeable fixed-bin "
+        "histogram state (operators/incremental.py histogram_state/"
+        "merge_histogram_state/estimate_quantiles): percentiles are "
+        "non-decomposable, but bin counts add exactly — history state + "
+        "delta state merges to the bit-identical histogram of the full "
+        "data, so unlike sketch quantiles this path verifies by EXACT "
+        "value.  Estimator = lower edge of the first bin whose "
+        "cumulative reaches p% (integer threshold arithmetic, no "
+        "interpolation ambiguity); state = one 60-long array per key "
+        "built by conditional sums in a single shuffle (no per-bin "
+        "explode on the raw data)",
+    tags=("incremental", "agg"),
+)
+def i9(spark, sf_dir):
+    from vunnel_spark.operators.incremental import (
+        estimate_quantiles,
+        histogram_state,
+        merge_histogram_state,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    history = ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+    delta = ev.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    keys, lo, hi, nb = ["event_type"], 0.0, 600.0, 60
+    state = histogram_state(history, keys, "value", lo, hi, nb)
+    merged = merge_histogram_state(
+        [state, histogram_state(delta, keys, "value", lo, hi, nb)], keys
+    )
+    return estimate_quantiles(merged, keys, lo, hi, (50, 95, 99))
