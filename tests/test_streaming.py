@@ -540,3 +540,46 @@ def test_bucketed_rollup_backups_parked_outside_state_and_recovered(spark, tmp_p
     }
     assert before | {(100, 5.0)} == after  # victim bucket's rows are back
     assert not os.path.exists(bak_root) or not os.listdir(bak_root)
+
+
+def test_foreach_batch_rollup_histogram_state_cross_batch(spark, tmp_path):
+    """The streaming rollup can carry i9's quantile histogram state: bins
+    accumulated across micro-batches must equal the histogram of all
+    rows ever seen, exactly (integer bin addition is the merge algebra)."""
+    import datetime as dt
+
+    from vunnel_spark.operators.incremental import histogram_state
+    from vunnel_spark.streaming.enrich import foreach_batch_rollup
+
+    src_dir = str(tmp_path / "h_in")
+    state = str(tmp_path / "h_state")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, value double"
+    rows1 = [(u % 3, dt.datetime(2026, 1, 1, 10), float(u * 7 % 50)) for u in range(40)]
+    rows2 = [(u % 3, dt.datetime(2026, 1, 1, 11), float(u * 11 % 50)) for u in range(40)]
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = foreach_batch_rollup(
+            stream, state, str(tmp_path / "h_ck"), keys=["user_id"],
+            hist_cols=(("value", 0.0, 50.0, 10),),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch(rows1)
+    run()
+    write_batch(rows2)
+    run()
+
+    got = {r.user_id: list(r.hist_value)
+           for r in spark.read.parquet(state).collect()}
+    whole = spark.createDataFrame(rows1 + rows2, schema)
+    want = {r.user_id: list(r.bins)
+            for r in histogram_state(whole, ["user_id"], "value", 0.0, 50.0, 10).collect()}
+    assert got == want

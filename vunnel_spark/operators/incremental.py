@@ -8,10 +8,11 @@ materialized-view maintenance: for DECOMPOSABLE aggregates
 (count/sum/min/max — mean derives as sum/count) the per-key final rows
 ARE the mergeable partial state, so updating a 100 TB-history rollup
 costs one scan of the delta plus a shuffle of |keys| state rows — never
-a rescan of history.  Non-decomposable aggregates (exact distinct,
-median) need sketch state instead (HLL for distinct — a16's
-approx_count_distinct path); that trade is the textbook lambda-
-architecture split and is deliberately out of scope here.
+a rescan of history.  Non-decomposable aggregates need mergeable state
+instead of final values: DISTINCT counts keep HLL sketch state
+(``distinct_state``, i8) and quantiles keep fixed-bin histogram state
+(``histogram_state``, i9 — exact, not approximate, merge) — the
+textbook lambda-architecture split, realized here for both cases.
 
 ``aggregate_state`` produces the state shape from a raw frame;
 ``merge_agg_state`` folds any number of states/deltas together.  Both are
@@ -31,13 +32,35 @@ def aggregate_state(
     sum_cols: tuple[str, ...] = (),
     min_cols: tuple[str, ...] = (),
     max_cols: tuple[str, ...] = (),
+    hist_cols: tuple[tuple, ...] = (),
 ) -> DataFrame:
     """Aggregate a raw frame into mergeable per-key state (the same
-    column shape ``merge_agg_state`` consumes and produces)."""
+    column shape ``merge_agg_state`` consumes and produces).
+
+    ``hist_cols``: ``(col, lo, hi, n_bins)`` specs — each adds a
+    ``hist_<col>`` fixed-bin count array (the i9 quantile state) to the
+    same single groupBy, built with conditional sums; no extra shuffle,
+    no per-bin explode."""
     aggs = [F.count(F.lit(1)).alias(count_col)]
     aggs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
+    for c, lo, hi, nb in hist_cols:
+        width = (hi - lo) / nb
+        b = F.least(
+            F.greatest(F.floor((F.col(c) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(nb - 1),
+        )
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(F.col(c).isNotNull() & (b == i), 1).otherwise(0)
+                    )
+                    for i in range(nb)
+                ]
+            ).alias(f"hist_{c}")
+        )
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -48,12 +71,14 @@ def merge_agg_state(
     sum_cols: tuple[str, ...] = (),
     min_cols: tuple[str, ...] = (),
     max_cols: tuple[str, ...] = (),
+    hist_cols: tuple[tuple, ...] = (),
 ) -> DataFrame:
     """Fold state frames (prior state + one or more delta states) into the
     updated state.  Keys absent from one side pass through; keys present
     in several merge by the aggregate's own algebra (sum of counts/sums,
-    min of mins, max of maxs) — so the result equals aggregating the
-    concatenated raw inputs, which is what the oracle checks."""
+    min of mins, max of maxs, element-wise addition of histogram bins) —
+    so the result equals aggregating the concatenated raw inputs, which
+    is what the oracle checks."""
     merged = states[0]
     for s in states[1:]:
         merged = merged.unionByName(s)
@@ -61,6 +86,13 @@ def merge_agg_state(
     aggs += [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+    for c, _lo, _hi, nb in hist_cols:
+        h = f"hist_{c}"
+        aggs.append(
+            F.array(
+                *[F.sum(F.element_at(F.col(h), i + 1)) for i in range(nb)]
+            ).alias(h)
+        )
     return merged.groupBy(*keys).agg(*aggs)
 
 

@@ -83,12 +83,14 @@ def foreach_batch_rollup(
     sum_cols: tuple[str, ...] = (),
     min_cols: tuple[str, ...] = (),
     max_cols: tuple[str, ...] = (),
+    hist_cols: tuple[tuple, ...] = (),
     hash_buckets: int | None = None,
 ):
     """Streaming materialized-rollup maintenance — the streaming face of
-    i7 (operators/incremental.py): each micro-batch aggregates to per-key
-    partials, merges with the persisted state table by the aggregates'
-    own algebra (sum of counts/sums, min/max of min/maxs), and publishes
+    i7/i9 (operators/incremental.py): each micro-batch aggregates to
+    per-key partials, merges with the persisted state table by the
+    aggregates' own algebra (sum of counts/sums, min/max of min/maxs,
+    element-wise addition of ``hist_cols`` quantile bins), and publishes
     the new state under the EnvelopeWriter's stage+atomic-swap protocol
     (a reader never sees a half-written state, a crashed publish rolls
     back).  Per batch this costs one |keys|-row merge shuffle and zero
@@ -128,6 +130,7 @@ def foreach_batch_rollup(
     kw = dict(
         keys=keys, count_col=count_col,
         sum_cols=sum_cols, min_cols=min_cols, max_cols=max_cols,
+        hist_cols=hist_cols,
     )
     meta_name = "_rollup_meta.json"  # leading _ : invisible to parquet readers
 
