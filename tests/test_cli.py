@@ -162,3 +162,13 @@ def test_cli_run_uses_config_file_sf_dir_and_flag_wins(tmp_path, monkeypatch, ca
     rc = main(["-c", str(p), "run", "p1_regex_filter",
                "--sf-dir", "/root/testdata/sf0.001"])
     assert rc == 0  # explicit flag wins over the (broken) env value
+
+
+def test_cli_malformed_yaml_clean_error(tmp_path, capsys):
+    from vunnel_spark.cli import main
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("sf_dir: [unclosed\n")
+    rc = main(["-c", str(p), "list"])
+    assert rc == 2
+    assert "config error" in capsys.readouterr().err

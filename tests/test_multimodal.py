@@ -488,3 +488,55 @@ def test_decode_jpeg_gray_rejects_color():
     rgb = np.zeros((8, 8, 3), np.uint8)
     with pytest.raises(ValueError, match="color"):
         decode_jpeg_gray(encode_jpeg_rgb(rgb))
+
+
+# -------------------------------------------------- review regressions
+
+def test_color_jpeg_saturated_chroma_no_wraparound():
+    """Pure blue drives Cb to 255.5: the encoder must CLIP, not wrap, the
+    chroma planes (round->uint8 alone would turn 256 into 0 and decode
+    pure blue as green)."""
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_jpeg, encode_jpeg_rgb
+
+    blue = np.zeros((8, 8, 3), np.uint8)
+    blue[:, :, 2] = 255
+    dec = decode_jpeg(encode_jpeg_rgb(blue))
+    # lossy, but blue must stay dominant and blue-ish — wraparound made it green
+    assert dec[:, :, 2].mean() > 200, dec[0, 0]
+    assert dec[:, :, 1].mean() < 100, dec[0, 0]
+
+
+def test_png_encoder_rejects_invalid_filter_type():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import encode_png
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="invalid filter type"):
+        encode_png(img, row_filter=lambda y: 5)
+
+
+def test_jpeg_truncated_scan_raises_value_error():
+    import pytest
+
+    from vunnel_spark.operators.multimodal import _BitReader
+
+    br = _BitReader(b"\xff")
+    with pytest.raises(ValueError, match="truncated"):
+        for _ in range(8):
+            br.read_bit()
+
+
+def test_mp4_tkhd_box_is_spec_sized():
+    """v0 tkhd = 8 header + 4 version/flags + 80 body = 92 bytes."""
+    import struct
+
+    from vunnel_spark.operators.multimodal import encode_mp4_mjpeg
+
+    mp4 = encode_mp4_mjpeg([b"\xff\xd8xx"], 8, 8)
+    i = mp4.find(b"tkhd") - 4
+    (size,) = struct.unpack_from(">I", mp4, i)
+    assert size == 92, size

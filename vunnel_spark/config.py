@@ -125,6 +125,10 @@ def load(path: str = ".vunnel_spark.yaml") -> AppConfig:
             data = yaml.safe_load(f.read()) or {}
     except FileNotFoundError:
         data = {}
+    except yaml.YAMLError as e:
+        # normalize to ValueError so the CLI's single error path catches
+        # malformed files too, not just wrong-typed values
+        raise ValueError(f"malformed YAML in {path}: {e}") from e
     if not isinstance(data, dict):
         raise ValueError(f"config root must be a mapping: {path}")
     _merge_dict(cfg, data, "")

@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hist_bin(v, lo: float, hi: float, n_bins: int):
+    """Bin index for the fixed-bin histogram state — ONE definition
+    shared by the batch builder, the streaming rollup's hist_cols, and
+    histogram_state, so binning semantics (clamp-to-edge, float
+    division) cannot diverge between states that must merge exactly."""
+    width = (hi - lo) / n_bins
+    return F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+
+
 def aggregate_state(
     df: DataFrame,
     keys: list[str],
@@ -46,11 +58,7 @@ def aggregate_state(
     aggs += [F.min(c).alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(c).alias(f"max_{c}") for c in max_cols]
     for c, lo, hi, nb in hist_cols:
-        width = (hi - lo) / nb
-        b = F.least(
-            F.greatest(F.floor((F.col(c) - F.lit(lo)) / F.lit(width)), F.lit(0)),
-            F.lit(nb - 1),
-        )
+        b = _hist_bin(F.col(c), lo, hi, nb)
         aggs.append(
             F.array(
                 *[
@@ -159,24 +167,13 @@ def histogram_state(
     partials, a single |keys|-row shuffle of fixed-width arrays (the
     minhash signature trick applied to binning; no per-bin explode).
     """
-    width = (hi - lo) / n_bins
-    v = F.col(value_col)
-    bin_idx = F.least(
-        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
-        F.lit(n_bins - 1),
+    state = aggregate_state(
+        df.filter(F.col(value_col).isNotNull()),
+        keys,
+        count_col="_n",
+        hist_cols=((value_col, lo, hi, n_bins),),
     )
-    d = df.filter(v.isNotNull()).withColumn("_bin", bin_idx)
-    sums = [
-        F.sum(F.when(F.col("_bin") == i, 1).otherwise(0)).alias(f"_b{i}")
-        for i in range(n_bins)
-    ]
-    return (
-        d.groupBy(*keys)
-        .agg(*sums)
-        .select(
-            *keys, F.array(*[F.col(f"_b{i}") for i in range(n_bins)]).alias("bins")
-        )
-    )
+    return state.select(*keys, F.col(f"hist_{value_col}").alias("bins"))
 
 
 def merge_histogram_state(states: list[DataFrame], keys: list[str]) -> DataFrame:

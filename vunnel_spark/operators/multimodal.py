@@ -7,15 +7,16 @@ sampling) runs in Arrow-batched ``mapInPandas`` stages so the 100 TB path
 is: parquet scan (binary column pruned unless needed) -> partition-local
 Python batches -> columnar output.  No driver-side materialization ever.
 
-Codecs: PPM (P6) and PNG (zlib DEFLATE + the five spec scanline filters,
-8-bit gray/truecolor) are implemented for real, so the decode/resize/
-feature stages exercise genuine bytes-in/pixels-out behavior — including
-a real compressed format — end-to-end, and the m1/m2/m7/m8 queries carry
-exact SQL oracles over deterministically synthesized gradient images.
-Remaining compressed formats (JPEG/mp4...) need libraries this container
-doesn't ship; those paths keep the explicit NotImplementedError +
-``fake=True`` escape hatch, and swapping in PIL/ffmpeg later changes
-only ``decode_image``'s dispatch.  Video gets a minimal length-prefixed
+Codecs: PPM (P6), PNG (zlib DEFLATE + the five spec scanline filters,
+8-bit gray/truecolor), and baseline JPEG (numpy DCT + Annex-K Huffman,
+grayscale and YCbCr 4:4:4 color) are implemented for real, alongside
+AVI (RIFF) and ISO-BMFF (mp4) MJPEG container demux — the decode/
+resize/feature/frame-sample stages exercise genuine bytes-in/pixels-out
+behavior end-to-end, and the m1-m12 queries carry exact SQL oracles
+over deterministically synthesized images.  Remaining variants
+(progressive/subsampled JPEG, fragmented mp4, webm) raise
+NotImplementedError behind the explicit ``fake=True`` escape hatch;
+swapping in PIL/ffmpeg changes only ``decode_image``'s dispatch.  Video gets a minimal length-prefixed
 frame container (``pack_frames``/``iter_frames``) so frame sampling is
 real, explode-shaped, and testable.
 """
@@ -143,6 +144,8 @@ def encode_png(arr, row_filter=None) -> bytes:
     prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
         f = int(row_filter(y)) if row_filter else 0
+        if not 0 <= f <= 4:
+            raise ValueError(f"row_filter returned invalid filter type {f}")
         cur = recon[y]
         left = np.zeros_like(cur)
         left[ch:] = cur[:-ch]
@@ -491,7 +494,11 @@ def encode_jpeg_rgb(arr) -> bytes:
     h, w = arr.shape[0], arr.shape[1]
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_rgb needs multiple-of-8 dims")
-    planes = [np.round(p).astype(np.uint8) for p in rgb_to_ycbcr(arr)]
+    # clip BEFORE the uint8 cast: saturated chroma (e.g. pure blue gives
+    # Cb=255.5) would otherwise round to 256 and WRAP to 0
+    planes = [
+        np.clip(np.round(p), 0, 255).astype(np.uint8) for p in rgb_to_ycbcr(arr)
+    ]
     q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     m = _dct_matrix()
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -526,6 +533,8 @@ class _BitReader:
                 nxt = self.data[self.pos] if self.pos < len(self.data) else None
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
+                elif nxt is None:
+                    raise ValueError("truncated JPEG scan (bare FF at end)")
                 else:
                     raise ValueError(f"unexpected marker in scan: FF{nxt:02X}")
             self.acc = byte
@@ -702,10 +711,11 @@ def _fake_decode(payload: bytes, width: int, height: int):
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     """Decode one image payload.
 
-    PPM (P6) and PNG (8-bit gray/truecolor) decode for real; remaining
-    compressed formats (JPEG/mp4...) need codec libraries this container
-    doesn't ship — callers opt into the deterministic fake explicitly,
-    or get NotImplementedError.
+    PPM (P6), PNG (8-bit gray/truecolor), and baseline JPEG (grayscale
+    + YCbCr 4:4:4 color) decode for real; remaining variants
+    (progressive/subsampled JPEG, HEIC, ...) need codec libraries this
+    container doesn't ship — callers opt into the deterministic fake
+    explicitly, or get NotImplementedError.
     """
     import numpy as np
 
@@ -725,9 +735,10 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
-        "no codec for this payload format in this environment; PPM (P6) "
-        "and PNG (8-bit gray/truecolor) decode natively, or pass "
-        "fake=True for the deterministic stand-in"
+        "no codec for this payload format in this environment; PPM (P6), "
+        "PNG (8-bit gray/truecolor) and baseline JPEG (gray + 4:4:4 "
+        "color) decode natively, or pass fake=True for the deterministic "
+        "stand-in"
     )
 
 
@@ -948,7 +959,10 @@ def encode_mp4_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 30
                 + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
                 + b"\x00" * 24 + struct.pack(">I", 2))
-    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 12
+    # v0 tkhd body after version/flags: creation, modification, track_ID,
+    # reserved, duration (20) + reserved[8] + layer/alt_group/volume/
+    # reserved (8) + matrix (36) + width/height (8) = 80 bytes (spec size)
+    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
                 + struct.pack(">HHHH", 0, 0, 0, 0)
                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
                 + struct.pack(">II", width << 16, height << 16), version=0)
@@ -1116,7 +1130,12 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                     if idx % every_n:
                         continue
                     img = decode_image(frame, 0, 0)
-                    fmt = "jpeg" if frame[:2] == b"\xff\xd8" else "ppm"
+                    if frame[:2] == b"\xff\xd8":
+                        fmt = "jpeg"
+                    elif frame[:8] == _PNG_SIG:
+                        fmt = "png"
+                    else:
+                        fmt = "ppm"
                     out.append(
                         (mid, idx, frame,
                          {"format": fmt, "width": img.shape[1],

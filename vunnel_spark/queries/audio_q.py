@@ -128,16 +128,21 @@ def m6(spark, sf_dir):
     # parameters — true while every doc_id is below the synth's 18000-id
     # parameter period (holds through sf0.1).  Past that the operator is
     # still correct but the oracle is stale, so fail loudly instead of
-    # letting the gate go red with no hint of which side is wrong.
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    if max_id is not None and max_id >= 18_000:
-        raise AssertionError(
-            f"m6's planted-pair oracle is only valid while max(doc_id) < "
-            f"18000 (the wav synth's parameter period); this corpus has "
-            f"max(doc_id)={max_id}, where organic payload repeats add "
-            "pairs the oracle does not list — regenerate the oracle for "
-            "this scale factor instead of trusting it"
-        )
+    # letting the gate go red with no hint of which side is wrong.  The
+    # guard is a per-row assert EMBEDDED IN THE PLAN (a filter can't be
+    # pruned away), so building the query stays a pure plan construction
+    # — no eager driver-side scan before .explain() or the action.
+    docs = docs.filter(
+        F.assert_true(
+            F.col("doc_id") < 18_000,
+            F.lit(
+                "m6's planted-pair oracle is only valid while doc_id < "
+                "18000 (the wav synth's parameter period); at this scale "
+                "organic payload repeats add pairs the oracle does not "
+                "list — regenerate the oracle instead of trusting it"
+            ),
+        ).isNull()
+    )
     planted = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + _DUP_OFFSET).alias("doc_id")
     )

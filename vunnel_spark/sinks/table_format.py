@@ -46,6 +46,30 @@ def delta_available(spark: SparkSession | None = None) -> bool:
         return False
 
 
+def should_use_delta(spark: SparkSession, path: str, table_format: str) -> bool:
+    """Resolve the table_format knob against BOTH the classpath and the
+    store that already exists at ``path``.
+
+    'auto' must never reformat an existing store: a parquet-swap store
+    created before delta-spark was installed (or by an explicit
+    table_format='parquet' call) keeps using the parquet path even when
+    delta becomes available — writing delta into a live parquet
+    directory would fail (or orphan the prior state from delta reads).
+    Format detection uses Delta's public on-disk marker (_delta_log/).
+    """
+    import os
+
+    if table_format == "delta":
+        return True
+    if table_format != "auto":
+        return False
+    if not delta_available(spark):
+        return False
+    if os.path.exists(path):
+        return os.path.isdir(os.path.join(path, "_delta_log"))
+    return True  # fresh store: prefer the transactional format
+
+
 def _require_delta(spark: SparkSession):
     if not delta_available(spark):
         raise RuntimeError(

@@ -293,14 +293,11 @@ def first_observed_merge(
     ('delta' raising if unavailable).
     """
     from vunnel_spark.sinks.table_format import (
-        delta_available,
         merge_first_observed_delta,
+        should_use_delta,
     )
 
-    use_delta = table_format == "delta" or (
-        table_format == "auto" and delta_available(spark)
-    )
-    if use_delta:
+    if should_use_delta(spark, path, table_format):
         return merge_first_observed_delta(
             spark, path, observations.select(*key_cols), key_cols,
             date_col=date_col, today=today,
@@ -377,14 +374,11 @@ def overwrite_partitions(
     on the classpath; 'delta'/'parquet' force a path.
     """
     from vunnel_spark.sinks.table_format import (
-        delta_available,
         overwrite_partitions_delta,
+        should_use_delta,
     )
 
-    use_delta = table_format == "delta" or (
-        table_format == "auto" and delta_available(df.sparkSession)
-    )
-    if use_delta:
+    if should_use_delta(df.sparkSession, path, table_format):
         overwrite_partitions_delta(df, path, partition_col, partitions)
         return
     out = df
