@@ -430,19 +430,20 @@ def test_mp4_mjpeg_roundtrip_and_structure():
     assert list(iter_mp4_frames(encode_mp4_mjpeg(odd, 8, 8))) == odd
 
 
-def test_mp4_rejects_fragmented_and_non_bmff():
+def test_mp4_rejects_non_bmff_and_malformed_fragment():
     import pytest
 
     from vunnel_spark.operators.multimodal import encode_mp4_mjpeg, iter_mp4_frames
 
-    mp4 = bytearray(encode_mp4_mjpeg([b"\xff\xd8xx"], 8, 8))
-    # graft a top-level moof box onto the end
-    import struct
-    mp4 += struct.pack(">I", 8) + b"moof"
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        list(iter_mp4_frames(bytes(mp4)))
     with pytest.raises(ValueError, match="ISO-BMFF"):
         list(iter_mp4_frames(b"RIFFxxxxAVI "))
+    # a bare moof with no traf routes to the fragmented walk and fails
+    # loudly rather than being silently skipped
+    mp4 = bytearray(encode_mp4_mjpeg([b"\xff\xd8xx"], 8, 8))
+    import struct
+    mp4 += struct.pack(">I", 8) + b"moof"
+    with pytest.raises(ValueError, match="traf"):
+        list(iter_mp4_frames(bytes(mp4)))
 
 
 # ------------------------------------------------------------ color JPEG
@@ -540,3 +541,58 @@ def test_mp4_tkhd_box_is_spec_sized():
     i = mp4.find(b"tkhd") - 4
     (size,) = struct.unpack_from(">I", mp4, i)
     assert size == 92, size
+
+
+# ----------------------------------------- 4:2:0 JPEG + fragmented mp4
+
+def test_jpeg_420_grayvalued_exact_and_smooth_bounded():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_jpeg, encode_jpeg_rgb420
+
+    rng = np.random.default_rng(5)
+    tiles = (rng.integers(0, 128, size=(2, 3)) * 2).astype(np.uint8)
+    gray = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_jpeg(encode_jpeg_rgb420(rgb)), rgb)
+
+    smooth = np.zeros((16, 32, 3), np.uint8)
+    smooth[:, :, 0] = np.arange(32) * 8
+    smooth[:, :, 1] = 100
+    smooth[:, :, 2] = 200
+    dec = decode_jpeg(encode_jpeg_rgb420(smooth))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 8
+
+
+def test_jpeg_420_rejects_bad_dims():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import encode_jpeg_rgb420
+
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        encode_jpeg_rgb420(np.zeros((8, 16, 3), np.uint8))
+
+
+def test_fragmented_mp4_roundtrip():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_mp4f_mjpeg,
+        iter_frames,
+        iter_mp4_frames,
+    )
+
+    frames = [encode_jpeg_gray(np.full((8, 8), 2 * v, dtype=np.uint8))
+              for v in (3, 50, 90, 120)]
+    f = encode_mp4f_mjpeg(frames, 8, 8)
+    assert f[4:8] == b"ftyp" and b"moof" in f and b"trex" in f
+    assert list(iter_mp4_frames(f)) == frames
+    assert list(iter_frames(f)) == frames
+    for x, v in zip(iter_mp4_frames(f), (6, 100, 180, 240)):
+        assert np.all(decode_jpeg_gray(x) == v)
+    # odd sample sizes: byte ranges exact, no alignment assumptions
+    odd = [b"\xff\xd8" + b"q" * 7, b"\xff\xd8" + b"r" * 10]
+    assert list(iter_mp4_frames(encode_mp4f_mjpeg(odd, 8, 8))) == odd

@@ -557,6 +557,75 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits
 
 
+def encode_jpeg_rgb420(arr) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes with 4:2:0 chroma
+    subsampling (the dominant real-world JPEG layout): Y at full
+    resolution (sampling factor 2x2), Cb/Cr box-averaged 2x and coded at
+    half resolution; MCU = four Y blocks + one Cb + one Cr over a 16x16
+    pixel tile.  Dims must be multiples of 16 (general images would pad
+    edge MCUs).  Constant-chroma inputs survive the downsample exactly —
+    grayscale-valued even 16x16-constant tiles round-trip bit-exactly,
+    the m13 oracle's lever."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    if h % 16 or w % 16:
+        raise ValueError("encode_jpeg_rgb420 needs multiple-of-16 dims")
+    y, cb, cr = rgb_to_ycbcr(arr)
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+    # 2x2 box-average chroma downsample
+    sub = []
+    for p in planes[1:]:
+        p4 = p.reshape(h // 2, 2, w // 2, 2).astype(np.float64)
+        sub.append(np.clip(np.round(p4.mean(axis=(1, 3))), 0, 255).astype(np.uint8))
+    yp, cbp, crp = planes[0], sub[0], sub[1]
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    m = _dct_matrix()
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for dy in (0, 8):  # four Y blocks, left-to-right top-to-bottom
+                for dx in (0, 8):
+                    prev[0] = _encode_jpeg_block(
+                        bw, yp[my + dy : my + dy + 8, mx + dx : mx + dx + 8],
+                        q, m, dc_codes, ac_codes, prev[0],
+                    )
+            cy, cx = my // 2, mx // 2
+            prev[1] = _encode_jpeg_block(
+                bw, cbp[cy : cy + 8, cx : cx + 8], q, m, dc_codes, ac_codes, prev[1]
+            )
+            prev[2] = _encode_jpeg_block(
+                bw, crp[cy : cy + 8, cx : cx + 8], q, m, dc_codes, ac_codes, prev[2]
+            )
+    # headers: like _jpeg_headers(ncomp=3) but Y carries sampling 0x22
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload_) + 2) + payload_
+
+    zz_q = bytes(
+        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
+        for i in range(64)
+    )
+    dqt = seg(0xFFDB, b"\x00" + zz_q)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([3]) + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + bytes([0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
 def decode_jpeg(payload: bytes):
     """Baseline JFIF bytes -> HxW uint8 grayscale (1 component) or
     HxWx3 uint8 RGB (3 components, 4:4:4 only).
@@ -601,13 +670,19 @@ def decode_jpeg(payload: bytes):
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"unsupported component count {ncomp}")
+            sampling_factors = []
             for c in range(ncomp):
                 _cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 only)"
-                    )
+                sampling_factors.append(sampling)
                 comp_q.append(tq)
+            if not (
+                all(s == 0x11 for s in sampling_factors)
+                or sampling_factors == [0x22, 0x11, 0x11]
+            ):
+                raise NotImplementedError(
+                    f"unsupported sampling layout {sampling_factors} "
+                    "(4:4:4 and 4:2:0 decode here)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential JPEG supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -652,35 +727,59 @@ def decode_jpeg(payload: bytes):
         raise ValueError("invalid Huffman code")
 
     br = _BitReader(scan_data)
-    planes = [np.zeros((h, w), dtype=np.float64) for _ in range(ncomp)]
     prev_dc = [0] * ncomp
+
+    def decode_block(ci: int):
+        dc_tab = huff[(0, comp_tabs[ci][0])]
+        ac_tab = huff[(1, comp_tabs[ci][1])]
+        zz = np.zeros(64, dtype=np.float64)
+        cat = read_symbol(br, dc_tab)
+        prev_dc[ci] += _jpeg_extend(br.read_bits(cat), cat)
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            sym = read_symbol(br, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, cat = sym >> 4, sym & 0xF
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _jpeg_extend(br.read_bits(cat), cat)
+            i += 1
+        coeff = np.zeros(64)
+        coeff[_JPEG_ZIGZAG] = zz
+        return m.T @ (coeff.reshape(8, 8) * deqs[ci]) @ m + 128.0
+
+    if ncomp == 3 and sampling_factors == [0x22, 0x11, 0x11]:
+        # 4:2:0 — MCU = four Y blocks + Cb + Cr over a 16x16 tile;
+        # decode into MCU-padded planes, nearest-upsample chroma, crop
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        yplane = np.zeros((ph, pw), dtype=np.float64)
+        cbp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+        crp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for dy in (0, 8):
+                    for dx in (0, 8):
+                        yplane[my + dy : my + dy + 8, mx + dx : mx + dx + 8] = (
+                            decode_block(0)
+                        )
+                cy, cx = my // 2, mx // 2
+                cbp[cy : cy + 8, cx : cx + 8] = decode_block(1)
+                crp[cy : cy + 8, cx : cx + 8] = decode_block(2)
+        cb_full = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+        cr_full = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+        return ycbcr_to_rgb(yplane[:h, :w], cb_full[:h, :w], cr_full[:h, :w])
+
+    planes = [np.zeros((h, w), dtype=np.float64) for _ in range(ncomp)]
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
             for ci in range(ncomp):
-                dc_tab = huff[(0, comp_tabs[ci][0])]
-                ac_tab = huff[(1, comp_tabs[ci][1])]
-                zz = np.zeros(64, dtype=np.float64)
-                cat = read_symbol(br, dc_tab)
-                prev_dc[ci] += _jpeg_extend(br.read_bits(cat), cat)
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    sym = read_symbol(br, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, cat = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = _jpeg_extend(br.read_bits(cat), cat)
-                    i += 1
-                coeff = np.zeros(64)
-                coeff[_JPEG_ZIGZAG] = zz
-                block = m.T @ (coeff.reshape(8, 8) * deqs[ci]) @ m + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = block
+                planes[ci][by : by + 8, bx : bx + 8] = decode_block(ci)
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
@@ -996,6 +1095,137 @@ def encode_mp4_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 30
     return ftyp + mdat + moov
 
 
+def encode_mp4f_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 30) -> bytes:
+    """JPEG frame payloads -> a FRAGMENTED ISO-BMFF container (fMP4, the
+    DASH/HLS streaming layout): ``ftyp`` + ``moov`` whose stbl is empty
+    and whose ``mvex/trex`` announces fragments, then one
+    ``moof(mfhd, traf(tfhd, trun))`` + ``mdat`` pair carrying all
+    samples — trun holds per-sample sizes and a data offset relative to
+    the moof start (default-base-is-moof)."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def full(btype: bytes, payload: bytes, verflags: int = 0) -> bytes:
+        return box(btype, struct.pack(">I", verflags) + payload)
+
+    n = len(frames)
+    ftyp = box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5iso6")
+    timescale = fps
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, 0)
+                + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, 0) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", width << 16, height << 16), verflags=3)
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"mjpeg\x00")
+    sample_entry = (
+        struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000) + struct.pack(">I", 0)
+        + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + sample_entry)
+    # empty sample tables: samples live in fragments
+    stts = full(b"stts", struct.pack(">I", 0))
+    stsc = full(b"stsc", struct.pack(">I", 0))
+    stsz = full(b"stsz", struct.pack(">II", 0, 0))
+    stco = full(b"stco", struct.pack(">I", 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url_ = struct.pack(">I", 12) + b"url " + struct.pack(">I", 1)
+    dref = full(b"dref", struct.pack(">I", 1) + url_)
+    dinf = box(b"dinf", dref)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), verflags=1)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    trex = full(b"trex", struct.pack(">IIIII", 1, 1, 1, 0, 0))
+    mvex = box(b"mvex", trex)
+    moov = box(b"moov", mvhd + trak + mvex)
+
+    mfhd = full(b"mfhd", struct.pack(">I", 1))
+    # tfhd: default-base-is-moof (0x020000), track_ID only
+    tfhd = full(b"tfhd", struct.pack(">I", 1), verflags=0x020000)
+
+    def build_trun(data_offset: int) -> bytes:
+        # flags: data-offset present (0x01) + sample-size present (0x200)
+        body = struct.pack(">Ii", n, data_offset)
+        body += b"".join(struct.pack(">I", len(f)) for f in frames)
+        return full(b"trun", body, verflags=0x000201)
+
+    # trun's data_offset counts from the moof START to the first sample;
+    # the moof length is independent of the offset VALUE (fixed int32),
+    # so build once with a placeholder to measure, then rebuild
+    moof_placeholder = box(b"moof", mfhd + box(b"traf", tfhd + build_trun(0)))
+    data_offset = len(moof_placeholder) + 8  # + mdat header
+    moof = box(b"moof", mfhd + box(b"traf", tfhd + build_trun(data_offset)))
+    mdat = box(b"mdat", b"".join(frames))
+    return ftyp + moov + moof + mdat
+
+
+def _iter_fragmented_mp4(payload: bytes) -> Iterator[bytes]:
+    """Demux moof/traf/trun fragments: per fragment, read trun's sample
+    sizes (or tfhd's default) and slice samples starting at
+    moof_start + data_offset (default-base-is-moof addressing)."""
+    import struct
+
+    for btype, body, bend in _walk_boxes(payload, 0, len(payload)):
+        if btype != b"moof":
+            continue
+        moof_start = body - 8
+        traf, traf_end = _find_box(payload, [b"traf"], body, bend)
+        tfhd_default_size = None
+        for t2, b2, e2 in _walk_boxes(payload, traf, traf_end):
+            if t2 == b"tfhd":
+                (verflags,) = struct.unpack_from(">I", payload, b2)
+                flags = verflags & 0xFFFFFF
+                p = b2 + 8  # skip version/flags + track_ID
+                if flags & 0x01:  # base-data-offset
+                    p += 8
+                if flags & 0x02:  # sample-description-index
+                    p += 4
+                if flags & 0x08:  # default-sample-duration
+                    p += 4
+                if flags & 0x10:  # default-sample-size
+                    (tfhd_default_size,) = struct.unpack_from(">I", payload, p)
+        for t2, b2, e2 in _walk_boxes(payload, traf, traf_end):
+            if t2 != b"trun":
+                continue
+            (verflags,) = struct.unpack_from(">I", payload, b2)
+            flags = verflags & 0xFFFFFF
+            p = b2 + 4
+            (count,) = struct.unpack_from(">I", payload, p)
+            p += 4
+            if not flags & 0x01:
+                raise NotImplementedError(
+                    "trun without a data offset (implicit chaining) unsupported"
+                )
+            (doff,) = struct.unpack_from(">i", payload, p)
+            p += 4
+            if flags & 0x04:  # first-sample-flags
+                p += 4
+            off = moof_start + doff
+            for _ in range(count):
+                size = tfhd_default_size
+                if flags & 0x100:  # sample-duration present
+                    p += 4
+                if flags & 0x200:  # sample-size present
+                    (size,) = struct.unpack_from(">I", payload, p)
+                    p += 4
+                if flags & 0x400:  # sample-flags present
+                    p += 4
+                if flags & 0x800:  # composition-time-offset present
+                    p += 4
+                if size is None:
+                    raise ValueError("trun sample without size (no tfhd default)")
+                yield payload[off : off + size]
+                off += size
+
+
 def _walk_boxes(payload: bytes, start: int, end: int):
     import struct
 
@@ -1025,10 +1255,13 @@ def _find_box(payload: bytes, path: list[bytes], start: int, end: int):
 
 
 def iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
-    """Demux an ISO-BMFF (mp4) container: locate the video track's
-    sample tables (stsz sizes, stco chunk offsets, stsc run-lengths) and
-    yield each sample's byte range — the standard stbl walk every mp4
-    reader performs.  Fragmented (moof) files are rejected explicitly.
+    """Demux an ISO-BMFF (mp4) container.
+
+    Unfragmented files: locate the video track's sample tables (stsz
+    sizes, stco chunk offsets, stsc run-lengths) and yield each sample's
+    byte range — the standard stbl walk every mp4 reader performs.
+    Fragmented (fMP4/DASH) files: route to the moof/traf/trun walk
+    instead (_iter_fragmented_mp4).
     """
     import struct
 
@@ -1036,7 +1269,8 @@ def iter_mp4_frames(payload: bytes) -> Iterator[bytes]:
     if payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF payload")
     if b"moof" in {t for t, _, _ in _walk_boxes(payload, 0, len(payload))}:
-        raise NotImplementedError("fragmented mp4 (moof) unsupported")
+        yield from _iter_fragmented_mp4(payload)
+        return
     stbl, stbl_end = _find_box(
         payload, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], 0, len(payload)
     )
@@ -1268,6 +1502,80 @@ def synthesize_avi_mjpeg_table(
                 out.append(
                     (did, payload,
                      {"format": "avi", "n_frames": nf, "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_jpeg420_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL 4:2:0-JPEG media table: grayscale-valued even
+    16x16-constant tiles — tile (r, c) holds ``2*((id*13 + r*7 + c*5) %
+    128)``, dims ``(id%2+1) x (id%3+1)`` tiles — which survive chroma
+    subsampling + the lossy pipeline bit-exactly (constant chroma
+    box-averages to itself)."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                hb, wb = did % 2 + 1, did % 3 + 1
+                r = np.arange(hb)[:, None]
+                c = np.arange(wb)[None, :]
+                tiles = (2 * ((did * 13 + r * 7 + c * 5) % 128)).astype(np.uint8)
+                gray = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                payload = encode_jpeg_rgb420(rgb)
+                out.append(
+                    (did, payload,
+                     {"format": "jpeg", "width": wb * 16, "height": hb * 16,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_fmp4_mjpeg_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL fragmented-mp4 table: like
+    ``synthesize_mp4_mjpeg_table`` but fMP4 (moof/traf/trun) packaging —
+    ``id%6+2`` exact-roundtrip JPEG frames at ``2*((id*9 + 11*f) % 128)``."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "n_frames:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf = did % 6 + 2
+                frames = [
+                    encode_jpeg_gray(
+                        np.full((8, 8), 2 * ((did * 9 + 11 * f) % 128), dtype=np.uint8)
+                    )
+                    for f in range(nf)
+                ]
+                payload = encode_mp4f_mjpeg(frames, 8, 8)
+                out.append(
+                    (did, payload,
+                     {"format": "fmp4", "n_frames": nf, "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 

@@ -12,9 +12,10 @@ five provider end-to-end DAGs, x13-x15, v4, d9/d10, b1-b3 layouts, c1-c3
 clustering, h1/h2 skew, i7/i8 incremental, m4-m6 audio, n7-n9 PQ) plus
 the queries whose implementation changed in rounds 5-6 and therefore need
 external re-verification: x4/d6 (fingerprint now md5-of-head —
-engine-version-proof), d3 (r5 signature rewrite + r6 tuning), s12 (r5
-rewrite), and the new round-6 queries.  External coverage after this
-window: every query registered through round 6 has been inside a gate.
+engine-version-proof) and d3 (r5 signature rewrite + r6 tuning), and
+every new round-6 query (ubuntu2, m7-m14, i9).  External coverage after
+this window: every query registered through round 6 has been inside a
+gate (s12's r5 rewrite was already gated green in r5 itself).
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -35,23 +36,24 @@ from vunnel_spark.registry import REGISTRY
 # below with a KeyError, and pinned by the composition test).
 GATE_WINDOW = [
     # changed-in-r6 first: the fingerprint portability fix must be proven
+    # (s12 also changed in r5 but was already ext-green IN r5 on the
+    # rewritten code, so it yields its slot to the new m-family queries)
     "x4_document_fingerprints",
     "d6_fingerprint_dedup",
     "d3_minhash_lsh_pairs",
-    "s12_sink_roundtrip",
     "ubuntu2_osv_downconvert",
     "m7_png_feature_extract",
     "m8_png_resize_pipeline",
-    # r6 churn-adjacent re-verification: first_observed_merge gained
-    # table-format routing and the sink swap gained parameterized
-    # backups (i4 exercises both through the parquet path; the changed
-    # frame sampler is exercised by m10/m11, its unchanged VSPK branch
-    # was ext-green in r5 via m3)
-    "i4_first_observed_merge",
+    # all remaining round-6 additions (the changed frame sampler is
+    # exercised by m10/m11/m14; the writers' parameterized-backup swap
+    # by s12; first_observed's table-format routing by its unit +
+    # availability-gated integration tests, i4 itself ext-green in r5)
     "m9_jpeg_feature_extract",
     "m10_avi_mjpeg_frame_sample",
     "m11_mp4_frame_sample",
     "m12_color_jpeg_feature_extract",
+    "m13_jpeg420_feature_extract",
+    "m14_fmp4_frame_sample",
     "i9_incremental_quantile_merge",
     # the 37 never-externally-gated queries (VERDICT r5 "What's wrong" #2)
     "p4_ecosystem_allowlist_rename",

@@ -399,3 +399,84 @@ def m12(spark, sf_dir):
         F.round("mean_b", 4).alias("mean_b"),
         F.round("std_all", 4).alias("std_all"),
     )
+
+
+@register(
+    "m13_jpeg420_feature_extract",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 2 + 1 AS hb, doc_id % 3 + 1 AS wb
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, hb, wb,
+             CAST(2 * ((media_id * 13 + r.r * 7 + c.c * 5) % 128) AS DOUBLE) AS v
+      FROM m
+      JOIN (SELECT unnest(generate_series(0, 1)) AS r) r ON r.r < hb
+      JOIN (SELECT unnest(generate_series(0, 2)) AS c) c ON c.c < wb
+    )
+    SELECT media_id,
+           CAST(max(wb) * 16 AS INT) AS width, CAST(max(hb) * 16 AS INT) AS height,
+           round(avg(v), 4) AS mean_r, round(avg(v), 4) AS mean_g,
+           round(avg(v), 4) AS mean_b,
+           round(sqrt(avg(v*v) - avg(v)*avg(v)), 4) AS std_all
+    FROM b GROUP BY media_id
+    """,
+    doc="REAL 4:2:0 chroma-subsampled JPEG pipeline (operators/"
+        "multimodal.py encode_jpeg_rgb420 + the decoder's MCU path: four "
+        "Y blocks + Cb + Cr per 16x16 tile, box-downsampled/nearest-"
+        "upsampled chroma): grayscale-valued even 16x16-constant tiles "
+        "survive subsampling exactly, so the dominant real-world JPEG "
+        "layout verifies by exact value",
+    tags=("multimodal", "udf"),
+)
+def m13(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_jpeg420_media_table,
+    )
+
+    media = synthesize_jpeg420_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
+
+
+@register(
+    "m14_fmp4_frame_sample",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 7) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf FROM documents
+    )
+    SELECT media_id, CAST(x AS INT) AS frame_idx, 8 AS width, 8 AS height,
+           round(CAST(2 * ((media_id * 9 + 11 * x) % 128) AS DOUBLE), 4) AS mean_r
+    FROM m JOIN xs ON x < nf
+    WHERE x % 2 = 0
+    """,
+    doc="REAL fragmented-mp4 (fMP4/DASH) demux end-to-end: the "
+        "moof/traf/trun walk (operators/multimodal.py encode_mp4f_mjpeg/"
+        "_iter_fragmented_mp4 — per-sample trun sizes, default-base-is-"
+        "moof data offsets, tfhd flag parsing) slices MJPEG samples; "
+        "every 2nd frame JPEG-decoded, exact via even constant frames",
+    tags=("multimodal", "udf", "explode"),
+)
+def m14(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        sample_video_frames,
+        synthesize_fmp4_mjpeg_table,
+    )
+
+    videos = synthesize_fmp4_mjpeg_table(t(spark, sf_dir, "documents"))
+    frames = sample_video_frames(videos, every_n=2)
+    feats = image_features(frames, fake=False, passthrough=("frame_idx",))
+    return feats.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+    )
