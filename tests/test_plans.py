@@ -323,6 +323,7 @@ def test_d10_shared_spans_equijoin_no_cartesian(spark, sf_dir):
 #   u2   global set-union: 1-row broadcast
 #   x12  mixture weights total: 1-row broadcast
 #   x13  corpus token total: 1-row broadcast
+#   x17  vocab-size scalar: 1-row broadcast (same shape as x13's total)
 _BNLJ_ALLOWED = {
     "i1_watermark_delta_filter",
     "j1_theta_startswith_join",
@@ -335,6 +336,7 @@ _BNLJ_ALLOWED = {
     "u2_flatten_collect_except",
     "x12_mixture_sampling",
     "x13_unigram_logprob_filter",
+    "x17_bigram_perplexity",
 }
 
 
@@ -449,3 +451,27 @@ def test_ubuntu2_downconvert_is_jvm_only_bounded_shuffle(spark, sf_dir):
     assert "Python" not in p, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
     assert "Generate" in p  # the FixedIn explode_outer
+
+
+def test_x16_gopher_rules_zero_shuffle(spark, sf_dir):
+    # both repetition signals are per-row array expressions — the whole
+    # query must stay a scan+project with no Exchange, and the scan must
+    # prune to exactly (doc_id, text)
+    p = plan_of(q("x16_gopher_repetition", spark, sf_dir))
+    assert "Exchange" not in p, p
+    schema = re.search(r"ReadSchema: struct<(.*?)>", p).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"doc_id", "text"}, cols
+
+
+def test_x17_bigram_lm_equi_keyed(spark, sf_dir):
+    # LM training + scoring is equi-keyed throughout: the bigram/context
+    # count joins hash on the ngram key (broadcast at this SF) and the
+    # only nested-loop is the 1-row vocab-size broadcast, whitelisted in
+    # _BNLJ_ALLOWED like x13's corpus total.  Exactly ONE BNLJ node may
+    # appear in the tree — a second one means a count join degenerated.
+    p = plan_of(q("x17_bigram_perplexity", spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+    assert "BroadcastHashJoin" in p, p

@@ -233,3 +233,92 @@ def estimate_quantiles(
         ],
     )
     return out
+
+
+def _cms_cells(value_col: str, depth: int):
+    """(j, cell) hash cells for one value: cell_j = first 2 hex chars of
+    md5(j ':' value) — 256 buckets per row, engine-portable (md5 is
+    bit-identical everywhere; keeping the cell as the HEX STRING itself
+    sidesteps hex->int conversion, the same discipline as x14's
+    md5-threshold split)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col(value_col).cast("string"))),
+                    1,
+                    2,
+                ).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_state(
+    df: DataFrame, keys: list[str], value_col: str, depth: int = 4
+) -> DataFrame:
+    """Mergeable per-key FREQUENCY state: a count-min sketch (Cormode &
+    Muthukrishnan 2005) of ``depth`` x 256 counters per key, stored as
+    (keys..., j, cell, cnt) rows.
+
+    Point frequency is the third canonical non-decomposable read (after
+    distinct and quantiles): exact per-value counts need |values| state,
+    unbounded.  The CMS bounds state at depth*256 counters per key
+    REGARDLESS of how many distinct values flow through, and its
+    counters are LINEAR — state(A) + state(B) = state(A ∪ B) counter by
+    counter, exactly — so delta maintenance is integer addition with no
+    history rescan, and the merged sketch is bit-identical to the
+    sketch of the concatenated raw data (the property the gate
+    verifies; estimates are upper bounds with error eps*N at
+    probability 1-(1/2)^depth).
+
+    Plan shape: one ``depth``-wide explode (4x row inflation, collapsed
+    by map-side partial aggregation to <= |keys|*depth*256 rows per
+    partition) feeding a single shuffle — NOT the per-permutation
+    explode pathology the minhash signature stage avoids, because here
+    the post-aggregate width (1024 cells) IS the state being built.
+    """
+    return (
+        df.select(*keys, F.explode(_cms_cells(value_col, depth)).alias("_c"))
+        .groupBy(*keys, F.col("_c.j").alias("j"), F.col("_c.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cms_state(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Element-wise counter addition across state/delta frames: one
+    shuffle of <= |keys|*depth*256 fixed-width rows."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "j", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def estimate_frequency(
+    state: DataFrame,
+    probes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    depth: int = 4,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """CMS point-frequency read: est(v) = min over rows j of
+    counter[j][cell_j(v)], missing cells read 0.
+
+    The probe frame re-derives each value's ``depth`` cells and
+    left-joins the state on (keys, j, cell) — the state side is bounded
+    (|keys|*depth*256 rows) so AQE broadcasts it at any corpus scale;
+    the probe side streams.  min() over exactly ``depth`` rows per
+    probe closes the read.
+    """
+    ex = probes.select(
+        *keys, F.col(value_col), F.explode(_cms_cells(value_col, depth)).alias("_c")
+    ).select(*keys, value_col, F.col("_c.j").alias("j"), F.col("_c.cell").alias("cell"))
+    return (
+        ex.join(state, [*keys, "j", "cell"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*keys, value_col)
+        .agg(F.min("cnt").cast("bigint").alias(out_col))
+    )

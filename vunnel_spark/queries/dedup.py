@@ -458,3 +458,73 @@ def d10(spark, sf_dir):
     return shared_span_pairs(
         corpus, k=3, min_span_tokens=15, max_shingle_freq=8
     )
+
+
+@register(
+    "d11_dedup_clusters",
+    f"""
+    WITH RECURSIVE corpus AS ({_NEAR_DUPS_SQL}),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT u AS id FROM edges
+    ), cc AS (
+      SELECT id, id AS root FROM nodes
+      UNION
+      SELECT e.v AS id, cc.root FROM cc JOIN edges e ON e.u = cc.id
+    )
+    SELECT id AS doc_id, min(root) AS cluster_id, id = min(root) AS is_canonical
+    FROM cc GROUP BY id
+    """,
+    doc="End-to-end near-dup CLUSTER ASSIGNMENT — the step a real dedup "
+        "pipeline runs after pair generation: d3's MinHash-LSH verified "
+        "pairs (48 hashes / 16 bands, Jaccard >= 0.8) fed through the "
+        "alternating large-star/small-star connected components "
+        "(operators/graph.py, Kiveris et al. SoCC 2014), emitting one "
+        "(doc_id, cluster_id, is_canonical) row per clustered document "
+        "with min-id as the canonical keeper.  Composition of two "
+        "already-plan-audited operators: the LSH stage is the d3 plan "
+        "verbatim; the closure is O(log n) rounds of groupBy.min + "
+        "equi-join with per-round localCheckpoint lineage cuts, so it "
+        "scales to billion-edge dup graphs where DuckDB's recursive-CTE "
+        "oracle (min-label transitive closure over the exact-Jaccard "
+        "pair set) is the small-scale truth.  Recall-1.0 precondition "
+        "is the same one d3's oracle documents and tests assert",
+    tags=("dedup", "graph"),
+)
+def d11(spark, sf_dir):
+    from vunnel_spark.operators.dedup import minhash_lsh_pairs
+    from vunnel_spark.operators.graph import connected_components
+
+    docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = minhash_lsh_pairs(docs, num_hashes=48, bands=16, verify_threshold=0.8)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -143,3 +143,82 @@ def i9(spark, sf_dir):
         [state, histogram_state(delta, keys, "value", lo, hi, nb)], keys
     )
     return estimate_quantiles(merged, keys, lo, hi, (50, 95, 99))
+
+
+@register(
+    "i10_cms_heavyhitter_merge",
+    f"""
+    WITH cells AS (
+      SELECT event_type, j,
+             substr(md5(concat(CAST(j AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 2) AS cell,
+             count(*) AS cnt
+      FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g
+      GROUP BY 1, 2, 3
+    ), totals AS (
+      SELECT event_type, CAST(sum(cnt) / 4 AS BIGINT) AS n_stream
+      FROM cells GROUP BY 1
+    ), probes AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE ts >= TIMESTAMP '{_CUTOFF}'
+    ), pc AS (
+      SELECT p.event_type, p.user_id, j,
+             substr(md5(concat(CAST(j AS VARCHAR), ':', CAST(p.user_id AS VARCHAR))), 1, 2) AS cell
+      FROM probes p, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g
+    ), est AS (
+      SELECT pc.event_type, pc.user_id,
+             CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+      FROM pc LEFT JOIN cells c
+        ON c.event_type = pc.event_type AND c.j = pc.j AND c.cell = pc.cell
+      GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.user_id, e.est_count,
+           100 * e.est_count >= t.n_stream AS is_heavy
+    FROM est e JOIN totals t USING (event_type)
+    """,
+    doc="Incremental HEAVY-HITTER maintenance via mergeable count-min "
+        "sketch state (operators/incremental.py cms_state/"
+        "merge_cms_state/estimate_frequency; Cormode & Muthukrishnan "
+        "2005): per-value frequency is non-decomposable with bounded "
+        "state, but CMS counters are LINEAR — history state + delta "
+        "state sums to the bit-identical sketch of the full stream, so "
+        "like i9 (and unlike i8's HLL) this path verifies by EXACT "
+        "value against an oracle that rebuilds the same 4x256 "
+        "md5-celled sketch in SQL.  The delta batch's distinct "
+        "(event_type, user_id) probes read est = min_j counter[j][cell_j], "
+        "and the heavy flag is the classic >= 1%-of-stream test with "
+        "the stream length N read off the sketch itself (sum(cnt)/depth "
+        "— exact, every event contributes depth cells), integer "
+        "arithmetic 100*est >= N so both engines decide identically.  "
+        "State is <= |keys|*1024 rows forever, the probe join "
+        "broadcasts the state side, and a replayed COUNT delta would "
+        "corrupt it exactly like i7 — the at-least-once-safe variant "
+        "is i8's idempotent register-max, the tradeoff the module "
+        "docstrings carry",
+    tags=("incremental", "agg"),
+)
+def i10(spark, sf_dir):
+    from vunnel_spark.operators.incremental import (
+        cms_state,
+        estimate_frequency,
+        merge_cms_state,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    history = ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+    delta = ev.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    keys = ["event_type"]
+    state = merge_cms_state(
+        [cms_state(history, keys, "user_id"), cms_state(delta, keys, "user_id")],
+        keys,
+    )
+    totals = state.groupBy("event_type").agg(
+        (F.sum("cnt") / 4).cast("bigint").alias("n_stream")
+    )
+    probes = delta.select("event_type", "user_id").distinct()
+    est = estimate_frequency(state, probes, keys, "user_id")
+    return est.join(totals, "event_type").select(
+        "event_type",
+        "user_id",
+        "est_count",
+        (100 * F.col("est_count") >= F.col("n_stream")).alias("is_heavy"),
+    )

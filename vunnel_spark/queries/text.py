@@ -678,3 +678,161 @@ def x13(spark, sf_dir):
     return scored.select(
         "doc_id", "avg_nll", "n_tokens", (F.col("avg_nll") <= 8.0).alias("kept")
     )
+
+
+@register(
+    "x16_gopher_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, w, len(w) AS n,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, len(w) - 4),
+                            i -> array_to_string(w[i:i+4], ' ')) AS g5
+      FROM base
+    ), s AS (
+      SELECT doc_id, n, g2, g5,
+             list_aggregate(
+               list_transform(list_distinct(g2),
+                 x -> {'cnt': len(list_filter(g2, y -> y = x)), 'gram': x}),
+               'max') AS top,
+             length(array_to_string(w, ' ')) AS total_chars
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN n < 2 THEN 0.0
+                ELSE round(top.cnt * length(top.gram) / total_chars, 6)
+           END AS top2_char_frac,
+           CASE WHEN n < 5 THEN 0.0
+                ELSE round(1 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5), 6)
+           END AS dup5_frac,
+           (CASE WHEN n < 2 THEN 0.0
+                 ELSE round(top.cnt * length(top.gram) / total_chars, 6)
+            END) <= 0.20
+           AND (CASE WHEN n < 5 THEN 0.0
+                     ELSE round(1 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5), 6)
+                END) <= 0.15 AS kept
+    FROM s
+    """,
+    doc="Repetition-based quality rules from Gopher (Rae et al. 2021, "
+        "arXiv:2112.11446 §A1.1): per-document fraction of characters "
+        "covered by the most frequent word 2-gram, and fraction of "
+        "duplicated 5-grams, each gating a keep decision.  Both signals "
+        "are PURE per-row array expressions — shingle, count-within-row, "
+        "argmax via struct ordering ((cnt, gram) max gives a "
+        "deterministic lexicographic tie-break in both engines) — so the "
+        "whole query is a zero-shuffle scan+project that pipelines "
+        "through whole-stage codegen; at 100 TB it runs at scan speed "
+        "with no exchange at all (plan-asserted in tests/test_plans.py). "
+        "The kept flag compares ROUNDED values so both engines decide "
+        "from identical doubles",
+    tags=("text",),
+)
+def x16(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    g2 = F.transform(
+        F.sequence(F.lit(1), n - 1), lambda i: F.concat_ws(" ", F.slice(w, i, 2))
+    )
+    g5 = F.transform(
+        F.sequence(F.lit(1), n - 4), lambda i: F.concat_ws(" ", F.slice(w, i, 5))
+    )
+    counts = F.transform(
+        F.array_distinct(g2),
+        lambda g: F.struct(
+            F.size(F.filter(g2, lambda x: x == g)).alias("cnt"), g.alias("gram")
+        ),
+    )
+    top = F.array_max(counts)
+    total_chars = F.length(F.concat_ws(" ", w))
+    top2_frac = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.round(top["cnt"] * F.length(top["gram"]) / total_chars, 6)
+    )
+    dup5_frac = F.when(n < 5, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(g5)) / F.size(g5), 6)
+    )
+    return docs.select(
+        "doc_id",
+        top2_frac.alias("top2_char_frac"),
+        dup5_frac.alias("dup5_frac"),
+    ).withColumn(
+        "kept", (F.col("top2_char_frac") <= 0.20) & (F.col("dup5_frac") <= 0.15)
+    )
+
+
+@register(
+    "x17_bigram_perplexity",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+      FROM (SELECT unnest(w) AS word FROM base)
+    ), scored AS (
+      SELECT p.doc_id,
+             round(avg(ln((c1.c1 + vocab.v) / (c2.c2 + 1))), 6) AS avg_nll,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, avg_nll, n_bigrams, avg_nll <= 3.0 AS kept FROM scored
+    """,
+    doc="Corpus-trained bigram-LM quality scoring — the CCNet-style "
+        "(Wenzek et al. 2020, arXiv:1911.00359) perplexity bucketing "
+        "shape with an add-one-smoothed bigram model in place of the "
+        "external KenLM: P(w2|w1) = (C(w1 w2)+1)/(C1(w1)+V), per-doc "
+        "avg negative log-likelihood.  Two count aggregates train the "
+        "model (the bigram table is vocab-bounded, NOT corpus-bounded — "
+        "at 100 TB it shuffles on the ngram key once and is then a dim "
+        "table), scoring re-joins per-doc bigrams to the counts on the "
+        "same ngram key (AQE broadcasts when the vocab is small; at web "
+        "vocab the equi-join stays co-keyed), and the vocab size rides "
+        "a 1-row broadcast like x13's corpus total.  Upgrade over "
+        "x13's unigram proxy: context-sensitive, catches shuffled-word "
+        "garbage that unigram frequency cannot",
+    tags=("text",),
+)
+def x17(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(w).alias("word")).agg(
+        F.countDistinct("word").cast("double").alias("v")
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c1") + F.col("v")) / (F.col("c2") + 1))), 6
+            ).alias("avg_nll"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return scored.withColumn("kept", F.col("avg_nll") <= 3.0)
