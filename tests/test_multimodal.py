@@ -289,9 +289,10 @@ def test_jpeg_rejects_unsupported_variants():
 
     img = np.full((8, 8), 100, dtype=np.uint8)
     enc = bytearray(encode_jpeg_gray(img))
-    # flip SOF0 (FFC0) to SOF2 (FFC2, progressive)
+    # flip SOF0 (FFC0) to SOF1 (FFC1, extended sequential — unsupported;
+    # SOF2 progressive decodes for real since round 6)
     idx = bytes(enc).find(b"\xff\xc0")
-    enc[idx + 1] = 0xC2
+    enc[idx + 1] = 0xC1
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg_gray(bytes(enc))
     with pytest.raises(ValueError, match="multiple-of-8"):
@@ -596,3 +597,82 @@ def test_fragmented_mp4_roundtrip():
     # odd sample sizes: byte ranges exact, no alignment assumptions
     odd = [b"\xff\xd8" + b"q" * 7, b"\xff\xd8" + b"r" * 10]
     assert list(iter_mp4_frames(encode_mp4f_mjpeg(odd, 8, 8))) == odd
+
+
+# ------------------------------------------------- progressive JPEG (SOF2)
+
+def test_progressive_jpeg_exact_roundtrip_even_block_constant():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    for did in (0, 1, 5, 7, 42):
+        hb, wb = did % 3 + 1, did % 2 + 1
+        r = np.arange(hb)[:, None]
+        c = np.arange(wb)[None, :]
+        blocks = (2 * ((did * 11 + r * 3 + c * 7) % 128)).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        payload = encode_jpeg_gray_progressive(img)
+        assert payload.find(b"\xff\xc2") > 0  # genuinely SOF2
+        assert payload.count(b"\xff\xda") == 6  # six scans
+        assert np.array_equal(decode_jpeg_gray(payload), img)
+
+
+def test_progressive_equals_baseline_decode_property():
+    """The multi-scan entropy layer (spectral selection, EOBn runs, DC+AC
+    successive-approximation refinement) is LOSSLESS over the quantized
+    coefficients: progressive and baseline encodings of the same image
+    must decode bit-identically — any slip in the correction-bit
+    interleaving breaks this immediately."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        hb=st.integers(1, 4), wb=st.integers(1, 4),
+        seed=st.integers(0, 2**31), kind=st.integers(0, 2),
+    )
+    def check(hb, wb, seed, kind):
+        rng = np.random.default_rng(seed)
+        h, w = 8 * hb, 8 * wb
+        if kind == 0:
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        elif kind == 1:  # near-flat: long EOB runs in every scan
+            img = (int(rng.integers(0, 200))
+                   + rng.integers(0, 8, size=(h, w))).astype(np.uint8)
+        else:  # stripes: dense AC in band 1-5, sparse in 6-63
+            img = np.tile(rng.integers(0, 256, size=(1, w), dtype=np.uint8), (h, 1))
+        base = decode_jpeg(encode_jpeg_gray(img))
+        prog = decode_jpeg(encode_jpeg_gray_progressive(img))
+        assert np.array_equal(base, prog)
+
+    check()
+
+
+def test_progressive_decoder_rejects_color_and_bad_scans():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+        encode_jpeg_rgb,
+    )
+
+    enc = bytearray(encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
+    idx = bytes(enc).find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2  # claim progressive on a 3-component stream
+    with pytest.raises(NotImplementedError, match="1-component"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg_gray_progressive(np.zeros((7, 8), dtype=np.uint8))

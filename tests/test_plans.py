@@ -324,6 +324,7 @@ def test_d10_shared_spans_equijoin_no_cartesian(spark, sf_dir):
 #   x12  mixture weights total: 1-row broadcast
 #   x13  corpus token total: 1-row broadcast
 #   x17  vocab-size scalar: 1-row broadcast (same shape as x13's total)
+#   x18  N/avgdl scalars: 1-row broadcast (same shape as x13's total)
 _BNLJ_ALLOWED = {
     "i1_watermark_delta_filter",
     "j1_theta_startswith_join",
@@ -337,6 +338,7 @@ _BNLJ_ALLOWED = {
     "x12_mixture_sampling",
     "x13_unigram_logprob_filter",
     "x17_bigram_perplexity",
+    "x18_bm25_retrieval",
 }
 
 
@@ -475,3 +477,13 @@ def test_x17_bigram_lm_equi_keyed(spark, sf_dir):
     tree = p.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     assert "BroadcastHashJoin" in p, p
+
+
+def test_x18_bm25_windows_per_query_not_global(spark, sf_dir):
+    # the top-k window must partition on query_id — a global-sort top-k
+    # single-partitions the whole scored frame at corpus scale; and the
+    # posting joins stay equi-keyed (only the 1-row N/avgdl broadcast is
+    # a nested loop, whitelisted in _BNLJ_ALLOWED)
+    p = plan_of(q("x18_bm25_retrieval", spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"windowspecdefinition\(query_id", p), p

@@ -8,15 +8,18 @@ is: parquet scan (binary column pruned unless needed) -> partition-local
 Python batches -> columnar output.  No driver-side materialization ever.
 
 Codecs: PPM (P6), PNG (zlib DEFLATE + the five spec scanline filters,
-8-bit gray/truecolor), and baseline JPEG (numpy DCT + Annex-K Huffman,
-grayscale and YCbCr 4:4:4 color) are implemented for real, alongside
-AVI (RIFF) and ISO-BMFF (mp4) MJPEG container demux — the decode/
-resize/feature/frame-sample stages exercise genuine bytes-in/pixels-out
-behavior end-to-end, and the m1-m12 queries carry exact SQL oracles
-over deterministically synthesized images.  Remaining variants
-(progressive/subsampled JPEG, fragmented mp4, webm) raise
-NotImplementedError behind the explicit ``fake=True`` escape hatch;
-swapping in PIL/ffmpeg changes only ``decode_image``'s dispatch.  Video gets a minimal length-prefixed
+8-bit gray/truecolor), baseline JPEG (numpy DCT + Annex-K Huffman;
+grayscale, YCbCr 4:4:4 color, and 4:2:0 chroma-subsampled), and
+PROGRESSIVE JPEG (SOF2 multi-scan: spectral selection, EOBn run coding,
+full successive-approximation DC+AC refinement; grayscale) are
+implemented for real, alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
+fragmented) MJPEG container demux — the decode/resize/feature/
+frame-sample stages exercise genuine bytes-in/pixels-out behavior
+end-to-end, and the m1-m15 queries carry exact SQL oracles over
+deterministically synthesized images.  Remaining variants (progressive
+color, arithmetic-coded JPEG, webm) raise NotImplementedError behind
+the explicit ``fake=True`` escape hatch; swapping in PIL/ffmpeg changes
+only ``decode_image``'s dispatch.  Video gets a minimal length-prefixed
 frame container (``pack_frames``/``iter_frames``) so frame sampling is
 real, explode-shaped, and testable.
 """
@@ -269,8 +272,9 @@ def decode_png(payload: bytes):
 # the round trip bit-exactly (all AC coefficients are zero and the DC
 # quantization step of 16 divides 8*(c-128) exactly), which is what lets
 # m9 carry an exact SQL oracle over genuinely Huffman+DCT-coded bytes.
-# Color (chroma subsampling), progressive mode, and restart markers are
-# out of scope and rejected explicitly.
+# Color 4:4:4 (m12), 4:2:0 subsampling (m13), and progressive SOF2
+# (m15, further below) are implemented; restart markers and arithmetic
+# coding are out of scope and rejected explicitly.
 
 # Annex K.1 luminance quantization table, zigzag order is applied at use
 _JPEG_QTABLE = [
@@ -457,6 +461,265 @@ def encode_jpeg_gray(arr) -> bytes:
             )
     dqt, sof, dht, sos = _jpeg_headers(h, w, 1)
     return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+# ------------------------------------------------- progressive JPEG (SOF2)
+#
+# Real progressive JPEG (T.81 Annex G, Huffman path): the image's
+# quantized coefficients are sent across MULTIPLE scans — spectral
+# selection splits the zigzag band (DC scan, then AC bands), successive
+# approximation sends high bits first (point transform Al) and refines
+# one bit per later scan.  The entropy layer differs from baseline in two
+# ways this module implements for real: AC scans code END-OF-BAND RUNS
+# (EOBn symbols spanning up to 2^14 blocks) instead of per-block EOB, and
+# refinement scans interleave raw correction bits with the Huffman
+# symbols.  Like the baseline codec, the entropy stage is LOSSLESS over
+# the quantized coefficients, so progressive and baseline encodings of
+# the same image decode to bit-identical pixels — the property the tests
+# pin — and even block-constant images survive the whole lossy pipeline
+# exactly (the m15 oracle's lever, same as m9).
+
+
+# The Annex-K baseline AC table has no EOBn symbols (r<<4 for r=1..14 —
+# progressive-only codes), so progressive scans carry their own AC table:
+# all 176 symbols we can emit (15 EOBn + ZRL + 16 runs x 10 sizes) at a
+# flat 8 bits.  Canonical assignment gives codes 0..175; the all-ones
+# 8-bit code (255) stays unassigned, as T.81 C.2 requires.
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+)
+
+
+def _jpeg_coeff_blocks(arr, q, m):
+    """Quantized zigzag coefficient blocks in raster order (int64[64])."""
+    import numpy as np
+
+    h, w = arr.shape
+    out = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = arr[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            qc = np.round((m @ block @ m.T) / q).astype(np.int64)
+            out.append(qc.flatten()[_JPEG_ZIGZAG])
+    return out
+
+
+def _ac_point_transform(v: int, al: int) -> int:
+    """AC successive-approximation point transform: magnitude shift with
+    the sign kept (T.81 G.1.2.1 — NOT an arithmetic shift, which would
+    round negatives away from zero)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_dc_scan_first(blocks, dc_codes, al: int) -> bytes:
+    """DC first scan (Ss=Se=0, Ah=0): baseline DC diff coding over the
+    point-transformed values; DC's point transform IS the arithmetic
+    shift (G.1.2.1), which Python's >> implements for negatives."""
+    bw = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        v = int(zz[0]) >> al
+        cat, bits = _jpeg_category(v - prev)
+        prev = v
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+    return bw.flush()
+
+
+def _enc_dc_scan_refine(blocks, al: int) -> bytes:
+    """DC refinement scan (Ah=Al+1): ONE raw bit per block, no Huffman."""
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.write((int(zz[0]) >> al) & 1, 1)
+    return bw.flush()
+
+
+def _enc_ac_scan_first(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
+    """AC first scan for band [ss, se] at approximation Al: baseline
+    run/size coding within the band, but an all-remaining-zero tail joins
+    an END-OF-BAND RUN — one EOBn symbol covers up to 2^14 consecutive
+    ended blocks (G.1.2.2), the progressive coding gain."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [_ac_point_transform(int(zz[i]), al) for i in range(ss, se + 1)]
+        last_nz = max((i for i, v in enumerate(band) if v), default=-1)
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x3FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for v in band[: last_nz + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat, bits = _jpeg_category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x3FFF:
+                flush_eob()
+    flush_eob()
+    return bw.flush()
+
+
+def _enc_ac_scan_refine(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients
+    (|coeff| point-transforms to exactly 1) arrive as run/1 symbols with
+    a sign bit; every ALREADY-significant coefficient the decoder walks
+    past contributes one raw correction bit (bit Al of the magnitude).
+
+    The emission order strictly simulates the decoder's position walk
+    (T.81 G.1.2.3): bits for history coefficients crossed during a ZRL
+    span follow that ZRL; bits crossed before a newly-significant
+    coefficient follow its symbol+sign; tail/full-band bits of blocks
+    inside an end-of-band run are buffered and follow the EOBn symbol in
+    block order.
+    """
+    bw = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            for b in pending:
+                bw.write(b, 1)
+            eobrun = 0
+            pending = []
+
+    for zz in blocks:
+        band = [int(zz[i]) for i in range(ss, se + 1)]
+        shifted = [_ac_point_transform(v, al) for v in band]
+
+        def corr_bit(i):
+            return (abs(band[i]) >> al) & 1
+
+        newly = [i for i, v in enumerate(shifted) if abs(v) == 1]
+        k = 0
+        if newly:
+            flush_eob()  # a symbol is coming: close any open EOB run
+            for n in newly:
+                run = 0
+                buf: list[int] = []
+                for i in range(k, n):
+                    if abs(shifted[i]) > 1:
+                        buf.append(corr_bit(i))
+                    else:
+                        run += 1
+                        if run == 16:
+                            code, ln = ac_codes[0xF0]  # ZRL
+                            bw.write(code, ln)
+                            for b in buf:
+                                bw.write(b, 1)
+                            buf = []
+                            run = 0
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if shifted[n] > 0 else 0, 1)
+                for b in buf:
+                    bw.write(b, 1)
+                k = n + 1
+        if k < len(band) or not newly:
+            eobrun += 1
+            pending.extend(
+                corr_bit(i) for i in range(k, len(band)) if abs(shifted[i]) > 1
+            )
+            if eobrun == 0x3FFF:
+                flush_eob()
+    flush_eob()
+    return bw.flush()
+
+
+def encode_jpeg_gray_progressive(arr) -> bytes:
+    """HxW uint8 grayscale -> PROGRESSIVE JFIF bytes (SOF2).
+
+    Full successive-approximation scan script (spectral selection AND
+    point-transform refinement, the layout real progressive encoders
+    emit):
+
+      1. DC, Al=1            (coarse image, point-transformed DC)
+      2. AC band 1-5, Al=1   (EOBn run coding, high magnitude bits)
+      3. AC band 6-63, Al=1
+      4. DC refinement, Ah=1 (one raw bit per block)
+      5. AC band 1-5 refinement, Ah=1  (correction bits + new +-1s)
+      6. AC band 6-63 refinement, Ah=1
+
+    Entropy coding is lossless over the quantized coefficients, so this
+    decodes bit-identically to the baseline encoding of the same image
+    (asserted by tests/test_multimodal.py's cross-codec property test).
+    Dims must be multiples of 8, like encode_jpeg_gray.
+    """
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray_progressive needs multiple-of-8 dims")
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    blocks = _jpeg_coeff_blocks(arr, q, _dct_matrix())
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload_) + 2) + payload_
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    zz_q = bytes(
+        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
+        for i in range(64)
+    )
+    dqt = seg(0xFFDB, b"\x00" + zz_q)
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht
+        + sos(0, 0, 0, 1) + _enc_dc_scan_first(blocks, dc_codes, 1)
+        + sos(1, 5, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 1, 5, 1)
+        + sos(6, 63, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 6, 63, 1)
+        + sos(0, 0, 1, 0) + _enc_dc_scan_refine(blocks, 0)
+        + sos(1, 5, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 1, 5, 0)
+        + sos(6, 63, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 6, 63, 0)
+        + b"\xff\xd9"
+    )
 
 
 def rgb_to_ycbcr(arr):
@@ -683,8 +946,10 @@ def decode_jpeg(payload: bytes):
                     f"unsupported sampling layout {sampling_factors} "
                     "(4:4:4 and 4:2:0 decode here)"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential JPEG supported")
+        elif marker == 0xC2:  # SOF2 — hand the whole stream to the
+            return _decode_jpeg_progressive(payload)  # multi-scan decoder
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError("only baseline/progressive JPEG supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
             b = body
             while b:
@@ -785,6 +1050,234 @@ def decode_jpeg(payload: bytes):
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
+def _entropy_segment_end(payload: bytes, start: int) -> int:
+    """First index >= start where a real marker begins (FF followed by
+    anything but 00; FF FF fill bytes stay inside the segment)."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if nxt == 0xFF:
+                i += 1  # fill byte
+                continue
+            return i
+        i += 1
+    raise ValueError("unterminated entropy segment")
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    """Progressive (SOF2) JFIF bytes -> HxW uint8 grayscale.
+
+    Multi-scan Huffman path of T.81 Annex G for 1-component streams:
+    coefficients accumulate across scans — DC first/refinement scans with
+    the successive-approximation point transform, AC first scans per
+    spectral band with END-OF-BAND run decoding (EOBn), AC refinement
+    scans with interleaved correction bits — then one dequantize + IDCT
+    once every scan has landed.  Tables (DQT/DHT) may be (re)defined
+    between scans, per the spec.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_tq = 0
+    coefs: list | None = None
+
+    def read_symbol(br, tab):
+        code, ln_ = 0, 0
+        while ln_ <= 16:
+            code = (code << 1) | br.read_bit()
+            ln_ += 1
+            if (ln_, code) in tab:
+                return tab[(ln_, code)]
+        raise ValueError("invalid Huffman code")
+
+    def scan_dc_first(br, al):
+        pred = 0
+        dc_tab = huff[(0, dc_sel)]
+        for blk in coefs:
+            cat = read_symbol(br, dc_tab)
+            pred += _jpeg_extend(br.read_bits(cat), cat)
+            blk[0] = pred << al
+
+    def scan_dc_refine(br, al):
+        for blk in coefs:
+            if br.read_bit():
+                blk[0] |= 1 << al  # two's-complement OR appends the bit
+                # correctly for negative DC values too
+
+    def scan_ac_first(br, ss, se, al):
+        ac_tab = huff[(1, ac_sel)]
+        eobrun = 0
+        for blk in coefs:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = read_symbol(br, ac_tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _jpeg_extend(br.read_bits(s), s) << al
+                k += 1
+
+    def scan_ac_refine(br, ss, se, al):
+        # T.81 G.1.2.3: newly-significant coefficients arrive as +-1<<Al;
+        # every already-nonzero coefficient crossed on the way emits one
+        # raw correction bit (1 -> add 1<<Al toward larger magnitude)
+        ac_tab = huff[(1, ac_sel)]
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+
+        def correct(blk, k):
+            if br.read_bit():
+                if blk[k] > 0 and not (blk[k] & p1):
+                    blk[k] += p1
+                elif blk[k] < 0 and not (blk[k] & p1):
+                    blk[k] += m1
+
+        for blk in coefs:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = read_symbol(br, ac_tab)
+                    r, s = sym >> 4, sym & 0xF
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            # run length INCLUDES the current block: its
+                            # band tail is finished by the eobrun>0 walk
+                            # below, which also decrements (G.1.2.3)
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        # r == 15: pass 16 zero-HISTORY positions
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement size must be 1")
+                        val = p1 if br.read_bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            correct(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # EOB run: correction bits only
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    k += 1
+                eobrun -= 1
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(b[1:65])
+                b = b[65:]
+        elif marker == 0xC2:
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "progressive decode covers 1-component (grayscale) streams"
+                )
+            comp_tq = body[8]
+            nblocks = -(-h // 8) * -(-w // 8)
+            coefs = [[0] * 64 for _ in range(nblocks)]
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nvals = sum(bits)
+                vals = list(b[17 : 17 + nvals])
+                codes = _jpeg_huff_codes(bits, vals)
+                huff[(tc, th)] = {(l_, c_): s_ for s_, (c_, l_) in codes.items()}
+                b = b[17 + nvals :]
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scans unsupported")
+            sel = body[2]
+            dc_sel, ac_sel = sel >> 4, sel & 0xF
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0xF
+            data_start = pos + ln
+            data_end = _entropy_segment_end(payload, data_start)
+            br = _BitReader(payload[data_start:data_end])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if ah == 0:
+                    scan_dc_first(br, al)
+                else:
+                    scan_dc_refine(br, al)
+            elif ah == 0:
+                scan_ac_first(br, ss, se, al)
+            else:
+                scan_ac_refine(br, ss, se, al)
+            pos = data_end
+            continue
+        pos += ln
+    if coefs is None:
+        raise ValueError("missing SOF2/SOS")
+    m = _dct_matrix()
+    deq = np.empty(64)
+    deq[_JPEG_ZIGZAG] = np.array(qtables[comp_tq], dtype=np.float64)
+    deq = deq.reshape(8, 8)
+    wb = -(-w // 8)
+    plane = np.zeros((-(-h // 8) * 8, wb * 8), dtype=np.float64)
+    for bi, zz in enumerate(coefs):
+        coeff = np.zeros(64)
+        coeff[_JPEG_ZIGZAG] = zz
+        by, bx = (bi // wb) * 8, (bi % wb) * 8
+        plane[by : by + 8, bx : bx + 8] = (
+            m.T @ (coeff.reshape(8, 8) * deq) @ m + 128.0
+        )
+    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg_gray(payload: bytes):
     """Baseline JFIF bytes -> HxW uint8 grayscale array (1-component
     streams only; ``decode_jpeg`` handles color)."""
@@ -810,11 +1303,11 @@ def _fake_decode(payload: bytes, width: int, height: int):
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     """Decode one image payload.
 
-    PPM (P6), PNG (8-bit gray/truecolor), and baseline JPEG (grayscale
-    + YCbCr 4:4:4 color) decode for real; remaining variants
-    (progressive/subsampled JPEG, HEIC, ...) need codec libraries this
-    container doesn't ship — callers opt into the deterministic fake
-    explicitly, or get NotImplementedError.
+    PPM (P6), PNG (8-bit gray/truecolor), baseline JPEG (grayscale,
+    4:4:4 color, 4:2:0 subsampled), and progressive JPEG (grayscale)
+    decode for real; remaining variants (progressive color, HEIC, ...)
+    need codec libraries this container doesn't ship — callers opt into
+    the deterministic fake explicitly, or get NotImplementedError.
     """
     import numpy as np
 
@@ -1694,6 +2187,45 @@ def synthesize_jpeg_media_table(
                     (did, payload,
                      {"format": "jpeg", "width": wb * 8, "height": hb * 8,
                       "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_progressive_jpeg_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PROGRESSIVE-JPEG media table from the documents
+    corpus: same even-block-constant discipline as
+    synthesize_jpeg_media_table (block (r, c) holds ``2*((id*11 + r*3 +
+    c*7) % 128)``, dims ``(id%3+1) x (id%2+1)`` blocks) but encoded with
+    the six-scan SOF2 script — the decoded pixels stay closed-form in
+    the id while the payload is genuine multi-scan spectral-selection +
+    successive-approximation entropy data."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                hb, wb = did % 3 + 1, did % 2 + 1
+                r = np.arange(hb)[:, None]
+                c = np.arange(wb)[None, :]
+                blocks = (2 * ((did * 11 + r * 3 + c * 7) % 128)).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                payload = encode_jpeg_gray_progressive(img)
+                out.append(
+                    (did, payload,
+                     {"format": "jpeg-progressive", "width": wb * 8,
+                      "height": hb * 8, "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 

@@ -480,3 +480,53 @@ def m14(spark, sf_dir):
         "media_id", "frame_idx", "width", "height",
         F.round("mean_r", 4).alias("mean_r"),
     )
+
+
+@register(
+    "m15_progressive_jpeg_extract",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 3 + 1 AS hb, doc_id % 2 + 1 AS wb
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, hb, wb,
+             CAST(2 * ((media_id * 11 + r.r * 3 + c.c * 7) % 128) AS DOUBLE) AS v
+      FROM m
+      JOIN (SELECT unnest(generate_series(0, 2)) AS r) r ON r.r < hb
+      JOIN (SELECT unnest(generate_series(0, 1)) AS c) c ON c.c < wb
+    )
+    SELECT media_id,
+           CAST(max(wb) * 8 AS INT) AS width, CAST(max(hb) * 8 AS INT) AS height,
+           round(avg(v), 4) AS mean_r, round(avg(v), 4) AS mean_g,
+           round(avg(v), 4) AS mean_b,
+           round(sqrt(avg(v*v) - avg(v)*avg(v)), 4) AS std_all
+    FROM b GROUP BY media_id
+    """,
+    doc="REAL progressive-JPEG pipeline (operators/multimodal.py "
+        "encode_jpeg_gray_progressive/_decode_jpeg_progressive: SOF2 "
+        "six-scan script — DC+AC spectral selection, END-OF-BAND run "
+        "coding, full successive-approximation refinement with "
+        "interleaved correction bits).  The multi-scan entropy layer is "
+        "lossless over the quantized coefficients (progressive == "
+        "baseline decode, property-tested), so the same even "
+        "block-constant corpus as m9 survives bit-exactly and the SQL "
+        "oracle verifies the whole coefficient-accumulation decode by "
+        "exact value",
+    tags=("multimodal", "udf"),
+)
+def m15(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_progressive_jpeg_table,
+    )
+
+    media = synthesize_progressive_jpeg_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )

@@ -836,3 +836,107 @@ def x17(spark, sf_dir):
         )
     )
     return scored.withColumn("kept", F.col("avg_nll") <= 3.0)
+
+
+#: fixed BM25 evaluation queries — three drawn from the corpus vocabulary,
+#: one with an absent term (idf of a zero-df term never contributes)
+_BM25_QUERIES = [
+    (1, "spark table scan"),
+    (2, "hash join merge"),
+    (3, "slow window sort"),
+    (4, "fast value zzzmissing"),
+]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
+
+
+@register(
+    "x18_bm25_retrieval",
+    f"""
+    WITH q(query_id, qtext) AS (
+      VALUES {", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)}
+    ), qterms AS (
+      SELECT query_id, unnest(regexp_split_to_array(qtext, ' ')) AS word FROM q
+    ), words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM words GROUP BY 1
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+    ), g AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             sum(
+               ln(1 + (g.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / g.avgdl))
+             ) AS score
+      FROM qterms qt
+      JOIN tf ON tf.word = qt.word
+      JOIN df ON df.word = qt.word
+      JOIN dl ON dl.doc_id = tf.doc_id, g
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_BM25_TOPK}
+    """,
+    doc="BM25 lexical retrieval (Robertson & Zaragoza 2009, the Lucene "
+        "ln(1+...) idf form; k1=1.2, b=0.75): top-5 documents per query "
+        "for a fixed query set — the exact-scoring lexical baseline "
+        "beside the ANN family's dense retrieval (n1-n9).  Scale shape: "
+        "term frequencies are ONE (doc_id, word) aggregate (the "
+        "inverted-index posting list, shuffled on the term key), the "
+        "query-term probe equi-joins postings on that same key, the "
+        "df/idf table is a vocab-bounded dim, and N/avgdl ride a 1-row "
+        "broadcast like x13's total; per-query top-k is a "
+        "|queries|-partition window, never a global sort.  Ranking ties "
+        "break on the ROUNDED score then doc_id, so both engines emit "
+        "the identical top-5 (a query term absent from the corpus "
+        "contributes nothing — query 4 pins that path)",
+    tags=("text", "similarity"),
+)
+def x18(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = docs.select("doc_id", F.explode(w).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(i, t_) for i, s in _BM25_QUERIES for t_ in s.split(" ")],
+        "query_id int, word string",
+    )
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        qterms.join(tf, "word")
+        .join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 6).alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )
