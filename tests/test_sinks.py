@@ -288,3 +288,73 @@ def test_delta_merge_and_replacewhere_roundtrip(spark, tmp_path):
     rows = {(r.p, r.v) for r in
             spark.read.format("delta").load(ow).collect()}
     assert rows == {("p1", 1), ("p2", 20)}  # p1 frozen, p2 replaced
+
+
+# ------------------------------------------------------------- compaction
+
+def _parquet_files(d):
+    import glob as g
+    import os
+
+    return sorted(
+        p for p in g.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
+
+
+def test_compact_partitions_rewrites_only_fragmented_dirs(spark, tmp_path):
+    import os
+
+    from vunnel_spark.sinks.writers import compact_partitions
+
+    store = str(tmp_path / "store")
+    # partition p=a: 3 fragmented appends x 4 files; p=b: one small append
+    for i in range(3):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("'a' AS p", "id AS v")
+            .repartition(4)
+            .write.mode("append").partitionBy("p").parquet(store)
+        )
+    spark.createDataFrame([("b", -1)], "p string, v long").write.mode(
+        "append"
+    ).partitionBy("p").parquet(store)
+
+    before_a = _parquet_files(os.path.join(store, "p=a"))
+    before_b = _parquet_files(os.path.join(store, "p=b"))
+    assert len(before_a) == 12
+    rows_before = {(r.p, r.v) for r in spark.read.parquet(store).collect()}
+
+    report = compact_partitions(spark, store, min_files=4)
+    assert list(report) == ["p=a"] and report["p=a"][0] == 12
+    after_a = _parquet_files(os.path.join(store, "p=a"))
+    assert len(after_a) == report["p=a"][1] < 12
+    # p=b untouched: identical file list
+    assert _parquet_files(os.path.join(store, "p=b")) == before_b
+    # pure re-layout: reader-visible rows identical
+    assert {(r.p, r.v) for r in spark.read.parquet(store).collect()} == rows_before
+    # no stage/backup residue, and nothing '='-named the discovery could list
+    assert not os.path.exists(store + ".__compact__")
+    assert not os.path.exists(store + ".__old__")
+    # idempotent: a second pass finds nothing to do
+    assert compact_partitions(spark, store, min_files=4) == {}
+
+
+def test_compact_partitions_recovers_parked_backup(spark, tmp_path):
+    import os
+
+    from vunnel_spark.sinks.writers import compact_partitions
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p string, v long"
+    ).write.partitionBy("p").parquet(store)
+    # simulate a crash between _atomic_install's renames: p=a parked
+    # outside the store, nothing at its destination
+    os.makedirs(store + ".__old__", exist_ok=True)
+    os.rename(os.path.join(store, "p=a"), os.path.join(store + ".__old__", "p=a"))
+    assert {r.p for r in spark.read.parquet(store).collect()} == {"b"}
+    compact_partitions(spark, store)  # recovery runs up front
+    assert {(r.p, r.v) for r in spark.read.parquet(store).collect()} == {
+        ("a", 1), ("b", 2)
+    }
+    assert not os.path.exists(store + ".__old__")

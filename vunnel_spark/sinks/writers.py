@@ -390,3 +390,86 @@ def overwrite_partitions(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def _recover_parked_partitions(path: str) -> None:
+    """Recover EVERY partition dir parked under ``{path}.__old__/`` by a
+    crashed compaction/swap — not just dirs a current operation touches
+    (the streaming rollup learned this the hard way: an untouched parked
+    bucket otherwise stays lost until some later batch happens by)."""
+    root = f"{path}.__old__"
+    if not os.path.isdir(root):
+        return
+    for dirpath, dirnames, filenames in os.walk(root, topdown=False):
+        rel = os.path.relpath(dirpath, root)
+        dest = path if rel == "." else os.path.join(path, rel)
+        if filenames and not os.path.exists(dest):
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(dirpath, dest)
+    if os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 4,
+) -> dict:
+    """Small-file compaction for an append-heavy partitioned store.
+
+    Every ``mode="append"`` batch lands shuffle-partition-many files per
+    partition dir; untreated, a 100 TB store degrades to millions of
+    KB-sized files whose open/footer costs dominate every scan (the
+    standard lakehouse OPTIMIZE problem).  This rewrites ONLY partition
+    dirs whose parquet file count exceeds ``min_files``, coalescing each
+    to ``ceil(bytes / target_file_bytes)`` files, under the same
+    stage+swap single-writer protocol as EnvelopeWriter — stage and
+    backup dirs live OUTSIDE the store root (``{path}.__compact__/`` /
+    ``{path}.__old__/``) so Spark partition discovery can never list a
+    half-swapped dir, and a crashed run's parked dirs are recovered up
+    front.  Rows are bit-identical before and after (pure re-layout; no
+    dedup, no reorder semantics — compaction must be a no-op to readers).
+
+    The dir listing is driver-side (bounded by file count — a metastore/
+    manifest would replace it at extreme scale); each rewrite is a
+    distributed coalesce.  Returns ``{relative_dir: (files_before,
+    files_after)}`` for the dirs rewritten.
+    """
+    import math
+
+    _recover_parked_partitions(path)
+    stage_root = f"{path}.__compact__"
+    if os.path.exists(stage_root):
+        shutil.rmtree(stage_root)
+    targets = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        parts = [f for f in filenames if f.endswith(".parquet")]
+        if len(parts) <= min_files:
+            continue
+        nbytes = sum(os.path.getsize(os.path.join(dirpath, f)) for f in parts)
+        k = max(1, math.ceil(nbytes / target_file_bytes))
+        if k >= len(parts):
+            continue
+        targets.append((dirpath, len(parts), k))
+    report: dict = {}
+    for dirpath, n_before, k in targets:
+        rel = os.path.relpath(dirpath, path)
+        stage = os.path.join(stage_root, rel) if rel != "." else stage_root
+        os.makedirs(os.path.dirname(stage) if rel != "." else stage_root, exist_ok=True)
+        spark.read.parquet(dirpath).coalesce(k).write.mode("overwrite").parquet(stage)
+        backup = (
+            os.path.join(f"{path}.__old__", rel) if rel != "." else None
+        )  # root compaction: the default sibling backup has no '=' issue
+        _atomic_install(stage, dirpath, backup=backup)
+        report[rel] = (n_before, k)
+    if os.path.exists(stage_root):
+        shutil.rmtree(stage_root, ignore_errors=True)
+    # _atomic_install discards each parked leaf after its install; drop
+    # the (now-empty) parking root too so nothing '__old__' lingers
+    backup_root = f"{path}.__old__"
+    if os.path.isdir(backup_root) and not any(
+        files for _, _, files in os.walk(backup_root)
+    ):
+        shutil.rmtree(backup_root, ignore_errors=True)
+    return report
