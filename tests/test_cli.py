@@ -172,3 +172,22 @@ def test_cli_malformed_yaml_clean_error(tmp_path, capsys):
     rc = main(["-c", str(p), "list"])
     assert rc == 2
     assert "config error" in capsys.readouterr().err
+
+
+def test_cli_compact_reports_rewrites(tmp_path, capsys, spark):
+    import json as jsonlib
+
+    store = str(tmp_path / "store")
+    for i in range(2):
+        (
+            spark.range(i * 50, (i + 1) * 50)
+            .selectExpr("'a' AS p", "id AS v")
+            .repartition(4)
+            .write.mode("append").partitionBy("p").parquet(store)
+        )
+    assert main(["compact", store, "--min-files", "2"]) == 0
+    out = jsonlib.loads(capsys.readouterr().out)
+    assert out["rewritten"]["p=a"]["files_before"] == 8
+    assert out["rewritten"]["p=a"]["files_after"] < 8
+    assert {r.v for r in spark.read.parquet(store).collect()} == set(range(100))
+    assert main(["compact", str(tmp_path / "missing")]) == 2

@@ -61,6 +61,20 @@ def _build_parser() -> argparse.ArgumentParser:
     p_clear.add_argument("--input-only", action="store_true")
     p_clear.add_argument("--results-only", action="store_true")
     p_clear.add_argument("--dry-run", action="store_true")
+
+    p_compact = sub.add_parser(
+        "compact",
+        help="compact small files in a partitioned parquet store "
+             "(sinks/writers.py compact_partitions; pure re-layout)",
+    )
+    p_compact.add_argument("store", help="store root directory")
+    p_compact.add_argument(
+        "--target-mb", type=int, default=128, help="target file size (MB)"
+    )
+    p_compact.add_argument(
+        "--min-files", type=int, default=4,
+        help="only rewrite partition dirs with more files than this",
+    )
     return p
 
 
@@ -166,6 +180,27 @@ def main(argv: list[str] | None = None) -> int:
                 "spark.sql.shuffle.partitions", str(cfg.spark.shuffle_partitions)
             )
         return spark
+
+    if args.cmd == "compact":
+        import os
+
+        if not os.path.isdir(args.store):
+            print(f"no such store: {args.store}", file=sys.stderr)
+            return 2
+        from vunnel_spark.sinks.writers import compact_partitions
+
+        report = compact_partitions(
+            _session(),
+            args.store,
+            target_file_bytes=args.target_mb << 20,
+            min_files=args.min_files,
+        )
+        print(json.dumps({
+            "store": args.store,
+            "rewritten": {k: {"files_before": b, "files_after": a}
+                          for k, (b, a) in sorted(report.items())},
+        }, indent=2))
+        return 0
 
     if args.cmd == "status":
         import os
