@@ -67,3 +67,35 @@ def test_fingerprint_matches_duckdb(spark):
     duck_fp = [con.execute(
         "SELECT md5(substr(?, 1, 500))", [t]).fetchone()[0] for t in texts]
     assert spark_fp == duck_fp
+
+
+def test_text_queries_survive_degenerate_documents(spark, tmp_path):
+    """x16/x17 on a corpus with empty / 1-word / 4-word docs: Spark's
+    sequence(1, n-1) DESCENDS when n==1 (producing an element_at(w, 0)
+    error) — the round-6 review found the gate corpus' 10-word minimum
+    was masking it.  The fixed queries must agree with their oracles on
+    exactly this corpus."""
+    import duckdb
+
+    from tests._compare import assert_matches_oracle
+    from vunnel_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = [
+        (1, "", "en", "s", 0),
+        (2, "one", "en", "s", 3),
+        (3, "a b c d", "en", "s", 7),
+        (4, "x " * 40, "en", "s", 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    ddb = duckdb.connect()
+    ddb.execute(  # Spark writes a directory; DuckDB needs the file glob
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for name in ("x16_gopher_repetition", "x17_bigram_perplexity"):
+        spec = REGISTRY[name]
+        assert_matches_oracle(spec.fn(spark, sf), ddb, spec.oracle)

@@ -820,6 +820,42 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits
 
 
+def _read_jpeg_symbol(br, tab):
+    """Walk bits through an inverted (length, code) -> symbol table."""
+    code, ln_ = 0, 0
+    while ln_ <= 16:
+        code = (code << 1) | br.read_bit()
+        ln_ += 1
+        if (ln_, code) in tab:
+            return tab[(ln_, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _parse_dqt_body(body: bytes, qtables: dict) -> None:
+    """DQT segment body -> zigzag-order 8-bit tables (shared by the
+    baseline and progressive marker walks)."""
+    b = body
+    while b:
+        pq, tq = b[0] >> 4, b[0] & 0xF
+        if pq != 0:
+            raise NotImplementedError("16-bit quant tables unsupported")
+        qtables[tq] = list(b[1:65])
+        b = b[65:]
+
+
+def _parse_dht_body(body: bytes, huff: dict) -> None:
+    """DHT segment body -> inverted decode tables keyed (class, id)."""
+    b = body
+    while b:
+        tc, th = b[0] >> 4, b[0] & 0xF
+        bits = list(b[1:17])
+        nvals = sum(bits)
+        vals = list(b[17 : 17 + nvals])
+        codes = _jpeg_huff_codes(bits, vals)
+        huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
+        b = b[17 + nvals :]
+
+
 def encode_jpeg_rgb420(arr) -> bytes:
     """HxWx3 uint8 RGB -> baseline JFIF bytes with 4:2:0 chroma
     subsampling (the dominant real-world JPEG layout): Y at full
@@ -922,13 +958,7 @@ def decode_jpeg(payload: bytes):
         (ln,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT (possibly several tables)
-            b = body
-            while b:
-                pq, tq = b[0] >> 4, b[0] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                qtables[tq] = list(b[1:65])
-                b = b[65:]
+            _parse_dqt_body(body, qtables)
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp not in (1, 3):
@@ -951,16 +981,7 @@ def decode_jpeg(payload: bytes):
         elif marker in (0xC1, 0xC3):
             raise NotImplementedError("only baseline/progressive JPEG supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
-            b = body
-            while b:
-                tc, th = b[0] >> 4, b[0] & 0xF
-                bits = list(b[1:17])
-                nvals = sum(bits)
-                vals = list(b[17 : 17 + nvals])
-                codes = _jpeg_huff_codes(bits, vals)
-                # invert: (length, code) -> symbol
-                huff[(tc, th)] = {(ln_, code): sym for sym, (code, ln_) in codes.items()}
-                b = b[17 + nvals :]
+            _parse_dht_body(body, huff)
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
@@ -982,15 +1003,7 @@ def decode_jpeg(payload: bytes):
         deq[_JPEG_ZIGZAG] = np.array(qtables[tq], dtype=np.float64)
         deqs.append(deq.reshape(8, 8))
 
-    def read_symbol(br, tab):
-        code, ln_ = 0, 0
-        while ln_ <= 16:
-            code = (code << 1) | br.read_bit()
-            ln_ += 1
-            if (ln_, code) in tab:
-                return tab[(ln_, code)]
-        raise ValueError("invalid Huffman code")
-
+    read_symbol = _read_jpeg_symbol
     br = _BitReader(scan_data)
     prev_dc = [0] * ncomp
 
@@ -1093,14 +1106,7 @@ def _decode_jpeg_progressive(payload: bytes):
     comp_tq = 0
     coefs: list | None = None
 
-    def read_symbol(br, tab):
-        code, ln_ = 0, 0
-        while ln_ <= 16:
-            code = (code << 1) | br.read_bit()
-            ln_ += 1
-            if (ln_, code) in tab:
-                return tab[(ln_, code)]
-        raise ValueError("invalid Huffman code")
+    read_symbol = _read_jpeg_symbol
 
     def scan_dc_first(br, al):
         pred = 0
@@ -1186,6 +1192,8 @@ def _decode_jpeg_progressive(payload: bytes):
                             r -= 1
                         k += 1
                     if val:
+                        if k > se:  # run overran the band (malformed or
+                            raise ValueError("AC run past band end")  # foreign stream)
                         blk[k] = val
                     k += 1
             if eobrun > 0:
@@ -1205,13 +1213,7 @@ def _decode_jpeg_progressive(payload: bytes):
         (ln,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + ln]
         if marker == 0xDB:
-            b = body
-            while b:
-                pq, tq = b[0] >> 4, b[0] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                qtables[tq] = list(b[1:65])
-                b = b[65:]
+            _parse_dqt_body(body, qtables)
         elif marker == 0xC2:
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
@@ -1222,15 +1224,7 @@ def _decode_jpeg_progressive(payload: bytes):
             nblocks = -(-h // 8) * -(-w // 8)
             coefs = [[0] * 64 for _ in range(nblocks)]
         elif marker == 0xC4:
-            b = body
-            while b:
-                tc, th = b[0] >> 4, b[0] & 0xF
-                bits = list(b[1:17])
-                nvals = sum(bits)
-                vals = list(b[17 : 17 + nvals])
-                codes = _jpeg_huff_codes(bits, vals)
-                huff[(tc, th)] = {(l_, c_): s_ for s_, (c_, l_) in codes.items()}
-                b = b[17 + nvals :]
+            _parse_dht_body(body, huff)
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:
@@ -1328,9 +1322,9 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
         "no codec for this payload format in this environment; PPM (P6), "
-        "PNG (8-bit gray/truecolor) and baseline JPEG (gray + 4:4:4 "
-        "color) decode natively, or pass fake=True for the deterministic "
-        "stand-in"
+        "PNG (8-bit gray/truecolor), baseline JPEG (gray, 4:4:4 color, "
+        "4:2:0 subsampled) and progressive JPEG (gray) decode natively, "
+        "or pass fake=True for the deterministic stand-in"
     )
 
 
@@ -2150,20 +2144,15 @@ def synthesize_color_jpeg_media_table(
     return docs.select(id_col).mapInPandas(synth, schema)
 
 
-def synthesize_jpeg_media_table(
-    docs: DataFrame, id_col: str = "doc_id"
+def _synthesize_block_jpeg_table(
+    docs: DataFrame, id_col: str, encoder, dims_fn, value_fn, fmt: str
 ) -> DataFrame:
-    """Deterministic REAL-JPEG media table from the documents corpus.
-
-    Each doc becomes a baseline-JFIF grayscale image of constant 8x8
-    blocks: block (r, c) holds the EVEN value ``2*((id*7 + r*5 + c*3) %
-    128)``, dims ``(id%2+1) x (id%3+1)`` blocks.  Even block-constant
-    images survive the lossy pipeline bit-exactly (all AC coefficients
-    are zero; the DC quant step of 16 divides 8*(c-128)), so the decoded
-    pixels — and every downstream statistic — stay closed-form in the id
-    while the payload is genuinely Huffman-coded, DC-predicted,
-    byte-stuffed entropy data.
-    """
+    """Shared core for the block-constant JPEG media synthesizers: each
+    doc becomes a grayscale image of constant 8x8 blocks — dims and
+    block values are closed-form in the id (``dims_fn(id) -> (hb, wb)``
+    blocks; ``value_fn(id, r, c)`` must yield EVEN uint8 values so the
+    lossy pipeline is bit-exact: all AC coefficients are zero and the
+    DC quant step of 16 divides 8*(v-128)) — encoded by ``encoder``."""
     schema = (
         "media_id long, payload binary, meta struct<format:string, "
         "width:int, height:int, n_bytes:bigint>"
@@ -2177,15 +2166,15 @@ def synthesize_jpeg_media_table(
             out = []
             for did in pdf[id_col]:
                 did = int(did)
-                hb, wb = did % 2 + 1, did % 3 + 1
+                hb, wb = dims_fn(did)
                 r = np.arange(hb)[:, None]
                 c = np.arange(wb)[None, :]
-                blocks = (2 * ((did * 7 + r * 5 + c * 3) % 128)).astype(np.uint8)
+                blocks = value_fn(did, r, c).astype(np.uint8)
                 img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                payload = encode_jpeg_gray(img)
+                payload = encoder(img)
                 out.append(
                     (did, payload,
-                     {"format": "jpeg", "width": wb * 8, "height": hb * 8,
+                     {"format": fmt, "width": wb * 8, "height": hb * 8,
                       "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
@@ -2193,43 +2182,37 @@ def synthesize_jpeg_media_table(
     return docs.select(id_col).mapInPandas(synth, schema)
 
 
+def synthesize_jpeg_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-JPEG media table from the documents corpus:
+    baseline-JFIF grayscale, block (r, c) holds ``2*((id*7 + r*5 + c*3)
+    % 128)``, dims ``(id%2+1) x (id%3+1)`` blocks — payloads are
+    genuinely Huffman-coded, DC-predicted, byte-stuffed entropy data
+    whose decoded pixels stay closed-form in the id (see
+    _synthesize_block_jpeg_table for the exactness argument)."""
+    return _synthesize_block_jpeg_table(
+        docs, id_col, encode_jpeg_gray,
+        dims_fn=lambda did: (did % 2 + 1, did % 3 + 1),
+        value_fn=lambda did, r, c: 2 * ((did * 7 + r * 5 + c * 3) % 128),
+        fmt="jpeg",
+    )
+
+
 def synthesize_progressive_jpeg_table(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic PROGRESSIVE-JPEG media table from the documents
-    corpus: same even-block-constant discipline as
-    synthesize_jpeg_media_table (block (r, c) holds ``2*((id*11 + r*3 +
-    c*7) % 128)``, dims ``(id%3+1) x (id%2+1)`` blocks) but encoded with
-    the six-scan SOF2 script — the decoded pixels stay closed-form in
-    the id while the payload is genuine multi-scan spectral-selection +
+    """Deterministic PROGRESSIVE-JPEG media table: same even-block
+    discipline with block value ``2*((id*11 + r*3 + c*7) % 128)`` and
+    dims ``(id%3+1) x (id%2+1)`` blocks, encoded with the six-scan SOF2
+    script — the payload is genuine multi-scan spectral-selection +
     successive-approximation entropy data."""
-    schema = (
-        "media_id long, payload binary, meta struct<format:string, "
-        "width:int, height:int, n_bytes:bigint>"
+    return _synthesize_block_jpeg_table(
+        docs, id_col, encode_jpeg_gray_progressive,
+        dims_fn=lambda did: (did % 3 + 1, did % 2 + 1),
+        value_fn=lambda did, r, c: 2 * ((did * 11 + r * 3 + c * 7) % 128),
+        fmt="jpeg-progressive",
     )
-
-    def synth(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for did in pdf[id_col]:
-                did = int(did)
-                hb, wb = did % 3 + 1, did % 2 + 1
-                r = np.arange(hb)[:, None]
-                c = np.arange(wb)[None, :]
-                blocks = (2 * ((did * 11 + r * 3 + c * 7) % 128)).astype(np.uint8)
-                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                payload = encode_jpeg_gray_progressive(img)
-                out.append(
-                    (did, payload,
-                     {"format": "jpeg-progressive", "width": wb * 8,
-                      "height": hb * 8, "n_bytes": len(payload)})
-                )
-            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
-
-    return docs.select(id_col).mapInPandas(synth, schema)
 
 
 def synthesize_video_table(

@@ -734,11 +734,18 @@ def x16(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(w)
+    # upper bounds clamped to >= 1: sequence(1, 0) DESCENDS to [1, 0]
+    # and slice(w, 0, k) throws — the short-doc outputs are already
+    # forced to 0.0 by the n-guards below, but the gram arrays must be
+    # safe to EVALUATE regardless (codegen subexpression elimination may
+    # compute them outside the CASE branches)
     g2 = F.transform(
-        F.sequence(F.lit(1), n - 1), lambda i: F.concat_ws(" ", F.slice(w, i, 2))
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
     )
     g5 = F.transform(
-        F.sequence(F.lit(1), n - 4), lambda i: F.concat_ws(" ", F.slice(w, i, 5))
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
     )
     counts = F.transform(
         F.array_distinct(g2),
@@ -806,7 +813,11 @@ def x16(spark, sf_dir):
 def x17(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    pairs = docs.select(
+    # docs under 2 tokens have no bigrams: filter BEFORE building the
+    # index sequence — sequence(1, size-1) DESCENDS to [1, 0] when
+    # size==1 and element_at(w, 0) throws in every Spark build (the
+    # oracle's generate_series(1, 0) is empty and just omits the doc)
+    pairs = docs.filter(F.size(w) >= 2).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -897,7 +908,9 @@ _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
         "term frequencies are ONE (doc_id, word) aggregate (the "
         "inverted-index posting list, shuffled on the term key), the "
         "query-term probe equi-joins postings on that same key, the "
-        "df/idf table is a vocab-bounded dim, and N/avgdl ride a 1-row "
+        "df/idf join is left to AQE (the probe side is bounded by the "
+        "query terms and broadcasts; a forced broadcast of df would "
+        "ship the whole vocab), and N/avgdl ride a 1-row "
         "broadcast like x13's total; per-query top-k is a "
         "|queries|-partition window, never a global sort.  Ranking ties "
         "break on the ROUNDED score then doc_id, so both engines emit "
@@ -928,7 +941,10 @@ def x18(spark, sf_dir):
     )
     scored = (
         qterms.join(tf, "word")
-        .join(F.broadcast(df_), "word")
+        # no broadcast hint on df_: at web vocab the full df table is
+        # huge, while the (qterms x tf) side is bounded by the query
+        # terms — AQE broadcasts the small side at runtime
+        .join(df_, "word")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .groupBy("query_id", "doc_id")

@@ -462,7 +462,13 @@ def compact_partitions(
             os.path.join(f"{path}.__old__", rel) if rel != "." else None
         )  # root compaction: the default sibling backup has no '=' issue
         _atomic_install(stage, dirpath, backup=backup)
-        report[rel] = (n_before, k)
+        # report the ACTUAL post-install count, not the coalesce target:
+        # coalesce only merges read partitions, so a target below
+        # spark.sql.files.maxPartitionBytes lands at the scan's packing
+        n_after = sum(
+            1 for f in os.listdir(dirpath) if f.endswith(".parquet")
+        )
+        report[rel] = (n_before, n_after)
     if os.path.exists(stage_root):
         shutil.rmtree(stage_root, ignore_errors=True)
     # _atomic_install discards each parked leaf after its install; drop
