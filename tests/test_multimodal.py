@@ -659,7 +659,7 @@ def test_progressive_equals_baseline_decode_property():
     check()
 
 
-def test_progressive_decoder_rejects_color_and_bad_scans():
+def test_progressive_decoder_rejects_bad_scans_and_dims():
     import numpy as np
     import pytest
 
@@ -667,12 +667,97 @@ def test_progressive_decoder_rejects_color_and_bad_scans():
         decode_jpeg,
         encode_jpeg_gray_progressive,
         encode_jpeg_rgb,
+        encode_jpeg_rgb420_progressive,
     )
 
+    # a baseline color stream mislabeled SOF2 fails loudly: its single
+    # interleaved SOS (Ss=0, Se=63) is not a legal progressive DC scan
     enc = bytearray(encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
     idx = bytes(enc).find(b"\xff\xc0")
-    enc[idx + 1] = 0xC2  # claim progressive on a 3-component stream
-    with pytest.raises(NotImplementedError, match="1-component"):
+    enc[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="multiple-of-8"):
         encode_jpeg_gray_progressive(np.zeros((7, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        encode_jpeg_rgb420_progressive(np.zeros((8, 8, 3), dtype=np.uint8))
+
+
+def test_progressive_color_equals_baseline_decode():
+    """Color progressive (4:4:4 AND 4:2:0): interleaved-MCU DC scans
+    with per-component predictors + per-component AC scans must decode
+    bit-identically to the corresponding baseline encoding."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb420,
+        encode_jpeg_rgb420_progressive,
+        encode_jpeg_rgb_progressive,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(hb=st.integers(1, 3), wb=st.integers(1, 3), seed=st.integers(0, 2**31))
+    def check(hb, wb, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(8 * hb, 8 * wb, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_rgb(img)),
+            decode_jpeg(encode_jpeg_rgb_progressive(img)),
+        )
+        img16 = rng.integers(0, 256, size=(16 * hb, 16 * wb, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_rgb420(img16)),
+            decode_jpeg(encode_jpeg_rgb420_progressive(img16)),
+        )
+
+    check()
+
+
+def test_progressive420_exact_on_even_constant_tiles():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_rgb420_progressive,
+    )
+
+    for did in (0, 1, 5, 7, 42):
+        hb, wb = did % 3 + 1, did % 2 + 1
+        r = np.arange(hb)[:, None]
+        c = np.arange(wb)[None, :]
+        tiles = (2 * ((did * 17 + r * 9 + c * 11) % 128)).astype(np.uint8)
+        gray = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        payload = encode_jpeg_rgb420_progressive(rgb)
+        assert payload.find(b"\xff\xc2") > 0
+        assert payload.count(b"\xff\xda") == 14  # 2 DC + 12 AC scans
+        assert np.array_equal(decode_jpeg(payload), rgb), did
+
+
+def test_restart_interval_roundtrip_matches_plain():
+    """DRI/RSTn: the encoder's restart emission (byte-align, marker,
+    predictor reset) and the decoder's resync must be transparent — the
+    decode equals the no-restart decode bit-for-bit."""
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    plain = decode_jpeg_gray(encode_jpeg_gray(img))
+    for ri in (1, 2, 7, 100):
+        enc = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(decode_jpeg_gray(enc), plain), ri
+    # out-of-sequence marker is detected, not silently absorbed
+    enc = bytearray(encode_jpeg_gray(img, restart_interval=2))
+    idx = bytes(enc).find(b"\xff\xd0")
+    assert idx > 0
+    enc[idx + 1] = 0xD5  # wrong RSTn ordinal
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_gray(bytes(enc))

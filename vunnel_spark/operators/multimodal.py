@@ -11,13 +11,13 @@ Codecs: PPM (P6), PNG (zlib DEFLATE + the five spec scanline filters,
 8-bit gray/truecolor), baseline JPEG (numpy DCT + Annex-K Huffman;
 grayscale, YCbCr 4:4:4 color, and 4:2:0 chroma-subsampled), and
 PROGRESSIVE JPEG (SOF2 multi-scan: spectral selection, EOBn run coding,
-full successive-approximation DC+AC refinement; grayscale) are
-implemented for real, alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
+full successive-approximation DC+AC refinement; grayscale, 4:4:4 and
+4:2:0 color) are implemented for real, alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
 fragmented) MJPEG container demux — the decode/resize/feature/
 frame-sample stages exercise genuine bytes-in/pixels-out behavior
-end-to-end, and the m1-m15 queries carry exact SQL oracles over
-deterministically synthesized images.  Remaining variants (progressive
-color, arithmetic-coded JPEG, webm) raise NotImplementedError behind
+end-to-end, and the m1-m16 queries carry exact SQL oracles over
+deterministically synthesized images.  Remaining variants
+(arithmetic-coded JPEG, webm) raise NotImplementedError behind
 the explicit ``fake=True`` escape hatch; swapping in PIL/ffmpeg changes
 only ``decode_image``'s dispatch.  Video gets a minimal length-prefixed
 frame container (``pack_frames``/``iter_frames``) so frame sampling is
@@ -273,8 +273,9 @@ def decode_png(payload: bytes):
 # quantization step of 16 divides 8*(c-128) exactly), which is what lets
 # m9 carry an exact SQL oracle over genuinely Huffman+DCT-coded bytes.
 # Color 4:4:4 (m12), 4:2:0 subsampling (m13), and progressive SOF2
-# (m15, further below) are implemented; restart markers and arithmetic
-# coding are out of scope and rejected explicitly.
+# (m15/m16, further below) and baseline restart intervals (DRI/RSTn)
+# are implemented; arithmetic coding is out of scope and rejected
+# explicitly (progressive streams with DRI likewise).
 
 # Annex K.1 luminance quantization table, zigzag order is applied at use
 _JPEG_QTABLE = [
@@ -362,6 +363,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padding, stuffed like entropy data) and append
+        a raw RSTn marker — restart markers are NOT byte-stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _jpeg_category(v: int) -> tuple[int, int]:
     """DC/AC magnitude category + the value bits (T.81 F.1.2.1)."""
@@ -438,10 +447,14 @@ def _jpeg_headers(h: int, w: int, ncomp: int) -> tuple[bytes, bytes, bytes, byte
     return dqt, sof, dht, sos
 
 
-def encode_jpeg_gray(arr) -> bytes:
+def encode_jpeg_gray(arr, restart_interval: int | None = None) -> bytes:
     """HxW uint8 grayscale -> baseline JFIF bytes.  H and W must be
     multiples of 8 (the synthesizer guarantees it; general images would
-    need edge-block padding)."""
+    need edge-block padding).  ``restart_interval`` emits a DRI segment
+    and an RSTn marker every N MCUs (predictor reset + byte
+    realignment) — the camera-JPEG resync feature, T.81 E.2.4."""
+    import struct
+
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
@@ -454,13 +467,28 @@ def encode_jpeg_gray(arr) -> bytes:
     ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    n_mcus = (h // 8) * (w // 8)
+    done = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
             prev_dc = _encode_jpeg_block(
                 bw, arr[by : by + 8, bx : bx + 8], q, m, dc_codes, ac_codes, prev_dc
             )
+            done += 1
+            if (
+                restart_interval
+                and done % restart_interval == 0
+                and done < n_mcus
+            ):
+                bw.restart((done // restart_interval - 1) & 7)
+                prev_dc = 0
     dqt, sof, dht, sos = _jpeg_headers(h, w, 1)
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    dri = (
+        struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
 
 
 # ------------------------------------------------- progressive JPEG (SOF2)
@@ -514,16 +542,18 @@ def _ac_point_transform(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _enc_dc_scan_first(blocks, dc_codes, al: int) -> bytes:
+def _enc_dc_scan_first(walk, dc_codes, al: int, n_comps: int = 1) -> bytes:
     """DC first scan (Ss=Se=0, Ah=0): baseline DC diff coding over the
-    point-transformed values; DC's point transform IS the arithmetic
+    point-transformed values with ONE predictor per component (the walk
+    yields ``(comp_index, zigzag_block)`` — MCU-interleaved for color,
+    plain raster for grayscale); DC's point transform IS the arithmetic
     shift (G.1.2.1), which Python's >> implements for negatives."""
     bw = _BitWriter()
-    prev = 0
-    for zz in blocks:
+    prev = [0] * n_comps
+    for ci, zz in walk:
         v = int(zz[0]) >> al
-        cat, bits = _jpeg_category(v - prev)
-        prev = v
+        cat, bits = _jpeg_category(v - prev[ci])
+        prev[ci] = v
         code, ln = dc_codes[cat]
         bw.write(code, ln)
         if cat:
@@ -531,10 +561,10 @@ def _enc_dc_scan_first(blocks, dc_codes, al: int) -> bytes:
     return bw.flush()
 
 
-def _enc_dc_scan_refine(blocks, al: int) -> bytes:
+def _enc_dc_scan_refine(walk, al: int) -> bytes:
     """DC refinement scan (Ah=Al+1): ONE raw bit per block, no Huffman."""
     bw = _BitWriter()
-    for zz in blocks:
+    for _ci, zz in walk:
         bw.write((int(zz[0]) >> al) & 1, 1)
     return bw.flush()
 
@@ -712,13 +742,132 @@ def encode_jpeg_gray_progressive(arr) -> bytes:
     )
     return (
         b"\xff\xd8" + dqt + sof + dht
-        + sos(0, 0, 0, 1) + _enc_dc_scan_first(blocks, dc_codes, 1)
+        + sos(0, 0, 0, 1)
+        + _enc_dc_scan_first(((0, zz) for zz in blocks), dc_codes, 1)
         + sos(1, 5, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 1, 5, 1)
         + sos(6, 63, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 6, 63, 1)
-        + sos(0, 0, 1, 0) + _enc_dc_scan_refine(blocks, 0)
+        + sos(0, 0, 1, 0) + _enc_dc_scan_refine(((0, zz) for zz in blocks), 0)
         + sos(1, 5, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 1, 5, 0)
         + sos(6, 63, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 6, 63, 0)
         + b"\xff\xd9"
+    )
+
+
+def _progressive_color_stream(planes, samplings, h: int, w: int) -> bytes:
+    """Assemble a 3-component SOF2 stream from component planes already
+    at their own resolutions: interleaved DC scans in MCU order (per-
+    component predictors), then per-component AC band scans — first
+    passes at Al=1 and refinement passes at Ah=1 (progressive AC scans
+    are single-component by spec G.1.3).  One shared quant table and
+    DC/AC Huffman table pair, like the baseline color encoders."""
+    import struct
+
+    import numpy as np
+
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    m = _dct_matrix()
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    comp_blocks = [_jpeg_coeff_blocks(p, q, m) for p in planes]
+    block_cols = [p.shape[1] // 8 for p in planes]
+    hmax = max(hs for hs, _ in samplings)
+    vmax = max(vs for _, vs in samplings)
+    mcu_cols, mcu_rows = w // (8 * hmax), h // (8 * vmax)
+
+    def dc_walk():
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for ci, (hs, vs) in enumerate(samplings):
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            yield ci, comp_blocks[ci][
+                                (my * vs + dy) * block_cols[ci] + mx * hs + dx
+                            ]
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload_) + 2) + payload_
+
+    def sos_all(ss, se, ah, al):
+        return seg(
+            0xFFDA,
+            bytes([3]) + bytes([1, 0, 2, 0, 3, 0]) + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    def sos_one(ci, ss, se, ah, al):
+        return seg(
+            0xFFDA, bytes([1, ci + 1, 0, ss, se, (ah << 4) | al])
+        )
+
+    zz_q = bytes(
+        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
+        for i in range(64)
+    )
+    dqt = seg(0xFFDB, b"\x00" + zz_q)
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"".join(
+            bytes([ci + 1, (hs << 4) | vs, 0])
+            for ci, (hs, vs) in enumerate(samplings)
+        ),
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    out = b"\xff\xd8" + dqt + sof + dht
+    out += sos_all(0, 0, 0, 1) + _enc_dc_scan_first(dc_walk(), dc_codes, 1, 3)
+    for ci in range(3):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_one(ci, ss, se, 0, 1) + _enc_ac_scan_first(
+                comp_blocks[ci], ac_codes, ss, se, 1
+            )
+    out += sos_all(0, 0, 1, 0) + _enc_dc_scan_refine(dc_walk(), 0)
+    for ci in range(3):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_one(ci, ss, se, 1, 0) + _enc_ac_scan_refine(
+                comp_blocks[ci], ac_codes, ss, se, 0
+            )
+    return out + b"\xff\xd9"
+
+
+def encode_jpeg_rgb_progressive(arr) -> bytes:
+    """HxWx3 uint8 RGB -> PROGRESSIVE JFIF bytes (SOF2), YCbCr 4:4:4.
+    Dims must be multiples of 8.  Decodes bit-identically to
+    encode_jpeg_rgb (entropy layer lossless over quantized coeffs)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_rgb_progressive needs multiple-of-8 dims")
+    planes = [
+        np.clip(np.round(p), 0, 255).astype(np.uint8) for p in rgb_to_ycbcr(arr)
+    ]
+    return _progressive_color_stream(planes, [(1, 1)] * 3, h, w)
+
+
+def encode_jpeg_rgb420_progressive(arr) -> bytes:
+    """HxWx3 uint8 RGB -> PROGRESSIVE JFIF bytes with 4:2:0 chroma
+    subsampling — the dominant real-world web-JPEG layout (progressive +
+    4:2:0).  Dims must be multiples of 16.  Decodes bit-identically to
+    encode_jpeg_rgb420 of the same input (same box-average downsample,
+    same quantizer; the entropy layers differ but are both lossless)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    if h % 16 or w % 16:
+        raise ValueError("encode_jpeg_rgb420_progressive needs multiple-of-16 dims")
+    y, cb, cr = rgb_to_ycbcr(arr)
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+    sub = []
+    for p in planes[1:]:
+        p4 = p.reshape(h // 2, 2, w // 2, 2).astype(np.float64)
+        sub.append(np.clip(np.round(p4.mean(axis=(1, 3))), 0, 255).astype(np.uint8))
+    return _progressive_color_stream(
+        [planes[0], sub[0], sub[1]], [(2, 2), (1, 1), (1, 1)], h, w
     )
 
 
@@ -810,6 +959,20 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self) -> int:
+        """Discard padding bits, consume the RSTn marker at the byte
+        boundary, return n (0-7).  T.81 E.2.4: decoders resynchronize
+        byte-aligned at every restart."""
+        self.nbits = 0
+        self.acc = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn at restart boundary, got FF{m:02X}")
+        self.pos += 2
+        return m & 7
 
 
 def _jpeg_extend(bits: int, cat: int) -> int:
@@ -929,11 +1092,12 @@ def decode_jpeg(payload: bytes):
     """Baseline JFIF bytes -> HxW uint8 grayscale (1 component) or
     HxWx3 uint8 RGB (3 components, 4:4:4 only).
 
-    Full marker walk (DQT/SOF0/DHT/SOS), interleaved-MCU Huffman decode
-    with per-component DC prediction and table selectors, dequantize,
-    float IDCT, level shift, and JFIF YCbCr->RGB for color.  Rejects
-    progressive (SOF2), subsampled, and restart-interval streams
-    explicitly.
+    Full marker walk (DQT/SOF0/DHT/DRI/SOS), interleaved-MCU Huffman
+    decode with per-component DC prediction and table selectors, restart
+    markers (byte resync + predictor reset every DRI MCUs), dequantize,
+    float IDCT, level shift, and JFIF YCbCr->RGB for color.  SOF2
+    streams route to the progressive decoder; other SOF variants are
+    rejected explicitly.
     """
     import struct
 
@@ -947,6 +1111,7 @@ def decode_jpeg(payload: bytes):
     h = w = None
     comp_q: list[int] = []  # per-component quant table id (SOF order)
     comp_tabs: list[tuple[int, int]] = []  # per-component (dc, ac) ids (SOS)
+    restart_interval = 0
     scan_data = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -982,8 +1147,8 @@ def decode_jpeg(payload: bytes):
             raise NotImplementedError("only baseline/progressive JPEG supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
             _parse_dht_body(body, huff)
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI — restart every N MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows until EOI
             ns = body[0]
             for c in range(ns):
@@ -1006,6 +1171,20 @@ def decode_jpeg(payload: bytes):
     read_symbol = _read_jpeg_symbol
     br = _BitReader(scan_data)
     prev_dc = [0] * ncomp
+    mcu_done = [0]  # MCUs fully decoded; restart checks run between MCUs
+
+    def maybe_restart(total_mcus: int) -> None:
+        mcu_done[0] += 1
+        if (
+            restart_interval
+            and mcu_done[0] % restart_interval == 0
+            and mcu_done[0] < total_mcus
+        ):
+            n = br.sync_restart()
+            if n != (mcu_done[0] // restart_interval - 1) & 7:
+                raise ValueError("restart marker out of sequence")
+            for i in range(ncomp):
+                prev_dc[i] = 0
 
     def decode_block(ci: int):
         dc_tab = huff[(0, comp_tabs[ci][0])]
@@ -1049,15 +1228,18 @@ def decode_jpeg(payload: bytes):
                 cy, cx = my // 2, mx // 2
                 cbp[cy : cy + 8, cx : cx + 8] = decode_block(1)
                 crp[cy : cy + 8, cx : cx + 8] = decode_block(2)
+                maybe_restart((ph // 16) * (pw // 16))
         cb_full = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
         cr_full = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
         return ycbcr_to_rgb(yplane[:h, :w], cb_full[:h, :w], cr_full[:h, :w])
 
     planes = [np.zeros((h, w), dtype=np.float64) for _ in range(ncomp)]
+    n_mcus = ((h + 7) // 8) * ((w + 7) // 8)
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
             for ci in range(ncomp):
                 planes[ci][by : by + 8, bx : bx + 8] = decode_block(ci)
+            maybe_restart(n_mcus)
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
@@ -1083,15 +1265,18 @@ def _entropy_segment_end(payload: bytes, start: int) -> int:
 
 
 def _decode_jpeg_progressive(payload: bytes):
-    """Progressive (SOF2) JFIF bytes -> HxW uint8 grayscale.
+    """Progressive (SOF2) JFIF bytes -> HxW uint8 grayscale or HxWx3 RGB.
 
-    Multi-scan Huffman path of T.81 Annex G for 1-component streams:
-    coefficients accumulate across scans — DC first/refinement scans with
-    the successive-approximation point transform, AC first scans per
-    spectral band with END-OF-BAND run decoding (EOBn), AC refinement
-    scans with interleaved correction bits — then one dequantize + IDCT
-    once every scan has landed.  Tables (DQT/DHT) may be (re)defined
-    between scans, per the spec.
+    Multi-scan Huffman path of T.81 Annex G: coefficients accumulate
+    across scans — DC scans (interleaved across components in MCU order,
+    or single-component) with the successive-approximation point
+    transform, AC scans (always single-component, the spec forbids
+    interleaved AC in progressive mode) per spectral band with
+    END-OF-BAND run decoding (EOBn), AC refinement scans with
+    interleaved correction bits — then one dequantize + IDCT per
+    component once every scan has landed.  Components may carry 4:4:4
+    (1x1) or 4:2:0 ([2x2, 1x1, 1x1]) sampling; tables (DQT/DHT) may be
+    (re)defined between scans, per the spec.
     """
     import struct
 
@@ -1103,29 +1288,28 @@ def _decode_jpeg_progressive(payload: bytes):
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_tq = 0
-    coefs: list | None = None
-
+    comps: list[dict] = []  # {cid, hs, vs, tq, bw, bh, cx, cy, coefs}
+    mcu_cols = mcu_rows = 0
+    saw_sos = False
     read_symbol = _read_jpeg_symbol
 
-    def scan_dc_first(br, al):
-        pred = 0
-        dc_tab = huff[(0, dc_sel)]
-        for blk in coefs:
-            cat = read_symbol(br, dc_tab)
-            pred += _jpeg_extend(br.read_bits(cat), cat)
-            blk[0] = pred << al
+    def scan_dc_first(br, walk, tabs, al):
+        # walk yields (comp_index, block); one DC predictor per component
+        pred = [0] * len(comps)
+        for ci, blk in walk:
+            cat = read_symbol(br, tabs[ci])
+            pred[ci] += _jpeg_extend(br.read_bits(cat), cat)
+            blk[0] = pred[ci] << al
 
-    def scan_dc_refine(br, al):
-        for blk in coefs:
+    def scan_dc_refine(br, walk, al):
+        for _ci, blk in walk:
             if br.read_bit():
                 blk[0] |= 1 << al  # two's-complement OR appends the bit
                 # correctly for negative DC values too
 
-    def scan_ac_first(br, ss, se, al):
-        ac_tab = huff[(1, ac_sel)]
+    def scan_ac_first(br, blocks, ac_tab, ss, se, al):
         eobrun = 0
-        for blk in coefs:
+        for blk in blocks:
             if eobrun:
                 eobrun -= 1
                 continue
@@ -1147,11 +1331,10 @@ def _decode_jpeg_progressive(payload: bytes):
                 blk[k] = _jpeg_extend(br.read_bits(s), s) << al
                 k += 1
 
-    def scan_ac_refine(br, ss, se, al):
+    def scan_ac_refine(br, blocks, ac_tab, ss, se, al):
         # T.81 G.1.2.3: newly-significant coefficients arrive as +-1<<Al;
         # every already-nonzero coefficient crossed on the way emits one
         # raw correction bit (1 -> add 1<<Al toward larger magnitude)
-        ac_tab = huff[(1, ac_sel)]
         p1, m1 = 1 << al, -1 << al
         eobrun = 0
 
@@ -1162,7 +1345,7 @@ def _decode_jpeg_progressive(payload: bytes):
                 elif blk[k] < 0 and not (blk[k] & p1):
                     blk[k] += m1
 
-        for blk in coefs:
+        for blk in blocks:
             k = ss
             if eobrun == 0:
                 while k <= se:
@@ -1216,26 +1399,48 @@ def _decode_jpeg_progressive(payload: bytes):
             _parse_dqt_body(body, qtables)
         elif marker == 0xC2:
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "progressive decode covers 1-component (grayscale) streams"
+                    "progressive decode covers 1- or 3-component streams"
                 )
-            comp_tq = body[8]
-            nblocks = -(-h // 8) * -(-w // 8)
-            coefs = [[0] * 64 for _ in range(nblocks)]
+            samp = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"cid": cid, "hs": sampling >> 4,
+                              "vs": sampling & 0xF, "tq": tq})
+                samp.append(sampling)
+            if not (all(s == 0x11 for s in samp) or samp == [0x22, 0x11, 0x11]):
+                raise NotImplementedError(
+                    f"unsupported sampling layout {samp} "
+                    "(4:4:4 and 4:2:0 decode here)"
+                )
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcu_cols = -(-w // (8 * hmax))
+            mcu_rows = -(-h // (8 * vmax))
+            for c in comps:
+                # padded-to-MCU grid (interleaved DC addressing) and the
+                # component's own block extent (non-interleaved AC walks)
+                c["bw"], c["bh"] = mcu_cols * c["hs"], mcu_rows * c["vs"]
+                c["cx"] = -(-(w * c["hs"]) // (8 * hmax))
+                c["cy"] = -(-(h * c["vs"]) // (8 * vmax))
+                c["coefs"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
         elif marker == 0xC4:
             _parse_dht_body(body, huff)
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:
-            if coefs is None:
+            if not comps:
                 raise ValueError("SOS before SOF2")
+            saw_sos = True
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scans unsupported")
-            sel = body[2]
-            dc_sel, ac_sel = sel >> 4, sel & 0xF
-            ss, se, ahal = body[3], body[4], body[5]
+            scan_comps, sels = [], []
+            for c in range(ns):
+                cid, sel = body[1 + 2 * c : 3 + 2 * c]
+                idx = next(i for i, cc in enumerate(comps) if cc["cid"] == cid)
+                scan_comps.append(idx)
+                sels.append((sel >> 4, sel & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             data_start = pos + ln
             data_end = _entropy_segment_end(payload, data_start)
@@ -1243,33 +1448,75 @@ def _decode_jpeg_progressive(payload: bytes):
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
+
+                def dc_walk():
+                    if ns == 1:
+                        c = comps[scan_comps[0]]
+                        for row in range(c["cy"]):
+                            for col in range(c["cx"]):
+                                yield scan_comps[0], c["coefs"][row * c["bw"] + col]
+                    else:  # interleaved MCU order
+                        for my in range(mcu_rows):
+                            for mx in range(mcu_cols):
+                                for i in scan_comps:
+                                    c = comps[i]
+                                    for dy in range(c["vs"]):
+                                        for dx in range(c["hs"]):
+                                            yield i, c["coefs"][
+                                                (my * c["vs"] + dy) * c["bw"]
+                                                + mx * c["hs"] + dx
+                                            ]
+
                 if ah == 0:
-                    scan_dc_first(br, al)
+                    tabs = {}
+                    for slot, i in enumerate(scan_comps):
+                        tabs[i] = huff[(0, sels[slot][0])]
+                    scan_dc_first(br, dc_walk(), tabs, al)
                 else:
-                    scan_dc_refine(br, al)
-            elif ah == 0:
-                scan_ac_first(br, ss, se, al)
+                    scan_dc_refine(br, dc_walk(), al)
             else:
-                scan_ac_refine(br, ss, se, al)
+                if ns != 1:
+                    raise ValueError("progressive AC scans are single-component")
+                c = comps[scan_comps[0]]
+                blocks = [
+                    c["coefs"][row * c["bw"] + col]
+                    for row in range(c["cy"])
+                    for col in range(c["cx"])
+                ]
+                ac_tab = huff[(1, sels[0][1])]
+                if ah == 0:
+                    scan_ac_first(br, blocks, ac_tab, ss, se, al)
+                else:
+                    scan_ac_refine(br, blocks, ac_tab, ss, se, al)
             pos = data_end
             continue
         pos += ln
-    if coefs is None:
+    if not comps or not saw_sos:
         raise ValueError("missing SOF2/SOS")
     m = _dct_matrix()
-    deq = np.empty(64)
-    deq[_JPEG_ZIGZAG] = np.array(qtables[comp_tq], dtype=np.float64)
-    deq = deq.reshape(8, 8)
-    wb = -(-w // 8)
-    plane = np.zeros((-(-h // 8) * 8, wb * 8), dtype=np.float64)
-    for bi, zz in enumerate(coefs):
-        coeff = np.zeros(64)
-        coeff[_JPEG_ZIGZAG] = zz
-        by, bx = (bi // wb) * 8, (bi % wb) * 8
-        plane[by : by + 8, bx : bx + 8] = (
-            m.T @ (coeff.reshape(8, 8) * deq) @ m + 128.0
-        )
-    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    planes = []
+    for c in comps:
+        deq = np.empty(64)
+        deq[_JPEG_ZIGZAG] = np.array(qtables[c["tq"]], dtype=np.float64)
+        deq = deq.reshape(8, 8)
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        for bi, zz in enumerate(c["coefs"]):
+            coeff = np.zeros(64)
+            coeff[_JPEG_ZIGZAG] = zz
+            by, bx = (bi // c["bw"]) * 8, (bi % c["bw"]) * 8
+            plane[by : by + 8, bx : bx + 8] = (
+                m.T @ (coeff.reshape(8, 8) * deq) @ m + 128.0
+            )
+        # upsample subsampled chroma to full resolution, crop to image
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
 def decode_jpeg_gray(payload: bytes):
@@ -1298,8 +1545,8 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     """Decode one image payload.
 
     PPM (P6), PNG (8-bit gray/truecolor), baseline JPEG (grayscale,
-    4:4:4 color, 4:2:0 subsampled), and progressive JPEG (grayscale)
-    decode for real; remaining variants (progressive color, HEIC, ...)
+    4:4:4 color, 4:2:0 subsampled), and progressive JPEG (gray, 4:4:4 and 4:2:0
+    color) decode for real; remaining variants (arithmetic-coded, HEIC, ...)
     need codec libraries this container doesn't ship — callers opt into
     the deterministic fake explicitly, or get NotImplementedError.
     """
@@ -1323,7 +1570,7 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     raise NotImplementedError(
         "no codec for this payload format in this environment; PPM (P6), "
         "PNG (8-bit gray/truecolor), baseline JPEG (gray, 4:4:4 color, "
-        "4:2:0 subsampled) and progressive JPEG (gray) decode natively, "
+        "4:2:0 subsampled) and progressive JPEG (gray + color) decode natively, "
         "or pass fake=True for the deterministic stand-in"
     )
 
@@ -2027,6 +2274,46 @@ def synthesize_jpeg420_media_table(
                     (did, payload,
                      {"format": "jpeg", "width": wb * 16, "height": hb * 16,
                       "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_progressive420_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PROGRESSIVE 4:2:0 JPEG media table — the dominant
+    real-world web-JPEG layout: grayscale-valued even 16x16-constant
+    tiles — tile (r, c) holds ``2*((id*17 + r*9 + c*11) % 128)``, dims
+    ``(id%3+1) x (id%2+1)`` tiles — encoded by the 14-scan SOF2 420
+    script.  Constant chroma box-averages to itself and the multi-scan
+    entropy layer is lossless over quantized coefficients, so the
+    decode is bit-exact by the same two-step argument as m13 + m15."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                hb, wb = did % 3 + 1, did % 2 + 1
+                r = np.arange(hb)[:, None]
+                c = np.arange(wb)[None, :]
+                tiles = (2 * ((did * 17 + r * 9 + c * 11) % 128)).astype(np.uint8)
+                gray = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                payload = encode_jpeg_rgb420_progressive(rgb)
+                out.append(
+                    (did, payload,
+                     {"format": "jpeg-progressive", "width": wb * 16,
+                      "height": hb * 16, "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 

@@ -530,3 +530,54 @@ def m15(spark, sf_dir):
         F.round("mean_b", 4).alias("mean_b"),
         F.round("std_all", 4).alias("std_all"),
     )
+
+
+@register(
+    "m16_progressive420_extract",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 3 + 1 AS hb, doc_id % 2 + 1 AS wb
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, hb, wb,
+             CAST(2 * ((media_id * 17 + r.r * 9 + c.c * 11) % 128) AS DOUBLE) AS v
+      FROM m
+      JOIN (SELECT unnest(generate_series(0, 2)) AS r) r ON r.r < hb
+      JOIN (SELECT unnest(generate_series(0, 1)) AS c) c ON c.c < wb
+    )
+    SELECT media_id,
+           CAST(max(wb) * 16 AS INT) AS width, CAST(max(hb) * 16 AS INT) AS height,
+           round(avg(v), 4) AS mean_r, round(avg(v), 4) AS mean_g,
+           round(avg(v), 4) AS mean_b,
+           round(sqrt(avg(v*v) - avg(v)*avg(v)), 4) AS std_all
+    FROM b GROUP BY media_id
+    """,
+    doc="REAL progressive 4:2:0 JPEG pipeline — the DOMINANT real-world "
+        "web-JPEG layout (operators/multimodal.py "
+        "encode_jpeg_rgb420_progressive + the multi-component SOF2 "
+        "decoder: interleaved-MCU DC scans with per-component "
+        "predictors, per-component AC band scans, successive-"
+        "approximation refinement, chroma box-downsample/nearest-"
+        "upsample).  Grayscale-valued even 16x16-constant tiles survive "
+        "subsampling exactly and the multi-scan entropy layer is "
+        "lossless over quantized coefficients (progressive-420 == "
+        "baseline-420 decode, property-tested), so the SQL oracle "
+        "verifies the whole path by exact value",
+    tags=("multimodal", "udf"),
+)
+def m16(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_progressive420_media_table,
+    )
+
+    media = synthesize_progressive420_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
