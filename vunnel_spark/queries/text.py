@@ -686,43 +686,48 @@ def x13(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
     ), g AS (
-      SELECT doc_id, w, len(w) AS n,
-             list_transform(generate_series(1, len(w) - 1),
+      SELECT doc_id, len(w) AS n,
+             list_transform(generate_series(1, greatest(len(w) - 1, 1)),
                             i -> array_to_string(w[i:i+1], ' ')) AS g2,
-             list_transform(generate_series(1, len(w) - 4),
-                            i -> array_to_string(w[i:i+4], ' ')) AS g5
-      FROM base
-    ), s AS (
-      SELECT doc_id, n, g2, g5,
-             list_aggregate(
-               list_transform(list_distinct(g2),
-                 x -> {'cnt': len(list_filter(g2, y -> y = x)), 'gram': x}),
-               'max') AS top,
+             list_transform(generate_series(1, greatest(len(w) - 4, 1)),
+                            i -> array_to_string(w[i:i+4], ' ')) AS g5,
              length(array_to_string(w, ' ')) AS total_chars
-      FROM g
+      FROM base
+    ), cnt AS (
+      SELECT doc_id, gram, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, gram, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram DESC) AS rn
+      FROM cnt
     )
-    SELECT doc_id,
-           CASE WHEN n < 2 THEN 0.0
-                ELSE round(top.cnt * length(top.gram) / total_chars, 6)
+    SELECT g.doc_id,
+           CASE WHEN g.n < 2 THEN 0.0
+                ELSE round(t.cnt * length(t.gram) / g.total_chars, 6)
            END AS top2_char_frac,
-           CASE WHEN n < 5 THEN 0.0
+           CASE WHEN g.n < 5 THEN 0.0
                 ELSE round(1 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5), 6)
            END AS dup5_frac,
-           (CASE WHEN n < 2 THEN 0.0
-                 ELSE round(top.cnt * length(top.gram) / total_chars, 6)
+           (CASE WHEN g.n < 2 THEN 0.0
+                 ELSE round(t.cnt * length(t.gram) / g.total_chars, 6)
             END) <= 0.20
-           AND (CASE WHEN n < 5 THEN 0.0
+           AND (CASE WHEN g.n < 5 THEN 0.0
                      ELSE round(1 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5), 6)
                 END) <= 0.15 AS kept
-    FROM s
+    FROM g JOIN top t ON t.doc_id = g.doc_id AND t.rn = 1
     """,
     doc="Repetition-based quality rules from Gopher (Rae et al. 2021, "
         "arXiv:2112.11446 §A1.1): per-document fraction of characters "
         "covered by the most frequent word 2-gram, and fraction of "
         "duplicated 5-grams, each gating a keep decision.  Both signals "
         "are PURE per-row array expressions — shingle, count-within-row, "
-        "argmax via struct ordering ((cnt, gram) max gives a "
-        "deterministic lexicographic tie-break in both engines) — so the "
+        "argmax via struct ordering (Spark's array_max over (cnt, gram) "
+        "structs == the oracle's cnt DESC, gram DESC rank-1 row: highest "
+        "count, ties to the lexicographically largest gram; the oracle "
+        "deliberately uses only unnest/group/window constructs proven at "
+        "prior external gates, never struct-typed list_aggregate) — so the "
         "whole query is a zero-shuffle scan+project that pipelines "
         "through whole-stage codegen; at 100 TB it runs at scan speed "
         "with no exchange at all (plan-asserted in tests/test_plans.py). "
