@@ -583,3 +583,67 @@ def test_foreach_batch_rollup_histogram_state_cross_batch(spark, tmp_path):
     want = {r.user_id: list(r.bins)
             for r in histogram_state(whole, ["user_id"], "value", 0.0, 50.0, 10).collect()}
     assert got == want
+
+
+def test_foreach_batch_cms_rollup_matches_full_sketch_and_skips_replay(
+    spark, tmp_path
+):
+    """Streaming heavy-hitter maintenance (foreach_batch_cms_rollup):
+    after two micro-batches the persisted sketch is counter-identical to
+    cms_state over everything seen (CMS linearity), point estimates read
+    correctly off it, and a re-delivered batch (fresh checkpoint) does
+    not double the counters."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from vunnel_spark.operators.incremental import cms_state, estimate_frequency
+    from vunnel_spark.streaming.enrich import foreach_batch_cms_rollup
+
+    src_dir = str(tmp_path / "cms_in")
+    state = str(tmp_path / "cms_state")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    t0 = dt.datetime(2026, 1, 1, 10)
+    write_batch([(1, t0, "click")] * 3 + [(2, t0, "click"), (1, t0, "view")])
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = foreach_batch_cms_rollup(
+            stream, state, str(tmp_path / ckpt),
+            keys=["event_type"], value_col="user_id",
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    write_batch([(1, t0, "click")] * 2 + [(3, t0, "view")])
+    run("ck1")
+
+    got = spark.read.parquet(state)
+    full = cms_state(
+        spark.read.parquet(src_dir), ["event_type"], "user_id"
+    )
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0  # counter-identical sketches
+
+    probes = spark.createDataFrame(
+        [("click", 1), ("click", 2), ("view", 3)], "event_type string, user_id long"
+    )
+    est = {
+        (r["event_type"], r["user_id"]): r["est_count"]
+        for r in estimate_frequency(got, probes, ["event_type"], "user_id").collect()
+    }
+    # CMS estimates are >= true counts; tiny key set -> no collisions here
+    assert est == {("click", 1): 5, ("click", 2): 1, ("view", 3): 1}
+
+    # fresh checkpoint re-delivers both batches — the guard must drop them
+    run("ck2")
+    again = spark.read.parquet(state)
+    assert again.exceptAll(full).count() == 0 and again.count() == full.count()

@@ -258,3 +258,75 @@ def foreach_batch_rollup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_cms_rollup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    depth: int = 4,
+):
+    """Streaming HEAVY-HITTER maintenance — the streaming face of i10
+    (operators/incremental.py cms_state/merge_cms_state): each
+    micro-batch builds its count-min delta and adds it counter-by-
+    counter into the persisted sketch under the same stage+swap +
+    batch-id replay guard as foreach_batch_rollup.  Readers see either
+    the old sketch or the new one, never a half-merge, and re-delivered
+    micro-batches are dropped by the published batch-id watermark (CMS
+    counters are linear, so a replayed add would double-count exactly
+    like i7's sums — the idempotent alternative is i8's HLL register
+    max, which cannot answer point-frequency queries).
+
+    There is deliberately no bucketed variant: the whole sketch is
+    <= |keys| * depth * 256 rows REGARDLESS of stream cardinality —
+    that bound is the point of the sketch — so the whole-swap publish
+    already is the O(state) path at any scale.
+
+    Returns the StreamingQuery (caller stops it).
+    """
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from vunnel_spark.operators.incremental import cms_state, merge_cms_state
+    from vunnel_spark.sinks.writers import _atomic_install, _recover_backup
+
+    meta_name = "_rollup_meta.json"
+
+    def _last_applied() -> int:
+        m = os.path.join(state_path, meta_name)
+        if os.path.exists(m):
+            with open(m) as f:
+                return json.load(f).get("batch_id", -1)
+        return -1
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _recover_backup(state_path)
+        if os.path.exists(state_path) and batch_id <= _last_applied():
+            return  # replayed delivery: this delta is already in the state
+        delta = cms_state(batch_df, keys, value_col, depth)
+        if os.path.exists(state_path):
+            new = merge_cms_state([spark.read.parquet(state_path), delta], keys)
+        else:
+            new = delta
+        for stale in glob.glob(f"{state_path}.__stage__*"):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        stage = f"{state_path}.__stage__{uuid.uuid4().hex[:8]}"
+        new.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, meta_name), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        _atomic_install(stage, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
