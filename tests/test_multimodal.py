@@ -761,3 +761,15 @@ def test_restart_interval_roundtrip_matches_plain():
     enc[idx + 1] = 0xD5  # wrong RSTn ordinal
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg_gray(bytes(enc))
+
+
+def test_restart_interval_validated_at_api_boundary():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import encode_jpeg_gray
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    for bad in (0, -2, 0x10000):
+        with pytest.raises(ValueError, match="restart_interval"):
+            encode_jpeg_gray(img, restart_interval=bad)

@@ -318,6 +318,11 @@ _JPEG_ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+#: the quant table serialized in zigzag order — the DQT payload bytes
+_JPEG_ZZ_QTABLE = bytes(
+    _JPEG_QTABLE[_JPEG_ZIGZAG[i]] for i in range(64)
+)
+
 
 def _jpeg_huff_codes(bits, vals):
     """(symbol -> (code, length)) from a BITS/HUFFVAL table (T.81 C.2)."""
@@ -430,10 +435,7 @@ def _jpeg_headers(h: int, w: int, ncomp: int) -> tuple[bytes, bytes, bytes, byte
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    zz_q = bytes(
-        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
-        for i in range(64)
-    )
+    zz_q = _JPEG_ZZ_QTABLE
     dqt = seg(0xFFDB, b"\x00" + zz_q)
     comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1))
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
@@ -461,6 +463,8 @@ def encode_jpeg_gray(arr, restart_interval: int | None = None) -> bytes:
     h, w = arr.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
+    if restart_interval is not None and not 1 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be in [1, 65535] (DRI is u16)")
     q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     m = _dct_matrix()
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -729,10 +733,7 @@ def encode_jpeg_gray_progressive(arr) -> bytes:
     def sos(ss: int, se: int, ah: int, al: int) -> bytes:
         return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
 
-    zz_q = bytes(
-        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
-        for i in range(64)
-    )
+    zz_q = _JPEG_ZZ_QTABLE
     dqt = seg(0xFFDB, b"\x00" + zz_q)
     sof = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     dht = seg(
@@ -798,10 +799,7 @@ def _progressive_color_stream(planes, samplings, h: int, w: int) -> bytes:
             0xFFDA, bytes([1, ci + 1, 0, ss, se, (ah << 4) | al])
         )
 
-    zz_q = bytes(
-        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
-        for i in range(64)
-    )
+    zz_q = _JPEG_ZZ_QTABLE
     dqt = seg(0xFFDB, b"\x00" + zz_q)
     sof = seg(
         0xFFC2,
@@ -1069,10 +1067,7 @@ def encode_jpeg_rgb420(arr) -> bytes:
     def seg(marker: int, payload_: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload_) + 2) + payload_
 
-    zz_q = bytes(
-        int(np.array(_JPEG_QTABLE).reshape(8, 8).flatten()[_JPEG_ZIGZAG][i])
-        for i in range(64)
-    )
+    zz_q = _JPEG_ZZ_QTABLE
     dqt = seg(0xFFDB, b"\x00" + zz_q)
     sof = seg(
         0xFFC0,
@@ -2250,34 +2245,12 @@ def synthesize_jpeg420_media_table(
     128)``, dims ``(id%2+1) x (id%3+1)`` tiles — which survive chroma
     subsampling + the lossy pipeline bit-exactly (constant chroma
     box-averages to itself)."""
-    schema = (
-        "media_id long, payload binary, meta struct<format:string, "
-        "width:int, height:int, n_bytes:bigint>"
+    return _synthesize_block_jpeg_table(
+        docs, id_col, encode_jpeg_rgb420,
+        dims_fn=lambda did: (did % 2 + 1, did % 3 + 1),
+        value_fn=lambda did, r, c: 2 * ((did * 13 + r * 7 + c * 5) % 128),
+        fmt="jpeg", block_px=16, rgb=True,
     )
-
-    def synth(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for did in pdf[id_col]:
-                did = int(did)
-                hb, wb = did % 2 + 1, did % 3 + 1
-                r = np.arange(hb)[:, None]
-                c = np.arange(wb)[None, :]
-                tiles = (2 * ((did * 13 + r * 7 + c * 5) % 128)).astype(np.uint8)
-                gray = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
-                rgb = np.repeat(gray[:, :, None], 3, axis=2)
-                payload = encode_jpeg_rgb420(rgb)
-                out.append(
-                    (did, payload,
-                     {"format": "jpeg", "width": wb * 16, "height": hb * 16,
-                      "n_bytes": len(payload)})
-                )
-            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
-
-    return docs.select(id_col).mapInPandas(synth, schema)
 
 
 def synthesize_progressive420_media_table(
@@ -2287,37 +2260,13 @@ def synthesize_progressive420_media_table(
     real-world web-JPEG layout: grayscale-valued even 16x16-constant
     tiles — tile (r, c) holds ``2*((id*17 + r*9 + c*11) % 128)``, dims
     ``(id%3+1) x (id%2+1)`` tiles — encoded by the 14-scan SOF2 420
-    script.  Constant chroma box-averages to itself and the multi-scan
-    entropy layer is lossless over quantized coefficients, so the
-    decode is bit-exact by the same two-step argument as m13 + m15."""
-    schema = (
-        "media_id long, payload binary, meta struct<format:string, "
-        "width:int, height:int, n_bytes:bigint>"
+    script.  Bit-exact by the same two-step argument as m13 + m15."""
+    return _synthesize_block_jpeg_table(
+        docs, id_col, encode_jpeg_rgb420_progressive,
+        dims_fn=lambda did: (did % 3 + 1, did % 2 + 1),
+        value_fn=lambda did, r, c: 2 * ((did * 17 + r * 9 + c * 11) % 128),
+        fmt="jpeg-progressive", block_px=16, rgb=True,
     )
-
-    def synth(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for did in pdf[id_col]:
-                did = int(did)
-                hb, wb = did % 3 + 1, did % 2 + 1
-                r = np.arange(hb)[:, None]
-                c = np.arange(wb)[None, :]
-                tiles = (2 * ((did * 17 + r * 9 + c * 11) % 128)).astype(np.uint8)
-                gray = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
-                rgb = np.repeat(gray[:, :, None], 3, axis=2)
-                payload = encode_jpeg_rgb420_progressive(rgb)
-                out.append(
-                    (did, payload,
-                     {"format": "jpeg-progressive", "width": wb * 16,
-                      "height": hb * 16, "n_bytes": len(payload)})
-                )
-            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
-
-    return docs.select(id_col).mapInPandas(synth, schema)
 
 
 def synthesize_fmp4_mjpeg_table(
@@ -2395,51 +2344,38 @@ def synthesize_mp4_mjpeg_table(
 def synthesize_color_jpeg_media_table(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic REAL color-JPEG media table: like
-    ``synthesize_jpeg_media_table`` but 3-component YCbCr 4:4:4 payloads
-    of grayscale-valued (R=G=B) even blocks — block (r, c) holds
-    ``2*((id*11 + r*3 + c*7) % 128)`` — which convert to Y=value,
-    Cb=Cr=128 exactly and therefore survive the color pipeline
+    """Deterministic REAL color-JPEG media table: 3-component YCbCr
+    4:4:4 payloads of grayscale-valued (R=G=B) even blocks — block
+    (r, c) holds ``2*((id*11 + r*3 + c*7) % 128)`` — which convert to
+    Y=value, Cb=Cr=128 exactly and therefore survive the color pipeline
     bit-exactly."""
-    schema = (
-        "media_id long, payload binary, meta struct<format:string, "
-        "width:int, height:int, n_bytes:bigint>"
+    return _synthesize_block_jpeg_table(
+        docs, id_col, encode_jpeg_rgb,
+        dims_fn=lambda did: (did % 2 + 1, did % 3 + 1),
+        value_fn=lambda did, r, c: 2 * ((did * 11 + r * 3 + c * 7) % 128),
+        fmt="jpeg", rgb=True,
     )
-
-    def synth(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for did in pdf[id_col]:
-                did = int(did)
-                hb, wb = did % 2 + 1, did % 3 + 1
-                r = np.arange(hb)[:, None]
-                c = np.arange(wb)[None, :]
-                blocks = (2 * ((did * 11 + r * 3 + c * 7) % 128)).astype(np.uint8)
-                gray = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
-                rgb = np.repeat(gray[:, :, None], 3, axis=2)
-                payload = encode_jpeg_rgb(rgb)
-                out.append(
-                    (did, payload,
-                     {"format": "jpeg", "width": wb * 8, "height": hb * 8,
-                      "n_bytes": len(payload)})
-                )
-            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
-
-    return docs.select(id_col).mapInPandas(synth, schema)
 
 
 def _synthesize_block_jpeg_table(
-    docs: DataFrame, id_col: str, encoder, dims_fn, value_fn, fmt: str
+    docs: DataFrame,
+    id_col: str,
+    encoder,
+    dims_fn,
+    value_fn,
+    fmt: str,
+    block_px: int = 8,
+    rgb: bool = False,
 ) -> DataFrame:
     """Shared core for the block-constant JPEG media synthesizers: each
-    doc becomes a grayscale image of constant 8x8 blocks — dims and
-    block values are closed-form in the id (``dims_fn(id) -> (hb, wb)``
-    blocks; ``value_fn(id, r, c)`` must yield EVEN uint8 values so the
-    lossy pipeline is bit-exact: all AC coefficients are zero and the
-    DC quant step of 16 divides 8*(v-128)) — encoded by ``encoder``."""
+    doc becomes an image of constant ``block_px x block_px`` tiles —
+    dims and tile values are closed-form in the id (``dims_fn(id) ->
+    (hb, wb)`` tiles; ``value_fn(id, r, c)`` must yield EVEN uint8
+    values so the lossy pipeline is bit-exact: all AC coefficients are
+    zero and the DC quant step of 16 divides 8*(v-128); constant chroma
+    additionally box-averages to itself for the 4:2:0 encoders) —
+    grayscale, or replicated to R=G=B when ``rgb`` (Y=value, Cb=Cr=128
+    exactly), then encoded by ``encoder``."""
     schema = (
         "media_id long, payload binary, meta struct<format:string, "
         "width:int, height:int, n_bytes:bigint>"
@@ -2456,13 +2392,15 @@ def _synthesize_block_jpeg_table(
                 hb, wb = dims_fn(did)
                 r = np.arange(hb)[:, None]
                 c = np.arange(wb)[None, :]
-                blocks = value_fn(did, r, c).astype(np.uint8)
-                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                tiles = value_fn(did, r, c).astype(np.uint8)
+                img = np.kron(tiles, np.ones((block_px, block_px), dtype=np.uint8))
+                if rgb:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
                 payload = encoder(img)
                 out.append(
                     (did, payload,
-                     {"format": fmt, "width": wb * 8, "height": hb * 8,
-                      "n_bytes": len(payload)})
+                     {"format": fmt, "width": wb * block_px,
+                      "height": hb * block_px, "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 
