@@ -773,3 +773,82 @@ def test_restart_interval_validated_at_api_boundary():
     for bad in (0, -2, 0x10000):
         with pytest.raises(ValueError, match="restart_interval"):
             encode_jpeg_gray(img, restart_interval=bad)
+
+
+# ---------------------------------------------------------------- FLAC codec
+
+def test_flac_lossless_roundtrip_all_signal_shapes():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_flac, encode_flac
+
+    rng = np.random.default_rng(21)
+    cases = [
+        rng.integers(-32768, 32768, 500).astype(np.int16),  # noise (order 0)
+        np.full(300, -1234, dtype=np.int16),                # constant
+        np.arange(-250, 250, dtype=np.int16),               # ramp (order 1+)
+        np.array([7], dtype=np.int16),                      # single sample
+        np.array([32767, -32768, 0, -1], dtype=np.int16),   # extremes
+    ]
+    for did in (0, 7, 42):  # the synth's sine law
+        n = 168 + (did % 40) * 8
+        t = np.arange(n, dtype=np.float64)
+        cases.append(
+            np.trunc((900 + did % 8000)
+                     * np.sin(2 * np.pi * (120 + did % 350) * t / 8000)
+                     ).astype(np.int16)
+        )
+    for i, s in enumerate(cases):
+        enc = encode_flac(s, 8000)
+        assert enc[:4] == b"fLaC"
+        dec, sr = decode_flac(enc)
+        assert sr == 8000 and np.array_equal(dec, s), i
+        # compressed, not just wrapped: tonal clips beat raw PCM size
+        if i >= len(cases) - 3:
+            assert len(enc) < 2 * len(s)
+
+
+def test_flac_integrity_checks_fire():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_flac, encode_flac
+
+    s = np.arange(-100, 100, dtype=np.int16)
+    enc = bytearray(encode_flac(s, 8000))
+    # flip a bit in the entropy data: either the CRC-16 catches it, or a
+    # desynchronized rice run exhausts the buffer — both are ValueErrors
+    enc[-10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        decode_flac(bytes(enc))
+    # flip a bit in the frame header: CRC-8 catches it
+    enc2 = bytearray(encode_flac(s, 8000))
+    hdr = enc2.find(b"\xff\xf8")
+    enc2[hdr + 4] ^= 0x01  # frame-number byte
+    with pytest.raises(ValueError, match="CRC-8"):
+        decode_flac(bytes(enc2))
+    with pytest.raises(ValueError, match="FLAC"):
+        decode_flac(b"RIFFnotflac")
+
+
+def test_flac_audio_features_match_wav_law(spark, sf_dir):
+    """The same decoded-feature pipeline runs over FLAC payloads via the
+    magic-sniffing dispatch; peak/RMS obey the synth's closed form."""
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        audio_features,
+        synthesize_flac_table,
+    )
+    from vunnel_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = {r["media_id"]: r for r in
+           audio_features(synthesize_flac_table(docs)).collect()}
+    assert len(out) == 5
+    for did, r in out.items():
+        n = 168 + (did % 40) * 8
+        a = 900 + (did % 8000)
+        assert r["n_samples"] == n and r["duration_ms"] == n // 8
+        assert a - 50 <= r["peak_amplitude"] <= a
+        assert 0.5 * a <= r["rms"] * (2 ** 0.5) <= 1.1 * a

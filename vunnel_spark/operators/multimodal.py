@@ -12,10 +12,12 @@ Codecs: PPM (P6), PNG (zlib DEFLATE + the five spec scanline filters,
 grayscale, YCbCr 4:4:4 color, and 4:2:0 chroma-subsampled), and
 PROGRESSIVE JPEG (SOF2 multi-scan: spectral selection, EOBn run coding,
 full successive-approximation DC+AC refinement; grayscale, 4:4:4 and
-4:2:0 color) are implemented for real, alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
+4:2:0 color) are implemented for real — as is FLAC (rice-coded FIXED
+predictors, CRC-8/16 + MD5; lossless) beside the stdlib-wave RIFF/PCM
+path — alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
 fragmented) MJPEG container demux — the decode/resize/feature/
 frame-sample stages exercise genuine bytes-in/pixels-out behavior
-end-to-end, and the m1-m16 queries carry exact SQL oracles over
+end-to-end, and the m1-m17 queries carry exact SQL oracles over
 deterministically synthesized images.  Remaining variants
 (arithmetic-coded JPEG, webm) raise NotImplementedError behind
 the explicit ``fake=True`` escape hatch; swapping in PIL/ffmpeg changes
@@ -2488,6 +2490,336 @@ def synthesize_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: st
 
 # ----------------------------------------------------------------- audio
 
+# ---------------------------------------------------------------- FLAC codec
+#
+# Real FLAC (the public format spec / RFC 9639) for 16-bit mono: the
+# lossless compressed-audio counterpart to the WAV path.  Implemented
+# subset — STREAMINFO with audio MD5, fixed-blocksize frames, CONSTANT /
+# VERBATIM / FIXED(0-4) subframes, rice residual coding (4- and 5-bit
+# parameter variants, partitioned, escape codes), CRC-8 header and
+# CRC-16 frame checks.  LPC subframes and stereo decorrelation raise
+# NotImplementedError explicitly.  Lossless end to end: decode returns
+# the exact int16 samples, verified against the STREAMINFO MD5.
+
+
+class _PlainBitWriter:
+    """MSB-first bit packer WITHOUT JPEG byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)  # zero-pad to byte boundary
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _PlainBitReader:
+    """MSB-first bit reader WITHOUT JPEG marker handling."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.byte >= len(self.data):
+            raise ValueError("truncated FLAC stream")
+        b = (self.data[self.byte] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.byte += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read_bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read_bit() == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FLAC_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def encode_flac(samples, sample_rate: int) -> bytes:
+    """int16 mono samples -> FLAC bytes (single fixed-blocksize frame).
+
+    Picks the FIXED predictor order (0-2) with the smallest total
+    residual magnitude (deterministic; ties to the lower order), codes
+    residuals with a single partition-order-0 rice partition, and stamps
+    the STREAMINFO MD5 of the little-endian PCM so decoders can verify
+    losslessness end to end.
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    n = len(samples)
+    if not 1 <= n <= 0x10000:
+        raise ValueError("encode_flac handles 1..65536 samples per clip")
+
+    # choose FIXED order by total |residual| (orders 0-2 cover tonal PCM)
+    best_order, best_res, best_cost = 0, samples, int(np.abs(samples).sum())
+    for o in (1, 2):
+        if n <= o:
+            break
+        res = samples.copy()
+        for _ in range(o):
+            res = np.diff(res)
+        cost = int(np.abs(res).sum())
+        if cost < best_cost:
+            best_order, best_res, best_cost = o, res, cost
+    o, res = best_order, best_res
+
+    # rice parameter: smallest p whose quotient load is near-minimal —
+    # mean magnitude heuristic, capped below the 4-bit escape code
+    folded = np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
+    mean = int(folded.mean()) if len(folded) else 0
+    p = min(max(mean.bit_length() - 1, 0), 14)
+
+    bw = _PlainBitWriter()
+    # frame header: sync+fixed-blocking, blocksize code 0111 (16-bit at
+    # end), sample-rate code 0000 (from STREAMINFO), mono, 16-bit, frame 0
+    header = bytearray([0xFF, 0xF8, 0x70, 0x08, 0x00])
+    header += struct.pack(">H", n - 1)
+    header.append(_crc8(bytes(header)))
+    for b in header:
+        bw.write(b, 8)
+    bw.write(0b001000 + o, 7)  # subframe header: 0 pad + FIXED(o) type
+    bw.write(0, 1)  # no wasted bits
+    for t in range(o):  # warmup samples, raw at sample size
+        bw.write(int(samples[t]) & 0xFFFF, 16)
+    bw.write(0b00, 2)  # residual method: 4-bit rice
+    bw.write(0, 4)  # partition order 0
+    bw.write(p, 4)
+    for u in folded:
+        u = int(u)
+        bw.write_unary(u >> p)
+        if p:
+            bw.write(u & ((1 << p) - 1), p)
+    bw.align()
+    frame = bw.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+
+    pcm = samples.astype("<i2").tobytes()
+    info = struct.pack(">HH", n, n) + b"\x00" * 6  # blocksizes; framesizes 0
+    # 20-bit sr | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += hashlib.md5(pcm).digest()
+    meta = bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    return b"fLaC" + meta + frame
+
+
+def decode_flac(payload: bytes):
+    """FLAC bytes -> (int16 numpy samples, sample_rate).
+
+    Full subset decode: metadata walk, frame header with every standard
+    blocksize code, UTF-8-coded frame numbers, CONSTANT / VERBATIM /
+    FIXED subframes, partitioned rice residuals (4- and 5-bit params,
+    escape codes), CRC-8 + CRC-16 verification, and the STREAMINFO MD5
+    check that proves losslessness.  LPC subframes and multi-channel
+    raise NotImplementedError.
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sr = bps = total = None
+    md5_expect = None
+    while True:  # metadata blocks
+        head = payload[pos]
+        btype, last = head & 0x7F, head & 0x80
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + ln]
+        if btype == 0:  # STREAMINFO
+            packed = int.from_bytes(body[10:18], "big")
+            sr = packed >> 44
+            nch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            md5_expect = body[18:34]
+            if nch != 1 or bps != 16:
+                raise NotImplementedError("mono 16-bit FLAC only")
+        pos += 4 + ln
+        if last:
+            break
+    if sr is None:
+        raise ValueError("missing STREAMINFO")
+
+    out = []
+    while len(out) < total:
+        frame_start = pos
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC stream")
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError("bad frame sync")
+        bs_code = payload[pos + 2] >> 4
+        sr_code = payload[pos + 2] & 0xF
+        ch_code = payload[pos + 3] >> 4
+        ss_code = (payload[pos + 3] >> 1) & 0x7
+        if ch_code != 0:
+            raise NotImplementedError("mono FLAC only")
+        if ss_code != 0b100:
+            raise NotImplementedError("16-bit FLAC only")
+        pos += 4
+        first = payload[pos]  # UTF-8-coded frame/sample number
+        nfollow = 0
+        while (first << nfollow) & 0x80 and nfollow < 7:
+            nfollow += 1
+        nfollow = max(nfollow - 1, 0)
+        pos += 1 + nfollow
+        if bs_code == 0b0110:
+            blocksize = payload[pos] + 1
+            pos += 1
+        elif bs_code == 0b0111:
+            blocksize = struct.unpack(">H", payload[pos : pos + 2])[0] + 1
+            pos += 2
+        elif bs_code == 0b0001:
+            blocksize = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            blocksize = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved blocksize code")
+        if sr_code not in (0,):  # everything else: we never emit it
+            raise NotImplementedError("per-frame sample-rate codes unsupported")
+        if _crc8(payload[frame_start:pos]) != payload[pos]:
+            raise ValueError("frame header CRC-8 mismatch")
+        pos += 1
+
+        br = _PlainBitReader(payload, pos)
+        if br.read_bit():
+            raise ValueError("subframe padding bit set")
+        stype = br.read_bits(6)
+        if br.read_bit():
+            raise NotImplementedError("wasted bits unsupported")
+        if stype == 0:  # CONSTANT
+            block = [br.read_signed(16)] * blocksize
+        elif stype == 1:  # VERBATIM
+            block = [br.read_signed(16) for _ in range(blocksize)]
+        elif 8 <= stype <= 12:  # FIXED order 0-4
+            order = stype - 8
+            warm = [br.read_signed(16) for _ in range(order)]
+            method = br.read_bits(2)
+            if method > 1:
+                raise ValueError("reserved residual coding method")
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            porder = br.read_bits(4)
+            res = []
+            nparts = 1 << porder
+            for part in range(nparts):
+                cnt = blocksize >> porder
+                if part == 0:
+                    cnt -= order
+                rp = br.read_bits(pbits)
+                if rp == escape:
+                    raw = br.read_bits(5)
+                    for _ in range(cnt):
+                        res.append(br.read_signed(raw) if raw else 0)
+                    continue
+                for _ in range(cnt):
+                    q = br.read_unary()
+                    u = (q << rp) | (br.read_bits(rp) if rp else 0)
+                    res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+            block = list(warm)
+            coef = _FLAC_FIXED_COEFFS[order]
+            for r in res:
+                v = r + sum(c * block[-i - 1] for i, c in enumerate(coef))
+                block.append(v)
+        elif stype >= 32:
+            raise NotImplementedError("LPC subframes unsupported")
+        else:
+            raise ValueError("reserved subframe type")
+        br.align()
+        pos = br.byte
+        if pos + 2 > len(payload):
+            # a desynchronized rice run (bit corruption) consumes past
+            # the buffer — surface it as the integrity failure it is
+            raise ValueError("truncated FLAC stream (CRC region missing)")
+        if _crc16(payload[frame_start:pos]) != struct.unpack(
+            ">H", payload[pos : pos + 2]
+        )[0]:
+            raise ValueError("frame CRC-16 mismatch")
+        pos += 2
+        out.extend(block)
+
+    samples = np.array(out[: int(total)], dtype=np.int16)
+    if md5_expect and md5_expect != b"\x00" * 16:
+        if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+            raise ValueError("decoded audio MD5 mismatch (lossy corruption)")
+    return samples, int(sr)
+
+
 def synthesize_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-audio media table: each doc becomes an honest
     RIFF/WAVE file (stdlib ``wave`` writer — real header, real 16-bit PCM
@@ -2546,14 +2878,60 @@ def synthesize_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(synth, schema)
 
 
+def synthesize_flac_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-FLAC media table: the WAV synth discipline
+    (closed-form truncated sine per doc id) through the lossless
+    compressed codec —
+
+        sr = 8000 Hz,  n = 168 + (id % 40) * 8
+        f  = 120 + (id % 350) Hz,  a = 900 + (id % 8000)
+        s_t = trunc(a * sin(2*pi*f*t / sr))
+
+    FLAC is lossless, so every decoded sample still matches the closed
+    form exactly and the m17 oracle stays an exact value check while the
+    payload is genuinely rice-coded, CRC-protected, MD5-stamped FLAC.
+    """
+    schema = (
+        "media_id long, payload binary, "
+        "meta struct<format:string, sample_rate:int, n_samples:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        sr = 8000
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 168 + (did % 40) * 8
+                f = 120 + (did % 350)
+                a = 900 + (did % 8000)
+                t = np.arange(n, dtype=np.float64)
+                samples = np.trunc(a * np.sin(2.0 * np.pi * f * t / sr)).astype(
+                    np.int16
+                )
+                payload = encode_flac(samples, sr)
+                out.append(
+                    (did, payload,
+                     {"format": "flac", "sample_rate": sr, "n_samples": n,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
 def audio_features(df: DataFrame) -> DataFrame:
-    """Per-clip audio features off REAL WAV decode (stdlib ``wave``
-    parses the RIFF header, numpy views the PCM frames): sample rate and
-    length from the container, peak amplitude and RMS from the samples,
-    integral duration in ms.  Arrow-batched mapInPandas — the payload
-    column is pruned upstream unless requested, and each batch decodes
-    in one Python hop (the multimodal plumbing contract; at 100 TB the
-    decode cost is per-payload CPU, embarrassingly parallel)."""
+    """Per-clip audio features off REAL audio decode — RIFF/WAVE via the
+    stdlib ``wave`` parser, FLAC via this module's codec (sniffed on the
+    payload magic): sample rate and length from the container, peak
+    amplitude and RMS from the samples, integral duration in ms.
+    Arrow-batched mapInPandas — the payload column is pruned upstream
+    unless requested, and each batch decodes in one Python hop (the
+    multimodal plumbing contract; at 100 TB the decode cost is
+    per-payload CPU, embarrassingly parallel)."""
     schema = (
         "media_id long, sample_rate int, n_samples int, duration_ms int, "
         "peak_amplitude int, rms double"
@@ -2570,11 +2948,17 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    sr = w.getframerate()
-                    n = w.getnframes()
-                    raw = w.readframes(n)
-                samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                payload = bytes(payload)
+                if payload[:4] == b"fLaC":
+                    pcm, sr = decode_flac(payload)
+                    n = len(pcm)
+                    samples = pcm.astype(np.float64)
+                else:
+                    with wave.open(io.BytesIO(payload), "rb") as w:
+                        sr = w.getframerate()
+                        n = w.getnframes()
+                        raw = w.readframes(n)
+                    samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
                 rms = round(math.sqrt(float(np.mean(samples * samples))), 4)
                 out.append(
                     (int(mid), sr, n, n * 1000 // sr,

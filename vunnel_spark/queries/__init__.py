@@ -17,10 +17,10 @@ the early round-6 queries (ubuntu2, m7-m14, i9).  External coverage
 after this window: every query registered through the early round 6
 has been inside a gate (s12's r5 rewrite was already gated green in r5
 itself).  The LATE round-6 additions — x16, x17, x18, d11, i10, m15,
-m16 — landed after this 50-slot window was full of the five-round-old
-never-gated backlog; they are locally hash-green at sf0.001/0.01/0.1
-(committed CORRECTNESS_local_r6*.json) and are the core of the
-round-7 window.
+m16, m17 — landed after this 50-slot window was full of the
+five-round-old never-gated backlog; they are locally hash-green at
+sf0.001/0.01/0.1 (committed CORRECTNESS_local_r6*.json) and are the
+core of the round-7 window.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;

@@ -156,3 +156,43 @@ def m6(spark, sf_dir):
         .filter(F.col("media_id") != F.col("canonical_id"))
         .select(F.col("media_id").alias("dup_id"), "canonical_id")
     )
+
+
+@register(
+    "m17_flac_audio_features",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             168 + (doc_id % 40) * 8 AS n,
+             120 + (doc_id % 350) AS f,
+             900 + (doc_id % 8000) AS a
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             trunc(a * sin(2 * pi() * f * g.t / 8000)) AS v
+      FROM p, generate_series(0, {_MAX_N - 1}) AS g(t)
+      WHERE g.t < n
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n // 8 AS INTEGER) AS duration_ms,
+           CAST(max(abs(v)) AS INTEGER) AS peak_amplitude,
+           round(sqrt(avg(v * v)), 4) AS rms
+    FROM s GROUP BY doc_id, n
+    """,
+    doc="REAL-FLAC audio feature extraction (operators/multimodal.py "
+        "encode_flac/decode_flac + synthesize_flac_table): honest FLAC "
+        "payloads — STREAMINFO with the audio MD5, FIXED-predictor "
+        "subframes, rice-coded residuals, CRC-8/CRC-16 checks — decoded "
+        "back to bit-exact PCM inside audio_features' Arrow batch hop.  "
+        "FLAC is lossless, so the oracle regenerates every sample "
+        "analytically like m4 and the whole compressed-audio decode "
+        "path is value-verified, not rows-only",
+    tags=("multimodal", "audio"),
+)
+def m17(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import audio_features, synthesize_flac_table
+
+    docs = t(spark, sf_dir, "documents")
+    return audio_features(synthesize_flac_table(docs))
