@@ -487,3 +487,13 @@ def test_x18_bm25_windows_per_query_not_global(spark, sf_dir):
     p = plan_of(q("x18_bm25_retrieval", spark, sf_dir))
     assert "CartesianProduct" not in p, p
     assert re.search(r"windowspecdefinition\(query_id", p), p
+
+
+def test_i10_cms_build_partial_aggregates(spark, sf_dir):
+    # the CMS state build must partial-aggregate map-side: the depth-wide
+    # explode inflates rows 4x, so the shuffle has to carry collapsed
+    # (keys, j, cell) partials, never raw exploded rows; and the probe
+    # join stays equi-keyed
+    p = plan_of(q("i10_cms_heavyhitter_merge", spark, sf_dir))
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p, p
