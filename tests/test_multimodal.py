@@ -852,3 +852,28 @@ def test_flac_audio_features_match_wav_law(spark, sf_dir):
         assert r["n_samples"] == n and r["duration_ms"] == n // 8
         assert a - 50 <= r["peak_amplitude"] <= a
         assert 0.5 * a <= r["rms"] * (2 ** 0.5) <= 1.1 * a
+
+
+def test_flac_lpc_subframes_lossless_and_smaller_on_tonal():
+    """LPC path: Levinson-Durbin-fit quantized coefficients round-trip
+    bit-exactly at every order (integer prediction on both sides), and
+    actually predict — tonal clips compress smaller than FIXED."""
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_flac, encode_flac
+
+    rng = np.random.default_rng(31)
+    t = np.arange(320, dtype=np.float64)
+    sine = np.trunc(4000 * np.sin(2 * np.pi * 150 * t / 8000)).astype(np.int16)
+    cases = [
+        sine,
+        rng.integers(-32768, 32768, 400).astype(np.int16),
+        np.zeros(200, dtype=np.int16),  # silence: degenerate autocorr
+        np.array([5, -3], dtype=np.int16),  # order clamps to n-1
+    ]
+    for i, s in enumerate(cases):
+        for order in (1, 2, 4, 8):
+            enc = encode_flac(s, 8000, method="lpc", lpc_order=order)
+            dec, _sr = decode_flac(enc)
+            assert np.array_equal(dec, s), (i, order)
+    assert len(encode_flac(sine, 8000, method="lpc")) < len(encode_flac(sine, 8000))

@@ -12,8 +12,8 @@ Codecs: PPM (P6), PNG (zlib DEFLATE + the five spec scanline filters,
 grayscale, YCbCr 4:4:4 color, and 4:2:0 chroma-subsampled), and
 PROGRESSIVE JPEG (SOF2 multi-scan: spectral selection, EOBn run coding,
 full successive-approximation DC+AC refinement; grayscale, 4:4:4 and
-4:2:0 color) are implemented for real — as is FLAC (rice-coded FIXED
-predictors, CRC-8/16 + MD5; lossless) beside the stdlib-wave RIFF/PCM
+4:2:0 color) are implemented for real — as is FLAC (LPC + FIXED
+predictors, rice residuals, CRC-8/16 + MD5; lossless) beside the stdlib-wave RIFF/PCM
 path — alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
 fragmented) MJPEG container demux — the decode/resize/feature/
 frame-sample stages exercise genuine bytes-in/pixels-out behavior
@@ -2495,9 +2495,10 @@ def synthesize_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: st
 # Real FLAC (the public format spec / RFC 9639) for 16-bit mono: the
 # lossless compressed-audio counterpart to the WAV path.  Implemented
 # subset — STREAMINFO with audio MD5, fixed-blocksize frames, CONSTANT /
-# VERBATIM / FIXED(0-4) subframes, rice residual coding (4- and 5-bit
-# parameter variants, partitioned, escape codes), CRC-8 header and
-# CRC-16 frame checks.  LPC subframes and stereo decorrelation raise
+# VERBATIM / FIXED(0-4) / LPC subframes (Levinson-Durbin-fit quantized
+# coefficients on encode; full LPC decode), rice residual coding (4- and
+# 5-bit parameter variants, partitioned, escape codes), CRC-8 header and
+# CRC-16 frame checks.  Stereo decorrelation raises
 # NotImplementedError explicitly.  Lossless end to end: decode returns
 # the exact int16 samples, verified against the STREAMINFO MD5.
 
@@ -2602,14 +2603,20 @@ _FLAC_FIXED_COEFFS = {
 }
 
 
-def encode_flac(samples, sample_rate: int) -> bytes:
+def encode_flac(samples, sample_rate: int, method: str = "fixed",
+                lpc_order: int = 8) -> bytes:
     """int16 mono samples -> FLAC bytes (single fixed-blocksize frame).
 
-    Picks the FIXED predictor order (0-2) with the smallest total
-    residual magnitude (deterministic; ties to the lower order), codes
-    residuals with a single partition-order-0 rice partition, and stamps
-    the STREAMINFO MD5 of the little-endian PCM so decoders can verify
-    losslessness end to end.
+    ``method="fixed"`` (default) picks the FIXED predictor order (0-2)
+    with the smallest total residual magnitude (deterministic; ties to
+    the lower order); ``method="lpc"`` fits real linear-prediction
+    coefficients (autocorrelation + Levinson-Durbin, quantized to 12
+    bits with the spec's shift scheme) — the subframe type real-world
+    encoders emit.  Either way residuals go through a single
+    partition-order-0 rice partition, and the STREAMINFO MD5 of the
+    little-endian PCM lets decoders verify losslessness end to end
+    (LPC prediction is integer-exact on both sides, so lossless holds
+    regardless of how well the float fit converged).
     """
     import hashlib
     import struct
@@ -2621,18 +2628,56 @@ def encode_flac(samples, sample_rate: int) -> bytes:
     if not 1 <= n <= 0x10000:
         raise ValueError("encode_flac handles 1..65536 samples per clip")
 
-    # choose FIXED order by total |residual| (orders 0-2 cover tonal PCM)
-    best_order, best_res, best_cost = 0, samples, int(np.abs(samples).sum())
-    for o in (1, 2):
-        if n <= o:
-            break
-        res = samples.copy()
-        for _ in range(o):
-            res = np.diff(res)
-        cost = int(np.abs(res).sum())
-        if cost < best_cost:
-            best_order, best_res, best_cost = o, res, cost
-    o, res = best_order, best_res
+    lpc = None  # (order, precision, shift, quantized coefs) when method=lpc
+    if method == "lpc":
+        o = min(lpc_order, n - 1)
+        if o < 1:
+            raise ValueError("lpc needs at least 2 samples")
+        x = samples.astype(np.float64)
+        ac = [float(np.dot(x[: n - k], x[k:])) for k in range(o + 1)]
+        if ac[0] == 0.0:  # silence: predictor s[t-1] is exact
+            coefs_f = [1.0] + [0.0] * (o - 1)
+        else:  # Levinson-Durbin recursion on the autocorrelation
+            err = ac[0]
+            coefs_f = []
+            for i in range(o):
+                acc = ac[i + 1]
+                for j in range(i):
+                    acc -= coefs_f[j] * ac[i - j]
+                k = acc / err if err else 0.0
+                coefs_f = [c - k * coefs_f[i - 1 - j] for j, c in enumerate(coefs_f)]
+                coefs_f.append(k)
+                err *= 1.0 - k * k
+                if err <= 0:
+                    err = 1e-9
+        prec = 12
+        cmax = max(abs(c) for c in coefs_f) or 1.0
+        shift = 0
+        while shift < 15 and cmax * (1 << (shift + 1)) < (1 << (prec - 1)) - 1:
+            shift += 1
+        qc = [
+            max(-(1 << (prec - 1)), min((1 << (prec - 1)) - 1,
+                                        int(round(c * (1 << shift)))))
+            for c in coefs_f
+        ]
+        pred = np.zeros(n - o, dtype=np.int64)
+        for j, c in enumerate(qc):
+            pred += c * samples[o - 1 - j : n - 1 - j]
+        res = samples[o:] - (pred >> shift)
+        lpc = (o, prec, shift, qc)
+    else:
+        # choose FIXED order by total |residual| (orders 0-2 cover tonal PCM)
+        best_order, best_res, best_cost = 0, samples, int(np.abs(samples).sum())
+        for fo in (1, 2):
+            if n <= fo:
+                break
+            r_ = samples.copy()
+            for _ in range(fo):
+                r_ = np.diff(r_)
+            cost = int(np.abs(r_).sum())
+            if cost < best_cost:
+                best_order, best_res, best_cost = fo, r_, cost
+        o, res = best_order, best_res
 
     # rice parameter: smallest p whose quotient load is near-minimal —
     # mean magnitude heuristic, capped below the 4-bit escape code
@@ -2648,10 +2693,19 @@ def encode_flac(samples, sample_rate: int) -> bytes:
     header.append(_crc8(bytes(header)))
     for b in header:
         bw.write(b, 8)
-    bw.write(0b001000 + o, 7)  # subframe header: 0 pad + FIXED(o) type
+    if lpc:
+        bw.write(0b100000 | (o - 1), 7)  # subframe header: 0 pad + LPC(o)
+    else:
+        bw.write(0b001000 + o, 7)  # subframe header: 0 pad + FIXED(o) type
     bw.write(0, 1)  # no wasted bits
     for t in range(o):  # warmup samples, raw at sample size
         bw.write(int(samples[t]) & 0xFFFF, 16)
+    if lpc:
+        _o, prec, shift, qc = lpc
+        bw.write(prec - 1, 4)
+        bw.write(shift, 5)
+        for c in qc:
+            bw.write(c & ((1 << prec) - 1), prec)
     bw.write(0b00, 2)  # residual method: 4-bit rice
     bw.write(0, 4)  # partition order 0
     bw.write(p, 4)
@@ -2679,10 +2733,10 @@ def decode_flac(payload: bytes):
 
     Full subset decode: metadata walk, frame header with every standard
     blocksize code, UTF-8-coded frame numbers, CONSTANT / VERBATIM /
-    FIXED subframes, partitioned rice residuals (4- and 5-bit params,
-    escape codes), CRC-8 + CRC-16 verification, and the STREAMINFO MD5
-    check that proves losslessness.  LPC subframes and multi-channel
-    raise NotImplementedError.
+    FIXED / LPC subframes, partitioned rice residuals (4- and 5-bit
+    params, escape codes), CRC-8 + CRC-16 verification, and the
+    STREAMINFO MD5 check that proves losslessness.  Multi-channel
+    raises NotImplementedError.
     """
     import hashlib
     import struct
@@ -2796,8 +2850,41 @@ def decode_flac(payload: bytes):
             for r in res:
                 v = r + sum(c * block[-i - 1] for i, c in enumerate(coef))
                 block.append(v)
-        elif stype >= 32:
-            raise NotImplementedError("LPC subframes unsupported")
+        elif stype >= 32:  # LPC, order = low 5 bits + 1
+            order = (stype & 0x1F) + 1
+            warm = [br.read_signed(16) for _ in range(order)]
+            prec = br.read_bits(4) + 1
+            if prec == 16:
+                raise ValueError("invalid LPC precision code")
+            shift = br.read_bits(5)  # spec-signed, but negative shifts
+            if shift >= 16:  # never occur in practice and we reject them
+                raise NotImplementedError("negative LPC shift unsupported")
+            coefs = [br.read_signed(prec) for _ in range(order)]
+            method = br.read_bits(2)
+            if method > 1:
+                raise ValueError("reserved residual coding method")
+            pbits = 4 if method == 0 else 5
+            escape = (1 << pbits) - 1
+            porder = br.read_bits(4)
+            res = []
+            for part in range(1 << porder):
+                cnt = blocksize >> porder
+                if part == 0:
+                    cnt -= order
+                rp = br.read_bits(pbits)
+                if rp == escape:
+                    raw = br.read_bits(5)
+                    for _ in range(cnt):
+                        res.append(br.read_signed(raw) if raw else 0)
+                    continue
+                for _ in range(cnt):
+                    q = br.read_unary()
+                    u = (q << rp) | (br.read_bits(rp) if rp else 0)
+                    res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+            block = list(warm)
+            for r in res:
+                pred = sum(c * block[-j - 1] for j, c in enumerate(coefs)) >> shift
+                block.append(r + pred)  # Python >> floors like the spec
         else:
             raise ValueError("reserved subframe type")
         br.align()
@@ -2889,7 +2976,9 @@ def synthesize_flac_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     FLAC is lossless, so every decoded sample still matches the closed
     form exactly and the m17 oracle stays an exact value check while the
-    payload is genuinely rice-coded, CRC-protected, MD5-stamped FLAC.
+    payload is genuinely LPC-predicted (Levinson-Durbin-fit quantized
+    coefficients — the subframe type real-world encoders emit),
+    rice-coded, CRC-protected, MD5-stamped FLAC.
     """
     schema = (
         "media_id long, payload binary, "
@@ -2912,7 +3001,7 @@ def synthesize_flac_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 samples = np.trunc(a * np.sin(2.0 * np.pi * f * t / sr)).astype(
                     np.int16
                 )
-                payload = encode_flac(samples, sr)
+                payload = encode_flac(samples, sr, method="lpc")
                 out.append(
                     (did, payload,
                      {"format": "flac", "sample_rate": sr, "n_samples": n,
