@@ -134,6 +134,53 @@ def test_distinct_state_merge_is_idempotent_and_exactish(spark, sf_dir):
         assert abs(e - exact[k]) <= 0.05 * exact[k], (k, e, exact[k])
 
 
+def test_hll_state_merge_is_exact_idempotent_and_bounded(spark, sf_dir):
+    """The explicit-register HLL (i11) must merge to the BIT-IDENTICAL
+    register state of the concatenated data under any split (what lets
+    the gate verify it by exact value), stay idempotent under replay,
+    keep <= 256 registers per key, and estimate within the HLL-256
+    error bound on both sides of the linear-counting switch."""
+    from vunnel_spark.operators.incremental import (
+        estimate_hll,
+        hll_state,
+        merge_hll_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    splits = [ev.filter(F.dayofmonth("ts") % 3 == i) for i in range(3)]
+    states = [hll_state(d, keys, "user_id") for d in splits]
+
+    def regs(state):
+        return {(r["event_type"], r["reg"]): r["rho"] for r in state.collect()}
+
+    merged = merge_hll_state(states, keys)
+    direct = hll_state(ev, keys, "user_id")
+    assert regs(merged) == regs(direct)  # exact, not approximate
+
+    replayed = merge_hll_state([merged, states[0]], keys)
+    assert regs(replayed) == regs(merged)  # at-least-once safe
+
+    per_key = merged.groupBy(*keys).count().collect()
+    assert all(r["count"] <= 256 for r in per_key)
+
+    # small-n regime (few distinct users): linear-counting branch
+    est = {r["event_type"]: r["est_hll"]
+           for r in estimate_hll(merged, keys).collect()}
+    exact = {r["event_type"]: r["x"]
+             for r in ev.groupBy(*keys).agg(
+                 F.countDistinct("user_id").alias("x")).collect()}
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(0.15 * exact[k], 2.0), (k, e, exact[k])
+
+    # large-n regime: force the raw-harmonic branch past 2.5*m
+    big = spark.range(0, 5000).select(
+        F.lit("k").alias("g"), F.col("id").alias("v")
+    )
+    got = estimate_hll(hll_state(big, ["g"], "v"), ["g"]).collect()[0]
+    assert abs(got["est_hll"] - 5000) <= 0.15 * 5000, got["est_hll"]
+
+
 def test_histogram_state_merge_is_exact_under_any_split(spark):
     """Merging per-split histogram states must be BIT-IDENTICAL to the
     histogram of the concatenated data, for any split — the property

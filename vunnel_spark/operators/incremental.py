@@ -235,6 +235,121 @@ def estimate_quantiles(
     return out
 
 
+#: portable-HLL geometry: 256 registers (first 2 md5 hex chars), rank
+#: read off the next 48 bits (12 hex chars), so rho in [1, 49].
+_HLL_M = 256
+_HLL_TWO50 = 1 << 50
+
+
+def _hll_reg_rho(value_col: str):
+    """(register, rho) for one value, every term engine-portable.
+
+    register = first 2 hex chars of md5(value) — 256 registers kept as
+    the HEX STRING itself (the _cms_cells discipline: no hex->int
+    conversion to diverge on).  rho = 1 + number of leading zero BITS
+    in the next 12 hex chars, computed without bit twiddling: 4 bits
+    per leading '0' char (the '^0*' run) plus the first non-zero
+    nibble's own leading zeros ('1'->3, '2'-'3'->2, '4'-'7'->1,
+    else 0).  All 48 bits zero (probability 2^-48) pins rho = 49.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    reg = F.substring(h, 1, 2)
+    s = F.substring(h, 3, 12)
+    z = F.length(F.regexp_extract(s, "^0*", 0))
+    c = s.substr(z + F.lit(1), F.lit(1))
+    nz = (
+        F.when(c == "1", 3)
+        .when(c.isin("2", "3"), 2)
+        .when((c >= "4") & (c <= "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(z == 12, F.lit(49)).otherwise(z * 4 + nz + 1)
+    return reg, rho
+
+
+def hll_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable per-key DISTINCT-count state as EXPLICIT HyperLogLog
+    registers (Flajolet et al. 2007): (keys..., reg, rho) rows, one per
+    touched register, rho = max rank observed.
+
+    The engine-portable counterpart of ``distinct_state``: that path
+    keeps an opaque Datasketches binary (compact, but only a tolerance
+    check can gate it — i8); THIS path keeps the registers as plain
+    rows derived from md5, so an oracle can rebuild the identical state
+    in SQL and the gate verifies the merged sketch BY EXACT VALUE, the
+    i9/i10 discipline applied to the one sketch family that still
+    lacked it.  Same maintenance algebra as HLL proper: registers union
+    by max — associative, commutative, IDEMPOTENT, so a replayed delta
+    cannot corrupt state (the at-least-once-safe property i8 carries
+    and i7/i10's linear counters do not).
+
+    Plan shape: rho is pure string/conditional arithmetic on md5 (no
+    UDF), collapsed by map-side partial max to <= |keys|*256 rows per
+    partition before the single shuffle; state is <= |keys|*256 rows
+    forever, regardless of stream cardinality.
+    """
+    reg, rho = _hll_reg_rho(value_col)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_hll_state(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Register-wise max across state/delta frames: one shuffle of
+    <= |keys|*256 fixed-width rows; idempotent under replay."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "reg").agg(F.max("rho").alias("rho"))
+
+
+def estimate_hll(state: DataFrame, keys: list[str]) -> DataFrame:
+    """HLL cardinality read-off, every intermediate exactly
+    reproducible in SQL.
+
+    Emits per key: ``n_reg_used`` (touched registers), ``denom_scaled``
+    = 2^50 * sum over all 256 registers of 2^-rho(j) (untouched
+    registers contribute 2^0) — an exact BIGINT because rho <= 49 —
+    and ``est_hll`` = alpha_256 * m^2 / (denom_scaled / 2^50) with the
+    standard small-range rewrite: raw E <= 2.5m with empty registers
+    left switches to linear counting m * ln(m / V) (Flajolet §4),
+    whose inputs are the same exact integers, so both engines take the
+    same branch and compute the identical double.
+    """
+    alpha_num = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0)
+        * F.lit(float(_HLL_TWO50))
+    )
+    agg = state.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reg_used"),
+        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("rho")).cast("long"))
+        .cast("bigint")
+        .alias("_s"),
+    )
+    agg = agg.withColumn(
+        "denom_scaled",
+        (
+            F.col("_s")
+            + (F.lit(_HLL_M) - F.col("n_reg_used")) * F.lit(_HLL_TWO50)
+        ).cast("bigint"),
+    )
+    raw = alpha_num / F.col("denom_scaled").cast("double")
+    linear = F.lit(256.0) * F.log(
+        F.lit(256.0) / (F.lit(256.0) - F.col("n_reg_used")).cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_reg_used") < _HLL_M), linear
+    ).otherwise(raw)
+    return agg.select(
+        *keys, "n_reg_used", "denom_scaled", F.round(est, 4).alias("est_hll")
+    )
+
+
 def _cms_cells(value_col: str, depth: int):
     """(j, cell) hash cells for one value: cell_j = first 2 hex chars of
     md5(j ':' value) — 256 buckets per row, engine-portable (md5 is

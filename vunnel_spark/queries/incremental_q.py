@@ -222,3 +222,104 @@ def i10(spark, sf_dir):
         "est_count",
         (100 * F.col("est_count") >= F.col("n_stream")).alias("is_heavy"),
     )
+
+
+
+@register(
+    "i11_hll_register_merge",
+    f"""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), parts AS (
+      SELECT event_type, substr(h, 1, 2) AS reg, substr(h, 3, 12) AS s,
+             length(regexp_extract(substr(h, 3, 12), '^0*')) AS z
+      FROM h
+    ), ranks AS (
+      SELECT event_type, reg,
+             CASE WHEN z = 12 THEN 49
+                  ELSE z * 4 + CASE substr(s, z + 1, 1)
+                         WHEN '1' THEN 3
+                         WHEN '2' THEN 2 WHEN '3' THEN 2
+                         WHEN '4' THEN 1 WHEN '5' THEN 1
+                         WHEN '6' THEN 1 WHEN '7' THEN 1
+                         ELSE 0 END + 1
+             END AS rho
+      FROM parts
+    ), regs AS (
+      SELECT event_type, reg, max(rho) AS rho FROM ranks GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_reg_used,
+             CAST(sum(CAST(power(2, 50 - rho) AS BIGINT))
+                  + (256 - count(*)) * 1125899906842624 AS BIGINT)
+               AS denom_scaled
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, n_reg_used, denom_scaled,
+             0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+               * 1125899906842624.0 / CAST(denom_scaled AS DOUBLE) AS raw_e
+      FROM agg
+    ), ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.n_reg_used, e.denom_scaled,
+           round(CASE WHEN e.raw_e <= 640.0 AND e.n_reg_used < 256
+                      THEN 256.0 * ln(256.0 / CAST(256 - e.n_reg_used AS DOUBLE))
+                      ELSE e.raw_e END, 4) AS est_hll,
+           x.exact_users,
+           100.0 * abs(round(CASE WHEN e.raw_e <= 640.0 AND e.n_reg_used < 256
+                      THEN 256.0 * ln(256.0 / CAST(256 - e.n_reg_used AS DOUBLE))
+                      ELSE e.raw_e END, 4) - x.exact_users)
+             <= 20.0 * x.exact_users AS within_tol
+    FROM est e JOIN ex x USING (event_type)
+    """,
+    doc="Incremental DISTINCT-count maintenance via EXPLICIT HyperLogLog "
+        "registers (operators/incremental.py hll_state/merge_hll_state/"
+        "estimate_hll; Flajolet et al. 2007) — the engine-portable, "
+        "exact-value-gated counterpart of i8's opaque Datasketches "
+        "binary.  Registers come from md5 (first 2 hex chars pick 1 of "
+        "256, rank = leading-zero bits of the next 48, counted by hex-"
+        "char CASE arithmetic — no hex->int conversion), so the oracle "
+        "rebuilds the merged register state bit-identically in SQL and "
+        "the gate verifies register count AND the scaled harmonic "
+        "denominator (an exact BIGINT: 2^50 * sum 2^-rho) BY VALUE, "
+        "completing the mergeable-sketch trio's exact tier (i9 "
+        "histogram, i10 CMS, i11 HLL).  Register max-merge is "
+        "idempotent — the at-least-once-safe property i10's linear "
+        "counters lack.  The estimate applies the standard small-range "
+        "linear-counting rewrite (raw E <= 2.5m -> m*ln(m/V)) whose "
+        "branch reads the same exact integers on both engines; "
+        "within_tol = 20% vs exact distinct (HLL-256 RSE is ~6.5%), "
+        "decided from the ROUNDED estimate so both engines agree.  "
+        "State <= |keys|*256 rows forever; partial max collapses "
+        "map-side before the single shuffle",
+    tags=("incremental", "agg"),
+)
+def i11(spark, sf_dir):
+    from vunnel_spark.operators.incremental import (
+        estimate_hll,
+        hll_state,
+        merge_hll_state,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    history = ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+    delta = ev.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    keys = ["event_type"]
+    state = merge_hll_state(
+        [hll_state(history, keys, "user_id"), hll_state(delta, keys, "user_id")],
+        keys,
+    )
+    est = estimate_hll(state, keys)
+    exact = ev.groupBy(*keys).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return est.join(exact, keys).select(
+        "event_type",
+        "n_reg_used",
+        "denom_scaled",
+        "est_hll",
+        "exact_users",
+        (100.0 * F.abs(F.col("est_hll") - F.col("exact_users"))
+         <= 20.0 * F.col("exact_users")).alias("within_tol"),
+    )
