@@ -84,3 +84,50 @@ def dedup_keep_first(
     an appropriate ordering (arrival asc = first-wins, desc = last-wins).
     """
     return priority_pick(df, keys, order_by)
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel analysis (v5): per user, the earliest time each
+    funnel stage was reached IN ORDER — stage k counts only at or after
+    the user's stage-(k-1) time (the standard product-analytics funnel,
+    e.g. view -> click -> purchase).
+
+    Emits one row per user: ``t_<stage>`` timestamp columns (null once
+    the chain breaks) and ``stage`` = number of stages completed.
+
+    Shape: one filtered min-aggregate per stage, each keyed on the SAME
+    user column — k small shuffles that AQE coalesces, with every
+    intermediate bounded by |users| rows, then left-join chaining.  The
+    sequential dependency (stage k's filter needs stage k-1's time) is
+    irreducible — a single-pass conditional aggregate cannot express
+    "first B after first A" — so k passes over the (pushed-down,
+    per-stage-pruned) events scan is the minimal plan, NOT a window
+    over per-user sorted event arrays (which would shuffle the full
+    event payload and break down on power users with millions of rows).
+    """
+    users = df.select(user_col).distinct()
+    out = users
+    prev_name: str | None = None
+    for stage in stages:
+        ev = df.filter(F.col(type_col) == stage)
+        if prev_name is not None:
+            ev = ev.join(
+                out.select(user_col, prev_name).filter(
+                    F.col(prev_name).isNotNull()
+                ),
+                user_col,
+            ).filter(F.col(ts_col) >= F.col(prev_name))
+        t_name = f"t_{stage}"
+        reached = ev.groupBy(user_col).agg(F.min(ts_col).alias(t_name))
+        out = out.join(reached, user_col, "left")
+        prev_name = t_name
+    stage_expr = sum(
+        (F.col(f"t_{s}").isNotNull().cast("int") for s in stages), F.lit(0)
+    )
+    return out.withColumn("stage", stage_expr.cast("int"))

@@ -112,6 +112,54 @@ def v3(spark, sf_dir):
 
 
 @register(
+    "v5_funnel_stages",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ), v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1
+    )
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     WHEN v.t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage
+    FROM u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered funnel analysis view -> click -> purchase "
+        "(operators/windows.py funnel_stages): per user, the earliest "
+        "time each stage was reached AT OR AFTER the previous stage's "
+        "time — the product-analytics conversion funnel.  The "
+        "sequential dependency (first B after first A) is irreducible "
+        "to one pass, so the plan is one per-stage filtered min-"
+        "aggregate keyed on the same user column (k bounded shuffles, "
+        "every intermediate <= |users| rows) chained by left joins — "
+        "NOT a per-user sorted event-array window, which would shuffle "
+        "full event payloads and melt on power users at 100 TB",
+    tags=("events", "window"),
+)
+def v5(spark, sf_dir):
+    from vunnel_spark.operators.windows import funnel_stages
+
+    ev = t(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, "user_id", "ts", "event_type", ("view", "click", "purchase")
+    ).select("user_id", "t_view", "t_click", "t_purchase", "stage")
+
+
+@register(
     "i1_watermark_delta_filter",
     """
     SELECT event_type, count(*) AS n, min(ts) AS first_ts, max(ts) AS last_ts
