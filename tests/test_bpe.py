@@ -1,0 +1,96 @@
+"""BPE trainer (operators/bpe.py) vs an independent pure-Python
+reference implementation, plus degenerate-corpus behavior (the x16
+lesson: the gate corpus has a 10-word minimum that masks short-doc
+bugs, so exercise empty/1-char docs explicitly)."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from vunnel_spark.operators.bpe import (
+    EOW,
+    bpe_train,
+    merge_pair,
+    pair_counts,
+    to_symbols,
+    word_counts,
+)
+
+
+def _py_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Reference BPE: dict-of-tuples, greedy left-to-right merge."""
+    words = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            words[tuple(w) + (EOW,)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for sym, freq in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        # count desc, a asc, b asc — the deterministic tie-break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        out = collections.Counter()
+        for sym, freq in words.items():
+            new, i = [], 0
+            for s in sym:
+                if new and new[-1] == a and s == b:
+                    new[-1] = a + b
+                else:
+                    new.append(s)
+            out[tuple(new)] += freq
+        words = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wider wide wide wide",
+        "low newer wide lowest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(docs, 6)
+    want = _py_bpe(texts, 6)
+    assert got == want
+
+
+def test_bpe_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [("",), ("   ",), ("a",), ("ab ab",)], "text string"
+    )
+    # word_counts drops empty tokens
+    wc = {r["word"]: r["freq"] for r in word_counts(docs).collect()}
+    assert wc == {"a": 1, "ab": 2}
+    merges = bpe_train(docs, 2)
+    # most frequent pair: ('a','b') cnt 2, then ('ab', EOW) cnt 2 —
+    # tie at 2 broken by a asc: ('a','b') < ('ab',EOW)
+    assert merges == _py_bpe(["", "   ", "a", "ab ab"], 2)
+    assert merges[0] == ("a", "b", 2)
+
+
+def test_merge_pair_is_greedy_left_to_right(spark):
+    sw = to_symbols(
+        spark.createDataFrame([("aaa", 1)], "word string, freq long"),
+        eow=False,
+    )
+    out = merge_pair(sw, "a", "a").collect()[0]["symbols"]
+    assert out == ["aa", "a"]  # not ["a", "aa"], not ["aa", "aa"]
+
+
+def test_pair_counts_weighted_by_word_freq(spark):
+    sw = to_symbols(
+        spark.createDataFrame(
+            [("ab", 3), ("ba", 2)], "word string, freq long"
+        ),
+        eow=False,
+    )
+    got = {(r["a"], r["b"]): r["cnt"] for r in pair_counts(sw).collect()}
+    assert got == {("a", "b"): 3, ("b", "a"): 2}

@@ -961,3 +961,75 @@ def x18(spark, sf_dir):
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+@register(
+    "x19_bpe_pair_stats",
+    r"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT word, count(*) AS freq FROM words
+      WHERE length(word) > 0 GROUP BY word
+    ), inner_pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                    i -> substr(word, i, 2))) AS pair, freq
+      FROM wf WHERE length(word) >= 2
+    ), all_pairs AS (
+      SELECT substr(pair, 1, 1) AS pair_a, substr(pair, 2, 1) AS pair_b,
+             freq
+      FROM inner_pairs
+      UNION ALL
+      SELECT substr(word, length(word), 1) AS pair_a, '</w>' AS pair_b,
+             freq
+      FROM wf
+    ), counts AS (
+      SELECT pair_a, pair_b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM all_pairs GROUP BY 1, 2
+    )
+    SELECT pair_a, pair_b, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, pair_a, pair_b)
+                AS BIGINT) AS rank
+    FROM counts ORDER BY cnt DESC, pair_a, pair_b LIMIT 20
+    """,
+    doc="BPE tokenizer-training pair statistics (operators/bpe.py; "
+        "Sennrich et al. 2016): the top-20 adjacent character-pair "
+        "frequencies — including the '</w>' end-of-word sentinel pair — "
+        "that drive the first merge decision, with the deterministic "
+        "tie-break (count desc, pair asc) the iterative trainer "
+        "(bpe_train, unit-tested against an independent pure-Python "
+        "BPE) uses for every step.  The scale property the operator "
+        "exploits: pair counts need only the Zipf-bounded DISTINCT-WORD "
+        "table weighted by frequency, never the raw token stream — one "
+        "corpus pass builds (word, freq), each merge step is one "
+        "|vocab|-bounded pair aggregate with map-side partials and a "
+        "k=1 driver collect (the kmeans-model discipline), and the "
+        "merge rewrite is a pure fold expression (F.aggregate), no UDF, "
+        "no reshuffle of the word table",
+    tags=("text", "bpe"),
+)
+def x19(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vunnel_spark.operators.bpe import pair_counts, to_symbols, word_counts
+
+    docs = t(spark, sf_dir, "documents")
+    counts = pair_counts(to_symbols(word_counts(docs), eow=True))
+    return (
+        counts.select(
+            F.col("a").alias("pair_a"),
+            F.col("b").alias("pair_b"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("cnt"), F.asc("pair_a"), F.asc("pair_b"))
+            )
+            .cast("bigint"),
+        )
+        .orderBy(F.desc("cnt"), "pair_a", "pair_b")
+        .limit(20)
+    )
