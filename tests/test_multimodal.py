@@ -877,3 +877,128 @@ def test_flac_lpc_subframes_lossless_and_smaller_on_tonal():
             dec, _sr = decode_flac(enc)
             assert np.array_equal(dec, s), (i, order)
     assert len(encode_flac(sine, 8000, method="lpc")) < len(encode_flac(sine, 8000))
+
+
+def test_stereo_flac_all_modes_lossless_roundtrip():
+    """Every channel assignment x predictor combination must decode to
+    the exact input channels — including full-range int16 where the
+    side channel needs all 17 bits."""
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac_stereo,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ("constant", np.full(200, 123, np.int16), np.full(200, -456, np.int16)),
+        ("tonal", np.trunc(3000 * np.sin(np.arange(300) / 7.0)).astype(np.int16),
+         np.trunc(2500 * np.sin(np.arange(300) / 5.0)).astype(np.int16)),
+        ("noise", rng.randint(-32768, 32768, 257).astype(np.int16),
+         rng.randint(-32768, 32768, 257).astype(np.int16)),
+        ("extremes", np.array([32767, -32768, 32767, -32768, 0], np.int16),
+         np.array([-32768, 32767, -32768, 32767, -1], np.int16)),
+        ("one", np.array([-7], np.int16), np.array([9], np.int16)),
+    ]
+    for name, left, right in cases:
+        for mode in ("lr", "ls", "rs", "ms"):
+            for method in ("fixed", "lpc"):
+                if method == "lpc" and len(left) < 2:
+                    continue
+                out, sr = decode_flac(
+                    encode_flac_stereo(left, right, 8000, mode=mode,
+                                       method=method)
+                )
+                assert sr == 8000
+                assert out.shape == (len(left), 2), (name, mode, method)
+                assert np.array_equal(out[:, 0], left), (name, mode, method)
+                assert np.array_equal(out[:, 1], right), (name, mode, method)
+
+
+def test_stereo_flac_property_roundtrip():
+    """Hypothesis sweep: random channels, lengths and modes decode
+    bit-exactly (MD5-verified inside decode_flac)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vunnel_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac_stereo,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 400),
+        st.integers(0, 2**32 - 1),
+        st.sampled_from(["lr", "ls", "rs", "ms"]),
+        st.sampled_from(["fixed", "lpc"]),
+    )
+    def check(n, seed, mode, method):
+        if method == "lpc" and n < 2:
+            n = 2
+        rng = np.random.RandomState(seed)
+        left = rng.randint(-32768, 32768, n).astype(np.int16)
+        right = rng.randint(-32768, 32768, n).astype(np.int16)
+        out, _ = decode_flac(
+            encode_flac_stereo(left, right, 8000, mode=mode, method=method)
+        )
+        assert np.array_equal(out[:, 0], left)
+        assert np.array_equal(out[:, 1], right)
+
+    check()
+
+
+def test_stereo_flac_integrity_and_errors():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac_stereo,
+    )
+
+    left = np.arange(100, dtype=np.int16)
+    right = -np.arange(100, dtype=np.int16)
+    with pytest.raises(ValueError):
+        encode_flac_stereo(left, right[:50], 8000)
+    with pytest.raises(ValueError):
+        encode_flac_stereo(left, right, 8000, mode="xx")
+    enc = bytearray(encode_flac_stereo(left, right, 8000, mode="ms"))
+    enc[-3] ^= 0x40  # flip a residual bit inside the frame
+    with pytest.raises(ValueError):
+        decode_flac(bytes(enc))
+
+
+def test_stereo_flac_features_match_synth_law(spark, sf_dir):
+    """stereo_audio_features over the synth table must equal the
+    closed-form law — per channel, plus the exact L*R dot."""
+    import math
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        stereo_audio_features,
+        synthesize_stereo_flac_table,
+    )
+    from vunnel_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    rows = {r["media_id"]: r for r in
+            stereo_audio_features(synthesize_stereo_flac_table(docs)).collect()}
+    for did, r in rows.items():
+        n = 160 + (did % 36) * 8
+        fl = 110 + (did % 300)
+        fr = 130 + (did % 320)
+        a = 800 + (did % 7000)
+        tt = np.arange(n, dtype=np.float64)
+        left = np.trunc(a * np.sin(2.0 * np.pi * fl * tt / 8000))
+        right = np.trunc(a * np.sin(2.0 * np.pi * fr * tt / 8000))
+        assert r["n_samples"] == n
+        assert r["peak_left"] == int(np.max(np.abs(left)))
+        assert r["peak_right"] == int(np.max(np.abs(right)))
+        assert r["rms_left"] == round(math.sqrt(float(np.mean(left * left))), 4)
+        assert r["rms_right"] == round(math.sqrt(float(np.mean(right * right))), 4)
+        assert r["lr_dot"] == int(np.dot(left.astype(np.int64),
+                                         right.astype(np.int64)))

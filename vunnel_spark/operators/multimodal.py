@@ -13,11 +13,12 @@ grayscale, YCbCr 4:4:4 color, and 4:2:0 chroma-subsampled), and
 PROGRESSIVE JPEG (SOF2 multi-scan: spectral selection, EOBn run coding,
 full successive-approximation DC+AC refinement; grayscale, 4:4:4 and
 4:2:0 color) are implemented for real — as is FLAC (LPC + FIXED
-predictors, rice residuals, CRC-8/16 + MD5; lossless) beside the stdlib-wave RIFF/PCM
+predictors, rice residuals, CRC-8/16 + MD5, mono + all four stereo
+channel assignments; lossless) beside the stdlib-wave RIFF/PCM
 path — alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
 fragmented) MJPEG container demux — the decode/resize/feature/
 frame-sample stages exercise genuine bytes-in/pixels-out behavior
-end-to-end, and the m1-m17 queries carry exact SQL oracles over
+end-to-end, and the m1-m18 queries carry exact SQL oracles over
 deterministically synthesized images.  Remaining variants
 (arithmetic-coded JPEG, webm) raise NotImplementedError behind
 the explicit ``fake=True`` escape hatch; swapping in PIL/ffmpeg changes
@@ -2492,14 +2493,15 @@ def synthesize_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: st
 
 # ---------------------------------------------------------------- FLAC codec
 #
-# Real FLAC (the public format spec / RFC 9639) for 16-bit mono: the
+# Real FLAC (the public format spec / RFC 9639) for 16-bit audio: the
 # lossless compressed-audio counterpart to the WAV path.  Implemented
 # subset — STREAMINFO with audio MD5, fixed-blocksize frames, CONSTANT /
 # VERBATIM / FIXED(0-4) / LPC subframes (Levinson-Durbin-fit quantized
 # coefficients on encode; full LPC decode), rice residual coding (4- and
 # 5-bit parameter variants, partitioned, escape codes), CRC-8 header and
-# CRC-16 frame checks.  Stereo decorrelation raises
-# NotImplementedError explicitly.  Lossless end to end: decode returns
+# CRC-16 frame checks, and STEREO with all four channel assignments
+# (independent, left-side, right-side, mid-side; 17-bit side channel,
+# parity-bit mid reconstruction).  Lossless end to end: decode returns
 # the exact int16 samples, verified against the STREAMINFO MD5.
 
 
@@ -2603,30 +2605,19 @@ _FLAC_FIXED_COEFFS = {
 }
 
 
-def encode_flac(samples, sample_rate: int, method: str = "fixed",
-                lpc_order: int = 8) -> bytes:
-    """int16 mono samples -> FLAC bytes (single fixed-blocksize frame).
+def _write_flac_subframe(bw, samples, bits: int = 16, method: str = "fixed",
+                         lpc_order: int = 8) -> None:
+    """One subframe (header + warmup + residuals) onto the bit writer.
 
-    ``method="fixed"`` (default) picks the FIXED predictor order (0-2)
-    with the smallest total residual magnitude (deterministic; ties to
-    the lower order); ``method="lpc"`` fits real linear-prediction
-    coefficients (autocorrelation + Levinson-Durbin, quantized to 12
-    bits with the spec's shift scheme) — the subframe type real-world
-    encoders emit.  Either way residuals go through a single
-    partition-order-0 rice partition, and the STREAMINFO MD5 of the
-    little-endian PCM lets decoders verify losslessness end to end
-    (LPC prediction is integer-exact on both sides, so lossless holds
-    regardless of how well the float fit converged).
+    ``bits`` is the subframe sample size — 16 for plain channels, 17
+    for the side channel of a stereo decorrelation (the spec's one
+    extra bit, since side = left - right spans [-65535, 65535]).
+    Selection logic is shared by mono and every stereo channel.
     """
-    import hashlib
-    import struct
-
     import numpy as np
 
     samples = np.asarray(samples, dtype=np.int64)
     n = len(samples)
-    if not 1 <= n <= 0x10000:
-        raise ValueError("encode_flac handles 1..65536 samples per clip")
 
     lpc = None  # (order, precision, shift, quantized coefs) when method=lpc
     if method == "lpc":
@@ -2685,21 +2676,13 @@ def encode_flac(samples, sample_rate: int, method: str = "fixed",
     mean = int(folded.mean()) if len(folded) else 0
     p = min(max(mean.bit_length() - 1, 0), 14)
 
-    bw = _PlainBitWriter()
-    # frame header: sync+fixed-blocking, blocksize code 0111 (16-bit at
-    # end), sample-rate code 0000 (from STREAMINFO), mono, 16-bit, frame 0
-    header = bytearray([0xFF, 0xF8, 0x70, 0x08, 0x00])
-    header += struct.pack(">H", n - 1)
-    header.append(_crc8(bytes(header)))
-    for b in header:
-        bw.write(b, 8)
     if lpc:
         bw.write(0b100000 | (o - 1), 7)  # subframe header: 0 pad + LPC(o)
     else:
         bw.write(0b001000 + o, 7)  # subframe header: 0 pad + FIXED(o) type
     bw.write(0, 1)  # no wasted bits
     for t in range(o):  # warmup samples, raw at sample size
-        bw.write(int(samples[t]) & 0xFFFF, 16)
+        bw.write(int(samples[t]) & ((1 << bits) - 1), bits)
     if lpc:
         _o, prec, shift, qc = lpc
         bw.write(prec - 1, 4)
@@ -2714,6 +2697,43 @@ def encode_flac(samples, sample_rate: int, method: str = "fixed",
         bw.write_unary(u >> p)
         if p:
             bw.write(u & ((1 << p) - 1), p)
+
+
+def encode_flac(samples, sample_rate: int, method: str = "fixed",
+                lpc_order: int = 8) -> bytes:
+    """int16 mono samples -> FLAC bytes (single fixed-blocksize frame).
+
+    ``method="fixed"`` (default) picks the FIXED predictor order (0-2)
+    with the smallest total residual magnitude (deterministic; ties to
+    the lower order); ``method="lpc"`` fits real linear-prediction
+    coefficients (autocorrelation + Levinson-Durbin, quantized to 12
+    bits with the spec's shift scheme) — the subframe type real-world
+    encoders emit.  Either way residuals go through a single
+    partition-order-0 rice partition, and the STREAMINFO MD5 of the
+    little-endian PCM lets decoders verify losslessness end to end
+    (LPC prediction is integer-exact on both sides, so lossless holds
+    regardless of how well the float fit converged).
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    n = len(samples)
+    if not 1 <= n <= 0x10000:
+        raise ValueError("encode_flac handles 1..65536 samples per clip")
+
+    bw = _PlainBitWriter()
+    # frame header: sync+fixed-blocking, blocksize code 0111 (16-bit at
+    # end), sample-rate code 0000 (from STREAMINFO), mono, 16-bit, frame 0
+    header = bytearray([0xFF, 0xF8, 0x70, 0x08, 0x00])
+    header += struct.pack(">H", n - 1)
+    header.append(_crc8(bytes(header)))
+    for b in header:
+        bw.write(b, 8)
+    _write_flac_subframe(bw, samples, bits=16, method=method,
+                         lpc_order=lpc_order)
     bw.align()
     frame = bw.bytes()
     frame += struct.pack(">H", _crc16(frame))
@@ -2728,15 +2748,158 @@ def encode_flac(samples, sample_rate: int, method: str = "fixed",
     return b"fLaC" + meta + frame
 
 
+#: stereo channel-assignment codes (frame-header bits 12-15) and which
+#: subframe carries the extra side bit: (code, bits_ch0, bits_ch1)
+_FLAC_STEREO_MODES = {
+    "lr": (0b0001, 16, 16),  # independent left/right
+    "ls": (0b1000, 16, 17),  # left + side
+    "rs": (0b1001, 17, 16),  # side + right
+    "ms": (0b1010, 16, 17),  # mid + side
+}
+
+
+def encode_flac_stereo(left, right, sample_rate: int, mode: str = "ms",
+                       method: str = "fixed", lpc_order: int = 8) -> bytes:
+    """int16 stereo -> FLAC bytes with REAL channel decorrelation.
+
+    All four spec channel assignments: ``lr`` (independent), ``ls``
+    (left-side), ``rs`` (right-side), ``ms`` (mid-side) — side =
+    left - right at 17 bits, mid = (left + right) >> 1, whose dropped
+    low bit the decoder recovers from side's parity (the spec trick
+    that keeps mid/side lossless).  STREAMINFO MD5 covers the
+    interleaved L,R PCM so losslessness is verified end to end.
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    left = np.asarray(left, dtype=np.int64)
+    right = np.asarray(right, dtype=np.int64)
+    if left.shape != right.shape:
+        raise ValueError("left/right length mismatch")
+    n = len(left)
+    if not 1 <= n <= 0x10000:
+        raise ValueError("encode_flac_stereo handles 1..65536 samples")
+    if mode not in _FLAC_STEREO_MODES:
+        raise ValueError(f"unknown stereo mode {mode!r}")
+    code, bits0, bits1 = _FLAC_STEREO_MODES[mode]
+
+    if mode == "lr":
+        ch0, ch1 = left, right
+    elif mode == "ls":
+        ch0, ch1 = left, left - right
+    elif mode == "rs":
+        ch0, ch1 = left - right, right
+    else:  # ms
+        ch0, ch1 = (left + right) >> 1, left - right
+
+    bw = _PlainBitWriter()
+    header = bytearray([0xFF, 0xF8, 0x70, (code << 4) | 0x08, 0x00])
+    header += struct.pack(">H", n - 1)
+    header.append(_crc8(bytes(header)))
+    for b in header:
+        bw.write(b, 8)
+    _write_flac_subframe(bw, ch0, bits=bits0, method=method,
+                         lpc_order=lpc_order)
+    _write_flac_subframe(bw, ch1, bits=bits1, method=method,
+                         lpc_order=lpc_order)
+    bw.align()
+    frame = bw.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+
+    inter = np.empty(2 * n, dtype=np.int16)
+    inter[0::2] = left.astype(np.int16)
+    inter[1::2] = right.astype(np.int16)
+    info = struct.pack(">HH", n, n) + b"\x00" * 6
+    packed = (sample_rate << 44) | (1 << 41) | (15 << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += hashlib.md5(inter.astype("<i2").tobytes()).digest()
+    meta = bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    return b"fLaC" + meta + frame
+
+
+def _read_flac_subframe(br, blocksize: int, bits: int = 16) -> list:
+    """One subframe off the bit reader -> list of ints.
+
+    ``bits`` is the subframe sample size (17 for stereo side channels).
+    CONSTANT / VERBATIM / FIXED / LPC types, partitioned rice residuals
+    (4- and 5-bit params, escape codes)."""
+    if br.read_bit():
+        raise ValueError("subframe padding bit set")
+    stype = br.read_bits(6)
+    if br.read_bit():
+        raise NotImplementedError("wasted bits unsupported")
+    if stype == 0:  # CONSTANT
+        return [br.read_signed(bits)] * blocksize
+    if stype == 1:  # VERBATIM
+        return [br.read_signed(bits) for _ in range(blocksize)]
+    if 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(bits) for _ in range(order)]
+        res = _read_flac_residuals(br, blocksize, order)
+        block = list(warm)
+        coef = _FLAC_FIXED_COEFFS[order]
+        for r in res:
+            v = r + sum(c * block[-i - 1] for i, c in enumerate(coef))
+            block.append(v)
+        return block
+    if stype >= 32:  # LPC, order = low 5 bits + 1
+        order = (stype & 0x1F) + 1
+        warm = [br.read_signed(bits) for _ in range(order)]
+        prec = br.read_bits(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision code")
+        shift = br.read_bits(5)  # spec-signed, but negative shifts
+        if shift >= 16:  # never occur in practice and we reject them
+            raise NotImplementedError("negative LPC shift unsupported")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_flac_residuals(br, blocksize, order)
+        block = list(warm)
+        for r in res:
+            pred = sum(c * block[-j - 1] for j, c in enumerate(coefs)) >> shift
+            block.append(r + pred)  # Python >> floors like the spec
+        return block
+    raise ValueError("reserved subframe type")
+
+
+def _read_flac_residuals(br, blocksize: int, order: int) -> list:
+    """Partitioned rice residual section shared by FIXED and LPC."""
+    method = br.read_bits(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read_bits(4)
+    res = []
+    for part in range(1 << porder):
+        cnt = blocksize >> porder
+        if part == 0:
+            cnt -= order
+        rp = br.read_bits(pbits)
+        if rp == escape:
+            raw = br.read_bits(5)
+            for _ in range(cnt):
+                res.append(br.read_signed(raw) if raw else 0)
+            continue
+        for _ in range(cnt):
+            q = br.read_unary()
+            u = (q << rp) | (br.read_bits(rp) if rp else 0)
+            res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
+    return res
+
+
 def decode_flac(payload: bytes):
-    """FLAC bytes -> (int16 numpy samples, sample_rate).
+    """FLAC bytes -> (samples, sample_rate); int16 numpy array, 1-D for
+    mono, shape (n, 2) columns [left, right] for stereo.
 
     Full subset decode: metadata walk, frame header with every standard
     blocksize code, UTF-8-coded frame numbers, CONSTANT / VERBATIM /
     FIXED / LPC subframes, partitioned rice residuals (4- and 5-bit
-    params, escape codes), CRC-8 + CRC-16 verification, and the
-    STREAMINFO MD5 check that proves losslessness.  Multi-channel
-    raises NotImplementedError.
+    params, escape codes), all four stereo channel assignments
+    (independent, left-side, right-side, mid-side — the parity trick
+    recovers mid's dropped bit), CRC-8 + CRC-16 verification, and the
+    STREAMINFO MD5 check that proves losslessness.
     """
     import hashlib
     import struct
@@ -2746,7 +2909,7 @@ def decode_flac(payload: bytes):
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4
-    sr = bps = total = None
+    sr = bps = total = nch = None
     md5_expect = None
     while True:  # metadata blocks
         head = payload[pos]
@@ -2760,8 +2923,8 @@ def decode_flac(payload: bytes):
             bps = ((packed >> 36) & 0x1F) + 1
             total = packed & ((1 << 36) - 1)
             md5_expect = body[18:34]
-            if nch != 1 or bps != 16:
-                raise NotImplementedError("mono 16-bit FLAC only")
+            if nch not in (1, 2) or bps != 16:
+                raise NotImplementedError("mono/stereo 16-bit FLAC only")
         pos += 4 + ln
         if last:
             break
@@ -2769,7 +2932,8 @@ def decode_flac(payload: bytes):
         raise ValueError("missing STREAMINFO")
 
     out = []
-    while len(out) < total:
+    seen = 0  # per-channel samples decoded so far
+    while seen < total:
         frame_start = pos
         if pos + 4 > len(payload):
             raise ValueError("truncated FLAC stream")
@@ -2779,8 +2943,11 @@ def decode_flac(payload: bytes):
         sr_code = payload[pos + 2] & 0xF
         ch_code = payload[pos + 3] >> 4
         ss_code = (payload[pos + 3] >> 1) & 0x7
-        if ch_code != 0:
-            raise NotImplementedError("mono FLAC only")
+        if ch_code not in (0, 1, 8, 9, 10):
+            raise NotImplementedError(
+                "mono, independent-stereo and stereo-decorrelation "
+                "channel codes only"
+            )
         if ss_code != 0b100:
             raise NotImplementedError("16-bit FLAC only")
         pos += 4
@@ -2811,82 +2978,28 @@ def decode_flac(payload: bytes):
         pos += 1
 
         br = _PlainBitReader(payload, pos)
-        if br.read_bit():
-            raise ValueError("subframe padding bit set")
-        stype = br.read_bits(6)
-        if br.read_bit():
-            raise NotImplementedError("wasted bits unsupported")
-        if stype == 0:  # CONSTANT
-            block = [br.read_signed(16)] * blocksize
-        elif stype == 1:  # VERBATIM
-            block = [br.read_signed(16) for _ in range(blocksize)]
-        elif 8 <= stype <= 12:  # FIXED order 0-4
-            order = stype - 8
-            warm = [br.read_signed(16) for _ in range(order)]
-            method = br.read_bits(2)
-            if method > 1:
-                raise ValueError("reserved residual coding method")
-            pbits = 4 if method == 0 else 5
-            escape = (1 << pbits) - 1
-            porder = br.read_bits(4)
-            res = []
-            nparts = 1 << porder
-            for part in range(nparts):
-                cnt = blocksize >> porder
-                if part == 0:
-                    cnt -= order
-                rp = br.read_bits(pbits)
-                if rp == escape:
-                    raw = br.read_bits(5)
-                    for _ in range(cnt):
-                        res.append(br.read_signed(raw) if raw else 0)
-                    continue
-                for _ in range(cnt):
-                    q = br.read_unary()
-                    u = (q << rp) | (br.read_bits(rp) if rp else 0)
-                    res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
-            block = list(warm)
-            coef = _FLAC_FIXED_COEFFS[order]
-            for r in res:
-                v = r + sum(c * block[-i - 1] for i, c in enumerate(coef))
-                block.append(v)
-        elif stype >= 32:  # LPC, order = low 5 bits + 1
-            order = (stype & 0x1F) + 1
-            warm = [br.read_signed(16) for _ in range(order)]
-            prec = br.read_bits(4) + 1
-            if prec == 16:
-                raise ValueError("invalid LPC precision code")
-            shift = br.read_bits(5)  # spec-signed, but negative shifts
-            if shift >= 16:  # never occur in practice and we reject them
-                raise NotImplementedError("negative LPC shift unsupported")
-            coefs = [br.read_signed(prec) for _ in range(order)]
-            method = br.read_bits(2)
-            if method > 1:
-                raise ValueError("reserved residual coding method")
-            pbits = 4 if method == 0 else 5
-            escape = (1 << pbits) - 1
-            porder = br.read_bits(4)
-            res = []
-            for part in range(1 << porder):
-                cnt = blocksize >> porder
-                if part == 0:
-                    cnt -= order
-                rp = br.read_bits(pbits)
-                if rp == escape:
-                    raw = br.read_bits(5)
-                    for _ in range(cnt):
-                        res.append(br.read_signed(raw) if raw else 0)
-                    continue
-                for _ in range(cnt):
-                    q = br.read_unary()
-                    u = (q << rp) | (br.read_bits(rp) if rp else 0)
-                    res.append((u >> 1) if u % 2 == 0 else -((u + 1) >> 1))
-            block = list(warm)
-            for r in res:
-                pred = sum(c * block[-j - 1] for j, c in enumerate(coefs)) >> shift
-                block.append(r + pred)  # Python >> floors like the spec
+        if ch_code == 0:
+            block = _read_flac_subframe(br, blocksize, 16)
         else:
-            raise ValueError("reserved subframe type")
+            bits0 = 17 if ch_code == 9 else 16
+            bits1 = 17 if ch_code in (8, 10) else 16
+            ch0 = _read_flac_subframe(br, blocksize, bits0)
+            ch1 = _read_flac_subframe(br, blocksize, bits1)
+            if ch_code == 1:  # independent left/right
+                lch, rch = ch0, ch1
+            elif ch_code == 8:  # left-side: side = left - right
+                lch = ch0
+                rch = [a - s for a, s in zip(ch0, ch1)]
+            elif ch_code == 9:  # right-side: side = left - right
+                rch = ch1
+                lch = [s + b for s, b in zip(ch0, ch1)]
+            else:  # mid-side: side's parity recovers mid's dropped bit
+                lch, rch = [], []
+                for m, s in zip(ch0, ch1):
+                    m2 = (m << 1) | (s & 1)
+                    lch.append((m2 + s) >> 1)
+                    rch.append((m2 - s) >> 1)
+            block = [v for pair in zip(lch, rch) for v in pair]
         br.align()
         pos = br.byte
         if pos + 2 > len(payload):
@@ -2899,10 +3012,16 @@ def decode_flac(payload: bytes):
             raise ValueError("frame CRC-16 mismatch")
         pos += 2
         out.extend(block)
+        seen += blocksize
 
-    samples = np.array(out[: int(total)], dtype=np.int16)
+    if nch == 1:
+        samples = np.array(out[: int(total)], dtype=np.int16)
+        flat = samples
+    else:
+        flat = np.array(out[: 2 * int(total)], dtype=np.int16)
+        samples = flat.reshape(-1, 2)
     if md5_expect and md5_expect != b"\x00" * 16:
-        if hashlib.md5(samples.astype("<i2").tobytes()).digest() != md5_expect:
+        if hashlib.md5(flat.astype("<i2").tobytes()).digest() != md5_expect:
             raise ValueError("decoded audio MD5 mismatch (lossy corruption)")
     return samples, int(sr)
 
@@ -3095,5 +3214,107 @@ def audio_windowed_energy(df: DataFrame, window: int = 80) -> DataFrame:
                     (int(mid), i, round(float(v), 4)) for i, v in enumerate(rms)
                 )
             yield pd.DataFrame(out, columns=["media_id", "window_idx", "rms"])
+
+    return df.select("media_id", "payload").mapInPandas(compute, schema)
+
+
+def synthesize_stereo_flac_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL stereo-FLAC media table: two closed-form sine
+    channels per doc id through the full stereo codec —
+
+        sr = 8000 Hz,  n = 160 + (id % 36) * 8
+        fL = 110 + (id % 300),  fR = 130 + (id % 320)
+        a  = 800 + (id % 7000)
+        L_t = trunc(a * sin(2*pi*fL*t / sr)),  R likewise
+
+    Channel assignment rotates through all four spec modes by id % 4
+    (lr / ls / rs / ms) and the predictor alternates FIXED / LPC by
+    id % 2, so every stereo decorrelation x subframe-type combination
+    ships in-corpus.  FLAC is lossless, so the m18 oracle regenerates
+    both channels analytically and the whole stereo decode path —
+    including the mid/side parity reconstruction — is value-verified.
+    """
+    schema = (
+        "media_id long, payload binary, "
+        "meta struct<format:string, sample_rate:int, n_samples:int, "
+        "mode:string, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        sr = 8000
+        modes = ("lr", "ls", "rs", "ms")
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 160 + (did % 36) * 8
+                fl = 110 + (did % 300)
+                fr = 130 + (did % 320)
+                a = 800 + (did % 7000)
+                tt = np.arange(n, dtype=np.float64)
+                left = np.trunc(a * np.sin(2.0 * np.pi * fl * tt / sr)).astype(
+                    np.int16
+                )
+                right = np.trunc(a * np.sin(2.0 * np.pi * fr * tt / sr)).astype(
+                    np.int16
+                )
+                mode = modes[did % 4]
+                method = "lpc" if did % 2 else "fixed"
+                payload = encode_flac_stereo(left, right, sr, mode=mode,
+                                             method=method)
+                out.append(
+                    (did, payload,
+                     {"format": "flac", "sample_rate": sr, "n_samples": n,
+                      "mode": mode, "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def stereo_audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip per-channel features off REAL stereo decode: peak and
+    RMS for each channel plus the inter-channel sample correlation
+    numerator (sum L_t*R_t — exact integer, the decorrelation-sensitive
+    statistic: any mid/side or left/side reconstruction slip changes
+    it).  Same Arrow-batch plumbing contract as audio_features."""
+    schema = (
+        "media_id long, sample_rate int, n_samples int, "
+        "peak_left int, peak_right int, rms_left double, rms_right double, "
+        "lr_dot bigint"
+    )
+
+    def compute(batches: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, sr = decode_flac(bytes(payload))
+                if pcm.ndim != 2 or pcm.shape[1] != 2:
+                    raise ValueError("stereo payload expected")
+                left = pcm[:, 0].astype(np.float64)
+                right = pcm[:, 1].astype(np.float64)
+                n = pcm.shape[0]
+                out.append(
+                    (int(mid), sr, n,
+                     int(np.max(np.abs(left))), int(np.max(np.abs(right))),
+                     round(math.sqrt(float(np.mean(left * left))), 4),
+                     round(math.sqrt(float(np.mean(right * right))), 4),
+                     int(np.dot(pcm[:, 0].astype(np.int64),
+                                pcm[:, 1].astype(np.int64))))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "peak_left", "peak_right", "rms_left", "rms_right",
+                         "lr_dot"],
+            )
 
     return df.select("media_id", "payload").mapInPandas(compute, schema)

@@ -196,3 +196,53 @@ def m17(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return audio_features(synthesize_flac_table(docs))
+
+
+@register(
+    "m18_stereo_flac_features",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             160 + (doc_id % 36) * 8 AS n,
+             110 + (doc_id % 300) AS fl,
+             130 + (doc_id % 320) AS fr,
+             800 + (doc_id % 7000) AS a
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             trunc(a * sin(2 * pi() * fl * g.t / 8000)) AS l,
+             trunc(a * sin(2 * pi() * fr * g.t / 8000)) AS r
+      FROM p, generate_series(0, {_MAX_N - 1}) AS g(t)
+      WHERE g.t < n
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(max(abs(l)) AS INTEGER) AS peak_left,
+           CAST(max(abs(r)) AS INTEGER) AS peak_right,
+           round(sqrt(avg(l * l)), 4) AS rms_left,
+           round(sqrt(avg(r * r)), 4) AS rms_right,
+           CAST(sum(CAST(l AS BIGINT) * CAST(r AS BIGINT)) AS BIGINT) AS lr_dot
+    FROM s GROUP BY doc_id, n
+    """,
+    doc="REAL stereo-FLAC decode with channel decorrelation "
+        "(operators/multimodal.py encode_flac_stereo/decode_flac + "
+        "synthesize_stereo_flac_table): all four spec channel "
+        "assignments — independent L/R, left-side, right-side, and "
+        "mid-side with the parity-bit reconstruction — rotate through "
+        "the corpus by id, alternating FIXED and LPC subframes, with "
+        "the side channel carried at the spec's 17 bits.  FLAC is "
+        "lossless, so both channels regenerate analytically in the "
+        "oracle and the decorrelation math is value-verified; lr_dot "
+        "(exact integer sum of L_t*R_t) is the statistic any "
+        "reconstruction slip would move",
+    tags=("multimodal", "audio"),
+)
+def m18(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        stereo_audio_features,
+        synthesize_stereo_flac_table,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return stereo_audio_features(synthesize_stereo_flac_table(docs))
