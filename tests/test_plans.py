@@ -330,6 +330,7 @@ _BNLJ_ALLOWED = {
     "j1_theta_startswith_join",
     "n1_ann_bruteforce_topk",
     "n3_ann_lsh_recall",
+    "n10_hard_negative_mining",
     "n7_pq_adc_topk",
     "n8_pq_rerank_retrieval",
     "tpch_q11_important_stock",
@@ -339,6 +340,7 @@ _BNLJ_ALLOWED = {
     "x13_unigram_logprob_filter",
     "x17_bigram_perplexity",
     "x18_bm25_retrieval",
+    "x20_dsir_importance",
 }
 
 

@@ -55,6 +55,58 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: per
+    query, the top-k most-similar corpus items with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, the ones a
+    contrastive loss learns most from (the in-batch-negatives upgrade
+    every large-scale dual-encoder pipeline ships).
+
+    Same broadcast-probe shape as ``brute_force_topk`` with the label
+    inequality fused into the join condition, so mismatched pairs are
+    dropped BEFORE the cosine evaluates — the filter costs nothing and
+    the scan still touches the corpus exactly once.  The production
+    scale path composes the same label predicate into lsh_topk /
+    ivf_topk candidate sets; this exact form is the recall oracle.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rank), rank 1..k by similarity desc, neighbor id tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _plane_value(table: int, bit: int, i: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1).
 

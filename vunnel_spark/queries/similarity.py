@@ -358,3 +358,46 @@ def n3(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "n10_hard_negative_mining",
+    f"""
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+    FROM (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q
+      JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND q.label <> c.label
+      WHERE q.vec_id < {_N_QUERIES})
+    WHERE rank <= {_K}
+    """,
+    doc="Hard-negative mining for contrastive training "
+        "(operators/similarity.py hard_negatives): per query, the top-k "
+        "most-similar corpus vectors with a DIFFERENT label — the "
+        "near-boundary negatives a dual-encoder loss learns most from.  "
+        "Same broadcast-probe scan as n1 with the label inequality "
+        "fused into the join condition (mismatches drop before the "
+        "cosine evaluates); the 100 TB path composes the same predicate "
+        "into the LSH/IVF candidate sets, with this exact form as the "
+        "recall oracle",
+    tags=("similarity",),
+)
+def n10(spark, sf_dir):
+    from vunnel_spark.operators.similarity import hard_negatives
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return hard_negatives(emb, queries, k=_K).select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cos_sim", "rank",
+    )

@@ -1033,3 +1033,108 @@ def x19(spark, sf_dir):
         .orderBy(F.desc("cnt"), "pair_a", "pair_b")
         .limit(20)
     )
+
+
+@register(
+    "x20_dsir_importance",
+    r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), w AS (
+      SELECT doc_id, word FROM words WHERE length(word) > 0
+    ), raw AS (
+      SELECT word, count(*) AS cr FROM w GROUP BY 1
+    ), tgt AS (
+      SELECT w.word, count(*) AS ct
+      FROM w JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY 1
+    ), consts AS (
+      SELECT CAST(sum(cr) AS DOUBLE) AS n_raw,
+             CAST(count(*) AS DOUBLE) AS v,
+             (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM tgt) AS n_tgt
+      FROM raw
+    ), scored AS (
+      SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             avg(ln(coalesce(t.ct, 0) + 1.0) - ln(r.cr + 1.0)) AS s
+      FROM w
+      JOIN raw r USING (word)
+      LEFT JOIN tgt t USING (word)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(s + ln(c.n_raw + c.v) - ln(c.n_tgt + c.v), 6) + 0.0 AS logratio,
+           round(s + ln(c.n_raw + c.v) - ln(c.n_tgt + c.v), 6) + 0.0 >= 0.0 AS kept
+    FROM scored, consts c
+    """,
+    doc="DSIR-style importance weighting for domain-targeted data "
+        "selection (Xie et al. 2023, 'Data Selection for Language "
+        "Models via Importance Resampling'), with the paper's hashed "
+        "n-gram bag reduced to the unigram bag: per-document importance "
+        "= average over tokens of ln p_target(w) - ln p_raw(w) under "
+        "add-1-smoothed unigram models (target = the 'en' slice, raw = "
+        "the whole corpus; smoothing denominator = raw vocab), kept = "
+        "score >= 0, decided from the ROUNDED score so both engines "
+        "agree (the x13 discipline).  Shape: ONE token explode feeds "
+        "both frequency dims (each vocab-bounded, AQE-broadcastable), "
+        "per-doc avg is one doc-keyed shuffle, and the three scalar "
+        "constants ride a 1-row broadcast (whitelisted BNLJ); the "
+        "length-normalizing avg replaces the paper's sum so scores are "
+        "comparable across documents without a separate length model",
+    tags=("text", "sampling"),
+)
+def x20(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    raw = w.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        w.join(docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    consts = raw.agg(
+        F.sum("cr").cast("double").alias("n_raw"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    ).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("n_tgt"))
+        )
+    )
+    scored = (
+        w.join(raw, "word")
+        .join(tgt, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.avg(
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                - F.log(F.col("cr") + 1.0)
+            ).alias("s"),
+        )
+    )
+    # + 0.0 normalizes IEEE negative zero: a score an epsilon below zero
+    # rounds to -0.0, which one engine keeps signed and the other does
+    # not — the gate's canonical form prints them differently.
+    logratio = (
+        F.round(
+            F.col("s") + F.log(F.col("n_raw") + F.col("v"))
+            - F.log(F.col("n_tgt") + F.col("v")),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        scored.crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "n_tokens",
+            logratio.alias("logratio"),
+            (logratio >= 0.0).alias("kept"),
+        )
+    )
