@@ -370,6 +370,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Broder CONTAINMENT over word-k-gram shingle sets: c(A in B) =
+    |A ∩ B| / |A| — the asymmetric companion to Jaccard that catches
+    subset relationships Jaccard misses (a tweet quoted inside an
+    article scores j ≈ |tweet|/|article| ≈ 0 but containment 1.0; the
+    containment tail is a major residual-duplication source in web
+    corpora after symmetric dedup).
+
+    Same linear-ish plan as ngram_jaccard_pairs: distinct per-doc
+    shingles, equi-join on shingle (docs sharing zero shingles never
+    meet), ``max_shingle_freq`` caps stopword shingles before the
+    self-join.  Emits one row per unordered pair (id_a < id_b) with
+    BOTH directions; the filter keeps pairs where either direction
+    reaches ``threshold``, decided on the ROUNDED value so any SQL
+    oracle agrees.
+    """
+    sh = _word_shingles(df, content_col, id_col, k)
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_a", F.round(F.col("n_common") / F.col("n_a"), 6))
+        .withColumn("containment_b", F.round(F.col("n_common") / F.col("n_b"), 6))
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+        .select("id_a", "id_b", "n_common", "containment_a", "containment_b")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str = "text",

@@ -528,3 +528,53 @@ def d11(spark, sf_dir):
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register(
+    "d12_containment_pairs",
+    f"""
+    WITH corpus AS ({_NEAR_DUPS_SQL}),
+    words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment_a,
+           round(CAST(n_common AS DOUBLE) / sb.n, 6) AS containment_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.n, 6),
+                   round(CAST(n_common AS DOUBLE) / sb.n, 6)) >= 0.95
+    """,
+    doc="Broder containment pairs at threshold 0.95 "
+        "(operators/dedup.py containment_pairs): the ASYMMETRIC "
+        "companion to d4's Jaccard — c(A in B) = |A∩B|/|A| catches "
+        "subset/quotation relationships Jaccard scores near zero (a "
+        "short doc embedded in a long one), the residual-duplication "
+        "tail symmetric dedup leaves in web corpora.  Same linear-ish "
+        "plan as d4: per-doc distinct shingles, pair generation by "
+        "shingle equi-join (never a cross join), both directions "
+        "emitted per unordered pair, threshold decided on the ROUNDED "
+        "value on both engines.  The planted near-dups (original plus "
+        "one appended word) hit containment exactly 1.0 in the "
+        "original->variant direction",
+    tags=("dedup",),
+)
+def d12(spark, sf_dir):
+    from vunnel_spark.operators.dedup import containment_pairs
+
+    docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return containment_pairs(docs, threshold=0.95)
