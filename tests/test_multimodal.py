@@ -1002,3 +1002,77 @@ def test_stereo_flac_features_match_synth_law(spark, sf_dir):
         assert r["rms_right"] == round(math.sqrt(float(np.mean(right * right))), 4)
         assert r["lr_dot"] == int(np.dot(left.astype(np.int64),
                                          right.astype(np.int64)))
+
+
+def test_progressive_dri_equals_baseline_and_contains_rst():
+    """Progressive with restart intervals must decode bit-identically to
+    baseline (entropy layer lossless) and actually carry RSTn markers in
+    every scan when the interval divides the block count."""
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (24, 32)).astype(np.uint8)  # 12 blocks
+    base = decode_jpeg(encode_jpeg_gray(img))
+    payload = encode_jpeg_gray_progressive(img, restart_interval=4)
+    assert np.array_equal(decode_jpeg(payload), base)
+    # DRI segment present with the right interval
+    i = payload.find(b"\xff\xdd")
+    assert i > 0 and payload[i + 4 : i + 6] == b"\x00\x04"
+    # 12 blocks / interval 4 -> 2 boundaries per scan, 6 scans
+    n_rst = sum(payload.count(bytes([0xFF, 0xD0 + k])) for k in range(8))
+    assert n_rst == 12, n_rst
+
+
+def test_progressive_dri_property_matches_plain():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(1, 5), st.integers(1, 5), st.integers(1, 9),
+           st.integers(0, 2**32 - 1))
+    def check(bh, bw_, ri, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (bh * 8, bw_ * 8)).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg_gray_progressive(img))
+        with_dri = decode_jpeg(
+            encode_jpeg_gray_progressive(img, restart_interval=ri)
+        )
+        assert np.array_equal(plain, with_dri)
+
+    check()
+
+
+def test_progressive_dri_out_of_sequence_rejected():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+    )
+
+    img = np.arange(24 * 32, dtype=np.uint8).reshape(24, 32) % 251
+    payload = bytearray(encode_jpeg_gray_progressive(img, restart_interval=2))
+    # corrupt the first RST marker's sequence number (RST0 -> RST5)
+    for i in range(len(payload) - 1):
+        if payload[i] == 0xFF and payload[i + 1] == 0xD0:
+            payload[i + 1] = 0xD5
+            break
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        encode_jpeg_gray_progressive(img, restart_interval=0)
+    with pytest.raises(ValueError):
+        encode_jpeg_gray_progressive(img, restart_interval=70000)

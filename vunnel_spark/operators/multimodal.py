@@ -275,10 +275,11 @@ def decode_png(payload: bytes):
 # the round trip bit-exactly (all AC coefficients are zero and the DC
 # quantization step of 16 divides 8*(c-128) exactly), which is what lets
 # m9 carry an exact SQL oracle over genuinely Huffman+DCT-coded bytes.
-# Color 4:4:4 (m12), 4:2:0 subsampling (m13), and progressive SOF2
-# (m15/m16, further below) and baseline restart intervals (DRI/RSTn)
-# are implemented; arithmetic coding is out of scope and rejected
-# explicitly (progressive streams with DRI likewise).
+# Color 4:4:4 (m12), 4:2:0 subsampling (m13), progressive SOF2
+# (m15/m16, further below) and restart intervals (DRI/RSTn — baseline
+# AND progressive, with per-scan predictor/EOB-run resets) are
+# implemented; arithmetic coding is out of scope and rejected
+# explicitly.
 
 # Annex K.1 luminance quantization table, zigzag order is applied at use
 _JPEG_QTABLE = [
@@ -549,15 +550,25 @@ def _ac_point_transform(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _enc_dc_scan_first(walk, dc_codes, al: int, n_comps: int = 1) -> bytes:
+def _enc_dc_scan_first(walk, dc_codes, al: int, n_comps: int = 1,
+                       restart_interval: int | None = None) -> bytes:
     """DC first scan (Ss=Se=0, Ah=0): baseline DC diff coding over the
     point-transformed values with ONE predictor per component (the walk
     yields ``(comp_index, zigzag_block)`` — MCU-interleaved for color,
     plain raster for grayscale); DC's point transform IS the arithmetic
-    shift (G.1.2.1), which Python's >> implements for negatives."""
+    shift (G.1.2.1), which Python's >> implements for negatives.
+
+    ``restart_interval`` counts WALK ITEMS, so it is only valid when one
+    item is one MCU (grayscale / single-component scans); each boundary
+    byte-aligns, emits RSTn and resets every predictor (E.2.4)."""
     bw = _BitWriter()
     prev = [0] * n_comps
-    for ci, zz in walk:
+    seq = 0
+    for u, (ci, zz) in enumerate(walk):
+        if restart_interval and u and u % restart_interval == 0:
+            bw.restart(seq)
+            seq = (seq + 1) & 7
+            prev = [0] * n_comps
         v = int(zz[0]) >> al
         cat, bits = _jpeg_category(v - prev[ci])
         prev[ci] = v
@@ -568,21 +579,33 @@ def _enc_dc_scan_first(walk, dc_codes, al: int, n_comps: int = 1) -> bytes:
     return bw.flush()
 
 
-def _enc_dc_scan_refine(walk, al: int) -> bytes:
-    """DC refinement scan (Ah=Al+1): ONE raw bit per block, no Huffman."""
+def _enc_dc_scan_refine(walk, al: int,
+                        restart_interval: int | None = None) -> bytes:
+    """DC refinement scan (Ah=Al+1): ONE raw bit per block, no Huffman.
+    Restart boundaries only byte-align + mark (no predictor state)."""
     bw = _BitWriter()
-    for _ci, zz in walk:
+    seq = 0
+    for u, (_ci, zz) in enumerate(walk):
+        if restart_interval and u and u % restart_interval == 0:
+            bw.restart(seq)
+            seq = (seq + 1) & 7
         bw.write((int(zz[0]) >> al) & 1, 1)
     return bw.flush()
 
 
-def _enc_ac_scan_first(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
+def _enc_ac_scan_first(blocks, ac_codes, ss: int, se: int, al: int,
+                       restart_interval: int | None = None) -> bytes:
     """AC first scan for band [ss, se] at approximation Al: baseline
     run/size coding within the band, but an all-remaining-zero tail joins
     an END-OF-BAND RUN — one EOBn symbol covers up to 2^14 consecutive
-    ended blocks (G.1.2.2), the progressive coding gain."""
+    ended blocks (G.1.2.2), the progressive coding gain.
+
+    ``restart_interval`` counts blocks (progressive AC scans are
+    single-component, so the MCU is one data unit); an EOB run may not
+    cross a boundary (E.2.4), so each boundary flushes it first."""
     bw = _BitWriter()
     eobrun = 0
+    seq = 0
 
     def flush_eob():
         nonlocal eobrun
@@ -594,7 +617,11 @@ def _enc_ac_scan_first(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
                 bw.write(eobrun - (1 << r), r)
             eobrun = 0
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            bw.restart(seq)
+            seq = (seq + 1) & 7
         band = [_ac_point_transform(int(zz[i]), al) for i in range(ss, se + 1)]
         last_nz = max((i for i, v in enumerate(band) if v), default=-1)
         if last_nz < 0:
@@ -625,7 +652,8 @@ def _enc_ac_scan_first(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
     return bw.flush()
 
 
-def _enc_ac_scan_refine(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
+def _enc_ac_scan_refine(blocks, ac_codes, ss: int, se: int, al: int,
+                        restart_interval: int | None = None) -> bytes:
     """AC refinement scan (Ah=Al+1): newly-significant coefficients
     (|coeff| point-transforms to exactly 1) arrive as run/1 symbols with
     a sign bit; every ALREADY-significant coefficient the decoder walks
@@ -637,9 +665,13 @@ def _enc_ac_scan_refine(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
     coefficient follow its symbol+sign; tail/full-band bits of blocks
     inside an end-of-band run are buffered and follow the EOBn symbol in
     block order.
+
+    ``restart_interval`` counts blocks; a boundary flushes the open EOB
+    run (with its buffered correction bits), byte-aligns and marks.
     """
     bw = _BitWriter()
     eobrun = 0
+    seq = 0
     pending: list[int] = []
 
     def flush_eob():
@@ -655,7 +687,11 @@ def _enc_ac_scan_refine(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
             eobrun = 0
             pending = []
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob()
+            bw.restart(seq)
+            seq = (seq + 1) & 7
         band = [int(zz[i]) for i in range(ss, se + 1)]
         shifted = [_ac_point_transform(v, al) for v in band]
 
@@ -698,7 +734,7 @@ def _enc_ac_scan_refine(blocks, ac_codes, ss: int, se: int, al: int) -> bytes:
     return bw.flush()
 
 
-def encode_jpeg_gray_progressive(arr) -> bytes:
+def encode_jpeg_gray_progressive(arr, restart_interval: int | None = None) -> bytes:
     """HxW uint8 grayscale -> PROGRESSIVE JFIF bytes (SOF2).
 
     Full successive-approximation scan script (spectral selection AND
@@ -716,6 +752,11 @@ def encode_jpeg_gray_progressive(arr) -> bytes:
     decodes bit-identically to the baseline encoding of the same image
     (asserted by tests/test_multimodal.py's cross-codec property test).
     Dims must be multiples of 8, like encode_jpeg_gray.
+
+    ``restart_interval`` emits a DRI segment and RSTn markers every that
+    many MCUs in EVERY scan (grayscale MCU = one block), with per-scan
+    state resets — DC predictors and EOB runs never cross a boundary
+    (E.2.4 applied to the progressive scan set).
     """
     import struct
 
@@ -725,6 +766,8 @@ def encode_jpeg_gray_progressive(arr) -> bytes:
     h, w = arr.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray_progressive needs multiple-of-8 dims")
+    if restart_interval is not None and not 1 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be in [1, 65535] (DRI is u16)")
     q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     blocks = _jpeg_coeff_blocks(arr, q, _dct_matrix())
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
@@ -744,15 +787,23 @@ def encode_jpeg_gray_progressive(arr) -> bytes:
         b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
     )
+    ri = restart_interval
+    dri = seg(0xFFDD, struct.pack(">H", ri)) if ri else b""
     return (
-        b"\xff\xd8" + dqt + sof + dht
+        b"\xff\xd8" + dqt + sof + dht + dri
         + sos(0, 0, 0, 1)
-        + _enc_dc_scan_first(((0, zz) for zz in blocks), dc_codes, 1)
-        + sos(1, 5, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 1, 5, 1)
-        + sos(6, 63, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 6, 63, 1)
-        + sos(0, 0, 1, 0) + _enc_dc_scan_refine(((0, zz) for zz in blocks), 0)
-        + sos(1, 5, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 1, 5, 0)
-        + sos(6, 63, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 6, 63, 0)
+        + _enc_dc_scan_first(((0, zz) for zz in blocks), dc_codes, 1,
+                             restart_interval=ri)
+        + sos(1, 5, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 1, 5, 1,
+                                               restart_interval=ri)
+        + sos(6, 63, 0, 1) + _enc_ac_scan_first(blocks, ac_codes, 6, 63, 1,
+                                                restart_interval=ri)
+        + sos(0, 0, 1, 0) + _enc_dc_scan_refine(((0, zz) for zz in blocks), 0,
+                                                restart_interval=ri)
+        + sos(1, 5, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 1, 5, 0,
+                                                restart_interval=ri)
+        + sos(6, 63, 1, 0) + _enc_ac_scan_refine(blocks, ac_codes, 6, 63, 0,
+                                                 restart_interval=ri)
         + b"\xff\xd9"
     )
 
@@ -1243,9 +1294,12 @@ def decode_jpeg(payload: bytes):
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
-def _entropy_segment_end(payload: bytes, start: int) -> int:
+def _entropy_segment_end(payload: bytes, start: int,
+                         skip_rst: bool = False) -> int:
     """First index >= start where a real marker begins (FF followed by
-    anything but 00; FF FF fill bytes stay inside the segment)."""
+    anything but 00; FF FF fill bytes stay inside the segment).  With
+    ``skip_rst`` (DRI active) RST0-RST7 stay inside the segment too —
+    the scan decoder consumes them at restart boundaries."""
     i = start
     n = len(payload)
     while i < n - 1:
@@ -1256,6 +1310,9 @@ def _entropy_segment_end(payload: bytes, start: int) -> int:
                 continue
             if nxt == 0xFF:
                 i += 1  # fill byte
+                continue
+            if skip_rst and 0xD0 <= nxt <= 0xD7:
+                i += 2
                 continue
             return i
         i += 1
@@ -1289,25 +1346,50 @@ def _decode_jpeg_progressive(payload: bytes):
     comps: list[dict] = []  # {cid, hs, vs, tq, bw, bh, cx, cy, coefs}
     mcu_cols = mcu_rows = 0
     saw_sos = False
+    ri = 0  # DRI restart interval, in MCUs (blocks for 1-comp scans)
     read_symbol = _read_jpeg_symbol
 
-    def scan_dc_first(br, walk, tabs, al):
-        # walk yields (comp_index, block); one DC predictor per component
-        pred = [0] * len(comps)
-        for ci, blk in walk:
-            cat = read_symbol(br, tabs[ci])
-            pred[ci] += _jpeg_extend(br.read_bits(cat), cat)
-            blk[0] = pred[ci] << al
+    def expect_rst(br, seq):
+        got = br.sync_restart()
+        if got != seq & 7:
+            raise ValueError("restart marker out of sequence")
 
-    def scan_dc_refine(br, walk, al):
-        for _ci, blk in walk:
-            if br.read_bit():
-                blk[0] |= 1 << al  # two's-complement OR appends the bit
-                # correctly for negative DC values too
+    def scan_dc_first(br, units, tabs, al):
+        # units yields per-MCU lists of (comp_index, block); one DC
+        # predictor per component, reset at every restart boundary
+        pred = [0] * len(comps)
+        seq = 0
+        for u, unit in enumerate(units):
+            if ri and u and u % ri == 0:
+                expect_rst(br, seq)
+                seq += 1
+                pred = [0] * len(comps)
+            for ci, blk in unit:
+                cat = read_symbol(br, tabs[ci])
+                pred[ci] += _jpeg_extend(br.read_bits(cat), cat)
+                blk[0] = pred[ci] << al
+
+    def scan_dc_refine(br, units, al):
+        seq = 0
+        for u, unit in enumerate(units):
+            if ri and u and u % ri == 0:
+                expect_rst(br, seq)
+                seq += 1
+            for _ci, blk in unit:
+                if br.read_bit():
+                    blk[0] |= 1 << al  # two's-complement OR appends the
+                    # bit correctly for negative DC values too
 
     def scan_ac_first(br, blocks, ac_tab, ss, se, al):
         eobrun = 0
-        for blk in blocks:
+        seq = 0
+        for bi, blk in enumerate(blocks):
+            if ri and bi and bi % ri == 0:
+                # an EOB run may not cross a boundary (E.2.4)
+                if eobrun:
+                    raise ValueError("EOB run crosses restart boundary")
+                expect_rst(br, seq)
+                seq += 1
             if eobrun:
                 eobrun -= 1
                 continue
@@ -1335,6 +1417,7 @@ def _decode_jpeg_progressive(payload: bytes):
         # raw correction bit (1 -> add 1<<Al toward larger magnitude)
         p1, m1 = 1 << al, -1 << al
         eobrun = 0
+        seq = 0
 
         def correct(blk, k):
             if br.read_bit():
@@ -1343,7 +1426,12 @@ def _decode_jpeg_progressive(payload: bytes):
                 elif blk[k] < 0 and not (blk[k] & p1):
                     blk[k] += m1
 
-        for blk in blocks:
+        for bi, blk in enumerate(blocks):
+            if ri and bi and bi % ri == 0:
+                if eobrun:
+                    raise ValueError("EOB run crosses restart boundary")
+                expect_rst(br, seq)
+                seq += 1
             k = ss
             if eobrun == 0:
                 while k <= se:
@@ -1426,7 +1514,7 @@ def _decode_jpeg_progressive(payload: bytes):
         elif marker == 0xC4:
             _parse_dht_body(body, huff)
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if not comps:
                 raise ValueError("SOS before SOF2")
@@ -1441,37 +1529,42 @@ def _decode_jpeg_progressive(payload: bytes):
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             data_start = pos + ln
-            data_end = _entropy_segment_end(payload, data_start)
+            data_end = _entropy_segment_end(payload, data_start,
+                                            skip_rst=bool(ri))
             br = _BitReader(payload[data_start:data_end])
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
 
-                def dc_walk():
+                def dc_units():
+                    # one yielded list per MCU — the restart-boundary unit
                     if ns == 1:
                         c = comps[scan_comps[0]]
                         for row in range(c["cy"]):
                             for col in range(c["cx"]):
-                                yield scan_comps[0], c["coefs"][row * c["bw"] + col]
+                                yield [(scan_comps[0],
+                                        c["coefs"][row * c["bw"] + col])]
                     else:  # interleaved MCU order
                         for my in range(mcu_rows):
                             for mx in range(mcu_cols):
+                                unit = []
                                 for i in scan_comps:
                                     c = comps[i]
                                     for dy in range(c["vs"]):
                                         for dx in range(c["hs"]):
-                                            yield i, c["coefs"][
+                                            unit.append((i, c["coefs"][
                                                 (my * c["vs"] + dy) * c["bw"]
                                                 + mx * c["hs"] + dx
-                                            ]
+                                            ]))
+                                yield unit
 
                 if ah == 0:
                     tabs = {}
                     for slot, i in enumerate(scan_comps):
                         tabs[i] = huff[(0, sels[slot][0])]
-                    scan_dc_first(br, dc_walk(), tabs, al)
+                    scan_dc_first(br, dc_units(), tabs, al)
                 else:
-                    scan_dc_refine(br, dc_walk(), al)
+                    scan_dc_refine(br, dc_units(), al)
             else:
                 if ns != 1:
                     raise ValueError("progressive AC scans are single-component")
