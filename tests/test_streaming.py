@@ -647,3 +647,59 @@ def test_foreach_batch_cms_rollup_matches_full_sketch_and_skips_replay(
     run("ck2")
     again = spark.read.parquet(state)
     assert again.exceptAll(full).count() == 0 and again.count() == full.count()
+
+
+def test_foreach_batch_hll_rollup_matches_full_state_and_survives_replay(
+    spark, tmp_path
+):
+    """Streaming distinct maintenance (foreach_batch_hll_rollup): after
+    two micro-batches the persisted registers are identical to hll_state
+    over everything seen, the estimate tracks exact distinct, and a
+    re-delivered batch changes nothing — idempotent by register-max
+    algebra, not just by the batch-id guard."""
+    import datetime as dt
+
+    from vunnel_spark.operators.incremental import estimate_hll, hll_state
+    from vunnel_spark.streaming.enrich import foreach_batch_hll_rollup
+
+    src_dir = str(tmp_path / "hll_in")
+    state = str(tmp_path / "hll_state")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    t0 = dt.datetime(2026, 1, 1, 10)
+    write_batch([(u, t0, "click") for u in range(40)]
+                + [(u, t0, "view") for u in range(10)])
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = foreach_batch_hll_rollup(
+            stream, state, str(tmp_path / ckpt),
+            keys=["event_type"], value_col="user_id",
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    write_batch([(u, t0, "click") for u in range(30, 70)])
+    run("ck1")
+
+    got = spark.read.parquet(state)
+    full = hll_state(spark.read.parquet(src_dir), ["event_type"], "user_id")
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0  # register-identical states
+
+    est = {r["event_type"]: r["est_hll"]
+           for r in estimate_hll(got, ["event_type"]).collect()}
+    assert abs(est["click"] - 70) <= max(0.15 * 70, 2.0)
+    assert abs(est["view"] - 10) <= 2.0
+
+    # fresh checkpoint re-delivers both batches; max-merge is idempotent
+    run("ck2")
+    again = spark.read.parquet(state)
+    assert again.exceptAll(full).count() == 0 and again.count() == full.count()

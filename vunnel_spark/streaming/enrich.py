@@ -330,3 +330,74 @@ def foreach_batch_cms_rollup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_hll_rollup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+):
+    """Streaming DISTINCT-count maintenance — the streaming face of i11
+    (operators/incremental.py hll_state/merge_hll_state): each
+    micro-batch builds its explicit-HLL register delta and max-merges it
+    into the persisted register state under the same stage+swap publish
+    as foreach_batch_cms_rollup.
+
+    The algebra difference from the CMS path matters operationally:
+    register max is IDEMPOTENT, so a re-delivered micro-batch cannot
+    corrupt the state even without the batch-id guard — the guard here
+    only skips wasted merge work.  This is the sketch to reach for when
+    the delivery layer is at-least-once and only cardinality (not point
+    frequency) is needed.
+
+    No bucketed variant for the same reason as CMS: the state is
+    <= |keys| * 256 rows regardless of stream cardinality.
+
+    Returns the StreamingQuery (caller stops it).
+    """
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from vunnel_spark.operators.incremental import hll_state, merge_hll_state
+    from vunnel_spark.sinks.writers import _atomic_install, _recover_backup
+
+    meta_name = "_rollup_meta.json"
+
+    def _last_applied() -> int:
+        m = os.path.join(state_path, meta_name)
+        if os.path.exists(m):
+            with open(m) as f:
+                return json.load(f).get("batch_id", -1)
+        return -1
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _recover_backup(state_path)
+        if os.path.exists(state_path) and batch_id <= _last_applied():
+            return  # replay: harmless by idempotency, skipped for cost
+        delta = hll_state(batch_df, keys, value_col)
+        if os.path.exists(state_path):
+            new = merge_hll_state([spark.read.parquet(state_path), delta], keys)
+        else:
+            new = delta
+        for stale in glob.glob(f"{state_path}.__stage__*"):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        stage = f"{state_path}.__stage__{uuid.uuid4().hex[:8]}"
+        new.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, meta_name), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        _atomic_install(stage, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
