@@ -175,6 +175,29 @@ def test_shared_span_pairs_freq_cap_splits_runs(spark):
     assert all(r.span_tokens == 8 for r in out)
 
 
+def test_containment_pairs_freq_cap_kills_stopword_flood(spark):
+    """A ubiquitous shingle ('of the and' in every doc) floods pair
+    generation O(f^2) without the cap; with it, only pairs related
+    through RARE shingles survive — and a genuine subset pair keeps
+    containment 1.0 because the cap is a global per-shingle property
+    (it drops the same shingles from both sides of A ⊆ B)."""
+    from vunnel_spark.operators.dedup import containment_pairs
+
+    flood = [(i, "of the and") for i in range(8)]
+    base = "alpha beta gamma delta epsilon"
+    rows = flood + [(100, base), (101, base + " zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = containment_pairs(docs, k=3, threshold=0.95).collect()
+    assert len(uncapped) == 28 + 1  # C(8,2) flood pairs + the real one
+
+    capped = containment_pairs(
+        docs, k=3, threshold=0.95, max_shingle_freq=5
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in capped] == [(100, 101)]
+    assert capped[0].containment_a == 1.0  # doc 100's shingles all in 101
+
+
 def test_shared_span_pairs_matches_dp_reference(spark):
     """Randomized cross-check: the islands formulation must equal the
     classic longest-common-substring-of-tokens DP for every pair.  Small

@@ -542,11 +542,16 @@ def d11(spark, sf_dir):
       WHERE len(w) >= 3
       UNION
       SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM words WHERE len(w) < 3
+    ), capped AS (
+      SELECT s.* FROM shingles s
+      JOIN (SELECT shingle, count(*) AS f FROM shingles GROUP BY shingle) fr
+        ON s.shingle = fr.shingle
+      WHERE fr.f <= 5
     ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+      SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id
     ), common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM capped a JOIN capped b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY id_a, id_b
     )
@@ -564,17 +569,23 @@ def d11(spark, sf_dir):
         "companion to d4's Jaccard — c(A in B) = |A∩B|/|A| catches "
         "subset/quotation relationships Jaccard scores near zero (a "
         "short doc embedded in a long one), the residual-duplication "
-        "tail symmetric dedup leaves in web corpora.  Same linear-ish "
-        "plan as d4: per-doc distinct shingles, pair generation by "
-        "shingle equi-join (never a cross join), both directions "
-        "emitted per unordered pair, threshold decided on the ROUNDED "
-        "value on both engines.  The planted near-dups (original plus "
-        "one appended word) hit containment exactly 1.0 in the "
-        "original->variant direction",
+        "tail symmetric dedup leaves in web corpora.  Same linear plan "
+        "as d8: per-doc distinct shingles, the max_shingle_freq=5 skew "
+        "cap dropping ubiquitous shingles BEFORE the self-join (the "
+        "corpus max shingle frequency is ~9, so the cap provably bites; "
+        "without it a stopword 3-shingle generates O(f^2) candidate "
+        "pairs at web scale), pair generation by shingle equi-join "
+        "(never a cross join), both directions emitted per unordered "
+        "pair, threshold decided on the ROUNDED value on both engines. "
+        "The oracle applies the identical cap in its capped CTE.  The "
+        "planted near-dups (original plus one appended word) hit "
+        "containment 1.0 in the original->variant direction — appending "
+        "only ADDS shingles and the cap is a global per-shingle "
+        "property, so the subset relation survives capping",
     tags=("dedup",),
 )
 def d12(spark, sf_dir):
     from vunnel_spark.operators.dedup import containment_pairs
 
     docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return containment_pairs(docs, threshold=0.95)
+    return containment_pairs(docs, threshold=0.95, max_shingle_freq=5)

@@ -11,9 +11,19 @@ bucket column prunes the scan to the matching buckets
 of the reference's keyed SQLite lookup (result.py:233-259 reads one
 envelope by identifier instead of scanning the store).
 
-All money arithmetic is DECIMAL so the oracle comparison is exact —
-a double sum's value depends on accumulation order across partitions,
-a decimal sum's does not.
+All money arithmetic is exact-integer CENTS —
+``CAST(floor(x * 100 + 0.5) AS BIGINT)`` on BOTH engines — so the
+oracle comparison is exact: a double sum's value depends on
+accumulation order across partitions, an integer sum's does not.
+Round-6 postmortem: the previous per-row ``CAST(x AS DECIMAL(18,2))``
+was engine-version-sensitive — ~5% of the fixture's price doubles sit
+an epsilon BELOW their cent value (3,341/60,000 sf0.01
+``l_extendedprice``), so a DuckDB build that truncates rather than
+rounds the double→decimal conversion loses a cent per such row and
+shifts every revenue sum (b1 went gate-red in round 6 on exactly
+this).  ``floor(x*100+0.5)`` is a single IEEE multiply/add/floor both
+engines execute identically.  Guarded by
+tests/test_registry_lint.py::test_no_decimal_cast_of_raw_double.
 """
 
 from __future__ import annotations
@@ -57,14 +67,14 @@ def _bucketed_pair(spark, sf_dir, prefix: str):
     WITH per_order AS (
       SELECT l_orderkey,
              count(*) AS n_lines,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-               AS order_revenue
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS order_cents
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(n_lines) AS n_lines,
-           CAST(sum(order_revenue) AS DECIMAL(20,2)) AS revenue
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(order_cents) AS BIGINT) AS revenue_cents
     FROM per_order JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -73,16 +83,19 @@ def _bucketed_pair(spark, sf_dir, prefix: str):
         "join + rollup with exactly ONE exchange (the final 5-row "
         "rollup) in the whole plan — the write-time layout replaces the "
         "two join/agg shuffles that dominate at 100 TB.  Plan pinned by "
-        "tests/test_plans.py; content oracle is layout-independent SQL",
+        "tests/test_plans.py; content oracle is layout-independent SQL. "
+        "Money is exact-integer cents (floor(x*100+0.5)) on both "
+        "engines — the r6 per-row double->DECIMAL cast was truncation-"
+        "sensitive across DuckDB versions (module docstring postmortem)",
     tags=("layout", "join", "sink"),
 )
 def b1(spark, sf_dir):
     ot, lt = _bucketed_pair(spark, sf_dir, "b1")
     per_order = lt.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("order_revenue"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("order_cents"),
     )
     joined = per_order.join(
         ot.hint("merge"), per_order["l_orderkey"] == ot["o_orderkey"]
@@ -90,7 +103,7 @@ def b1(spark, sf_dir):
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("n_lines").alias("n_lines"),
-        F.sum("order_revenue").cast("decimal(20,2)").alias("revenue"),
+        F.sum("order_cents").alias("revenue_cents"),
     )
 
 
@@ -101,7 +114,7 @@ _B2_KEYS = (11, 23, 35, 47, 59)
     "b2_bucket_pruned_lookup",
     f"""
     SELECT o_orderkey, o_orderstatus, o_orderpriority,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
     FROM orders WHERE o_orderkey IN {_B2_KEYS}
     """,
     doc="Bucket-pruned point lookup: an IN-list on the bucket column "
@@ -134,7 +147,9 @@ def b2(spark, sf_dir):
         "o_orderkey",
         "o_orderstatus",
         "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
     )
 
 

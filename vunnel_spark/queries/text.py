@@ -722,17 +722,22 @@ def x13(spark, sf_dir):
         "arXiv:2112.11446 §A1.1): per-document fraction of characters "
         "covered by the most frequent word 2-gram, and fraction of "
         "duplicated 5-grams, each gating a keep decision.  Both signals "
-        "are PURE per-row array expressions — shingle, count-within-row, "
-        "argmax via struct ordering (Spark's array_max over (cnt, gram) "
-        "structs == the oracle's cnt DESC, gram DESC rank-1 row: highest "
-        "count, ties to the lexicographically largest gram; the oracle "
-        "deliberately uses only unnest/group/window constructs proven at "
-        "prior external gates, never struct-typed list_aggregate) — so the "
-        "whole query is a zero-shuffle scan+project that pipelines "
-        "through whole-stage codegen; at 100 TB it runs at scan speed "
-        "with no exchange at all (plan-asserted in tests/test_plans.py). "
-        "The kept flag compares ROUNDED values so both engines decide "
-        "from identical doubles",
+        "are PURE per-row array expressions, so the whole query is a "
+        "zero-shuffle scan+project (plan-asserted in tests/test_plans.py) "
+        "whose per-document cost is O(m log m) in the token count m: the "
+        "top bigram is array_sort + ONE aggregate() pass carrying "
+        "(prev, run, best) — equal grams are adjacent after the sort, so "
+        "a running max over run lengths IS the argmax, with count ties "
+        "breaking to the lexicographically larger gram exactly like the "
+        "oracle's cnt DESC, gram DESC rank-1 row.  (Round 6 shipped "
+        "transform(array_distinct(g2), g -> size(filter(g2, ...))) here "
+        "— O(d^2) per document, invisible on the fixture but ~10^9 "
+        "comparisons for one 50k-token web doc: a straggler-killer.  The "
+        "sort+scan is the bounded form; the oracle deliberately uses "
+        "only unnest/group/window constructs proven at prior external "
+        "gates, never struct-typed list_aggregate.)  The kept flag "
+        "compares ROUNDED values so both engines decide from identical "
+        "doubles",
     tags=("text",),
 )
 def x16(spark, sf_dir):
@@ -752,16 +757,36 @@ def x16(spark, sf_dir):
         F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
     )
-    counts = F.transform(
-        F.array_distinct(g2),
-        lambda g: F.struct(
-            F.size(F.filter(g2, lambda x: x == g)).alias("cnt"), g.alias("gram")
+    # most-frequent bigram in O(m log m): sort so equal grams are
+    # adjacent, then one linear scan tracking the current run and the
+    # best (count, gram) seen.  Ascending scan order means a later gram
+    # that TIES the best count is lexicographically larger, matching the
+    # oracle's cnt DESC, gram DESC rank-1 pick.
+    def _scan_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run > acc["best_cnt"]) | (
+            (run == acc["best_cnt"]) & (x > acc["best_gram"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    top = F.aggregate(
+        F.array_sort(g2),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best_cnt"),
+            F.lit("").alias("best_gram"),
         ),
+        _scan_step,
     )
-    top = F.array_max(counts)
     total_chars = F.length(F.concat_ws(" ", w))
     top2_frac = F.when(n < 2, F.lit(0.0)).otherwise(
-        F.round(top["cnt"] * F.length(top["gram"]) / total_chars, 6)
+        F.round(top["best_cnt"] * F.length(top["best_gram"]) / total_chars, 6)
     )
     dup5_frac = F.when(n < 5, F.lit(0.0)).otherwise(
         F.round(1 - F.size(F.array_distinct(g5)) / F.size(g5), 6)
