@@ -46,26 +46,61 @@ def test_no_decimal_cast_of_raw_double():
         "oracle casts a bare column to a scaled DECIMAL — the b1 round-6 "
         "gate-red class (truncating vs rounding double->decimal conversion "
         "differs across DuckDB versions).  Use exact-integer cents "
-        "CAST(floor(x*100+0.5) AS BIGINT) on BOTH sides, or round(sum(x), n) "
-        f"after aggregation.  Offenders: {offenders}"
+        "CAST(floor(x*100+0.5) AS BIGINT) on BOTH sides (non-negative "
+        "amounts only — sign-aware floor(abs(x)*100+0.5)*sign(x) for "
+        "signed money), or round(sum(x), n) after aggregation.  "
+        f"Offenders: {offenders}"
     )
+
+
+# Waivers for deliberate full-codepoint ascii()/unicode() use, keyed by
+# query name.  A waiver asserts the oracle call is NOT the x4 round-4
+# hazard (Spark ascii() <-> DuckDB unicode() divergence on non-ASCII when
+# the Spark side assumed single-byte input) because the Spark side itself
+# computes the full codepoint.  The value documents why, for the reviewer.
+_CODEPOINT_WAIVERS = {
+    "x5_language_id": (
+        "the oracle's unicode() mirrors the Python UDF's ord() in the "
+        "CJK codepoint-range rule (19968-40959, queries/text.py); both "
+        "sides are deliberately full-codepoint, so there is no "
+        "single-byte assumption to violate"
+    ),
+}
 
 
 def test_no_ascii_unicode_codepoint_mismatch():
     """Spark ``ascii()`` and older DuckDB ``ascii()`` disagree on
     non-ASCII input (DuckDB's historical behavior matched ``unicode()``);
     the portable spelling pair is Spark ascii <-> DuckDB unicode ONLY for
-    guaranteed-single-byte input.  Any oracle using ascii()/unicode() must
-    carry a justification comment naming the single-byte guarantee."""
+    guaranteed-single-byte input.  Any oracle line calling
+    ascii()/unicode() must carry a same-line ``-- single-byte``
+    justification naming that guarantee, or the query must hold an entry
+    in ``_CODEPOINT_WAIVERS`` explaining why full-codepoint behavior is
+    intended on BOTH engines.  Same-line + structured-waiver (rather than
+    a substring match over the whole oracle) so a marker in one branch
+    cannot silently waive a later unrelated call."""
     pat = re.compile(r"\b(ascii|unicode)\s*\(", re.IGNORECASE)
-    offenders = {
-        name: pat.search(spec.oracle).group(0)
-        for name, spec in REGISTRY.items()
-        if spec.oracle
-        and pat.search(spec.oracle)
-        and "single-byte" not in spec.oracle
-    }
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if not spec.oracle or name in _CODEPOINT_WAIVERS:
+            continue
+        for line in spec.oracle.splitlines():
+            if pat.search(line) and "single-byte" not in line:
+                offenders[name] = line.strip()
+                break
     assert not offenders, (
-        "oracle uses ascii()/unicode() without a '-- single-byte' "
-        f"justification (the x4 round-4 incident class): {offenders}"
+        "oracle line uses ascii()/unicode() without a same-line "
+        "'-- single-byte' justification or a _CODEPOINT_WAIVERS entry "
+        f"(the x4 round-4 incident class): {offenders}"
     )
+
+
+def test_codepoint_waivers_are_live():
+    """A waiver for a query that no longer exists or no longer calls
+    ascii()/unicode() is stale — fail so it gets removed."""
+    pat = re.compile(r"\b(ascii|unicode)\s*\(", re.IGNORECASE)
+    for name in _CODEPOINT_WAIVERS:
+        spec = REGISTRY.get(name)
+        assert spec is not None and spec.oracle and pat.search(spec.oracle), (
+            f"stale codepoint waiver: {name}"
+        )

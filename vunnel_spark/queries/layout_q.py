@@ -22,7 +22,11 @@ an epsilon BELOW their cent value (3,341/60,000 sf0.01
 rounds the double→decimal conversion loses a cent per such row and
 shifts every revenue sum (b1 went gate-red in round 6 on exactly
 this).  ``floor(x*100+0.5)`` is a single IEEE multiply/add/floor both
-engines execute identically.  Guarded by
+engines execute identically.  NOTE: ``floor(x*100+0.5)`` is
+round-half-UP only for non-negative x (for negative x it rounds half
+toward +inf) — fine here because TPC-H prices are positive; for signed
+money use sign-aware ``floor(abs(x)*100+0.5)*sign(x)`` or
+``round(sum(x), 2)`` after aggregation.  Guarded by
 tests/test_registry_lint.py::test_no_decimal_cast_of_raw_double.
 """
 
