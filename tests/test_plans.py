@@ -227,6 +227,19 @@ def test_x8_topk_is_take_ordered_not_full_sort(spark, sf_dir):
     assert "rangepartitioning" not in p.lower(), p
 
 
+def test_x19_o1_topk_no_global_window(spark, sf_dir):
+    # the round-7 verdict's two scale-killers: both were a global
+    # unpartitioned row_number over the FULL frame (single-partition sort
+    # of every distinct pair / version row).  Both must now be
+    # TakeOrderedAndProject (per-partition heaps) with rank attached by
+    # sorted-array posexplode over the <=k survivors — no WindowExec in
+    # the plan at all
+    for name in ("x19_bpe_pair_stats", "o1_rpm_order_sort"):
+        p = plan_of(q(name, spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, (name, p)
+        assert "Window" not in p, (name, p)
+
+
 def test_x6_benchmark_side_is_broadcast(spark, sf_dir):
     # the planted benchmark n-gram set is small: the overlap join must
     # broadcast it, not shuffle the training corpus's shingles

@@ -1035,28 +1035,46 @@ def x18(spark, sf_dir):
     tags=("text", "bpe"),
 )
 def x19(spark, sf_dir):
-    from pyspark.sql import Window
-
     from vunnel_spark.operators.bpe import pair_counts, to_symbols, word_counts
 
     docs = t(spark, sf_dir, "documents")
     counts = pair_counts(to_symbols(word_counts(docs), eow=True))
-    return (
+    # Top-20 FIRST via orderBy+limit — planned as TakeOrderedAndProject
+    # (per-partition heaps + driver merge of 20-row candidates), so the
+    # full distinct-pair frame (10^7-10^8 rows at web scale) never
+    # single-partition-sorts.  Rank is then attached WITHOUT a window:
+    # fold the 20 survivors into one sorted array (struct ordering
+    # (-cnt, pair_a, pair_b) = the query's ORDER BY) and posexplode —
+    # no WindowExec anywhere in the plan, so no unpartitioned-window
+    # hazard can regress in under this query's name.
+    top = (
         counts.select(
             F.col("a").alias("pair_a"),
             F.col("b").alias("pair_b"),
             F.col("cnt").cast("bigint").alias("cnt"),
         )
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                Window.orderBy(F.desc("cnt"), F.asc("pair_a"), F.asc("pair_b"))
-            )
-            .cast("bigint"),
-        )
         .orderBy(F.desc("cnt"), "pair_a", "pair_b")
         .limit(20)
+    )
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cnt")).alias("negcnt"),
+                    F.col("pair_a"),
+                    F.col("pair_b"),
+                    F.col("cnt"),
+                )
+            )
+        ).alias("xs")
+    )
+    return packed.select(
+        F.posexplode("xs").alias("i", "s")
+    ).select(
+        F.col("s.pair_a").alias("pair_a"),
+        F.col("s.pair_b").alias("pair_b"),
+        F.col("s.cnt").alias("cnt"),
+        (F.col("i") + 1).cast("bigint").alias("rank"),
     )
 
 
