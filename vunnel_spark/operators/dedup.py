@@ -439,7 +439,34 @@ def minhash_signatures(
     directly (xxhash64(slice(words, i, k)), skipping concat_ws) measured
     ~4x SLOWER at sf0.1 (3.9s vs 1.0s warm) — xxhash64 over array<string>
     pays per-element dispatch, one contiguous string hash does not; keep
-    the string form.  The per-seed minimum is ``num_hashes``
+    the string form.
+
+    Round-8 A/B (all interleaved in one session at sf0.1, cache cleared
+    between runs so every run re-executes the full pipeline):
+    - ARRAY-SIDE signatures (no explode/groupBy: sig computed per row as
+      F.array(*[array_min(transform(hs, h -> xxhash64(h, s)))]) over the
+      in-row shingle-hash array): 124s vs 1.5s — 80x SLOWER.  Spark does
+      NOT common-subexpression-eliminate a subtree referenced as the
+      argument of N higher-order functions in one projection, so the
+      shingle array was recomputed once per permutation.  The
+      explode+groupBy form is structural, not incidental.
+    - XOR-ROTATE permutation family (h1 ^ rotl(h2, s): 2 string hashes +
+      3 bitwise ops per permutation instead of one 16-byte xxhash64):
+      aggregate stage 0.91s vs 0.78s — no win; the 16-byte fixed-width
+      xxhash64 is already cheap relative to shingling, and the rotate
+      family's weaker independence risks the exact-equality oracle.
+    - Verify-phase sets built ARRAY-SIDE per doc (array_distinct of the
+      in-row shingle array after _spread, both string and hashed-long
+      element variants) instead of explode+groupBy collect_set: within
+      +/-5% (3.08-3.13s vs 3.09s warm interleaved).  Expected: _spread
+      pre-aligns the explode+groupBy form on id so its collect_set needs
+      no extra exchange — the two forms have the same shuffle profile
+      (one repartition of the raw candidate texts).  Kept the
+      explode+groupBy form (shares _word_shingles with every other
+      shingle operator).
+    The remaining gap between warm pipeline time (~3.1s) and the bench
+    slot (~3.9s) is fixed per-run overhead (10 jobs, 2 persist
+    materializations, AQE replanning) that amortizes at real scale.  The per-seed minimum is ``num_hashes``
     parallel min-aggregates over the shingle frame: ONE shuffle keyed on
     id carrying 64 longs per id after map-side partial aggregation.  (The
     naive form — explode 64 seed rows per shingle then groupBy — shuffles
