@@ -227,6 +227,101 @@ def test_png_chunk_layout_matches_independent_construction():
     assert got == want
 
 
+def test_png_palette_and_adam7_roundtrip():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    # sizes straddling the 8x8 Adam7 grid: sub-8 dims leave some of the
+    # 7 passes empty, >8 dims exercise all of them
+    for shape in [(5, 7, 3), (16, 9, 3), (1, 1, 3), (8, 8, 3), (3, 13, 3), (9, 9)]:
+        img = rng.integers(0, 4, size=shape, dtype=np.uint8) * 64
+        for pal in (False, True):
+            if pal and img.ndim == 2:
+                continue
+            for inter in (False, True):
+                enc = encode_png(
+                    img, row_filter=lambda y: y % 5, palette=pal, interlace=inter
+                )
+                assert np.array_equal(decode_png(enc), img), (shape, pal, inter)
+
+
+def test_png_palette_header_and_plte_contents():
+    """Palette output must be a spec-correct type-3 PNG: IHDR color=3,
+    a PLTE of the image's distinct colors, index scanlines."""
+    import struct
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import encode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = (1, 2, 3)
+    img[1, 1] = (9, 8, 7)
+    enc = encode_png(img, palette=True)
+    ihdr = enc[16:29]
+    w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    assert (w, h, depth, color, inter) == (2, 2, 8, 3, 0)
+    plte_pos = enc.index(b"PLTE")
+    (plte_len,) = struct.unpack(">I", enc[plte_pos - 4 : plte_pos])
+    plte = enc[plte_pos + 4 : plte_pos + 4 + plte_len]
+    # np.unique sorts lexicographically: (0,0,0), (1,2,3), (9,8,7)
+    assert plte == bytes([0, 0, 0, 1, 2, 3, 9, 8, 7])
+
+
+def test_png_palette_overflow_rejected():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)  # ~1000 colors
+    with pytest.raises(ValueError, match="palette overflow"):
+        encode_png(img, palette=True)
+
+
+def test_png_adam7_interlace_flag_and_pass_structure():
+    """Adam7 output sets IHDR interlace=1 and inflates to the per-pass
+    scanline byte count the spec prescribes, not the sequential one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import _ADAM7, encode_png
+
+    h, w, ch = 10, 11, 3
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    enc = encode_png(img, interlace=True)
+    assert struct.unpack(">IIBBBBB", enc[16:29])[6] == 1
+    idat_pos = enc.index(b"IDAT")
+    (ln,) = struct.unpack(">I", enc[idat_pos - 4 : idat_pos])
+    raw = zlib.decompress(enc[idat_pos + 4 : idat_pos + 4 + ln])
+    want = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw and ph:
+            want += ph * (1 + pw * ch)
+    assert len(raw) == want
+
+
+def test_png_missing_plte_rejected():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    enc = encode_png(img, palette=True)
+    plte_pos = enc.index(b"PLTE")
+    stripped = enc[: plte_pos - 4] + enc[plte_pos + 4 + 3 + 4 :]  # drop len+type+data+crc
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(stripped)
+
+
 def test_png_crc_corruption_detected():
     import numpy as np
     import pytest

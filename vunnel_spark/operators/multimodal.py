@@ -125,30 +125,29 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr, row_filter=None) -> bytes:
-    """HxWx3 (or HxW grayscale) uint8 -> PNG bytes.
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step),
+# in pass order.  Each pass is an independently-filtered sub-image.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ``row_filter``: callable ``y -> 0..4`` choosing the scanline filter
-    per row (default all-0/None).  The encoder computes the filtered
-    bytes from the reconstructed data, so any mix of the five spec
-    filters round-trips — the synthesized test images use ``y % 5`` to
-    exercise every de-filter path in ``decode_png``.
-    """
-    import struct
-    import zlib
 
+def _filter_scanlines(recon, ch, row_filter) -> bytearray:
+    """Filter a (rows, stride) int32 reconstruction into PNG scanline
+    bytes (one filter-type byte + filtered row each).  Shared by the
+    sequential path and each Adam7 pass — the spec's filters apply
+    per-pass with the previous-row state reset (§8.2)."""
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
-    gray = arr.ndim == 2
-    h, w = arr.shape[0], arr.shape[1]
-    ch = 1 if gray else arr.shape[2]
-    if ch not in (1, 3):
-        raise ValueError(f"unsupported channel count {ch}")
-    recon = arr.reshape(h, w * ch).astype(np.int32)
     lines = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
-    for y in range(h):
+    prev = np.zeros(recon.shape[1], dtype=np.int32)
+    for y in range(recon.shape[0]):
         f = int(row_filter(y)) if row_filter else 0
         if not 0 <= f <= 4:
             raise ValueError(f"row_filter returned invalid filter type {f}")
@@ -170,14 +169,69 @@ def encode_png(arr, row_filter=None) -> bytes:
         lines.append(f)
         lines.extend((filt % 256).astype(np.uint8).tobytes())
         prev = cur
-    color_type = 0 if ch == 1 else 2
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return lines
+
+
+def encode_png(arr, row_filter=None, palette: bool = False,
+               interlace: bool = False) -> bytes:
+    """HxWx3 (or HxW grayscale) uint8 -> PNG bytes.
+
+    ``row_filter``: callable ``y -> 0..4`` choosing the scanline filter
+    per row (default all-0/None).  The encoder computes the filtered
+    bytes from the reconstructed data, so any mix of the five spec
+    filters round-trips — the synthesized test images use ``y % 5`` to
+    exercise every de-filter path in ``decode_png``.
+
+    ``palette=True`` emits color type 3: the image's distinct colors
+    (must be <=256) become the PLTE chunk and scanlines carry 8-bit
+    indices.  ``interlace=True`` emits Adam7: seven independently
+    filtered passes in spec order (``row_filter`` sees the within-pass
+    row number).  Both compose.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[0], arr.shape[1]
+    ch = 1 if gray else arr.shape[2]
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported channel count {ch}")
+    plte = b""
+    if palette:
+        if gray:
+            raise ValueError("palette encoding needs an HxWx3 color image")
+        flat = arr.reshape(h * w, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"palette overflow: {len(colors)} distinct colors")
+        plte = colors.astype(np.uint8).tobytes()
+        pix = inverse.reshape(h, w).astype(np.int32)
+        ch = 1
+    else:
+        pix = arr.reshape(h, w * ch).astype(np.int32)
+    if interlace:
+        lines = bytearray()
+        grid = pix.reshape(h, w, ch)
+        for x0, y0, dx, dy in _ADAM7:
+            sub = grid[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines.extend(
+                _filter_scanlines(
+                    sub.reshape(sub.shape[0], sub.shape[1] * ch), ch, row_filter
+                )
+            )
+    else:
+        lines = _filter_scanlines(pix, ch, row_filter)
+    color_type = 3 if palette else (0 if gray else 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(lines))) + _png_chunk(b"IEND", b"")
 
 
 def _paeth_predictor(a, b, c):
@@ -189,55 +243,16 @@ def _paeth_predictor(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def decode_png(payload: bytes):
-    """PNG bytes -> HxWx3 (truecolor) or HxW (grayscale) uint8 array.
-
-    Full chunk walk with CRC-32 verification, multi-IDAT concatenation,
-    zlib inflate, and all five scanline de-filters.  Filters 0/2 (None/
-    Up) reconstruct vectorized; 1/3/4 (Sub/Average/Paeth) depend on the
-    just-reconstructed left neighbor, so they run a per-scanline loop —
-    per-payload work inside an Arrow batch, never per-pixel Python at
-    the plan level.
-    """
-    import struct
-    import zlib
-
+def _defilter(raw, p: int, rows: int, stride: int, ch: int):
+    """De-filter ``rows`` scanlines of ``stride`` bytes starting at
+    offset ``p`` in the inflated stream.  Returns (uint8 array of shape
+    (rows, stride), next offset).  Shared by the sequential path and
+    each Adam7 pass (previous-row state resets per pass, spec §8.2)."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, hdr = 8, [], None
-    while pos + 8 <= len(payload):
-        (ln,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if hdr is None:
-        raise ValueError("missing IHDR")
-    w, h, depth, color, comp, filt, interlace = hdr
-    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
-        raise NotImplementedError(
-            f"unsupported PNG variant (depth={depth} color={color} "
-            f"interlace={interlace}); supported: 8-bit gray/truecolor, "
-            "no interlace"
-        )
-    ch = 1 if color == 0 else 3
-    stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("truncated PNG image data")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    p = 0
-    for y in range(h):
+    for y in range(rows):
         f = raw[p]
         line = np.frombuffer(raw[p + 1 : p + 1 + stride], dtype=np.uint8).astype(np.int32)
         p += 1 + stride
@@ -263,6 +278,83 @@ def decode_png(payload: bytes):
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = rec.astype(np.uint8)
         prev = rec
+    return out, p
+
+
+def decode_png(payload: bytes):
+    """PNG bytes -> HxWx3 (truecolor/palette) or HxW (grayscale) uint8.
+
+    Full chunk walk with CRC-32 verification, multi-IDAT concatenation,
+    zlib inflate, and all five scanline de-filters; color types 0
+    (gray), 2 (truecolor), and 3 (palette, resolved through PLTE), each
+    sequential or Adam7-interlaced (7 independently filtered passes
+    scattered back onto the pixel grid).  Filters 0/2 (None/Up)
+    reconstruct vectorized; 1/3/4 (Sub/Average/Paeth) depend on the
+    just-reconstructed left neighbor, so they run a per-scanline loop —
+    per-payload work inside an Arrow batch, never per-pixel Python at
+    the plan level.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr, plte = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (ln,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or len(data) > 768:
+                raise ValueError(f"invalid PLTE length {len(data)}")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or color not in (0, 2, 3) or comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}); supported: 8-bit gray/truecolor/"
+            "palette, sequential or Adam7"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette image missing PLTE chunk")
+    ch = 3 if color == 2 else 1
+    raw = zlib.decompress(b"".join(idat))
+    if interlace:
+        pix = np.zeros((h, w, ch), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sub, p = _defilter(raw, p, ph, pw * ch, ch)
+            pix[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if p != len(raw):
+            raise ValueError("truncated or oversized Adam7 image data")
+        out = pix.reshape(h, w * ch)
+    else:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("truncated PNG image data")
+        out, _ = _defilter(raw, 0, h, stride, ch)
+    if color == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
 
 
@@ -2283,6 +2375,50 @@ def synthesize_png_media_table(
                 img[:, :, 1] = (7 * did) % 256
                 img[:, :, 2] = (13 * did) % 256
                 payload = encode_png(img, row_filter=lambda y: y % 5)
+                out.append(
+                    (did, payload,
+                     {"format": "png", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_palette_png_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic palette (color type 3) + Adam7-interlaced PNG table.
+
+    Same closed-form pixel model as ``synthesize_png_media_table`` (the
+    gradient has <= w <= 23 distinct colors, so it indexes into a PLTE
+    exactly), filters still cycle ``y % 5`` within each Adam7 pass — one
+    decoded corpus exercises PLTE resolution, all 7 interlace passes,
+    and every de-filter path, against the SAME closed-form oracle as
+    m7: a value mismatch therefore isolates the palette/Adam7 code.
+    """
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                row = (did + np.arange(w)) % 256
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = row[None, :]
+                img[:, :, 1] = (7 * did) % 256
+                img[:, :, 2] = (13 * did) % 256
+                payload = encode_png(
+                    img, row_filter=lambda y: y % 5, palette=True, interlace=True
+                )
                 out.append(
                     (did, payload,
                      {"format": "png", "width": w, "height": h,

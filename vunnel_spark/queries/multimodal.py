@@ -192,6 +192,55 @@ def m7(spark, sf_dir):
 
 
 @register(
+    "m19_palette_adam7_extract",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, w, h,
+             (SELECT avg((media_id + x) % 256) FROM xs WHERE x < w) AS mean_r,
+             (SELECT avg(pow((media_id + x) % 256, 2))
+              FROM xs WHERE x < w) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mean_r, 4) AS mean_r, round(g, 4) AS mean_g,
+           round(b, 4) AS mean_b,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
+    doc="Palette (color type 3) + Adam7-interlaced PNG pipeline: the "
+        "gradient corpus re-encoded through a PLTE index with 7 "
+        "independently filtered interlace passes (operators/multimodal.py "
+        "encode_png(palette=True, interlace=True)), decoded by the same "
+        "mapInPandas feature stage as m7.  The oracle is m7's closed-form "
+        "gradient arithmetic, so a value mismatch isolates PLTE "
+        "resolution / pass scatter / per-pass de-filtering",
+    tags=("multimodal", "udf"),
+)
+def m19(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_palette_png_media_table,
+    )
+
+    media = synthesize_palette_png_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
+
+
+@register(
     "m8_png_resize_pipeline",
     """
     WITH m AS (
