@@ -192,18 +192,26 @@ def test_q2_correlated_min_is_single_pass_window(spark, sf_dir):
 def test_gate_window_composition_stable():
     """The external gate evaluates the FIRST 50 registry entries in
     insertion order.  queries/__init__.py pins the window explicitly via
-    GATE_WINDOW and reorders the registry after import — round 6 rotates
-    in the 37 queries no prior gate ever saw plus the round-5/6 rewrites
-    (x4/d6 fingerprint, d3, s12) and the new round-6 queries, completing
-    external coverage of every registered query.  All 50 must carry
-    oracles; x4 stays first (fingerprint-portability fix, externally red
-    in r4 AND r5, must be proven green).  Update the pin only on
-    purpose."""
+    GATE_WINDOW and reorders the registry after import — the round-8
+    rotation leads with the 15 queries never inside any driver gate
+    through r07 (x16-x20, d11, d12, i10, i11, m15-m18, n10, v5), then
+    the round-8 changes (o1, m19, x5), then re-verification slots.
+    All 50 must carry oracles.  Update the pin only on purpose."""
     from vunnel_spark.queries import GATE_WINDOW
 
+    never_gated = [
+        "x16_gopher_repetition", "x17_bigram_perplexity", "x18_bm25_retrieval",
+        "x19_bpe_pair_stats", "x20_dsir_importance", "d11_dedup_clusters",
+        "d12_containment_pairs", "i10_cms_heavyhitter_merge",
+        "i11_hll_register_merge", "m15_progressive_jpeg_extract",
+        "m16_progressive420_extract", "m17_flac_audio_features",
+        "m18_stereo_flac_features", "n10_hard_negative_mining",
+        "v5_funnel_stages",
+    ]
     names = list(REGISTRY)[:50]
-    assert names[: len(GATE_WINDOW)] == GATE_WINDOW
-    assert names[0] == "x4_document_fingerprints"
+    assert len(GATE_WINDOW) == 50
+    assert names == GATE_WINDOW
+    assert names[:15] == never_gated
     assert all(REGISTRY[n].oracle for n in names), [
         n for n in names if not REGISTRY[n].oracle
     ]

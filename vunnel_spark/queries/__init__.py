@@ -6,26 +6,31 @@ so the judge can line them up with the inventory.
 
 Ordering is DELIBERATE: the external correctness gate evaluates the first
 50 registry entries in insertion order, so after all modules load we
-reorder the registry to put ``GATE_WINDOW`` first.  The round-6 window is
-the 37 queries no prior gate ever saw (p4/p7-p13 filters, j11, s14, the
-five provider end-to-end DAGs, x13-x15, v4, d9/d10, b1-b3 layouts, c1-c3
-clustering, h1/h2 skew, i7/i8 incremental, m4-m6 audio, n7-n9 PQ) plus
-the queries whose implementation changed in rounds 5-6 and therefore need
-external re-verification: x4/d6 (fingerprint now md5-of-head —
-engine-version-proof) and d3 (r5 signature rewrite + r6 tuning), and
-the early round-6 queries (ubuntu2, m7-m14, i9).  External coverage
-after this window: every query registered through the early round 6
-has been inside a gate (s12's r5 rewrite was already gated green in r5
-itself).  The LATE round-6 additions — x16, x17, x18, d11, i10, m15,
-m16, m17 — landed after this 50-slot window was full of the
-five-round-old never-gated backlog; they are locally hash-green at
-sf0.001/0.01/0.1 (committed CORRECTNESS_local_r6*.json) and are the
-core of the round-7 window.
+reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
+(rotated — r6 and r7 ran the identical window, which left external debt):
+
+- The 15 queries NEVER inside any driver gate through r07 (union of
+  CORRECTNESS_r02..r07 = 195/210): x16-x20, d11, d12, i10, i11,
+  m15-m18, n10, v5.  Two of them (x16, d12) also changed in r7 after
+  their last local evidence, and x19 changed again in r8 (top-k
+  de-single-partitioning).
+- The queries changed or added in round 8: o1 (same top-k rewrite as
+  x19), m19 (new palette+Adam7 PNG path), x5 (lint-waiver scrutiny on
+  its oracle).
+- ~30 re-verification slots for the highest-churn / highest-complexity
+  plans: the b1-b3 layouts (b1/b2 rewritten r7), d3 (r6 tuning + r8
+  A/B), x11, the skew/clustering/incremental/PQ families, the graph
+  family, the x4/d6 fingerprint pair, v4, t1/t2, d8, x6, n4, and four
+  provider end-to-end DAGs.
+
+External cumulative coverage after this window gates green: 211/211.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
 round 5 verified joins/windows/setops/scalars/similarity/sinks_q/
-multimodal (CORRECTNESS_r0{3,4,5}.json).  The pinned composition test is
+multimodal; rounds 6-7 verified the p4-p13/j11/s14/provider-DAG/
+x13-x15/v4/d9-d10/b/c/h/i7-i9/m4-m14/n7-n9 block twice
+(CORRECTNESS_r0{2..7}.json).  The pinned composition test is
 tests/test_plans.py::test_gate_window_composition_stable.
 """
 
@@ -40,64 +45,60 @@ from vunnel_spark.registry import REGISTRY
 # listed here must exist in the registry after all modules load (enforced
 # below with a KeyError, and pinned by the composition test).
 GATE_WINDOW = [
-    # changed-in-r6 first: the fingerprint portability fix must be proven
-    # (s12 also changed in r5 but was already ext-green IN r5 on the
-    # rewritten code, so it yields its slot to the new m-family queries)
-    "x4_document_fingerprints",
-    "d6_fingerprint_dedup",
-    "d3_minhash_lsh_pairs",
-    "ubuntu2_osv_downconvert",
-    "m7_png_feature_extract",
-    "m8_png_resize_pipeline",
-    # all remaining round-6 additions (the changed frame sampler is
-    # exercised by m10/m11/m14; the writers' parameterized-backup swap
-    # by s12; first_observed's table-format routing by its unit +
-    # availability-gated integration tests, i4 itself ext-green in r5)
-    "m9_jpeg_feature_extract",
-    "m10_avi_mjpeg_frame_sample",
-    "m11_mp4_frame_sample",
-    "m12_color_jpeg_feature_extract",
-    "m13_jpeg420_feature_extract",
-    "m14_fmp4_frame_sample",
-    "i9_incremental_quantile_merge",
-    # the 37 never-externally-gated queries (VERDICT r5 "What's wrong" #2)
-    "p4_ecosystem_allowlist_rename",
-    "p7_rejected_pair_antifilter",
-    "p8_severity_normalization",
-    "p9_withdrawn_passthrough",
-    "p10_regex_classifier",
-    "p11_cpe_normalization",
-    "p12_pkgname_normalization",
-    "p13_date_normalization",
-    "j11_rhsa_fallback_pkg_guess",
-    "s14_hash_bucket_keyed_read",
-    "secdb1_end_to_end_dag",
-    "alas1_end_to_end_dag",
-    "kev1_end_to_end_dag",
-    "epss1_end_to_end_dag",
-    "eol1_end_to_end_dag",
-    "x13_unigram_logprob_filter",
-    "x14_dataset_split",
-    "x15_quality_inference",
-    "v4_stream_stream_interval_join",
-    "d9_semantic_dedup",
-    "d10_shared_span_pairs",
+    # -- the 15 never-externally-gated queries (VERDICT r7 "What's
+    # missing" #1); x16/d12 also changed in r7, x19 changed in r8
+    "x16_gopher_repetition",
+    "x17_bigram_perplexity",
+    "x18_bm25_retrieval",
+    "x19_bpe_pair_stats",
+    "x20_dsir_importance",
+    "d11_dedup_clusters",
+    "d12_containment_pairs",
+    "i10_cms_heavyhitter_merge",
+    "i11_hll_register_merge",
+    "m15_progressive_jpeg_extract",
+    "m16_progressive420_extract",
+    "m17_flac_audio_features",
+    "m18_stereo_flac_features",
+    "n10_hard_negative_mining",
+    "v5_funnel_stages",
+    # -- changed or added in round 8
+    "o1_rpm_order_sort",
+    "m19_palette_adam7_extract",
+    "x5_language_id",
+    # -- high-churn / high-complexity re-verification slots
     "b1_bucketed_colocated_join",
     "b2_bucket_pruned_lookup",
     "b3_zorder_range_query",
+    "d3_minhash_lsh_pairs",
+    "x11_sequence_packing",
+    "x4_document_fingerprints",
+    "d6_fingerprint_dedup",
+    "d8_jaccard_skew_capped",
+    "x6_decontamination",
+    "h1_salted_skew_agg",
+    "h2_salted_skew_join",
     "c1_cluster_assign_profile",
     "c2_lloyd_centroid_update",
     "c3_cluster_balanced_sample",
-    "h1_salted_skew_agg",
-    "h2_salted_skew_join",
     "i7_incremental_agg_merge",
     "i8_incremental_distinct_merge",
-    "m4_audio_features",
-    "m5_audio_windowed_energy",
-    "m6_audio_exact_dedup",
+    "i9_incremental_quantile_merge",
+    "n4_ann_ivf_topk",
     "n7_pq_adc_topk",
     "n8_pq_rerank_retrieval",
     "n9_ivfpq_topk",
+    "g1_dup_components",
+    "g2_transitive_dedup",
+    "g3_chain_components",
+    "t1_asof_profile_join",
+    "t2_range_bucket_join",
+    "v4_stream_stream_interval_join",
+    "nvd1_full_corpus_reemit",
+    "rhel1_parse_cve_dag",
+    "ubuntu2_osv_downconvert",
+    "oval1_resolution_dag",
+    "ghsa1_per_ecosystem_dag",
 ]
 
 __all__: list[str] = []
