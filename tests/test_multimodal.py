@@ -270,6 +270,53 @@ def test_png_palette_header_and_plte_contents():
     assert plte == bytes([0, 0, 0, 1, 2, 3, 9, 8, 7])
 
 
+def test_png_16bit_roundtrip_and_header():
+    import struct
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(5, 7, 3), (9, 9), (1, 1, 3), (12, 3, 3)]:
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        for inter in (False, True):
+            enc = encode_png(img, row_filter=lambda y: y % 5, interlace=inter)
+            w, h, depth, color, comp, filt, il = struct.unpack(">IIBBBBB", enc[16:29])
+            assert depth == 16 and il == int(inter)
+            dec = decode_png(enc)
+            assert dec.dtype == np.uint16
+            assert np.array_equal(dec, img), (shape, inter)
+
+
+def test_png_16bit_big_endian_sample_order():
+    """A depth-16 filter-0 scanline must carry big-endian samples
+    (spec §7.1) — pin the byte order against an independent packing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import encode_png
+
+    img = np.array([[0x1234, 0xABCD]], dtype=np.uint16)  # 1x2 gray
+    enc = encode_png(img)
+    idat_pos = enc.index(b"IDAT")
+    (ln,) = struct.unpack(">I", enc[idat_pos - 4 : idat_pos])
+    raw = zlib.decompress(enc[idat_pos + 4 : idat_pos + 4 + ln])
+    assert raw == b"\x00\x12\x34\xab\xcd"
+
+
+def test_png_16bit_palette_rejected():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import encode_png
+
+    with pytest.raises(ValueError, match="16-bit palette"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint16), palette=True)
+
+
 def test_png_palette_overflow_rejected():
     import numpy as np
     import pytest

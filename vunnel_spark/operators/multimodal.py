@@ -8,7 +8,8 @@ is: parquet scan (binary column pruned unless needed) -> partition-local
 Python batches -> columnar output.  No driver-side materialization ever.
 
 Codecs: PPM (P6), PNG (zlib DEFLATE + the five spec scanline filters,
-8-bit gray/truecolor), baseline JPEG (numpy DCT + Annex-K Huffman;
+8/16-bit gray/truecolor, 8-bit palette/PLTE, sequential or
+Adam7-interlaced), baseline JPEG (numpy DCT + Annex-K Huffman;
 grayscale, YCbCr 4:4:4 color, and 4:2:0 chroma-subsampled), and
 PROGRESSIVE JPEG (SOF2 multi-scan: spectral selection, EOBn run coding,
 full successive-approximation DC+AC refinement; grayscale, 4:4:4 and
@@ -18,7 +19,7 @@ channel assignments; lossless) beside the stdlib-wave RIFF/PCM
 path — alongside AVI (RIFF) and ISO-BMFF (mp4, plain +
 fragmented) MJPEG container demux — the decode/resize/feature/
 frame-sample stages exercise genuine bytes-in/pixels-out behavior
-end-to-end, and the m1-m18 queries carry exact SQL oracles over
+end-to-end, and the m1-m20 queries carry exact SQL oracles over
 deterministically synthesized images.  Remaining variants
 (arithmetic-coded JPEG, webm) raise NotImplementedError behind
 the explicit ``fake=True`` escape hatch; swapping in PIL/ffmpeg changes
@@ -172,28 +173,45 @@ def _filter_scanlines(recon, ch, row_filter) -> bytearray:
     return lines
 
 
+def _sample_rows_to_bytes(sub, depth: int):
+    """(rows, cols, ch) int32 samples -> (rows, cols*ch*depth//8) int32
+    scanline bytes (big-endian sample order for depth 16, spec §7.1)."""
+    import numpy as np
+
+    rows = sub.shape[0]
+    if depth == 8:
+        return sub.reshape(rows, -1)
+    return np.stack([sub >> 8, sub & 0xFF], axis=-1).reshape(rows, -1)
+
+
 def encode_png(arr, row_filter=None, palette: bool = False,
                interlace: bool = False) -> bytes:
-    """HxWx3 (or HxW grayscale) uint8 -> PNG bytes.
+    """HxWx3 (or HxW grayscale) uint8/uint16 -> PNG bytes.
 
-    ``row_filter``: callable ``y -> 0..4`` choosing the scanline filter
-    per row (default all-0/None).  The encoder computes the filtered
-    bytes from the reconstructed data, so any mix of the five spec
-    filters round-trips — the synthesized test images use ``y % 5`` to
-    exercise every de-filter path in ``decode_png``.
+    A uint16 input encodes at bit depth 16 (big-endian samples; the
+    spec's filters then operate on the raw bytes with a 2-byte-per-
+    sample pixel offset).  ``row_filter``: callable ``y -> 0..4``
+    choosing the scanline filter per row (default all-0/None).  The
+    encoder computes the filtered bytes from the reconstructed data, so
+    any mix of the five spec filters round-trips — the synthesized test
+    images use ``y % 5`` to exercise every de-filter path in
+    ``decode_png``.
 
     ``palette=True`` emits color type 3: the image's distinct colors
     (must be <=256) become the PLTE chunk and scanlines carry 8-bit
-    indices.  ``interlace=True`` emits Adam7: seven independently
-    filtered passes in spec order (``row_filter`` sees the within-pass
-    row number).  Both compose.
+    indices (8-bit input only; PLTE entries are 8-bit by spec).
+    ``interlace=True`` emits Adam7: seven independently filtered passes
+    in spec order (``row_filter`` sees the within-pass row number).
+    All options compose (except palette+16-bit, a spec impossibility).
     """
     import struct
     import zlib
 
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype(np.uint16 if depth == 16 else np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[0], arr.shape[1]
     ch = 1 if gray else arr.shape[2]
@@ -203,31 +221,31 @@ def encode_png(arr, row_filter=None, palette: bool = False,
     if palette:
         if gray:
             raise ValueError("palette encoding needs an HxWx3 color image")
+        if depth == 16:
+            raise ValueError("palette entries are 8-bit by spec; no 16-bit palette")
         flat = arr.reshape(h * w, 3)
         colors, inverse = np.unique(flat, axis=0, return_inverse=True)
         if len(colors) > 256:
             raise ValueError(f"palette overflow: {len(colors)} distinct colors")
         plte = colors.astype(np.uint8).tobytes()
-        pix = inverse.reshape(h, w).astype(np.int32)
+        pix = inverse.reshape(h, w, 1).astype(np.int32)
         ch = 1
     else:
-        pix = arr.reshape(h, w * ch).astype(np.int32)
+        pix = arr.reshape(h, w, ch).astype(np.int32)
+    bpp = ch * (depth // 8)  # filter offset is bytes-per-pixel (spec §9)
     if interlace:
         lines = bytearray()
-        grid = pix.reshape(h, w, ch)
         for x0, y0, dx, dy in _ADAM7:
-            sub = grid[y0::dy, x0::dx]
+            sub = pix[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
             lines.extend(
-                _filter_scanlines(
-                    sub.reshape(sub.shape[0], sub.shape[1] * ch), ch, row_filter
-                )
+                _filter_scanlines(_sample_rows_to_bytes(sub, depth), bpp, row_filter)
             )
     else:
-        lines = _filter_scanlines(pix, ch, row_filter)
+        lines = _filter_scanlines(_sample_rows_to_bytes(pix, depth), bpp, row_filter)
     color_type = 3 if palette else (0 if gray else 2)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette:
         out += _png_chunk(b"PLTE", plte)
@@ -322,40 +340,56 @@ def decode_png(payload: bytes):
     if hdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp, filt, interlace = hdr
-    if depth != 8 or color not in (0, 2, 3) or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if (
+        depth not in (8, 16)
+        or color not in (0, 2, 3)
+        or (depth == 16 and color == 3)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth} color={color} "
-            f"interlace={interlace}); supported: 8-bit gray/truecolor/"
-            "palette, sequential or Adam7"
+            f"interlace={interlace}); supported: 8/16-bit gray/truecolor "
+            "+ 8-bit palette, sequential or Adam7"
         )
     if color == 3 and plte is None:
         raise ValueError("palette image missing PLTE chunk")
     ch = 3 if color == 2 else 1
+    bpp = ch * (depth // 8)
+
+    def to_samples(byte_rows, ncols):
+        rows = byte_rows.shape[0]
+        if depth == 8:
+            return byte_rows.reshape(rows, ncols, ch)
+        a = byte_rows.reshape(rows, ncols, ch, 2).astype(np.uint16)
+        return (a[..., 0] << 8) | a[..., 1]
+
     raw = zlib.decompress(b"".join(idat))
     if interlace:
-        pix = np.zeros((h, w, ch), dtype=np.uint8)
+        pix = np.zeros((h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8)
         p = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            sub, p = _defilter(raw, p, ph, pw * ch, ch)
-            pix[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub, p = _defilter(raw, p, ph, pw * bpp, bpp)
+            pix[y0::dy, x0::dx] = to_samples(sub, pw)
         if p != len(raw):
             raise ValueError("truncated or oversized Adam7 image data")
-        out = pix.reshape(h, w * ch)
     else:
-        stride = w * ch
+        stride = w * bpp
         if len(raw) != h * (stride + 1):
             raise ValueError("truncated PNG image data")
-        out, _ = _defilter(raw, 0, h, stride, ch)
+        byte_rows, _ = _defilter(raw, 0, h, stride, bpp)
+        pix = to_samples(byte_rows, w)
     if color == 3:
-        idx = out.reshape(h, w)
+        idx = pix.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idx]
-    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
+    return pix.reshape(h, w) if ch == 1 else pix.reshape(h, w, 3)
 
 
 # --------------------------------------------------------------- JPEG codec
@@ -1727,8 +1761,9 @@ def _fake_decode(payload: bytes, width: int, height: int):
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     """Decode one image payload.
 
-    PPM (P6), PNG (8-bit gray/truecolor), baseline JPEG (grayscale,
-    4:4:4 color, 4:2:0 subsampled), and progressive JPEG (gray, 4:4:4 and 4:2:0
+    PPM (P6), PNG (8/16-bit gray/truecolor, palette, Adam7), baseline
+    JPEG (grayscale, 4:4:4 color, 4:2:0 subsampled), and progressive
+    JPEG (gray, 4:4:4 and 4:2:0
     color) decode for real; remaining variants (arithmetic-coded, HEIC, ...)
     need codec libraries this container doesn't ship — callers opt into
     the deterministic fake explicitly, or get NotImplementedError.
@@ -1752,8 +1787,9 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
         "no codec for this payload format in this environment; PPM (P6), "
-        "PNG (8-bit gray/truecolor), baseline JPEG (gray, 4:4:4 color, "
-        "4:2:0 subsampled) and progressive JPEG (gray + color) decode natively, "
+        "PNG (8/16-bit gray/truecolor, palette, Adam7), baseline JPEG "
+        "(gray, 4:4:4 color, 4:2:0 subsampled) and progressive JPEG "
+        "(gray + color) decode natively, "
         "or pass fake=True for the deterministic stand-in"
     )
 
@@ -2419,6 +2455,47 @@ def synthesize_palette_png_media_table(
                 payload = encode_png(
                     img, row_filter=lambda y: y % 5, palette=True, interlace=True
                 )
+                out.append(
+                    (did, payload,
+                     {"format": "png", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_png16_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 16-bit (depth 16) Adam7-interlaced PNG table.
+
+    Pixel model = the m7 gradient scaled by 257 (so samples span the
+    full 0..65535 range in exact steps): R = 257*((id+x) mod 256),
+    G/B = 257*((7id/13id) mod 256).  Encoded interlaced with the y%5
+    per-pass filter cycle, so one decoded corpus exercises the 2-byte-
+    per-sample filter offsets (bpp=6) across all 7 Adam7 passes.
+    """
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                row = ((did + np.arange(w)) % 256) * 257
+                img = np.empty((h, w, 3), dtype=np.uint16)
+                img[:, :, 0] = row[None, :]
+                img[:, :, 1] = ((7 * did) % 256) * 257
+                img[:, :, 2] = ((13 * did) % 256) * 257
+                payload = encode_png(img, row_filter=lambda y: y % 5, interlace=True)
                 out.append(
                     (did, payload,
                      {"format": "png", "width": w, "height": h,

@@ -15,15 +15,15 @@ reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
   their last local evidence, and x19 changed again in r8 (top-k
   de-single-partitioning).
 - The queries changed or added in round 8: o1 (same top-k rewrite as
-  x19), m19 (new palette+Adam7 PNG path), x5 (lint-waiver scrutiny on
-  its oracle).
+  x19), m19 (new palette+Adam7 PNG path), m20 (new 16-bit-depth PNG
+  path), x5 (lint-waiver scrutiny on its oracle).
 - ~30 re-verification slots for the highest-churn / highest-complexity
   plans: the b1-b3 layouts (b1/b2 rewritten r7), d3 (r6 tuning + r8
-  A/B), x11, the skew/clustering/incremental/PQ families, the graph
-  family, the x4/d6 fingerprint pair, v4, t1/t2, d8, x6, n4, and four
+  A/B), x11, the skew/clustering/incremental/PQ families, g1/g2,
+  the x4/d6 fingerprint pair, v4, t1/t2, d8, x6, n4, and four
   provider end-to-end DAGs.
 
-External cumulative coverage after this window gates green: 211/211.
+External cumulative coverage after this window gates green: 212/212.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -65,6 +65,7 @@ GATE_WINDOW = [
     # -- changed or added in round 8
     "o1_rpm_order_sort",
     "m19_palette_adam7_extract",
+    "m20_png16_feature_extract",
     "x5_language_id",
     # -- high-churn / high-complexity re-verification slots
     "b1_bucketed_colocated_join",
@@ -90,7 +91,6 @@ GATE_WINDOW = [
     "n9_ivfpq_topk",
     "g1_dup_components",
     "g2_transitive_dedup",
-    "g3_chain_components",
     "t1_asof_profile_join",
     "t2_range_bucket_join",
     "v4_stream_stream_interval_join",

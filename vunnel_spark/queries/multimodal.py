@@ -241,6 +241,55 @@ def m19(spark, sf_dir):
 
 
 @register(
+    "m20_png16_feature_extract",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, w, h,
+             (SELECT avg(((media_id + x) % 256) * 257)
+              FROM xs WHERE x < w) AS mean_r,
+             (SELECT avg(pow(((media_id + x) % 256) * 257, 2))
+              FROM xs WHERE x < w) AS mean_r2,
+             CAST(((7 * media_id) % 256) * 257 AS DOUBLE) AS g,
+             CAST(((13 * media_id) % 256) * 257 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mean_r, 4) AS mean_r, round(g, 4) AS mean_g,
+           round(b, 4) AS mean_b,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
+    doc="16-bit-depth (PNG bit depth 16) Adam7-interlaced pipeline: the "
+        "m7 gradient scaled by 257 to span 0..65535, encoded big-endian "
+        "2-bytes-per-sample (operators/multimodal.py "
+        "synthesize_png16_media_table), decoded by the same mapInPandas "
+        "feature stage — the filters' bytes-per-pixel offset becomes 6, "
+        "so a value mismatch isolates the 16-bit sample plumbing",
+    tags=("multimodal", "udf"),
+)
+def m20(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_png16_media_table,
+    )
+
+    media = synthesize_png16_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
+
+
+@register(
     "m8_png_resize_pipeline",
     """
     WITH m AS (
