@@ -307,6 +307,43 @@ def test_png_16bit_big_endian_sample_order():
     assert raw == b"\x00\x12\x34\xab\xcd"
 
 
+def test_png_alpha_roundtrip_and_headers():
+    """Color types 4 (gray+alpha) and 6 (RGBA), 8- and 16-bit,
+    sequential and Adam7, all round-trip; IHDR carries the right type."""
+    import struct
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    for ch, want_color in [(2, 4), (4, 6)]:
+        for dtype, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+            img = rng.integers(0, hi, size=(6, 11, ch)).astype(dtype)
+            for inter in (False, True):
+                enc = encode_png(img, row_filter=lambda y: y % 5, interlace=inter)
+                assert struct.unpack(">IIBBBBB", enc[16:29])[3] == want_color
+                dec = decode_png(enc)
+                assert dec.dtype == dtype and np.array_equal(dec, img), (
+                    ch, dtype, inter)
+
+
+def test_decode_image_strips_alpha():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_image, encode_png
+
+    rgba = np.zeros((3, 4, 4), dtype=np.uint8)
+    rgba[..., 0], rgba[..., 1], rgba[..., 2], rgba[..., 3] = 10, 20, 30, 200
+    out = decode_image(encode_png(rgba), 4, 3)
+    assert out.shape == (3, 4, 3)
+    assert (out[..., 0] == 10).all() and (out[..., 2] == 30).all()
+    ga = np.zeros((3, 4, 2), dtype=np.uint8)
+    ga[..., 0], ga[..., 1] = 77, 128
+    out = decode_image(encode_png(ga), 4, 3)
+    assert out.shape == (3, 4, 3) and (out == 77).all()
+
+
 def test_png_16bit_palette_rejected():
     import numpy as np
     import pytest

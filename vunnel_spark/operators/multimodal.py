@@ -215,11 +215,11 @@ def encode_png(arr, row_filter=None, palette: bool = False,
     gray = arr.ndim == 2
     h, w = arr.shape[0], arr.shape[1]
     ch = 1 if gray else arr.shape[2]
-    if ch not in (1, 3):
+    if ch not in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
         raise ValueError(f"unsupported channel count {ch}")
     plte = b""
     if palette:
-        if gray:
+        if ch != 3:
             raise ValueError("palette encoding needs an HxWx3 color image")
         if depth == 16:
             raise ValueError("palette entries are 8-bit by spec; no 16-bit palette")
@@ -244,7 +244,7 @@ def encode_png(arr, row_filter=None, palette: bool = False,
             )
     else:
         lines = _filter_scanlines(_sample_rows_to_bytes(pix, depth), bpp, row_filter)
-    color_type = 3 if palette else (0 if gray else 2)
+    color_type = 3 if palette else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if palette:
@@ -342,7 +342,7 @@ def decode_png(payload: bytes):
     w, h, depth, color, comp, filt, interlace = hdr
     if (
         depth not in (8, 16)
-        or color not in (0, 2, 3)
+        or color not in (0, 2, 3, 4, 6)
         or (depth == 16 and color == 3)
         or comp != 0
         or filt != 0
@@ -350,12 +350,12 @@ def decode_png(payload: bytes):
     ):
         raise NotImplementedError(
             f"unsupported PNG variant (depth={depth} color={color} "
-            f"interlace={interlace}); supported: 8/16-bit gray/truecolor "
-            "+ 8-bit palette, sequential or Adam7"
+            f"interlace={interlace}); supported: 8/16-bit gray/truecolor/"
+            "gray+alpha/RGBA + 8-bit palette, sequential or Adam7"
         )
     if color == 3 and plte is None:
         raise ValueError("palette image missing PLTE chunk")
-    ch = 3 if color == 2 else 1
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     bpp = ch * (depth // 8)
 
     def to_samples(byte_rows, ncols):
@@ -389,7 +389,7 @@ def decode_png(payload: bytes):
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
         return plte[idx]
-    return pix.reshape(h, w) if ch == 1 else pix.reshape(h, w, 3)
+    return pix.reshape(h, w) if ch == 1 else pix.reshape(h, w, ch)
 
 
 # --------------------------------------------------------------- JPEG codec
@@ -1777,6 +1777,10 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
         img = decode_png(payload)
         if img.ndim == 2:  # grayscale -> replicated RGB for uniform stages
             img = np.repeat(img[:, :, None], 3, axis=2)
+        elif img.shape[2] == 2:  # gray+alpha -> replicated RGB, alpha dropped
+            img = np.repeat(img[:, :, :1], 3, axis=2)
+        elif img.shape[2] == 4:  # RGBA -> alpha dropped (stats are RGB-defined)
+            img = img[:, :, :3]
         return img
     if payload[:2] == b"\xff\xd8":
         img = decode_jpeg(payload)
@@ -2495,6 +2499,48 @@ def synthesize_png16_media_table(
                 img[:, :, 0] = row[None, :]
                 img[:, :, 1] = ((7 * did) % 256) * 257
                 img[:, :, 2] = ((13 * did) % 256) * 257
+                payload = encode_png(img, row_filter=lambda y: y % 5, interlace=True)
+                out.append(
+                    (did, payload,
+                     {"format": "png", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_rgba_png_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic RGBA (color type 6) Adam7-interlaced PNG table.
+
+    RGB = the m7 gradient; alpha = its own per-pixel gradient
+    ``(31*id + x) mod 256`` so the 4th sample genuinely participates in
+    the scanline filters (bpp=4).  The feature stage drops alpha by
+    contract, so the m7 closed-form oracle still applies — a mismatch
+    isolates the alpha-channel plumbing (filter offsets, channel strip).
+    """
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                row = (did + np.arange(w)) % 256
+                img = np.empty((h, w, 4), dtype=np.uint8)
+                img[:, :, 0] = row[None, :]
+                img[:, :, 1] = (7 * did) % 256
+                img[:, :, 2] = (13 * did) % 256
+                img[:, :, 3] = ((31 * did + np.arange(w)) % 256)[None, :]
                 payload = encode_png(img, row_filter=lambda y: y % 5, interlace=True)
                 out.append(
                     (did, payload,

@@ -290,6 +290,55 @@ def m20(spark, sf_dir):
 
 
 @register(
+    "m21_rgba_png_feature_extract",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, w, h,
+             (SELECT avg((media_id + x) % 256) FROM xs WHERE x < w) AS mean_r,
+             (SELECT avg(pow((media_id + x) % 256, 2))
+              FROM xs WHERE x < w) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mean_r, 4) AS mean_r, round(g, 4) AS mean_g,
+           round(b, 4) AS mean_b,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
+    doc="RGBA (color type 6) Adam7-interlaced PNG pipeline: the m7 "
+        "gradient plus a per-pixel alpha gradient that participates in "
+        "the 4-bytes-per-pixel scanline filters and is then dropped by "
+        "the feature stage's RGB contract (operators/multimodal.py "
+        "synthesize_rgba_png_media_table, decode_image).  The oracle is "
+        "m7's closed-form arithmetic, so a value mismatch isolates the "
+        "alpha plumbing (filter offsets / channel strip)",
+    tags=("multimodal", "udf"),
+)
+def m21(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_rgba_png_media_table,
+    )
+
+    media = synthesize_rgba_png_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )
+
+
+@register(
     "m8_png_resize_pipeline",
     """
     WITH m AS (
