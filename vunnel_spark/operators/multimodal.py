@@ -3391,9 +3391,10 @@ def synthesize_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Closed-form samples are what upgrade the audio family from rows-only
     to exact value oracles — the same discipline as the PPM gradient
-    images.  Audio completes the image/audio/video triple with a second
-    REAL codec (PPM, WAV); only PNG/JPEG/mp4 remain honest
-    NotImplementedError escape hatches.
+    images.  (Historical note: WAV was the second real codec after PPM;
+    PNG, JPEG, FLAC, and the AVI/mp4 demuxers have since become real
+    too — only webm/HEIC/arithmetic-JPEG keep NotImplementedError
+    escape hatches.)
     """
     schema = (
         "media_id long, payload binary, "
