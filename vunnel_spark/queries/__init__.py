@@ -16,14 +16,15 @@ reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
   de-single-partitioning).
 - The queries changed or added in round 8: o1 (same top-k rewrite as
   x19), m19/m20/m21 (new palette+Adam7, 16-bit-depth, and RGBA PNG
-  paths), x5 (lint-waiver scrutiny on its oracle).
+  paths), llm1 (the end-to-end LLM pretrain-corpus DAG), x5
+  (lint-waiver scrutiny on its oracle).
 - ~30 re-verification slots for the highest-churn / highest-complexity
   plans: the b1-b3 layouts (b1/b2 rewritten r7), d3 (r6 tuning + r8
   A/B), x11, the skew/clustering/incremental/PQ families, g1/g2,
-  the x4/d6 fingerprint pair, v4, t1/t2, d8, x6, n4, and four
+  the x4/d6 fingerprint pair, v4, t1, d8, x6, n4, and four
   provider end-to-end DAGs.
 
-External cumulative coverage after this window gates green: 213/213.
+External cumulative coverage after this window gates green: 214/214.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -67,6 +68,7 @@ GATE_WINDOW = [
     "m19_palette_adam7_extract",
     "m20_png16_feature_extract",
     "m21_rgba_png_feature_extract",
+    "llm1_pretrain_corpus_dag",
     "x5_language_id",
     # -- high-churn / high-complexity re-verification slots
     "b1_bucketed_colocated_join",
@@ -93,7 +95,6 @@ GATE_WINDOW = [
     "g1_dup_components",
     "g2_transitive_dedup",
     "t1_asof_profile_join",
-    "t2_range_bucket_join",
     "v4_stream_stream_interval_join",
     "nvd1_full_corpus_reemit",
     "rhel1_parse_cve_dag",
