@@ -248,6 +248,19 @@ def test_x19_o1_topk_no_global_window(spark, sf_dir):
         assert "Window" not in p, (name, p)
 
 
+def test_llm1_dag_two_exchanges_no_cartesian(spark, sf_dir):
+    # the end-to-end LLM corpus DAG must cost exactly two shuffles:
+    # hashpartitioning on the dedup digest, then on source — the cap
+    # window's source partitioning satisfies the final groupBy(source)
+    # distribution (no third exchange), and the rank<=cap filter plans
+    # as WindowGroupLimit (partial top-k below the shuffle)
+    p = plan_of(q("llm1_pretrain_corpus_dag", spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges == 2, p
+    assert "WindowGroupLimit" in p, p
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p, p
+
+
 def test_x6_benchmark_side_is_broadcast(spark, sf_dir):
     # the planted benchmark n-gram set is small: the overlap join must
     # broadcast it, not shuffle the training corpus's shingles
