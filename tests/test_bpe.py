@@ -94,3 +94,78 @@ def test_pair_counts_weighted_by_word_freq(spark):
     )
     got = {(r["a"], r["b"]): r["cnt"] for r in pair_counts(sw).collect()}
     assert got == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def _py_apply(word: str, merges) -> list[str]:
+    """Reference greedy left-to-right apply of a frozen merge table."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        new = []
+        for s in syms:
+            if new and new[-1] == a and s == b:
+                new[-1] = a + b
+            else:
+                new.append(s)
+        syms = new
+    return syms
+
+
+def test_apply_merges_matches_reference(spark):
+    from vunnel_spark.operators.bpe import apply_merges
+    from vunnel_spark.queries.text import _BPE_FROZEN_MERGES
+
+    words = ["key", "err", "ower", "spark", "st", "a", "sorter", "zzz",
+             "ererer", "ooo", "wow", "stow"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["symbols"])
+        for r in apply_merges(df, _BPE_FROZEN_MERGES).collect()
+    }
+    for w in words:
+        assert got[w] == _py_apply(w, _BPE_FROZEN_MERGES), w
+
+
+def test_x23_oracle_replace_trick_matches_fold():
+    """The delimiter-doubled SQL replace must merge EXACTLY what the
+    greedy fold merges — pin the overlap ((a,a) on [a,a,a]) and the
+    partial-symbol ([a, bc] must NOT merge under (a,b)) edge cases, per
+    word, against the pure-Python reference."""
+    import duckdb
+
+    from vunnel_spark.queries.text import _BPE_FROZEN_MERGES, _bpe_apply_sql
+
+    # include words engineered for the edge cases: 'ooo' (overlapping
+    # (o,o)-shaped runs under (o,w)? no — use explicit merge table below),
+    # plus corpus-shaped words for the frozen table
+    words = ["key", "err", "ower", "spark", "st", "a", "sorter",
+             "ererer", "wow", "stow", "ow", "owow"]
+    rel = duckdb.sql(
+        "SELECT word, trim(" + _bpe_apply_sql() + ") AS s FROM "
+        "(SELECT unnest(" + repr(words).replace("'", "'") + ") AS word)"
+    ).fetchall()
+    got = {w: s.split(" ") for w, s in rel}
+    for w in words:
+        assert got[w] == _py_apply(w, _BPE_FROZEN_MERGES), w
+
+
+def test_replace_trick_edge_cases_custom_table():
+    """(a,a) on 'aaa' -> [aa, a]; (a,b) must not fire on [a, bc]."""
+    import duckdb
+
+    # hand-built: merges (a,a) then (b,c); word 'aaa' and 'abc'
+    s = ("' ' || array_to_string(list_append("
+         "regexp_split_to_array(word, ''), '</w>'), ' ') || ' '")
+    for a, b in [("a", "a"), ("b", "c")]:
+        s = (f"replace(replace(replace({s}, ' ', '  '), "
+             f"' {a}  {b} ', ' {a}{b} '), '  ', ' ')")
+    rel = duckdb.sql(
+        f"SELECT word, trim({s}) AS s FROM "
+        "(SELECT unnest(['aaa', 'abc', 'aab']) AS word)"
+    ).fetchall()
+    got = {w: out.split(" ") for w, out in rel}
+    assert got["aaa"] == ["aa", "a", "</w>"]
+    # (a,a) then (b,c): 'abc' -> a, bc, </w> — the 'a bc' adjacency must
+    # NOT have been merged by the (a,b)-shaped pattern scanning inside
+    # the 'bc' symbol
+    assert got["abc"] == ["a", "bc", "</w>"]
+    assert got["aab"] == ["aa", "b", "</w>"]

@@ -1255,3 +1255,171 @@ def test_progressive_dri_out_of_sequence_rejected():
         encode_jpeg_gray_progressive(img, restart_interval=0)
     with pytest.raises(ValueError):
         encode_jpeg_gray_progressive(img, restart_interval=70000)
+
+
+def test_lzw_roundtrip_property():
+    """GIF-variant LZW: random index streams across alphabet sizes and
+    lengths, including streams long enough to force 12-bit growth and
+    clear-code table resets."""
+    import random
+
+    from vunnel_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(20260815)
+    for _ in range(40):
+        n = rng.choice([0, 1, 2, 7, 100, 2500, 25000])
+        alpha = rng.choice([2, 3, 4, 16, 128, 256])
+        mcs = max(2, (alpha - 1).bit_length())
+        data = bytes(rng.randrange(alpha) for _ in range(n))
+        enc = _lzw_encode(data, mcs)
+        assert bytes(_lzw_decode(enc, mcs, n)) == data
+
+
+def test_lzw_table_reset_exercised():
+    """A high-entropy stream >4096 distinct prefixes must embed at least
+    one mid-stream Clear code (table reset) and still round-trip."""
+    import random
+
+    from vunnel_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(60000))
+    enc = _lzw_encode(data, 8)
+    assert bytes(_lzw_decode(enc, 8, len(data))) == data
+
+
+def test_gif_roundtrip_interlace_and_local_tables():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_gif, encode_gif
+
+    for did in (0, 1, 5, 17, 123, 255, 1000):
+        w, h, nf = did % 8 + 4, did % 4 + 4, did % 4 + 2
+        frames = []
+        for f in range(nf):
+            img = np.empty((h, w, 3), np.uint8)
+            img[:, :, 0] = ((did + 17 * f + np.arange(w)) % 256)[None, :]
+            img[:, :, 1] = (7 * did + 5 * f) % 256
+            img[:, :, 2] = (13 * did) % 256
+            frames.append(img)
+        dec = decode_gif(encode_gif(frames))
+        assert len(dec) == nf
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
+
+
+def test_gif_subrectangle_compositing():
+    """Frames at a (left, top) offset paint over the running canvas
+    (disposal 'leave in place') — hand-built payload, since our encoder
+    only writes full frames."""
+    import struct
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        _gif_color_table,
+        _indexed_palette,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    def img_block(arr, left, top, lct):
+        colors, idx = _indexed_palette(arr)
+        bits = max(1, (len(colors) - 1).bit_length())
+        b = bytearray(b"\x2c")
+        b += struct.pack("<HHHH", left, top, arr.shape[1], arr.shape[0])
+        b += bytes([0x80 | (bits - 1) if lct else 0])
+        if lct:
+            b += _gif_color_table(colors)
+        mcs = max(2, bits)
+        b.append(mcs)
+        d = _lzw_encode(bytes(idx.reshape(-1)), mcs)
+        for i in range(0, len(d), 255):
+            c = d[i : i + 255]
+            b.append(len(c))
+            b += c
+        b.append(0)
+        return b
+
+    base = np.zeros((8, 8, 3), np.uint8)
+    base[:, :, 0] = 9
+    sub = np.full((3, 4, 3), 200, np.uint8)
+    colors, _ = _indexed_palette(base)
+    gb = max(1, (len(colors) - 1).bit_length())
+    p = bytearray(b"GIF89a")
+    p += struct.pack("<HHBBB", 8, 8, 0x80 | (7 << 4) | (gb - 1), 0, 0)
+    p += _gif_color_table(colors)
+    p += img_block(base, 0, 0, False)
+    p += img_block(sub, 2, 3, True)
+    p.append(0x3B)
+    dec = decode_gif(bytes(p))
+    assert np.array_equal(dec[0], base)
+    exp = base.copy()
+    exp[3:6, 2:6] = 200
+    assert np.array_equal(dec[1], exp)
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOPE" + b"\x00" * 16)
+    img = np.zeros((4, 4, 3), np.uint8)
+    payload = bytearray(encode_gif([img]))
+    # flip the image-separator byte to an unknown block type
+    sep = payload.index(0x2C, 13)
+    payload[sep] = 0x7F
+    with pytest.raises(ValueError):
+        decode_gif(bytes(payload))
+
+
+def test_bmp_roundtrip_all_variants():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(11)
+    for palette in (False, True):
+        for top_down in (False, True):
+            for w, h in ((8, 8), (9, 5), (13, 7)):  # odd widths: row padding
+                if palette:
+                    img = (rng.integers(0, 6, (h, w, 3)) * 40).astype(np.uint8)
+                else:
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                dec = decode_bmp(encode_bmp(img, palette=palette, top_down=top_down))
+                assert np.array_equal(dec, img), (palette, top_down, w, h)
+
+
+def test_bmp_rejects_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    img = np.zeros((4, 4, 3), np.uint8)
+    payload = bytearray(encode_bmp(img))
+    struct.pack_into("<I", payload, 14 + 16, 1)  # biCompression = RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(payload))
+
+
+def test_decode_image_dispatches_gif_and_bmp():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_gif,
+    )
+
+    img = np.zeros((5, 6, 3), np.uint8)
+    img[:, :, 0] = np.arange(6)[None, :] * 10
+    assert np.array_equal(decode_image(encode_bmp(img), 6, 5), img)
+    assert np.array_equal(decode_image(encode_gif([img]), 6, 5), img)

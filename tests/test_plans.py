@@ -195,7 +195,8 @@ def test_gate_window_composition_stable():
     GATE_WINDOW and reorders the registry after import — the round-8
     rotation leads with the 15 queries never inside any driver gate
     through r07 (x16-x20, d11, d12, i10, i11, m15-m18, n10, v5), then
-    the round-8 changes (o1, m19, x5), then re-verification slots.
+    the round-8 changes (o1, m19-m21, llm1, x5), re-verification slots,
+    and the five queries added mid-round (m22, m23, x21, x22, x23).
     All 50 must carry oracles.  Update the pin only on purpose."""
     from vunnel_spark.queries import GATE_WINDOW
 
@@ -375,6 +376,10 @@ _BNLJ_ALLOWED = {
     "x17_bigram_perplexity",
     "x18_bm25_retrieval",
     "x20_dsir_importance",
+    # x21: the 5% document-frequency bar rides the 1-row corpus count
+    "x21_boilerplate_phrases",
+    # x22: the 2-value tercile cut row broadcast onto the scored docs
+    "x22_perplexity_buckets",
 }
 
 

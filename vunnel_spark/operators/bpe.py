@@ -76,12 +76,14 @@ def pair_counts(symbol_words: DataFrame) -> DataFrame:
     )
 
 
-def merge_pair(symbol_words: DataFrame, a: str, b: str) -> DataFrame:
-    """Greedy left-to-right rewrite of every (a, b) adjacency into the
-    merged symbol a||b — a pure fold expression (F.aggregate), no UDF,
-    no shuffle: the word table maps in place."""
+def _merge_fold(a: str, b: str):
+    """Column expression: greedy left-to-right rewrite of every (a, b)
+    adjacency in the ``symbols`` array into the merged symbol a||b — a
+    pure fold (F.aggregate), no UDF.  The just-merged symbol becomes the
+    new left context, so overlapping runs resolve exactly like the
+    Sennrich reference implementation ((a,a) on [a,a,a] -> [aa,a])."""
     merged = F.lit(a + b)
-    new_symbols = F.aggregate(
+    return F.aggregate(
         "symbols",
         F.array().cast("array<string>"),
         lambda acc, s: F.when(
@@ -91,7 +93,34 @@ def merge_pair(symbol_words: DataFrame, a: str, b: str) -> DataFrame:
             F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
         ).otherwise(F.concat(acc, F.array(s))),
     )
-    return symbol_words.select(new_symbols.alias("symbols"), "freq")
+
+
+def merge_pair(symbol_words: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right rewrite of every (a, b) adjacency into the
+    merged symbol a||b — a pure fold expression (F.aggregate), no UDF,
+    no shuffle: the word table maps in place."""
+    return symbol_words.select(_merge_fold(a, b).alias("symbols"), "freq")
+
+
+def apply_merges(
+    words: DataFrame, merges: list, eow: bool = True
+) -> DataFrame:
+    """(word, symbols): tokenize each distinct word with a FROZEN merge
+    table — the apply path of the trainer, how a pinned tokenizer
+    artifact runs over a new corpus.  Input is one ``word`` column
+    (typically the distinct-word dimension); each merge is one fold
+    expression applied in training order, so the whole segmentation is
+    a single narrow projection — no UDF, no shuffle, and the Zipf-
+    bounded dimension amortizes the fold across every occurrence."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    symbols = F.concat(chars, F.array(F.lit(EOW))) if eow else chars
+    out = words.select("word", symbols.alias("symbols"))
+    for a, b in merges:
+        out = out.select("word", _merge_fold(a, b).alias("symbols"))
+    return out
 
 
 def bpe_train(

@@ -1762,9 +1762,11 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
     """Decode one image payload.
 
     PPM (P6), PNG (8/16-bit gray/truecolor, palette, Adam7), baseline
-    JPEG (grayscale, 4:4:4 color, 4:2:0 subsampled), and progressive
-    JPEG (gray, 4:4:4 and 4:2:0
-    color) decode for real; remaining variants (arithmetic-coded, HEIC, ...)
+    JPEG (grayscale, 4:4:4 color, 4:2:0 subsampled), progressive
+    JPEG (gray, 4:4:4 and 4:2:0 color), GIF (LZW, interlace, local
+    tables — first frame here; gif_frame_features for all frames), and
+    BMP (8-bit palette + 24-bit, both row orders) decode for real;
+    remaining variants (arithmetic-coded JPEG, HEIC, ...)
     need codec libraries this container doesn't ship — callers opt into
     the deterministic fake explicitly, or get NotImplementedError.
     """
@@ -1787,6 +1789,10 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)[0]  # still-image use: first frame
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
@@ -2337,6 +2343,398 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(compute, schema)
+
+
+# ----------------------------------------------------------------- GIF codec
+#
+# GIF89a (CompuServe 1990; the spec is public, mirrored at
+# w3.org/Graphics/GIF/spec-gif89a.txt).  The reference engine has no
+# media path (SURVEY §2 multimodal tier); this covers the GIF container
+# for real: variable-width LZW entropy coding (code growth to 12 bits,
+# clear-code table resets), global AND local color tables, the 4-pass
+# row interlace, graphic-control / comment / application extension
+# blocks, and frame compositing at (left, top) offsets onto the logical
+# screen.  Pure stdlib + numpy; the LZW pair is round-trip
+# property-tested in tests/test_multimodal.py.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int) -> list:
+    """Row emission order of the GIF 4-pass interlace (rows 0,8,16...,
+    then 4,12..., then 2,6..., then the odd rows)."""
+    rows: list = []
+    for start, step in _GIF_INTERLACE:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emit Clear first, grow the code width when the
+    next table slot no longer fits the current width, reset via Clear
+    when the table reaches 4096 entries (the 12-bit cap)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for byte in indices:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # the just-assigned slot may be the first that needs one more
+            # bit: widen BEFORE it can ever be emitted (the decoder
+            # widens at the matching stream position, one insert behind)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = fresh_table()
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytearray:
+    """Inverse of ``_lzw_encode`` — also accepts real-world streams that
+    defer the Clear at a full table (stops inserting, keeps decoding)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    while len(out) < n_expected:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # truncated stream: best-effort prefix
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _indexed_palette(img):
+    """Deterministic palette for one frame: lexicographically sorted
+    distinct colors + the index raster (GIF/BMP-8 share this)."""
+    import numpy as np
+
+    flat = img.reshape(-1, 3)
+    colors = np.unique(flat, axis=0)  # sorted rows -> stable palette
+    if len(colors) > 256:
+        raise ValueError("indexed palette overflow: >256 distinct colors")
+    keys = (
+        (colors[:, 0].astype(np.int64) << 16)
+        | (colors[:, 1].astype(np.int64) << 8)
+        | colors[:, 2].astype(np.int64)
+    )
+    pix = (
+        (flat[:, 0].astype(np.int64) << 16)
+        | (flat[:, 1].astype(np.int64) << 8)
+        | flat[:, 2].astype(np.int64)
+    )
+    idx = np.searchsorted(keys, pix).astype(np.uint8)
+    return colors.astype(np.uint8), idx.reshape(img.shape[:2])
+
+
+def _gif_color_table(colors) -> bytes:
+    """RGB table padded to the next power of two (>= 2 entries)."""
+    bits = max(1, (len(colors) - 1).bit_length())
+    table = bytearray()
+    for r, g, b in colors:
+        table += bytes((int(r), int(g), int(b)))
+    table += b"\x00" * (3 * ((1 << bits) - len(colors)))
+    return bytes(table)
+
+
+def encode_gif(frames, comment: bytes = b"vunnel-spark synthetic") -> bytes:
+    """Encode frames (equal-size (h, w, 3) uint8 arrays) as animated
+    GIF89a: frame 0 uses the global color table, later frames carry
+    local tables, odd frames are interlaced — one payload walks every
+    container path the decoder implements.  A NETSCAPE looping
+    application extension and a comment block exercise extension
+    skipping."""
+    import struct
+
+    h, w = frames[0].shape[:2]
+    g_colors, g_idx = _indexed_palette(frames[0])
+    gbits = max(1, (len(g_colors) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | (gbits - 1), 0, 0)
+    out += _gif_color_table(g_colors)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    if comment:
+        out += b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00"
+    for f, img in enumerate(frames):
+        if img.shape[:2] != (h, w):
+            raise ValueError("all GIF frames must share the logical screen size")
+        colors, idx = (g_colors, g_idx) if f == 0 else _indexed_palette(img)
+        bits = max(1, (len(colors) - 1).bit_length())
+        # graphic control: disposal 1 (leave in place), delay 4cs
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", 4) + b"\x00\x00"
+        interlace = bool(f % 2)
+        packed = 0x40 if interlace else 0
+        if f > 0:
+            packed |= 0x80 | (bits - 1)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([packed])
+        if f > 0:
+            out += _gif_color_table(colors)
+        raster = idx[_gif_row_order(h), :] if interlace else idx
+        mcs = max(2, bits)
+        out.append(mcs)
+        data = _lzw_encode(bytes(raster.reshape(-1)), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """Decode every frame of a GIF87a/89a payload to (H, W, 3) uint8
+    arrays composited onto the logical screen (disposal method 'leave
+    in place'; sub-rectangle frames paint over the running canvas)."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    W, H, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    canvas = np.zeros((H, W, 3), np.uint8)
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks, skip all
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image data with no color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            bytes(_lzw_decode(bytes(data), mcs, w * h)), np.uint8
+        ).reshape(h, w)
+        if ipacked & 0x40:
+            rows = np.empty((h, w), np.uint8)
+            rows[_gif_row_order(h), :] = idx
+            idx = rows
+        canvas = canvas.copy()
+        canvas[top : top + h, left : left + w] = ct[idx]
+        frames.append(canvas)
+    return frames
+
+
+def gif_frame_features(df: DataFrame) -> DataFrame:
+    """Per-frame channel means over a GIF media column: one Arrow batch
+    of (media_id, payload) rows in, one feature row per decoded frame
+    out.  The demux + LZW decode are inherently per-payload; the stats
+    vectorize per frame.  Mirrors sample_video_frames ∘ image_features,
+    fused because GIF frames are palette-composited sub-rectangles of a
+    shared canvas, not independently decodable payloads."""
+    schema = (
+        "media_id long, frame_idx int, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def compute(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for f, img in enumerate(decode_gif(payload)):
+                    arr = img.astype(np.float64)
+                    out.append(
+                        (
+                            mid, f, img.shape[1], img.shape[0],
+                            float(arr[:, :, 0].mean()),
+                            float(arr[:, :, 1].mean()),
+                            float(arr[:, :, 2].mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(compute, schema)
+
+
+# ----------------------------------------------------------------- BMP codec
+#
+# Windows BMP (BITMAPINFOHEADER, public format): uncompressed 24-bit
+# BGR and 8-bit palette variants, bottom-up AND top-down row orders,
+# 4-byte row padding.  The simplest real raster container — covered so
+# the decode dispatch handles the classic interchange format without a
+# library.
+
+def encode_bmp(arr, palette: bool = False, top_down: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as BMP — 8-bit indexed when
+    ``palette`` (requires <= 256 distinct colors), else 24-bit BGR."""
+    import struct
+
+    h, w = arr.shape[:2]
+    height_field = -h if top_down else h
+    if palette:
+        colors, idx = _indexed_palette(arr)
+        row_bytes = (w + 3) & ~3
+        n = len(colors)
+        off = 14 + 40 + 4 * n
+        hdr = b"BM" + struct.pack("<IHHI", off + row_bytes * h, 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, height_field, 1, 8, 0,
+            row_bytes * h, 2835, 2835, n, n,
+        )
+        pal = b"".join(
+            bytes((int(b), int(g), int(r), 0)) for r, g, b in colors
+        )
+        rows = idx if top_down else idx[::-1]
+        raster = bytearray()
+        pad = b"\x00" * (row_bytes - w)
+        for r in rows:
+            raster += bytes(r) + pad
+        return hdr + info + pal + bytes(raster)
+    row_bytes = (3 * w + 3) & ~3
+    hdr = b"BM" + struct.pack("<IHHI", 54 + row_bytes * h, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, height_field, 1, 24, 0,
+        row_bytes * h, 2835, 2835, 0, 0,
+    )
+    bgr = arr[:, :, ::-1]
+    rows = bgr if top_down else bgr[::-1]
+    raster = bytearray()
+    pad = b"\x00" * (row_bytes - 3 * w)
+    for r in rows:
+        raster += r.tobytes() + pad
+    return hdr + info + bytes(raster)
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 8-bit-palette or 24-bit BMP to (h, w, 3)
+    uint8 RGB; handles bottom-up and top-down row orders."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hsize, w, height_field, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} not supported")
+    top_down = height_field < 0
+    h = -height_field if top_down else height_field
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", payload, 14 + 32)
+        n = n_colors or 256
+        pal = np.frombuffer(
+            payload, np.uint8, 4 * n, 14 + hsize
+        ).reshape(n, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        row_bytes = (w + 3) & ~3
+        rows = np.frombuffer(
+            payload, np.uint8, row_bytes * h, off
+        ).reshape(h, row_bytes)[:, :w]
+        idx = rows if top_down else rows[::-1]
+        return pal[idx]
+    if bpp == 24:
+        row_bytes = (3 * w + 3) & ~3
+        rows = np.frombuffer(
+            payload, np.uint8, row_bytes * h, off
+        ).reshape(h, row_bytes)[:, : 3 * w].reshape(h, w, 3)
+        img = rows if top_down else rows[::-1]
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    raise NotImplementedError(f"BMP bit depth {bpp} not supported")
 
 
 # -------------------------------------------------------------- synthesis
@@ -3671,3 +4069,86 @@ def stereo_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(compute, schema)
+
+
+def synthesize_gif_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL animated-GIF table: each doc becomes an
+    ``id%4+2``-frame GIF89a whose frame f holds the closed-form pixels
+    R[y, x] = (id + 17f + x) % 256, G = (7id + 5f) % 256,
+    B = (13id) % 256 at dims ``w = id%8+4`` / ``h = id%4+4``.  Frame 0
+    rides the global color table, frames >= 1 carry local tables, odd
+    frames are interlaced — so a single decoded corpus proves LZW,
+    palette resolution (both table kinds), all four interlace passes,
+    and extension skipping against the SQL oracle."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_frames:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h, nf = did % 8 + 4, did % 4 + 4, did % 4 + 2
+                frames = []
+                for f in range(nf):
+                    img = np.empty((h, w, 3), dtype=np.uint8)
+                    img[:, :, 0] = ((did + 17 * f + np.arange(w)) % 256)[None, :]
+                    img[:, :, 1] = (7 * did + 5 * f) % 256
+                    img[:, :, 2] = (13 * did) % 256
+                    frames.append(img)
+                payload = encode_gif(frames)
+                out.append(
+                    (did, payload,
+                     {"format": "gif", "width": w, "height": h,
+                      "n_frames": nf, "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def synthesize_bmp_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-BMP media table: the m1/m7 closed-form pixel
+    model (R gradient ``(id + x) % 256``, G/B constant in the id, dims
+    ``w = id%16+8`` / ``h = id%8+8``), encoded 8-bit-palette for even
+    ids and 24-bit for odd ids, top-down row order when ``id % 3 == 0``
+    — one corpus covers all four encoder paths against the SAME
+    closed-form oracle as m1."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = ((did + np.arange(w)) % 256)[None, :]
+                img[:, :, 1] = (7 * did) % 256
+                img[:, :, 2] = (13 * did) % 256
+                payload = encode_bmp(
+                    img, palette=(did % 2 == 0), top_down=(did % 3 == 0)
+                )
+                out.append(
+                    (did, payload,
+                     {"format": "bmp", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)

@@ -18,13 +18,16 @@ reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
   x19), m19/m20/m21 (new palette+Adam7, 16-bit-depth, and RGBA PNG
   paths), llm1 (the end-to-end LLM pretrain-corpus DAG), x5
   (lint-waiver scrutiny on its oracle).
-- ~30 re-verification slots for the highest-churn / highest-complexity
+- The five queries added mid-round-8: m22 (animated-GIF LZW codec),
+  m23 (BMP), x21 (C4 boilerplate phrases), x22 (CCNet perplexity
+  terciles), x23 (BPE tokenizer apply).
+- ~24 re-verification slots for the highest-churn / highest-complexity
   plans: the b1-b3 layouts (b1/b2 rewritten r7), d3 (r6 tuning + r8
   A/B), x11, the skew/clustering/incremental/PQ families, g1/g2,
-  the x4/d6 fingerprint pair, v4, t1, d8, x6, n4, and four
-  provider end-to-end DAGs.
+  the x4/d6 fingerprint pair, v4, d8, x6, n4.  (t1 and the four
+  provider DAGs rotated out — each already gate-green twice, r6+r7.)
 
-External cumulative coverage after this window gates green: 214/214.
+External cumulative coverage after this window gates green: 219/219.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -94,12 +97,15 @@ GATE_WINDOW = [
     "n9_ivfpq_topk",
     "g1_dup_components",
     "g2_transitive_dedup",
-    "t1_asof_profile_join",
     "v4_stream_stream_interval_join",
-    "nvd1_full_corpus_reemit",
-    "rhel1_parse_cve_dag",
-    "oval1_resolution_dag",
-    "ghsa1_per_ecosystem_dag",
+    # -- added mid-round-8 (this session): GIF/BMP codecs, C4
+    # boilerplate, CCNet buckets, BPE apply — every brand-new query
+    # goes straight into the external window
+    "m22_gif_frame_extract",
+    "m23_bmp_feature_extract",
+    "x21_boilerplate_phrases",
+    "x22_perplexity_buckets",
+    "x23_bpe_encode",
 ]
 
 __all__: list[str] = []

@@ -728,3 +728,100 @@ def m16(spark, sf_dir):
         F.round("mean_b", 4).alias("mean_b"),
         F.round("std_all", 4).alias("std_all"),
     )
+
+
+@register(
+    "m22_gif_frame_extract",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 11) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 8 + 4 AS w, doc_id % 4 + 4 AS h,
+             doc_id % 4 + 2 AS nf
+      FROM documents
+    ), fr AS (
+      SELECT media_id, w, h, CAST(f AS INT) AS frame_idx
+      FROM m, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) g
+    )
+    SELECT media_id, frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round((SELECT avg((media_id + 17 * frame_idx + x) % 256)
+                  FROM xs WHERE x < w), 4) AS mean_r,
+           round(CAST((7 * media_id + 5 * frame_idx) % 256 AS DOUBLE), 4)
+               AS mean_g,
+           round(CAST((13 * media_id) % 256 AS DOUBLE), 4) AS mean_b
+    FROM fr
+    """,
+    doc="Animated-GIF demux + per-frame feature extraction: a REAL "
+        "GIF89a codec (operators/multimodal.py encode_gif/decode_gif — "
+        "variable-width LZW with 12-bit growth and clear-code resets, "
+        "global + local color tables, 4-pass interlace on odd frames, "
+        "extension-block skipping) over closed-form frame pixels, so the "
+        "oracle verifies entropy decode, palette resolution, and the "
+        "interlace scatter per frame.  Scale: decode is per-payload in "
+        "mapInPandas (Arrow batches, binary never leaves the executor), "
+        "embarrassingly parallel — no shuffle at all before the stats",
+    tags=("multimodal", "udf"),
+)
+def m22(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        gif_frame_features,
+        synthesize_gif_media_table,
+    )
+
+    media = synthesize_gif_media_table(t(spark, sf_dir, "documents"))
+    feats = gif_frame_features(media)
+    return feats.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
+@register(
+    "m23_bmp_feature_extract",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, w, h,
+             (SELECT avg((media_id + x) % 256) FROM xs WHERE x < w) AS mean_r,
+             (SELECT avg(pow((media_id + x) % 256, 2))
+              FROM xs WHERE x < w) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mean_r, 4) AS mean_r, round(g, 4) AS mean_g,
+           round(b, 4) AS mean_b,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
+    doc="BMP decode pipeline: the m1 gradient corpus encoded as REAL "
+        "Windows BMP (operators/multimodal.py encode_bmp/decode_bmp) — "
+        "8-bit palette for even ids, 24-bit BGR for odd, top-down row "
+        "order when id%3==0, bottom-up otherwise — decoded by the same "
+        "mapInPandas feature stage as m1/m7.  The oracle is the m1 "
+        "closed-form arithmetic, so a mismatch isolates palette lookup, "
+        "BGR swizzle, row order, or 4-byte row-padding handling",
+    tags=("multimodal", "udf"),
+)
+def m23(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_bmp_media_table,
+    )
+
+    media = synthesize_bmp_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )

@@ -800,6 +800,46 @@ def x16(spark, sf_dir):
     )
 
 
+def _bigram_nll_scored(docs):
+    """(doc_id, avg_nll, n_bigrams): the x17 add-one-smoothed bigram-LM
+    scorer, shared by x17 (threshold filter) and x22 (CCNet terciles)."""
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # docs under 2 tokens have no bigrams: filter BEFORE building the
+    # index sequence — sequence(1, size-1) DESCENDS to [1, 0] when
+    # size==1 and element_at(w, 0) throws in every Spark build (the
+    # oracle's generate_series(1, 0) is empty and just omits the doc)
+    pairs = docs.filter(F.size(w) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(w).alias("word")).agg(
+        F.countDistinct("word").cast("double").alias("v")
+    )
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("c1") + F.col("v")) / (F.col("c2") + 1))), 6
+            ).alias("avg_nll"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
+
 @register(
     "x17_bigram_perplexity",
     r"""
@@ -842,40 +882,7 @@ def x16(spark, sf_dir):
 )
 def x17(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    # docs under 2 tokens have no bigrams: filter BEFORE building the
-    # index sequence — sequence(1, size-1) DESCENDS to [1, 0] when
-    # size==1 and element_at(w, 0) throws in every Spark build (the
-    # oracle's generate_series(1, 0) is empty and just omits the doc)
-    pairs = docs.filter(F.size(w) >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.struct(
-                    F.element_at(w, i).alias("w1"),
-                    F.element_at(w, i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = docs.select(F.explode(w).alias("word")).agg(
-        F.countDistinct("word").cast("double").alias("v")
-    )
-    scored = (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.avg(F.log((F.col("c1") + F.col("v")) / (F.col("c2") + 1))), 6
-            ).alias("avg_nll"),
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        )
-    )
+    scored = _bigram_nll_scored(docs)
     return scored.withColumn("kept", F.col("avg_nll") <= 3.0)
 
 
@@ -1180,4 +1187,255 @@ def x20(spark, sf_dir):
             logratio.alias("logratio"),
             (logratio >= 0.0).alias("kept"),
         )
+    )
+
+
+@register(
+    "x21_boilerplate_phrases",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), b AS (
+      SELECT s FROM sh, n GROUP BY s, n.n_docs
+      HAVING count(DISTINCT doc_id) >= 0.05 * n.n_docs
+    ), per AS (
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM sh LEFT JOIN b USING (s) GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_boiler,
+           round(n_boiler / CAST(n_shingles AS DOUBLE), 6) AS boiler_frac,
+           2 * n_boiler <= n_shingles AS kept
+    FROM per
+    """,
+    doc="C4-style boilerplate detection (Raffel et al. 2020 drop "
+        "repeated lines; here word-3-gram phrases since the corpus is "
+        "single-line): a phrase is boilerplate when it appears in >= 5% "
+        "of documents, and each doc reports the fraction of its shingle "
+        "positions covered by boilerplate, kept when <= half (decided "
+        "on exact integers, 2*n_boiler <= n_shingles, so both engines "
+        "agree).  Shape: one shingle explode feeds a distinct-doc count "
+        "per phrase (map-side partials, phrase-keyed shuffle), the "
+        "boilerplate dim is corpus-frequency-bounded and re-joins the "
+        "shingle stream on the SAME phrase key (co-keyed, no second "
+        "shuffle of the big side; AQE broadcasts it when small), and "
+        "the doc-keyed rollup is the only other exchange.  The 5% bar "
+        "rides the 1-row doc count like x13's corpus total",
+    tags=("text", "dedup"),
+)
+def x21(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = docs.filter(F.size(w) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ).alias("s"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    boiler = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= 0.05 * F.col("n_docs"))
+        .select("s", F.lit(True).alias("is_boiler"))
+    )
+    per = (
+        sh.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("is_boiler"), 1).otherwise(0)
+            ).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_shingles", "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_frac"),
+        (2 * F.col("n_boiler") <= F.col("n_shingles")).alias("kept"),
+    )
+
+
+@register(
+    "x22_perplexity_buckets",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+      FROM (SELECT unnest(w) AS word FROM base)
+    ), scored AS (
+      SELECT p.doc_id,
+             round(avg(ln((c1.c1 + vocab.v) / (c2.c2 + 1))), 6) AS avg_nll
+      FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+      GROUP BY p.doc_id
+    ), cuts AS (
+      SELECT percentile_disc(0.33) WITHIN GROUP (ORDER BY avg_nll) AS cut1,
+             percentile_disc(0.67) WITHIN GROUP (ORDER BY avg_nll) AS cut2
+      FROM scored
+    )
+    SELECT CASE WHEN avg_nll <= cut1 THEN 'head'
+                WHEN avg_nll <= cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_nll), 6) AS min_nll,
+           round(max(avg_nll), 6) AS max_nll
+    FROM scored, cuts GROUP BY 1
+    """,
+    doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al. "
+        "2020): docs split into corpus-relative terciles of the x17 "
+        "bigram-LM score.  Cut points use percentile_disc (the SQL-"
+        "standard 'smallest value with cdf >= p'), which both engines "
+        "define identically and which returns an actual MEMBER of the "
+        "rounded score set — no interpolation arithmetic to diverge "
+        "between engines.  Scale: Spark's exact percentile aggregate "
+        "keeps distinct-value->count state, and the score column is "
+        "rounded to 6 places, so state is value-granularity-bounded "
+        "(the i9 mergeable-quantile discipline), not corpus-bounded; "
+        "the 2-value cut row rides a 1-row broadcast (whitelisted "
+        "BNLJ), and min/max per bucket are accumulation-order-free",
+    tags=("text", "sampling"),
+)
+def x22(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    scored = _bigram_nll_scored(docs).select("doc_id", "avg_nll")
+    cuts = scored.agg(
+        F.expr(
+            "percentile_disc(0.33) WITHIN GROUP (ORDER BY avg_nll)"
+        ).alias("cut1"),
+        F.expr(
+            "percentile_disc(0.67) WITHIN GROUP (ORDER BY avg_nll)"
+        ).alias("cut2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.when(F.col("avg_nll") <= F.col("cut1"), "head")
+            .when(F.col("avg_nll") <= F.col("cut2"), "middle")
+            .otherwise("tail"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("avg_nll"), 6).alias("min_nll"),
+            F.round(F.max("avg_nll"), 6).alias("max_nll"),
+        )
+    )
+
+
+#: the FROZEN tokenizer artifact for x23: the first 8 merges bpe_train
+#: learns on the sf0.01 corpus (deterministic tie-break, see
+#: operators/bpe.py) — pinned as a literal the way a production pipeline
+#: pins a trained tokenizer, so the apply path is SF-portable and the
+#: oracle can restate it.
+_BPE_FROZEN_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+]
+
+
+def _bpe_apply_sql() -> str:
+    """DuckDB expression applying the frozen merges to column ``word``.
+
+    Representation: symbols joined by single spaces, flanked by one
+    space.  Each merge is replace(replace(replace(s, ' ', '  '),
+    ' a  b ', ' ab '), '  ', ' ') — doubling the delimiters first makes
+    consecutive matches not share a space, so one left-to-right global
+    replace merges exactly the pairs the greedy fold merges (the
+    (a,a)-on-[a,a,a] and [a,bc] edge cases are pinned in
+    tests/test_bpe.py)."""
+    s = ("' ' || array_to_string(list_append("
+         "regexp_split_to_array(word, ''), '</w>'), ' ') || ' '")
+    for a, b in _BPE_FROZEN_MERGES:
+        s = f"replace(replace(replace({s}, ' ', '  '), ' {a}  {b} ', ' {a}{b} '), '  ', ' ')"
+    return s
+
+
+@register(
+    "x23_bpe_encode",
+    rf"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), w AS (
+      SELECT doc_id, word FROM words WHERE length(word) > 0
+    ), dim AS (
+      SELECT DISTINCT word FROM w
+    ), tok AS (
+      SELECT word,
+             CAST(len(regexp_split_to_array(trim({{APPLY}}), ' '))
+                  AS BIGINT) AS n_tok
+      FROM dim
+    ), per AS (
+      SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(t.n_tok) AS BIGINT) AS n_tokens
+      FROM w JOIN tok t USING (word) GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_words, n_tokens,
+           round(n_tokens / CAST(n_words AS DOUBLE), 6) AS tokens_per_word
+    FROM per
+    """.replace("{APPLY}", _bpe_apply_sql()),
+    doc="BPE tokenizer APPLY — the serving half of x19's trainer "
+        "(Sennrich et al. 2016): segment every document with the frozen "
+        "8-merge table _BPE_FROZEN_MERGES via operators/bpe.py "
+        "apply_merges (greedy left-to-right fold per merge, pure "
+        "F.aggregate expressions, no UDF), reporting per-doc word/token "
+        "counts and fertility (tokens per word, an exact-integer "
+        "ratio).  Scale: segmentation runs on the DISTINCT-word "
+        "dimension (Zipf-bounded — millions of rows for a trillion-"
+        "token corpus), then re-joins the doc-word stream on the word "
+        "key (AQE broadcasts the dim when small), so the fold cost "
+        "amortizes across every occurrence; the oracle restates the "
+        "fold as delimiter-doubled string replaces",
+    tags=("text", "bpe"),
+)
+def x23(spark, sf_dir):
+    from vunnel_spark.operators.bpe import apply_merges
+
+    docs = t(spark, sf_dir, "documents")
+    wd = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    dim = wd.select("word").distinct()
+    tok = apply_merges(dim, _BPE_FROZEN_MERGES).select(
+        "word", F.size("symbols").cast("bigint").alias("n_tok")
+    )
+    per = (
+        wd.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_words", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("tokens_per_word"),
     )
