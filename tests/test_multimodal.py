@@ -1423,3 +1423,74 @@ def test_decode_image_dispatches_gif_and_bmp():
     img[:, :, 0] = np.arange(6)[None, :] * 10
     assert np.array_equal(decode_image(encode_bmp(img), 6, 5), img)
     assert np.array_equal(decode_image(encode_gif([img]), 6, 5), img)
+
+
+def test_packbits_roundtrip_property():
+    import random
+
+    from vunnel_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    rng = random.Random(42)
+    for _ in range(30):
+        n = rng.choice([0, 1, 2, 5, 128, 129, 1000])
+        data = bytearray()
+        while len(data) < n:
+            if rng.random() < 0.5:
+                data += bytes([rng.randrange(256)]) * rng.randrange(1, 300)
+            else:
+                data += bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(1, 20))
+                )
+        data = bytes(data[:n])
+        assert _packbits_decode(_packbits_encode(data), n) == data
+
+
+def test_tiff_roundtrip_endianness_compression_strips():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(9)
+    for w, h in ((8, 8), (11, 9), (23, 15)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for be in (False, True):
+            for pb in (False, True):
+                for rps in (1, 4, 64):
+                    pay = encode_tiff(
+                        img, big_endian=be, packbits=pb, rows_per_strip=rps
+                    )
+                    assert np.array_equal(decode_tiff(pay), img), (be, pb, rps)
+
+
+def test_tiff_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"XXXX" + b"\x00" * 20)
+    img = np.zeros((4, 4, 3), np.uint8)
+    payload = bytearray(encode_tiff(img))
+    # flip Compression (tag 259, entry index 3) to LZW (5)
+    import struct
+
+    entry_off = 8 + 2 + 12 * 3
+    struct.pack_into("<H", payload, entry_off + 8, 5)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(payload))
+
+
+def test_decode_image_dispatches_tiff():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_image, encode_tiff
+
+    img = np.full((5, 6, 3), 77, np.uint8)
+    for be in (False, True):
+        assert np.array_equal(
+            decode_image(encode_tiff(img, big_endian=be), 6, 5), img
+        )

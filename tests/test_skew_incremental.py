@@ -217,3 +217,58 @@ def test_histogram_state_merge_is_exact_under_any_split(spark):
           for r in estimate_quantiles(
               histogram_state(df, keys, "v", lo, hi, nb), keys, lo, hi).collect()}
     assert q == qw
+
+
+def test_bloom_state_no_false_negatives_and_merge_idempotent(spark, sf_dir):
+    """Every inserted key probes positive (Bloom's hard guarantee),
+    the split+merged state equals the whole-table state bit for bit,
+    merging a state with itself is a no-op (replay safety), and the
+    state is bounded at 8 lanes per key."""
+    from vunnel_spark.operators.incremental import (
+        bloom_might_contain,
+        bloom_state,
+        merge_bloom_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["event_type"]
+    whole = bloom_state(ev, keys, "user_id")
+    a = bloom_state(ev.filter(F.col("event_id") % 2 == 0), keys, "user_id")
+    b = bloom_state(ev.filter(F.col("event_id") % 2 == 1), keys, "user_id")
+    merged = merge_bloom_state([a, b], keys)
+    as_set = lambda df: {
+        (r["event_type"], r["lane"], r["bits"]) for r in df.collect()
+    }
+    assert as_set(merged) == as_set(whole)
+    assert as_set(merge_bloom_state([whole, whole], keys)) == as_set(whole)
+    lanes_per_key = merged.groupBy(*keys).count().collect()
+    assert all(r["count"] <= 8 for r in lanes_per_key)
+
+    present = ev.select("event_type", "user_id").distinct()
+    probed = bloom_might_contain(whole, present, keys, "user_id")
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_bloom_absent_keys_fpr_bounded(spark, sf_dir):
+    """Probing ids far outside the corpus: with n<=hundreds of distinct
+    users per event_type in a 256-bit/k=2 filter the FPR is high-ish by
+    design, but it must stay strictly below 1.0 (a saturated filter
+    would return all-true and be useless) — and on the tiny sf0.001
+    corpus it should be well under half."""
+    from vunnel_spark.operators.incremental import (
+        bloom_might_contain,
+        bloom_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    state = bloom_state(ev, ["event_type"], "user_id")
+    absent = spark.range(10_000_000, 10_000_400).select(
+        F.lit("click").alias("event_type"), F.col("id").alias("user_id")
+    )
+    probed = bloom_might_contain(state, absent, ["event_type"], "user_id")
+    fp = probed.filter(F.col("might_contain")).count()
+    n = probed.count()
+    assert n == 400
+    assert fp < n, "saturated filter"

@@ -703,3 +703,67 @@ def test_foreach_batch_hll_rollup_matches_full_state_and_survives_replay(
     run("ck2")
     again = spark.read.parquet(state)
     assert again.exceptAll(full).count() == 0 and again.count() == full.count()
+
+
+def test_foreach_batch_bloom_rollup_matches_full_state_and_survives_replay(
+    spark, tmp_path
+):
+    """Streaming membership maintenance (foreach_batch_bloom_rollup):
+    after two micro-batches the persisted lanes are bit-identical to
+    bloom_state over everything seen, every seen key probes positive
+    (no false negatives), and a re-delivered batch changes nothing —
+    idempotent by lane-OR algebra, not just by the batch-id guard."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    from vunnel_spark.operators.incremental import (
+        bloom_might_contain,
+        bloom_state,
+    )
+    from vunnel_spark.streaming.enrich import foreach_batch_bloom_rollup
+
+    src_dir = str(tmp_path / "bloom_in")
+    state = str(tmp_path / "bloom_state")
+    os.makedirs(src_dir)
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    t0 = dt.datetime(2026, 1, 1, 10)
+    write_batch([(u, t0, "click") for u in range(40)]
+                + [(u, t0, "view") for u in range(10)])
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = foreach_batch_bloom_rollup(
+            stream, state, str(tmp_path / ckpt),
+            keys=["event_type"], value_col="user_id",
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    write_batch([(u, t0, "click") for u in range(30, 70)])
+    run("ck1")
+
+    got = spark.read.parquet(state)
+    full = bloom_state(
+        spark.read.parquet(src_dir), ["event_type"], "user_id"
+    )
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0  # lane-identical states
+
+    seen = spark.read.parquet(src_dir).select(
+        "event_type", "user_id"
+    ).distinct()
+    probed = bloom_might_contain(got, seen, ["event_type"], "user_id")
+    assert probed.filter(~SF.col("might_contain")).count() == 0
+
+    # fresh checkpoint re-delivers both batches; lane OR is idempotent
+    run("ck2")
+    again = spark.read.parquet(state)
+    assert again.exceptAll(full).count() == 0 and again.count() == full.count()

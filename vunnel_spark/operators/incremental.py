@@ -437,3 +437,82 @@ def estimate_frequency(
         .groupBy(*keys, value_col)
         .agg(F.min("cnt").cast("bigint").alias(out_col))
     )
+
+
+def bloom_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable per-key set-membership state as an EXPLICIT 256-bit
+    Bloom filter: (keys..., lane, bits) rows — 8 lanes of 32 bits each,
+    k=2 bit positions per value from md5 (hex chars 1-2 and 3-4, each
+    exactly 8 bits, so position = one 2-hex-char value; lanes are 32-bit
+    so ``1 << bit`` stays positive in every engine's BIGINT).
+
+    Same portability discipline as ``hll_state`` (i11): the positions
+    are pure string arithmetic on md5 — no UDF, no engine-specific hash
+    — so a SQL oracle rebuilds the merged filter bit-identically and
+    the gate verifies it BY VALUE.  Maintenance algebra: lanes union by
+    bitwise OR — associative, commutative, IDEMPOTENT, so replayed
+    deltas cannot corrupt state (at-least-once safe, like i11's
+    register max and unlike i7/i10's linear counters).  No false
+    negatives ever; false-positive rate is the standard
+    (1 - e^{-kn/m})^k.
+
+    Plan shape: two position rows per value collapse via map-side
+    partial bit_or to <= |keys|*8 rows per partition before the single
+    shuffle; state is <= |keys|*8 fixed-width rows forever.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    p1 = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    p2 = F.conv(F.substring(h, 3, 2), 16, 10).cast("int")
+    pos = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.explode(F.array(p1, p2)).alias("p")
+    )
+    return (
+        pos.select(
+            *keys,
+            F.shiftright("p", 5).alias("lane"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), p & 31)").alias("bit"),
+        )
+        .groupBy(*keys, "lane")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def merge_bloom_state(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Lane-wise bitwise OR across state/delta frames: one shuffle of
+    <= |keys|*8 fixed-width rows; idempotent under replay."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "lane").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    state: DataFrame, probes: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """(keys..., value, might_contain): probe values against the merged
+    filter.  A probe is positive iff BOTH its bit positions are set —
+    joined per lane on the bounded state (<= |keys|*8 rows, broadcast),
+    so probing any stream is one narrow broadcast join."""
+    h = F.md5(F.col(value_col).cast("string"))
+    p1 = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    p2 = F.conv(F.substring(h, 3, 2), 16, 10).cast("int")
+    pos = probes.select(
+        *keys, F.col(value_col).alias("value"),
+        F.explode(F.array(p1, p2)).alias("p"),
+    ).select(
+        *keys, "value",
+        F.shiftright("p", 5).alias("lane"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), p & 31)").alias("bit"),
+    )
+    hit = (
+        pos.join(F.broadcast(state), [*keys, "lane"], "left")
+        .withColumn(
+            "ok",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")))
+            == F.col("bit"),
+        )
+        .groupBy(*keys, "value")
+        .agg((F.count(F.lit(1)) == F.sum(F.when(F.col("ok"), 1).otherwise(0)))
+             .alias("might_contain"))
+    )
+    return hit

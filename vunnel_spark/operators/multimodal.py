@@ -1793,6 +1793,8 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
         return decode_bmp(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)[0]  # still-image use: first frame
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"*\x00", b"\x00*"):
+        return decode_tiff(payload)
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
@@ -2782,7 +2784,7 @@ def synthesize_ppm_media_table(
 
 
 def synthesize_png_media_table(
-    docs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, id_col: str = "doc_id", pixel_col: str | None = None
 ) -> DataFrame:
     """Deterministic REAL-PNG media table from the documents corpus.
 
@@ -2792,11 +2794,16 @@ def synthesize_png_media_table(
     whose scanline filter cycles ``y % 5`` — every row of every image
     exercises one of the five spec de-filter paths, so a single decoded
     corpus proves the whole filter surface against the SQL oracle.
+
+    ``pixel_col`` (default: the id itself) decouples the media_id from
+    the id that drives the pixel model, so a corpus with synthetic
+    duplicate rows (llm2) can give two media_ids byte-identical images.
     """
     schema = (
         "media_id long, payload binary, meta struct<format:string, "
         "width:int, height:int, n_bytes:bigint>"
     )
+    px = pixel_col or id_col
 
     def synth(batches: Iterator) -> Iterator:
         import numpy as np
@@ -2804,8 +2811,8 @@ def synthesize_png_media_table(
 
         for pdf in batches:
             out = []
-            for did in pdf[id_col]:
-                did = int(did)
+            for mid_, did in zip(pdf[id_col], pdf[px]):
+                mid_, did = int(mid_), int(did)
                 w, h = did % 16 + 8, did % 8 + 8
                 row = (did + np.arange(w)) % 256
                 img = np.empty((h, w, 3), dtype=np.uint8)
@@ -2814,13 +2821,14 @@ def synthesize_png_media_table(
                 img[:, :, 2] = (13 * did) % 256
                 payload = encode_png(img, row_filter=lambda y: y % 5)
                 out.append(
-                    (did, payload,
+                    (mid_, payload,
                      {"format": "png", "width": w, "height": h,
                       "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 
-    return docs.select(id_col).mapInPandas(synth, schema)
+    cols = [id_col] if px == id_col else [id_col, px]
+    return docs.select(*cols).mapInPandas(synth, schema)
 
 
 def synthesize_palette_png_media_table(
@@ -4147,6 +4155,210 @@ def synthesize_bmp_media_table(
                 out.append(
                     (did, payload,
                      {"format": "bmp", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+# ---------------------------------------------------------------- TIFF codec
+#
+# Baseline TIFF 6.0 (Adobe, public spec): 8-bit RGB, both byte orders
+# (II little-endian and MM big-endian), multi-strip layout, and the two
+# baseline compressions — none (1) and PackBits RLE (32773).  Covers
+# the classic archival/scan interchange format without a library.
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): runs of >= 3 identical bytes become
+    (257 - n, byte); literal spans are (n - 1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal span: until the next >=3 run or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, n_expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < n_expected and i < len(data):
+        c = data[i]
+        i += 1
+        if c < 128:  # literal of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # run of 257-c copies
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op per spec
+    if len(out) < n_expected:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:n_expected])
+
+
+def encode_tiff(
+    arr, big_endian: bool = False, packbits: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline TIFF with
+    multiple strips — every strip boundary exercises offset/bytecount
+    table handling in the decoder."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    h, w = arr.shape[:2]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = arr[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    n_strips = len(strips)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # SHORT values sit left-justified in the 4-byte value slot
+        if typ == 3 and count == 1:
+            return struct.pack(f"{e}HHIHH", tag, typ, count, value, 0)
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    # layout: header(8) | IFD | bits-per-sample(6) | offsets | counts | strips
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    bps_off = 8 + ifd_size
+    so_off = bps_off + 6
+    sc_off = so_off + 4 * n_strips
+    data_off = sc_off + 4 * n_strips
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd = struct.pack(f"{e}H", n_entries)
+    ifd += entry(256, 3, 1, w)                      # ImageWidth
+    ifd += entry(257, 3, 1, h)                      # ImageLength
+    ifd += entry(258, 3, 3, bps_off)                # BitsPerSample -> [8,8,8]
+    ifd += entry(259, 3, 1, 32773 if packbits else 1)  # Compression
+    ifd += entry(262, 3, 1, 2)                      # Photometric = RGB
+    ifd += entry(273, 4, n_strips, so_off if n_strips > 1 else offs[0])
+    ifd += entry(277, 3, 1, 3)                      # SamplesPerPixel
+    ifd += entry(278, 3, 1, rows_per_strip)         # RowsPerStrip
+    ifd += entry(279, 4, n_strips,
+                 sc_off if n_strips > 1 else len(strips[0]))
+    ifd += struct.pack(f"{e}I", 0)                  # next IFD: none
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, 8)
+    out += ifd
+    out += struct.pack(f"{e}HHH", 8, 8, 8)
+    out += b"".join(struct.pack(f"{e}I", o) for o in offs)
+    out += b"".join(struct.pack(f"{e}I", len(s)) for s in strips)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """Decode a baseline RGB TIFF (none/PackBits compression, either
+    byte order, any strip layout) to an (h, w, 3) uint8 array."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(f"{e}HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    tags = {}
+    for i in range(n_entries):
+        tag, typ, count, raw = struct.unpack_from(
+            f"{e}HHII", payload, ifd_off + 2 + 12 * i
+        )
+        if typ == 3 and count == 1:  # SHORT left-justified in the slot
+            (raw,) = struct.unpack_from(f"{e}H", payload, ifd_off + 10 + 12 * i)
+        tags[tag] = (typ, count, raw)
+    w = tags[256][2]
+    h = tags[257][2]
+    comp = tags.get(259, (3, 1, 1))[2]
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    if tags.get(262, (3, 1, 2))[2] != 2 or tags.get(277, (3, 1, 3))[2] != 3:
+        raise NotImplementedError("only RGB SamplesPerPixel=3 TIFF supported")
+    rps = tags.get(278, (3, 1, h))[2]
+
+    def read_array(tag):
+        typ, count, raw = tags[tag]
+        if count == 1:
+            return [raw]
+        fmt, size = (f"{e}I", 4) if typ == 4 else (f"{e}H", 2)
+        return [
+            struct.unpack_from(fmt, payload, raw + size * i)[0]
+            for i in range(count)
+        ]
+
+    offs = read_array(273)
+    counts = read_array(279)
+    raster = bytearray()
+    for i, (o, c) in enumerate(zip(offs, counts)):
+        rows = min(rps, h - i * rps)
+        raw = payload[o : o + c]
+        raster += (
+            _packbits_decode(raw, rows * w * 3) if comp == 32773 else raw
+        )
+    return np.frombuffer(bytes(raster), np.uint8, h * w * 3).reshape(h, w, 3)
+
+
+def synthesize_tiff_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-TIFF media table: the m1 closed-form pixel
+    model, written big-endian for odd ids, PackBits-compressed when
+    ``id % 3 == 0``, 4-row strips everywhere — one corpus covers both
+    byte orders, both baseline compressions, and multi-strip assembly
+    against the SAME closed-form oracle as m1."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = ((did + np.arange(w)) % 256)[None, :]
+                img[:, :, 1] = (7 * did) % 256
+                img[:, :, 2] = (13 * did) % 256
+                payload = encode_tiff(
+                    img, big_endian=(did % 2 == 1), packbits=(did % 3 == 0)
+                )
+                out.append(
+                    (did, payload,
+                     {"format": "tiff", "width": w, "height": h,
                       "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])

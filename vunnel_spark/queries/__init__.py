@@ -18,16 +18,19 @@ reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
   x19), m19/m20/m21 (new palette+Adam7, 16-bit-depth, and RGBA PNG
   paths), llm1 (the end-to-end LLM pretrain-corpus DAG), x5
   (lint-waiver scrutiny on its oracle).
-- The five queries added mid-round-8: m22 (animated-GIF LZW codec),
-  m23 (BMP), x21 (C4 boilerplate phrases), x22 (CCNet perplexity
-  terciles), x23 (BPE tokenizer apply).
-- ~24 re-verification slots for the highest-churn / highest-complexity
+- The ten queries added mid-round-8: m22 (animated-GIF LZW codec),
+  m23 (BMP), m24 (baseline TIFF), x21 (C4 boilerplate phrases), x22
+  (CCNet perplexity terciles), x23 (BPE tokenizer apply), x24
+  (overlapping chunk windows), i12 (mergeable Bloom filter), t3
+  (SCD-2 intervals), llm2 (end-to-end multimodal corpus DAG).
+- ~19 re-verification slots for the highest-churn / highest-complexity
   plans: the b1-b3 layouts (b1/b2 rewritten r7), d3 (r6 tuning + r8
-  A/B), x11, the skew/clustering/incremental/PQ families, g1/g2,
-  the x4/d6 fingerprint pair, v4, d8, x6, n4.  (t1 and the four
-  provider DAGs rotated out — each already gate-green twice, r6+r7.)
+  A/B), x11, the skew/clustering/incremental/PQ families, g2,
+  v4, d8, x6, n4.  (t1, the four provider DAGs, the x4/d6
+  fingerprint pair, i7, c3, and g1 rotated out — each already
+  gate-green at least twice.)
 
-External cumulative coverage after this window gates green: 219/219.
+External cumulative coverage after this window gates green: 224/224.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -79,33 +82,33 @@ GATE_WINDOW = [
     "b3_zorder_range_query",
     "d3_minhash_lsh_pairs",
     "x11_sequence_packing",
-    "x4_document_fingerprints",
-    "d6_fingerprint_dedup",
     "d8_jaccard_skew_capped",
     "x6_decontamination",
     "h1_salted_skew_agg",
     "h2_salted_skew_join",
     "c1_cluster_assign_profile",
     "c2_lloyd_centroid_update",
-    "c3_cluster_balanced_sample",
-    "i7_incremental_agg_merge",
     "i8_incremental_distinct_merge",
     "i9_incremental_quantile_merge",
     "n4_ann_ivf_topk",
     "n7_pq_adc_topk",
     "n8_pq_rerank_retrieval",
     "n9_ivfpq_topk",
-    "g1_dup_components",
     "g2_transitive_dedup",
     "v4_stream_stream_interval_join",
-    # -- added mid-round-8 (this session): GIF/BMP codecs, C4
-    # boilerplate, CCNet buckets, BPE apply — every brand-new query
-    # goes straight into the external window
+    # -- added mid-round-8 (this session): GIF/BMP/TIFF codecs, C4
+    # boilerplate, CCNet buckets, BPE apply, Bloom sketch — every
+    # brand-new query goes straight into the external window
     "m22_gif_frame_extract",
     "m23_bmp_feature_extract",
     "x21_boilerplate_phrases",
     "x22_perplexity_buckets",
     "x23_bpe_encode",
+    "m24_tiff_feature_extract",
+    "i12_bloom_filter_merge",
+    "t3_scd2_intervals",
+    "llm2_media_corpus_dag",
+    "x24_chunk_windows",
 ]
 
 __all__: list[str] = []

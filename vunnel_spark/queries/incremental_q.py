@@ -323,3 +323,71 @@ def i11(spark, sf_dir):
         (100.0 * F.abs(F.col("est_hll") - F.col("exact_users"))
          <= 20.0 * F.col("exact_users")).alias("within_tol"),
     )
+
+
+@register(
+    "i12_bloom_filter_merge",
+    f"""
+    WITH hexmap(c, v) AS (
+      SELECT * FROM (VALUES
+        ('0', 0), ('1', 1), ('2', 2), ('3', 3), ('4', 4), ('5', 5),
+        ('6', 6), ('7', 7), ('8', 8), ('9', 9), ('a', 10), ('b', 11),
+        ('c', 12), ('d', 13), ('e', 14), ('f', 15))
+    ), h AS (
+      SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), pos AS (
+      SELECT event_type, u.p
+      FROM h
+      JOIN hexmap m1 ON m1.c = substr(h.h, 1, 1)
+      JOIN hexmap m2 ON m2.c = substr(h.h, 2, 1)
+      JOIN hexmap m3 ON m3.c = substr(h.h, 3, 1)
+      JOIN hexmap m4 ON m4.c = substr(h.h, 4, 1),
+      LATERAL (SELECT unnest([m1.v * 16 + m2.v, m3.v * 16 + m4.v]) AS p) u
+    ), lanes AS (
+      SELECT event_type, p // 32 AS lane,
+             bit_or(CAST(1 AS BIGINT) << (p % 32)) AS bits
+      FROM pos GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lane AS INT) AS lane, bits,
+           CAST(bit_count(bits) AS INT) AS n_set
+    FROM lanes
+    """,
+    doc="Incremental set-membership maintenance via an EXPLICIT 256-bit "
+        "Bloom filter (operators/incremental.py bloom_state/"
+        "merge_bloom_state/bloom_might_contain; Bloom 1970) — the "
+        "fourth mergeable-sketch family after i9 histogram / i10 CMS / "
+        "i11 HLL, same exact-value discipline: k=2 bit positions are "
+        "2-hex-char slices of md5 (8 bits each, no engine-specific "
+        "hash), lanes are 32-bit so shifts stay in positive BIGINT "
+        "range in every engine, and the oracle rebuilds the merged "
+        "filter bit-identically (positions via a 16-row hex-digit map "
+        "joined per nibble).  The query builds history and delta states "
+        "split at the i7 watermark and merges them (bitwise OR — "
+        "idempotent, at-least-once safe); membership semantics (no "
+        "false negatives, bounded FPR) are pinned in "
+        "tests/test_skew_incremental.py.  State is 8 fixed-width rows "
+        "per key forever, regardless of stream cardinality",
+    tags=("events", "incremental", "sketch"),
+)
+def i12(spark, sf_dir):
+    from vunnel_spark.operators.incremental import (
+        bloom_state,
+        merge_bloom_state,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    history = ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
+    delta = ev.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"))
+    keys = ["event_type"]
+    state = merge_bloom_state(
+        [bloom_state(history, keys, "user_id"),
+         bloom_state(delta, keys, "user_id")],
+        keys,
+    )
+    return state.select(
+        "event_type",
+        F.col("lane").cast("int").alias("lane"),
+        "bits",
+        F.bit_count("bits").cast("int").alias("n_set"),
+    )

@@ -206,3 +206,94 @@ def llm1(spark, sf_dir):
             6,
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "llm2_media_corpus_dag",
+    # Stage SQL is m7's closed-form PNG feature arithmetic (gate-proved)
+    # feeding d1's keep-lowest-id dedup shape, keyed on the FEATURE
+    # tuple instead of a text digest, then the per-source rollup.
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, doc_id AS base FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_BASE} AS doc_id, source, doc_id AS base
+      FROM documents WHERE doc_id % 5 = 0
+    ), xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    feats AS (
+      SELECT doc_id AS media_id, source,
+             CAST(base % 16 + 8 AS INT) AS width,
+             CAST(base % 8 + 8 AS INT) AS height,
+             round((SELECT avg((base + x) % 256) FROM xs
+                    WHERE x < base % 16 + 8), 4) AS mr,
+             round(CAST((7 * base) % 256 AS DOUBLE), 4) AS mg,
+             round(CAST((13 * base) % 256 AS DOUBLE), 4) AS mb
+      FROM corpus
+    ), ranked AS (
+      SELECT media_id, source, width,
+             row_number() OVER (
+               PARTITION BY width, height, mr, mg, mb
+               ORDER BY media_id) AS rn
+      FROM feats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(sum(CASE WHEN rn = 1 THEN width ELSE 0 END) AS BIGINT)
+             AS kept_width_sum
+    FROM ranked GROUP BY source
+    """,
+    doc="End-to-end MULTIMODAL corpus pipeline DAG — llm1's composition "
+        "discipline on the media surface: synthesize a PNG corpus with "
+        "synthetic exact duplicates (every 5th doc re-encoded under a "
+        "new media_id with IDENTICAL pixels via the pixel_col split in "
+        "synthesize_png_media_table), REAL-decode features in "
+        "mapInPandas (m7's codec path), dedup keep-lowest-id on the "
+        "feature tuple (the content-defined key: byte-identical images "
+        "collapse, as do genuine mod-256 gradient collisions), and roll "
+        "up per source.  A hash mismatch isolates the WIRING — id/pixel "
+        "decoupling, feature rounding before the dedup key, survivor "
+        "attribution — since decode arithmetic (m7) and the dedup "
+        "window (d1) are independently gate-proved.  Scale: decode is "
+        "shuffle-free mapInPandas; the dedup window partitions by the "
+        "feature key (bounded groups, never a global sort); the rollup "
+        "is one source-keyed exchange",
+    tags=("multimodal", "dedup", "pipeline", "udf"),
+)
+def llm2(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_png_media_table,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _DUP_BASE).alias("doc_id"),
+        "source",
+        F.col("doc_id").alias("base"),
+    )
+    corpus = docs.withColumn("base", F.col("doc_id")).unionByName(dups)
+    media = synthesize_png_media_table(corpus, pixel_col="base")
+    feats = image_features(media, fake=False).select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mr"),
+        F.round("mean_g", 4).alias("mg"),
+        F.round("mean_b", 4).alias("mb"),
+    )
+    ranked = feats.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("width", "height", "mr", "mg", "mb").orderBy(
+                "media_id"
+            )
+        ),
+    ).join(corpus.select(F.col("doc_id").alias("media_id"), "source"),
+           "media_id")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_unique"),
+        F.sum(F.when(F.col("rn") == 1, F.col("width")).otherwise(0))
+        .cast("bigint").alias("kept_width_sum"),
+    )

@@ -99,3 +99,56 @@ def t2_range(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "t3_scd2_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    doc="Slowly-changing-dimension type-2 interval construction from an "
+        "event stream (Kimball SCD2; beyond-reference warehouse "
+        "surface): per user, collapse consecutive same-state events "
+        "(gaps-and-islands via lag), then close each state's validity "
+        "interval with the next change's timestamp (lead), ties broken "
+        "by event_id so both engines pick identical rows.  Scale: both "
+        "windows PARTITION BY user_id — per-key frames, one shuffle on "
+        "the key reused by the second window (same partitioning), no "
+        "global sort anywhere (the x19/o1 lesson, by construction)",
+    tags=("events", "temporal", "window"),
+)
+def t3_scd2(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w1))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -1439,3 +1439,73 @@ def x23(spark, sf_dir):
         "doc_id", "n_words", "n_tokens",
         F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("tokens_per_word"),
     )
+
+
+#: chunking geometry for x24 — 32-token windows, stride 24 (8-token
+#: overlap), the RAG/pretraining fixed-context window shape
+_CHUNK_C, _CHUNK_S = 32, 24
+
+
+@register(
+    "x24_chunk_windows",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), g AS (
+      SELECT doc_id, w, n,
+             CASE WHEN n <= {_CHUNK_C} THEN 1
+                  ELSE 1 + (n - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S}
+             END AS n_chunks
+      FROM base
+    ), ch AS (
+      SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+             1 + k * {_CHUNK_S} AS start, w, n
+      FROM g, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS k) u
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(least(start + {_CHUNK_C} - 1, n) - start + 1 AS INT)
+             AS n_tokens,
+           w[start] AS first_tok,
+           w[least(start + {_CHUNK_C} - 1, n)] AS last_tok
+    FROM ch
+    """,
+    doc="Fixed-context window chunking with overlap — the RAG/"
+        "pretraining document splitter: 32-token windows at stride 24 "
+        "(8-token overlap), short docs one chunk, the final chunk "
+        "truncated at the document end.  Chunk count and boundaries are "
+        "pure integer arithmetic on the token count, so both engines "
+        "enumerate identical chunks.  Scale: one narrow projection — "
+        "sequence+posexplode over per-doc counts, no shuffle at all "
+        "before any downstream consumer; the chunk stream inherits the "
+        "scan's partitioning (this is the shape x11 packs and n-family "
+        "embeds downstream)",
+    tags=("text",),
+)
+def x24(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    n_chunks = F.when(n <= _CHUNK_C, F.lit(1)).otherwise(
+        1 + F.floor((n - _CHUNK_C + _CHUNK_S - 1) / _CHUNK_S).cast("int")
+    )
+    ch = docs.select(
+        "doc_id", w.alias("w"), n.alias("n"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_k"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (1 + F.col("_k") * _CHUNK_S).alias("start"),
+        "w", "n",
+    )
+    end = F.least(F.col("start") + _CHUNK_C - 1, F.col("n"))
+    return ch.select(
+        "doc_id", "chunk_idx",
+        (end - F.col("start") + 1).cast("int").alias("n_tokens"),
+        F.element_at("w", F.col("start").cast("int")).alias("first_tok"),
+        F.element_at("w", end.cast("int")).alias("last_tok"),
+    )

@@ -401,3 +401,78 @@ def foreach_batch_hll_rollup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_bloom_rollup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+):
+    """Streaming set-membership maintenance — the streaming face of i12
+    (operators/incremental.py bloom_state/merge_bloom_state): each
+    micro-batch builds its 8-lane Bloom delta and OR-merges it into the
+    persisted filter under the same stage+swap publish as the CMS/HLL
+    rollups.
+
+    Like the HLL path, lane OR is IDEMPOTENT — a re-delivered
+    micro-batch cannot corrupt state; the batch-id guard only skips
+    wasted merges.  This is the sketch for at-least-once streams that
+    need "have we ever seen this key?" (ingestion dedup pre-filters,
+    join pruning) rather than a count.
+
+    No bucketed variant: state is <= |keys| * 8 rows regardless of
+    stream cardinality.
+
+    Returns the StreamingQuery (caller stops it).
+    """
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from vunnel_spark.operators.incremental import (
+        bloom_state,
+        merge_bloom_state,
+    )
+    from vunnel_spark.sinks.writers import _atomic_install, _recover_backup
+
+    meta_name = "_rollup_meta.json"
+
+    def _last_applied() -> int:
+        m = os.path.join(state_path, meta_name)
+        if os.path.exists(m):
+            with open(m) as f:
+                return json.load(f).get("batch_id", -1)
+        return -1
+
+    def _roll(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _recover_backup(state_path)
+        if os.path.exists(state_path) and batch_id <= _last_applied():
+            return  # replay: harmless by idempotency, skipped for cost
+        delta = bloom_state(batch_df, keys, value_col)
+        if os.path.exists(state_path):
+            new = merge_bloom_state(
+                [spark.read.parquet(state_path), delta], keys
+            )
+        else:
+            new = delta
+        for stale in glob.glob(f"{state_path}.__stage__*"):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        stage = f"{state_path}.__stage__{uuid.uuid4().hex[:8]}"
+        new.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, meta_name), "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        _atomic_install(stage, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_roll)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
