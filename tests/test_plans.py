@@ -539,3 +539,50 @@ def test_i10_cms_build_partial_aggregates(spark, sf_dir):
     p = plan_of(q("i10_cms_heavyhitter_merge", spark, sf_dir))
     assert p.count("HashAggregate") >= 2, p
     assert "CartesianProduct" not in p, p
+
+
+def test_x24_chunking_is_zero_shuffle_narrow_projection(spark, sf_dir):
+    # chunk enumeration must stay a pure scan + generator projection:
+    # no Exchange anywhere — the chunk stream inherits the scan's
+    # partitioning for any downstream consumer
+    p = plan_of(q("x24_chunk_windows", spark, sf_dir))
+    assert "Exchange" not in p, p
+    assert "Generate" in p, p  # the posexplode
+
+
+def test_t3_scd2_windows_are_key_partitioned_single_exchange(spark, sf_dir):
+    # both SCD-2 windows (lag change-detect, lead interval-close) must
+    # partition by user_id — never an unpartitioned frame — and the
+    # second window must REUSE the first's hash partitioning: exactly
+    # one Exchange in the whole plan
+    p = plan_of(q("t3_scd2_intervals", spark, sf_dir))
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.startswith("user_id"), spec
+    # formatted plans print each node in the tree AND the detail section:
+    # count numbered tree nodes, not substring occurrences
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_i12_bloom_state_bounded_shuffles(spark, sf_dir):
+    # the Bloom build must collapse map-side (partial bit_or) before
+    # shuffling on (key, lane) — <= |keys|*8 rows per partition cross
+    # the wire — and the history/delta merge adds no third exchange
+    # shape: every Exchange hashes on event_type/lane, none global
+    p = plan_of(q("i12_bloom_filter_merge", spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final bit_or
+    assert "SinglePartition" not in p, p
+
+
+def test_llm2_dedup_window_feature_partitioned(spark, sf_dir):
+    # the media dedup window must partition by the feature tuple
+    # (bounded groups), never run unpartitioned, and the DAG must stay
+    # cartesian-free with the source join broadcast
+    p = plan_of(q("llm2_media_corpus_dag", spark, sf_dir))
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all(s.startswith("width") for s in specs), specs
+    assert "CartesianProduct" not in p, p
