@@ -183,3 +183,19 @@ def split_pkg_string(pkgs: pd.Series) -> pd.DataFrame:
 
     out = [split(v) for v in pkgs]
     return pd.DataFrame(out, columns=["name", "version"])
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (pandas UDF, Arrow-batched) — the
+    canonical-composition pass every text pipeline needs before hashing
+    or deduplicating: decomposed e+COMBINING ACUTE, compatibility
+    singletons (ANGSTROM SIGN -> Å), and Hangul jamo sequences all
+    compose, so byte-identical content gets byte-identical keys.
+    Python's unicodedata implements the same Unicode NFC the SQL
+    engines expose (x25 pins DuckDB nfc_normalize parity by value)."""
+    import unicodedata
+
+    return texts.map(
+        lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+    )

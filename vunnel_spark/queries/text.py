@@ -1509,3 +1509,52 @@ def x24(spark, sf_dir):
         F.element_at("w", F.col("start").cast("int")).alias("first_tok"),
         F.element_at("w", end.cast("int")).alias("last_tok"),
     )
+
+
+@register(
+    "x25_unicode_nfc_keys",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' e' || chr(769) || ' ' || chr(8491) || ' '
+                  || chr(4352) || chr(4449) AS raw
+      FROM documents
+    ), n AS (
+      SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM raw
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INT) AS len_raw,
+           CAST(length(norm) AS INT) AS len_norm,
+           md5(norm) AS norm_key,
+           length(raw) <> length(norm) AS composed
+    FROM n
+    """,
+    doc="Unicode NFC canonical-composition keys (functions/text.py "
+        "nfc_normalize) — the normalize-before-hash stage of a text "
+        "dedup pipeline: every doc gets a suffix of decomposed "
+        "e+COMBINING ACUTE (U+0301), ANGSTROM SIGN (U+212B, an NFC "
+        "singleton), and a Hangul jamo pair (U+1100 U+1161), so the "
+        "normalizer must actually compose (length shrinks by 3) and "
+        "the md5 over the normalized UTF-8 is the dedup key.  The "
+        "oracle runs DuckDB's native nfc_normalize against the UDF's "
+        "unicodedata NFC — two independent Unicode implementations "
+        "agreeing BY VALUE on every row.  Scale: one Arrow-batched "
+        "projection, no shuffle",
+    tags=("text", "udf"),
+)
+def x25(spark, sf_dir):
+    from vunnel_spark.functions.text import nfc_normalize
+
+    docs = t(spark, sf_dir, "documents")
+    suffix = " e\u0301 \u212b \u1100\u1161"  # decomposed: e+combining acute, angstrom, jamo
+    raw = F.concat(F.col("text"), F.lit(suffix))
+    n = docs.select(
+        "doc_id", raw.alias("raw"), nfc_normalize(raw).alias("norm")
+    )
+    return n.select(
+        "doc_id",
+        F.length("raw").cast("int").alias("len_raw"),
+        F.length("norm").cast("int").alias("len_norm"),
+        F.md5(F.col("norm").cast("binary")).alias("norm_key"),
+        (F.length("raw") != F.length("norm")).alias("composed"),
+    )
