@@ -157,3 +157,36 @@ def test_interval_join_matches_bruteforce(spark):
         if lk == rk and lts - within <= rts <= lts
     }
     assert got == expect and expect  # non-vacuous
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
+    """SCD-2 semantic invariants per user: intervals are strictly
+    ordered and contiguous (each valid_to equals the next valid_from),
+    exactly one open (is_current) interval per user, consecutive
+    intervals never repeat the same state (that's the whole point of
+    the change-collapse), and the first interval starts at the user's
+    first event."""
+    from vunnel_spark.registry import REGISTRY, _ensure_loaded
+    from vunnel_spark.session import load_table
+
+    _ensure_loaded()
+    out = REGISTRY["t3_scd2_intervals"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    first_ts = {
+        r["user_id"]: r["m"]
+        for r in ev.groupBy("user_id").agg(F.min("ts").alias("m")).collect()
+    }
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(first_ts)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert rows[0]["valid_from"] == first_ts[uid]
+        opens = [r for r in rows if r["is_current"]]
+        assert len(opens) == 1 and opens[0] is rows[-1]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], (uid, a, b)
+            assert a["event_type"] != b["event_type"], (uid, a, b)
+        assert all(r["valid_to"] is None or r["valid_from"] < r["valid_to"]
+                   for r in rows)

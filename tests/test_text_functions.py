@@ -99,3 +99,45 @@ def test_text_queries_survive_degenerate_documents(spark, tmp_path):
     for name in ("x16_gopher_repetition", "x17_bigram_perplexity"):
         spec = REGISTRY[name]
         assert_matches_oracle(spec.fn(spark, sf), ddb, spec.oracle)
+
+
+def test_x24_chunks_tile_documents_with_overlap(spark, sf_dir):
+    """Chunking invariants per doc: chunk 0 starts at token 1, every
+    later chunk starts exactly stride tokens after the previous, every
+    chunk except the last is full-size, the last chunk ends exactly at
+    the document's final token, and the union of chunk spans covers
+    every token index."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.queries.text import _CHUNK_C, _CHUNK_S
+    from vunnel_spark.registry import REGISTRY
+    from vunnel_spark.session import load_table
+
+    out = REGISTRY["x24_chunk_windows"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
+        )
+        .collect()
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(ntok)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = ntok[did]
+        covered = set()
+        for r in rows:
+            start = 1 + r["chunk_idx"] * _CHUNK_S
+            end = start + r["n_tokens"] - 1
+            covered.update(range(start, end + 1))
+            if r is not rows[-1]:
+                assert r["n_tokens"] == _CHUNK_C, (did, r)
+        last = rows[-1]
+        assert 1 + last["chunk_idx"] * _CHUNK_S + last["n_tokens"] - 1 == n
+        assert covered == set(range(1, n + 1)), did
