@@ -1494,3 +1494,111 @@ def test_decode_image_dispatches_tiff():
         assert np.array_equal(
             decode_image(encode_tiff(img, big_endian=be), 6, 5), img
         )
+
+
+def test_gif_transparent_index_shows_background_through():
+    """GCE transparency (89a §23): pixels holding the transparent color
+    index must leave the running canvas untouched — hand-built payload
+    since our encoder never sets the flag."""
+    import struct
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        _gif_color_table,
+        _indexed_palette,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    base = np.zeros((4, 4, 3), np.uint8)
+    base[:, :, 2] = 200  # blue background
+    # overlay: left half color 50-gray, right half a sentinel color that
+    # we declare transparent via its palette index
+    over = np.zeros((4, 4, 3), np.uint8)
+    over[:, :2] = 50
+    over[:, 2:] = 99
+    colors, idx = _indexed_palette(over)
+    # find the palette index of the (99,99,99) sentinel
+    t_idx = int(np.where((colors == 99).all(axis=1))[0][0])
+
+    def img_block(arr, lct):
+        c, ix = _indexed_palette(arr)
+        bits = max(1, (len(c) - 1).bit_length())
+        b = bytearray(b"\x2c") + struct.pack("<HHHH", 0, 0, 4, 4)
+        b += bytes([0x80 | (bits - 1) if lct else 0])
+        if lct:
+            b += _gif_color_table(c)
+        mcs = max(2, bits)
+        b.append(mcs)
+        d = _lzw_encode(bytes(ix.reshape(-1)), mcs)
+        b.append(len(d))
+        b += d
+        b += b"\x00"
+        return b
+
+    gcolors, _ = _indexed_palette(base)
+    gb = max(1, (len(gcolors) - 1).bit_length())
+    p = bytearray(b"GIF89a")
+    p += struct.pack("<HHBBB", 4, 4, 0x80 | (7 << 4) | (gb - 1), 0, 0)
+    p += _gif_color_table(gcolors)
+    p += img_block(base, False)
+    # GCE with transparency flag + index, then the overlay frame
+    p += b"\x21\xf9\x04" + bytes([0x01]) + struct.pack("<H", 0)
+    p += bytes([t_idx]) + b"\x00"
+    p += img_block(over, True)
+    p.append(0x3B)
+    dec = decode_gif(bytes(p))
+    assert np.array_equal(dec[0], base)
+    exp = base.copy()
+    exp[:, :2] = 50  # opaque half painted, transparent half shows blue
+    assert np.array_equal(dec[1], exp)
+
+
+def test_gif_transparency_scoped_to_one_image():
+    """A GCE governs exactly the next image block: a third frame with
+    no GCE must paint fully opaque again."""
+    import struct
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        _gif_color_table,
+        _indexed_palette,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    def img_block(arr, lct):
+        c, ix = _indexed_palette(arr)
+        bits = max(1, (len(c) - 1).bit_length())
+        b = bytearray(b"\x2c") + struct.pack("<HHHH", 0, 0, 2, 2)
+        b += bytes([0x80 | (bits - 1) if lct else 0])
+        if lct:
+            b += _gif_color_table(c)
+        mcs = max(2, bits)
+        b.append(mcs)
+        d = _lzw_encode(bytes(ix.reshape(-1)), mcs)
+        b.append(len(d))
+        b += d
+        b += b"\x00"
+        return b
+
+    a = np.full((2, 2, 3), 10, np.uint8)
+    b_img = np.full((2, 2, 3), 20, np.uint8)
+    c_img = np.full((2, 2, 3), 30, np.uint8)
+    gcolors, _ = _indexed_palette(a)
+    gb = max(1, (len(gcolors) - 1).bit_length())
+    p = bytearray(b"GIF89a")
+    p += struct.pack("<HHBBB", 2, 2, 0x80 | (7 << 4) | (gb - 1), 0, 0)
+    p += _gif_color_table(gcolors)
+    p += img_block(a, False)
+    # frame 2 fully transparent (its only index declared transparent)
+    p += b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    p += img_block(b_img, True)
+    # frame 3: NO GCE — must paint opaque
+    p += img_block(c_img, True)
+    p.append(0x3B)
+    dec = decode_gif(bytes(p))
+    assert np.array_equal(dec[1], a)      # transparent frame = no-op
+    assert np.array_equal(dec[2], c_img)  # scope did not leak

@@ -2569,13 +2569,20 @@ def decode_gif(payload: bytes):
         pos += 3 * n
     frames = []
     canvas = np.zeros((H, W, 3), np.uint8)
+    transparent = None  # active GCE transparent color index, if any
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:
             break
-        if block == 0x21:  # extension: label byte + sub-blocks, skip all
+        if block == 0x21:  # extension: label byte + sub-blocks
+            label = payload[pos]
             pos += 1
+            if label == 0xF9 and payload[pos] >= 4:
+                # graphic control: transparency flag + index apply to
+                # the NEXT image block (spec 89a §23)
+                packed_gce = payload[pos + 1]
+                transparent = payload[pos + 4] if packed_gce & 0x01 else None
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -2607,8 +2614,15 @@ def decode_gif(payload: bytes):
             rows[_gif_row_order(h), :] = idx
             idx = rows
         canvas = canvas.copy()
-        canvas[top : top + h, left : left + w] = ct[idx]
+        region = ct[idx]
+        if transparent is not None:
+            keep = idx != transparent  # transparent pixels show through
+            window = canvas[top : top + h, left : left + w]
+            window[keep] = region[keep]
+        else:
+            canvas[top : top + h, left : left + w] = region
         frames.append(canvas)
+        transparent = None  # a GCE governs exactly one image block
     return frames
 
 
