@@ -1602,3 +1602,89 @@ def test_gif_transparency_scoped_to_one_image():
     dec = decode_gif(bytes(p))
     assert np.array_equal(dec[1], a)      # transparent frame = no-op
     assert np.array_equal(dec[2], c_img)  # scope did not leak
+
+
+def _gif_img_block(arr, left=0, top=0, lct=True):
+    """Shared hand-payload helper: one GIF image block for arr."""
+    import struct
+
+    from vunnel_spark.operators.multimodal import (
+        _gif_color_table,
+        _indexed_palette,
+        _lzw_encode,
+    )
+
+    c, ix = _indexed_palette(arr)
+    bits = max(1, (len(c) - 1).bit_length())
+    b = bytearray(b"\x2c")
+    b += struct.pack("<HHHH", left, top, arr.shape[1], arr.shape[0])
+    b += bytes([0x80 | (bits - 1) if lct else 0])
+    if lct:
+        b += _gif_color_table(c)
+    mcs = max(2, bits)
+    b.append(mcs)
+    d = _lzw_encode(bytes(ix.reshape(-1)), mcs)
+    for i in range(0, len(d), 255):
+        chunk = d[i : i + 255]
+        b.append(len(chunk))
+        b += chunk
+    b.append(0)
+    return b
+
+
+def test_gif_disposal_restore_background_and_previous():
+    """Disposal 2 clears the frame's region to the LSD background color
+    before the next frame; disposal 3 restores the pre-frame canvas —
+    the two animation semantics beyond 'leave in place'."""
+    import struct
+
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        _gif_color_table,
+        _indexed_palette,
+        decode_gif,
+    )
+
+    base = np.full((4, 4, 3), 10, np.uint8)
+    patch = np.full((2, 2, 3), 77, np.uint8)
+    probe = np.full((1, 1, 3), 200, np.uint8)  # 1px frame: exposes base
+    gcolors, _ = _indexed_palette(base)
+    gb = max(1, (len(gcolors) - 1).bit_length())
+
+    def header(bg_index):
+        p = bytearray(b"GIF89a")
+        p += struct.pack("<HHBBB", 4, 4, 0x80 | (7 << 4) | (gb - 1),
+                         bg_index, 0)
+        p += _gif_color_table(gcolors)
+        return p
+
+    def gce(disposal):
+        return b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x00\x00\x00\x00"
+
+    # --- disposal 2: after frame 2 (patch at (1,1)), its region must
+    # read the background color (index 0 -> color 10) in frame 3's base
+    p = header(0)
+    p += _gif_img_block(base, lct=False)
+    p += gce(2)
+    p += _gif_img_block(patch, left=1, top=1)
+    p += _gif_img_block(probe, left=3, top=3)
+    p.append(0x3B)
+    dec = decode_gif(bytes(p))
+    exp2 = base.copy()
+    exp2[1:3, 1:3] = 77
+    assert np.array_equal(dec[1], exp2)
+    exp3 = base.copy()          # patch region restored to bg color 10
+    exp3[3, 3] = 200
+    assert np.array_equal(dec[2], exp3)
+
+    # --- disposal 3: frame 3's base must be the canvas BEFORE frame 2
+    p = header(0)
+    p += _gif_img_block(base, lct=False)
+    p += gce(3)
+    p += _gif_img_block(patch, left=1, top=1)
+    p += _gif_img_block(probe, left=3, top=3)
+    p.append(0x3B)
+    dec = decode_gif(bytes(p))
+    assert np.array_equal(dec[1], exp2)     # patch painted
+    assert np.array_equal(dec[2], exp3)     # ...then fully undone

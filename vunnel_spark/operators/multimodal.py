@@ -2560,7 +2560,7 @@ def decode_gif(payload: bytes):
     payload = bytes(payload)
     if payload[:4] != b"GIF8":
         raise ValueError("not a GIF payload")
-    W, H, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    W, H, packed, bg_index, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -2570,6 +2570,7 @@ def decode_gif(payload: bytes):
     frames = []
     canvas = np.zeros((H, W, 3), np.uint8)
     transparent = None  # active GCE transparent color index, if any
+    disposal = 0  # active GCE disposal method for the next image block
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -2579,9 +2580,10 @@ def decode_gif(payload: bytes):
             label = payload[pos]
             pos += 1
             if label == 0xF9 and payload[pos] >= 4:
-                # graphic control: transparency flag + index apply to
-                # the NEXT image block (spec 89a §23)
+                # graphic control: disposal + transparency apply to the
+                # NEXT image block (spec 89a §23)
                 packed_gce = payload[pos + 1]
+                disposal = (packed_gce >> 2) & 0x07
                 transparent = payload[pos + 4] if packed_gce & 0x01 else None
             while payload[pos]:
                 pos += 1 + payload[pos]
@@ -2613,6 +2615,7 @@ def decode_gif(payload: bytes):
             rows = np.empty((h, w), np.uint8)
             rows[_gif_row_order(h), :] = idx
             idx = rows
+        before = canvas
         canvas = canvas.copy()
         region = ct[idx]
         if transparent is not None:
@@ -2622,7 +2625,22 @@ def decode_gif(payload: bytes):
         else:
             canvas[top : top + h, left : left + w] = region
         frames.append(canvas)
+        # disposal decides the base the NEXT frame composites onto:
+        # 0/1 leave in place, 2 restore the region to the background
+        # color, 3 restore the pre-frame canvas (spec 89a §23)
+        if disposal == 2:
+            nxt = canvas.copy()
+            bg = (
+                gct[bg_index]
+                if gct is not None and bg_index < len(gct)
+                else np.zeros(3, np.uint8)
+            )
+            nxt[top : top + h, left : left + w] = bg
+            canvas = nxt
+        elif disposal == 3:
+            canvas = before
         transparent = None  # a GCE governs exactly one image block
+        disposal = 0
     return frames
 
 
