@@ -18,20 +18,20 @@ reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
   x19), m19/m20/m21 (new palette+Adam7, 16-bit-depth, and RGBA PNG
   paths), llm1 (the end-to-end LLM pretrain-corpus DAG), x5
   (lint-waiver scrutiny on its oracle).
-- The eleven queries added mid-round-8: m22 (animated-GIF LZW codec),
+- The twelve queries added mid-round-8: m22 (animated-GIF LZW codec),
   m23 (BMP), m24 (baseline TIFF), x21 (C4 boilerplate phrases), x22
   (CCNet perplexity terciles), x23 (BPE tokenizer apply), x24
   (overlapping chunk windows), x25 (Unicode NFC keys), i12 (mergeable
   Bloom filter), t3 (SCD-2 intervals), llm2 (end-to-end multimodal
-  corpus DAG).
-- ~18 re-verification slots for the highest-churn / highest-complexity
+  corpus DAG), g4 (integer-exact PageRank centrality).
+- ~17 re-verification slots for the highest-churn / highest-complexity
   plans: the b1-b3 layouts (b1/b2 rewritten r7), d3 (r6 tuning + r8
   A/B), x11, the skew/clustering/incremental/PQ families, g2,
   v4, d8, x6, n4.  (t1, the four provider DAGs, the x4/d6
-  fingerprint pair, i7, c3, g1, and c1 rotated out — each already
+  fingerprint pair, i7, c3, g1, c1, and i9 rotated out — each already
   gate-green at least twice.)
 
-External cumulative coverage after this window gates green: 225/225.
+External cumulative coverage after this window gates green: 226/226.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -89,7 +89,6 @@ GATE_WINDOW = [
     "h2_salted_skew_join",
     "c2_lloyd_centroid_update",
     "i8_incremental_distinct_merge",
-    "i9_incremental_quantile_merge",
     "n4_ann_ivf_topk",
     "n7_pq_adc_topk",
     "n8_pq_rerank_retrieval",
@@ -110,6 +109,7 @@ GATE_WINDOW = [
     "llm2_media_corpus_dag",
     "x24_chunk_windows",
     "x25_unicode_nfc_keys",
+    "g4_pagerank_centrality",
 ]
 
 __all__: list[str] = []

@@ -170,3 +170,125 @@ def g3(spark, sf_dir):
             F.coalesce("component", rn["rn"]).alias("component"),
         )
     )
+
+
+#: PageRank geometry for g4: 1e12 micro-unit scale, 5 power iterations,
+#: damping 85/100 — all integer arithmetic so both engines agree exactly
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 5
+
+
+def _pr_iteration_sql(i: int) -> str:
+    """One unrolled integer-PageRank iteration as two CTEs."""
+    return f"""
+    contrib{i} AS (
+      SELECT e.dst AS v,
+             CAST(sum((85 * r.r) // (100 * o.d)) AS BIGINT) AS c
+      FROM edges e
+      JOIN outd o ON o.src = e.src
+      JOIN r{i} r ON r.v = e.src
+      GROUP BY e.dst
+    ), r{i + 1} AS (
+      SELECT nodes.v,
+             CAST(150000000000 // n.n + COALESCE(c.c, 0) AS BIGINT) AS r
+      FROM nodes CROSS JOIN n LEFT JOIN contrib{i} c ON c.v = nodes.v
+    )"""
+
+
+@register(
+    "g4_pagerank_centrality",
+    f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    nodes AS (SELECT doc_id AS v FROM documents),
+    edges_raw AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % n.n AS dst FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 3 + 7) % n.n FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 13) % n.n FROM documents, n
+      WHERE doc_id % 2 = 0
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM edges_raw WHERE src <> dst
+    ), outd AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT v, CAST({_PR_SCALE} // n.n AS BIGINT) AS r FROM nodes, n
+    ),{",".join(_pr_iteration_sql(i) for i in range(_PR_ITERS))}
+    SELECT r.v AS doc_id, r.r AS rank_micro,
+           CAST(COALESCE(o.d, 0) AS BIGINT) AS out_deg
+    FROM r{_PR_ITERS} r LEFT JOIN outd o ON o.src = r.v
+    """,
+    doc="PageRank centrality over a deterministic doc-link graph — the "
+        "Common-Crawl-style quality-weighting signal LLM pipelines use "
+        "for source weighting (page centrality as a quality prior): 5 "
+        "unrolled power iterations with damping 0.85 in EXACT INTEGER "
+        "micro-units (rank scaled by 1e12; contributions are "
+        "``(85*r) div (100*outdeg)``, teleport ``15%*scale div N``) — "
+        "integer sums are accumulation-order-free, so both engines "
+        "produce bit-identical ranks with no rounding hazard (the llm1 "
+        "lesson applied to an iterative algorithm).  Scale: each "
+        "iteration is ONE edge-keyed join + dst-keyed aggregate "
+        "(map-side partials); the rank frame is |V| rows; production "
+        "iteration counts would localCheckpoint per step like d11's "
+        "fixpoint to keep lineage flat; N rides a 1-row broadcast "
+        "(whitelisted BNLJ)",
+    tags=("graph", "sampling"),
+)
+def g4(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    ndf = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    base = docs.crossJoin(F.broadcast(ndf))
+    edges = (
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 2 + 1) % F.col("n")).alias("dst"),
+        )
+        .unionByName(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 3 + 7) % F.col("n")).alias("dst"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 2 == 0).select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 7 + 13) % F.col("n")).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    rank = nodes.crossJoin(F.broadcast(ndf)).select(
+        "v", F.expr(f"{_PR_SCALE} div n").cast("bigint").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(outd, "src")
+            .join(rank.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("(85 * r) div (100 * d)"))
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+        rank = (
+            nodes.crossJoin(F.broadcast(ndf))
+            .join(contrib, nodes.v == contrib.dst, "left")
+            .select(
+                "v",
+                (
+                    F.expr("150000000000 div n") + F.coalesce(F.col("c"), F.lit(0))
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return (
+        rank.join(outd, rank.v == outd.src, "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("r").alias("rank_micro"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("out_deg"),
+        )
+    )
