@@ -196,8 +196,8 @@ def test_gate_window_composition_stable():
     rotation leads with the 15 queries never inside any driver gate
     through r07 (x16-x20, d11, d12, i10, i11, m15-m18, n10, v5), then
     the round-8 changes (o1, m19-m21, llm1, x5), re-verification slots,
-    and the twelve queries added mid-round (m22-m24, x21-x25, i12,
-    t3, llm2, g4).  All 50 must carry oracles.  Update the pin only on
+    and the thirteen queries added mid-round (m22-m24, x21-x25,
+    i12, t3, llm2, g4, n11).  All 50 must carry oracles.  Update the pin only on
     purpose."""
     from vunnel_spark.queries import GATE_WINDOW
 
@@ -384,6 +384,9 @@ _BNLJ_ALLOWED = {
     # g4: the 1-row corpus count broadcast into edge synthesis and the
     # per-iteration teleport term
     "g4_pagerank_centrality",
+    # n11: the bounded 8-row query set + 1-row SQ8 range row fan out
+    # over the coded corpus, the n7 ADC-scan shape
+    "n11_sq8_adc_topk",
 }
 
 

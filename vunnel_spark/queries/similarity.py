@@ -401,3 +401,144 @@ def n10(spark, sf_dir):
         "query_id", "query_label", "neighbor_id", "neighbor_label",
         "cos_sim", "rank",
     )
+
+
+@register(
+    "n11_sq8_adc_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dimvals AS (
+      SELECT u.i AS pos, v.v[u.i] AS x
+      FROM v, LATERAL (SELECT unnest(generate_series(1, 16)) AS i) u
+    ), p AS (
+      SELECT pos, min(x) AS mn, max(x) AS mx FROM dimvals GROUP BY pos
+    ), prow AS (
+      SELECT array_agg(mn ORDER BY pos) AS mn,
+             array_agg(mx ORDER BY pos) AS mx
+      FROM p
+    ), codes AS (
+      SELECT vec_id,
+             list_transform(range(16), d -> CAST(CASE
+               WHEN mx[d+1] = mn[d+1] THEN 0
+               ELSE least(greatest(
+                 floor((v[d+1] - mn[d+1]) * 255 / (mx[d+1] - mn[d+1])),
+                 0), 255)
+             END AS INT)) AS code
+      FROM v, prow
+      WHERE vec_id >= {_N_QUERIES}
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {_N_QUERIES}
+    ), d AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+               list_transform(range(16), d ->
+                 qv[d+1] - (mn[d+1] + (code[d+1] + 0.5)
+                            * (mx[d+1] - mn[d+1]) / 255)),
+               z -> z * z)), (a, b) -> a + b) AS d2
+      FROM q CROSS JOIN codes c, prow
+    ), ranked AS (
+      SELECT query_id, neighbor_id, round(d2, 6) AS d2_adc,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT)
+               AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, d2_adc, rank FROM ranked
+    WHERE rank <= {_K}
+    """,
+    doc="Scalar-quantized (SQ8) ANN — the FAISS tier between PQ and "
+        "exact: per-dimension [min,max] trained from the corpus (one "
+        "order-free aggregate, a 16-row dim), vectors coded to uint8 "
+        "per dimension, asymmetric query-vs-reconstruction distance "
+        "as a strict dimension-order left fold so both engines "
+        "produce identical doubles (the n7 ADC discipline with "
+        "DATA-DERIVED parameters instead of literal codebooks — "
+        "min/max are exactly reproducible in SQL, unlike means).  "
+        "Scale: the 2x16-value range row rides a 1-row broadcast "
+        "(whitelisted BNLJ, like n7's query fan-out); codes shrink "
+        "the serving store 4x vs float32 and the scan tier composes "
+        "with n4's IVF cell pruning for the full IVF-SQ8 layout",
+    tags=("similarity", "ann"),
+)
+def n11(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pos = emb.select(F.posexplode("v").alias("pos", "x"))
+    prow = (
+        pos.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("s")
+        )
+        .select(
+            F.transform("s", lambda s: s["mn"]).alias("mn"),
+            F.transform("s", lambda s: s["mx"]).alias("mx"),
+        )
+    )
+    dims = F.sequence(F.lit(0), F.lit(15))
+
+    def el(arr, d):
+        return F.element_at(arr, d + 1)
+
+    corpus = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .crossJoin(F.broadcast(prow))
+        .select(
+            "vec_id",
+            F.transform(
+                dims,
+                lambda d: F.when(
+                    el(F.col("mx"), d) == el(F.col("mn"), d), F.lit(0)
+                ).otherwise(
+                    F.least(
+                        F.greatest(
+                            F.floor(
+                                (el(F.col("v"), d) - el(F.col("mn"), d))
+                                * 255
+                                / (el(F.col("mx"), d) - el(F.col("mn"), d))
+                            ),
+                            F.lit(0),
+                        ),
+                        F.lit(255),
+                    )
+                ).cast("int"),
+            ).alias("code"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(prow))
+    diffs = F.transform(
+        dims,
+        lambda d: el(F.col("qv"), d)
+        - (
+            el(F.col("mn"), d)
+            + (el(F.col("code"), d) + 0.5)
+            * (el(F.col("mx"), d) - el(F.col("mn"), d))
+            / 255
+        ),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, z: acc + z * z)
+    from pyspark.sql import Window
+
+    ranked = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        d2.alias("d2"),
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        )
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= _K).select(
+        "query_id", "neighbor_id",
+        F.round("d2", 6).alias("d2_adc"), "rank",
+    )
