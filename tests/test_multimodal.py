@@ -1688,3 +1688,37 @@ def test_gif_disposal_restore_background_and_previous():
     dec = decode_gif(bytes(p))
     assert np.array_equal(dec[1], exp2)     # patch painted
     assert np.array_equal(dec[2], exp3)     # ...then fully undone
+
+
+def test_ico_roundtrip_both_entry_styles():
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import (
+        decode_ico,
+        decode_image,
+        encode_ico,
+    )
+
+    rng = np.random.default_rng(4)
+    imgs = [
+        rng.integers(0, 256, (9, 13, 3), dtype=np.uint8),
+        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+        rng.integers(0, 256, (5, 21, 3), dtype=np.uint8),
+    ]
+    for style in (lambda i: True, lambda i: False, lambda i: i % 2 == 0):
+        dec = decode_ico(encode_ico(imgs, png_entry=style))
+        assert len(dec) == 3
+        for a, b in zip(imgs, dec):
+            assert np.array_equal(a, b)
+    # decode_image dispatch: first entry
+    pay = encode_ico(imgs)
+    assert np.array_equal(decode_image(pay, 13, 9), imgs[0])
+
+
+def test_ico_rejects_malformed():
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_ico
+
+    with pytest.raises(ValueError):
+        decode_ico(b"\x01\x00\x01\x00\x01\x00" + b"\x00" * 20)

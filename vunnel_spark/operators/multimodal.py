@@ -1795,6 +1795,8 @@ def decode_image(payload: bytes, width: int, height: int, fake: bool = False):
         return decode_gif(payload)[0]  # still-image use: first frame
     if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"*\x00", b"\x00*"):
         return decode_tiff(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        return decode_ico(payload)[0]  # still-image use: first entry
     if fake:
         return _fake_decode(payload, width, height)
     raise NotImplementedError(
@@ -4391,6 +4393,129 @@ def synthesize_tiff_media_table(
                 out.append(
                     (did, payload,
                      {"format": "tiff", "width": w, "height": h,
+                      "n_bytes": len(payload)})
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
+# ----------------------------------------------------------------- ICO codec
+#
+# Windows ICO (public format): an icon directory whose entries embed
+# either a PNG payload (Vista+ style) or a headerless DIB
+# (BITMAPINFOHEADER with DOUBLED height covering the XOR raster plus a
+# 1-bpp AND transparency mask).  Pure container work — entry payloads
+# decode through the PNG/BMP codecs above.
+
+def encode_ico(images, png_entry=None) -> bytes:
+    """Encode images (each (h, w, 3) uint8, h/w <= 255) as one ICO.
+
+    ``png_entry(i)`` decides per entry whether to embed a PNG payload
+    (True) or a headerless doubled-height DIB with an all-opaque AND
+    mask (False); default alternates, so one file walks both paths."""
+    import struct
+
+    if png_entry is None:
+        png_entry = lambda i: i % 2 == 0
+    payloads = []
+    for i, img in enumerate(images):
+        h, w = img.shape[:2]
+        if h > 255 or w > 255:
+            raise ValueError("ICO entries are limited to 255x255 here")
+        if png_entry(i):
+            payloads.append(encode_png(img))
+            continue
+        bmp = encode_bmp(img)  # 24-bit bottom-up
+        (off,) = struct.unpack_from("<I", bmp, 10)
+        dib = bytearray(bmp[14:])  # strip BITMAPFILEHEADER
+        struct.pack_into("<i", dib, 8, 2 * h)  # doubled height
+        and_row = ((w + 31) // 32) * 4
+        payloads.append(bytes(dib) + b"\x00" * (and_row * h))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    off = 6 + 16 * len(images)
+    for img, pay in zip(images, payloads):
+        h, w = img.shape[:2]
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(pay), off
+        )
+        off += len(pay)
+    for pay in payloads:
+        out += pay
+    return bytes(out)
+
+
+def decode_ico(payload: bytes):
+    """Decode every entry of an ICO to (h, w, 3) uint8 RGB arrays —
+    PNG entries via decode_png, DIB entries by rebuilding the BMP file
+    header with the true (halved) height; the AND mask is skipped (the
+    feature contract is RGB)."""
+    import struct
+
+    payload = bytes(payload)
+    reserved, typ, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or typ != 1:
+        raise ValueError("not an ICO payload")
+    images = []
+    for i in range(count):
+        _w, _h, _nc, _r, _planes, _bpp, size, off = struct.unpack_from(
+            "<BBBBHHII", payload, 6 + 16 * i
+        )
+        sub = payload[off : off + size]
+        if sub[:8] == _PNG_SIG:
+            img = decode_png(sub)
+            import numpy as np
+
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            elif img.shape[2] == 4:
+                img = img[:, :, :3]
+            images.append(img)
+            continue
+        hsize, w, h2 = struct.unpack_from("<Iii", sub, 0)
+        (bpp,) = struct.unpack_from("<H", sub, 14)
+        (n_colors,) = struct.unpack_from("<I", sub, 32)
+        pal_n = n_colors or (256 if bpp == 8 else 0)
+        h = h2 // 2
+        dib = bytearray(sub)
+        struct.pack_into("<i", dib, 8, h)  # restore the true height
+        data_off = 14 + hsize + 4 * pal_n
+        hdr = b"BM" + struct.pack("<IHHI", data_off + len(dib), 0, 0, data_off)
+        images.append(decode_bmp(hdr + bytes(dib)))
+    return images
+
+
+def synthesize_ico_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-ICO media table: the m1 closed-form pixel
+    model, one image per icon, embedded as PNG for even ids and as a
+    doubled-height DIB for odd ids — one corpus covers directory
+    parsing and both entry payload styles against the m1 oracle."""
+    schema = (
+        "media_id long, payload binary, meta struct<format:string, "
+        "width:int, height:int, n_bytes:bigint>"
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 16 + 8, did % 8 + 8
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = ((did + np.arange(w)) % 256)[None, :]
+                img[:, :, 1] = (7 * did) % 256
+                img[:, :, 2] = (13 * did) % 256
+                payload = encode_ico(
+                    [img], png_entry=lambda i, d=did: d % 2 == 0
+                )
+                out.append(
+                    (did, payload,
+                     {"format": "ico", "width": w, "height": h,
                       "n_bytes": len(payload)})
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])

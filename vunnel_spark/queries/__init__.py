@@ -18,21 +18,22 @@ reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
   x19), m19/m20/m21 (new palette+Adam7, 16-bit-depth, and RGBA PNG
   paths), llm1 (the end-to-end LLM pretrain-corpus DAG), x5
   (lint-waiver scrutiny on its oracle).
-- The thirteen queries added mid-round-8: m22 (animated-GIF LZW
-  codec), m23 (BMP), m24 (baseline TIFF), x21 (C4 boilerplate
-  phrases), x22 (CCNet perplexity terciles), x23 (BPE tokenizer
-  apply), x24 (overlapping chunk windows), x25 (Unicode NFC keys),
-  i12 (mergeable Bloom filter), t3 (SCD-2 intervals), llm2
-  (end-to-end multimodal corpus DAG), g4 (integer-exact PageRank
-  centrality), n11 (SQ8 scalar-quantized ADC).
-- ~16 re-verification slots for the highest-churn / highest-complexity
+- The fifteen queries added mid-round-8: m22 (animated-GIF LZW
+  codec), m23 (BMP), m24 (baseline TIFF), m25 (ICO container), x21
+  (C4 boilerplate phrases), x22 (CCNet perplexity terciles), x23
+  (BPE tokenizer apply), x24 (overlapping chunk windows), x25
+  (Unicode NFC keys), i12 (mergeable Bloom filter), t3 (SCD-2
+  intervals), llm2 (end-to-end multimodal corpus DAG), g4
+  (integer-exact PageRank centrality), n11 (SQ8 scalar-quantized
+  ADC), sc8 (bitwise scalar surface).
+- ~14 re-verification slots for the highest-churn / highest-complexity
   plans: the b1/b2 layouts (rewritten r7), d3 (r6 tuning + r8
-  A/B), x11, the skew/clustering/incremental/PQ families, g2,
+  A/B), x11, the clustering/incremental/PQ families, g2,
   v4, d8, x6, n4.  (t1, the four provider DAGs, the x4/d6
-  fingerprint pair, i7, c3, g1, c1, i9, and b3 rotated out — each
-  already gate-green at least twice.)
+  fingerprint pair, i7, c3, g1, c1, i9, b3, and h1/h2 rotated out —
+  each already gate-green at least twice.)
 
-External cumulative coverage after this window gates green: 227/227.
+External cumulative coverage after this window gates green: 229/229.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -85,8 +86,6 @@ GATE_WINDOW = [
     "x11_sequence_packing",
     "d8_jaccard_skew_capped",
     "x6_decontamination",
-    "h1_salted_skew_agg",
-    "h2_salted_skew_join",
     "c2_lloyd_centroid_update",
     "i8_incremental_distinct_merge",
     "n4_ann_ivf_topk",
@@ -111,6 +110,8 @@ GATE_WINDOW = [
     "x25_unicode_nfc_keys",
     "g4_pagerank_centrality",
     "n11_sq8_adc_topk",
+    "m25_ico_feature_extract",
+    "sc8_bitwise_surface",
 ]
 
 __all__: list[str] = []

@@ -874,3 +874,53 @@ def m24(spark, sf_dir):
         F.round("mean_b", 4).alias("mean_b"),
         F.round("std_all", 4).alias("std_all"),
     )
+
+
+@register(
+    "m25_ico_feature_extract",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 23) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 8 + 8 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, w, h,
+             (SELECT avg((media_id + x) % 256) FROM xs WHERE x < w) AS mean_r,
+             (SELECT avg(pow((media_id + x) % 256, 2))
+              FROM xs WHERE x < w) AS mean_r2,
+             CAST((7 * media_id) % 256 AS DOUBLE) AS g,
+             CAST((13 * media_id) % 256 AS DOUBLE) AS b
+      FROM m
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(mean_r, 4) AS mean_r, round(g, 4) AS mean_g,
+           round(b, 4) AS mean_b,
+           round(sqrt((mean_r2 + g*g + b*b) / 3
+                      - pow((mean_r + g + b) / 3, 2)), 4) AS std_all
+    FROM r
+    """,
+    doc="ICO container decode pipeline: the m1 gradient corpus as REAL "
+        "Windows icons (operators/multimodal.py encode_ico/decode_ico) "
+        "— PNG-embedded entries for even ids, headerless doubled-height "
+        "DIB entries (XOR raster + AND mask) for odd ids — through the "
+        "same mapInPandas feature stage as m1.  The oracle is the m1 "
+        "closed-form arithmetic, so a mismatch isolates directory "
+        "parsing, the height-doubling DIB rebuild, or payload-style "
+        "dispatch",
+    tags=("multimodal", "udf"),
+)
+def m25(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        image_features,
+        synthesize_ico_media_table,
+    )
+
+    media = synthesize_ico_media_table(t(spark, sf_dir, "documents"))
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_all", 4).alias("std_all"),
+    )

@@ -219,3 +219,36 @@ def sc7(spark, sf_dir):
         meta["status"].alias("meta_status"),
         (F.col("o_totalprice") * 1.1).alias("adjusted"),
     )
+
+
+@register(
+    "sc8_bitwise_surface",
+    """
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor,
+           CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+           CAST(sum(bit_count(user_id)) AS BIGINT) AS total_bits,
+           CAST(min(user_id << 3) AS BIGINT) AS min_shl,
+           CAST(max(user_id >> 2) AS BIGINT) AS max_shr
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Bitwise family: bit_and/bit_or/bit_xor aggregates plus "
+        "bit_count and shift scalars — the scalar-surface tier the "
+        "i12 Bloom lanes and b-family bucket math build on, verified "
+        "as first-class functions.  All exact BIGINT arithmetic: "
+        "bitwise aggregates are commutative/associative, so the "
+        "result is accumulation-order-free by construction",
+    tags=("scalar", "events"),
+)
+def sc8(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("bigint").alias("band"),
+        F.bit_or("user_id").cast("bigint").alias("bor"),
+        F.bit_xor("user_id").cast("bigint").alias("bxor"),
+        F.sum(F.bit_count("user_id")).cast("bigint").alias("total_bits"),
+        F.min(F.shiftleft("user_id", 3)).cast("bigint").alias("min_shl"),
+        F.max(F.shiftright("user_id", 2)).cast("bigint").alias("max_shr"),
+    )
