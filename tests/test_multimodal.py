@@ -1722,3 +1722,23 @@ def test_ico_rejects_malformed():
 
     with pytest.raises(ValueError):
         decode_ico(b"\x01\x00\x01\x00\x01\x00" + b"\x00" * 20)
+
+
+def test_llm2_dedup_accounting(spark, sf_dir):
+    """The multimodal DAG's per-source accounting: unique <= media,
+    media sums to corpus size (originals + every-5th dups), and at
+    least one duplicate collapsed in some source (the synthetic dups
+    guarantee work for the dedup stage)."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.registry import REGISTRY, _ensure_loaded
+    from vunnel_spark.session import load_table
+
+    _ensure_loaded()
+    rows = REGISTRY["llm2_media_corpus_dag"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_dups = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert sum(r["n_media"] for r in rows) == n + n_dups
+    assert all(r["n_unique"] <= r["n_media"] for r in rows)
+    assert sum(r["n_media"] - r["n_unique"] for r in rows) >= n_dups

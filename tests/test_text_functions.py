@@ -141,3 +141,41 @@ def test_x24_chunks_tile_documents_with_overlap(spark, sf_dir):
         last = rows[-1]
         assert 1 + last["chunk_idx"] * _CHUNK_S + last["n_tokens"] - 1 == n
         assert covered == set(range(1, n + 1)), did
+
+
+def test_x22_buckets_partition_scored_docs(spark, sf_dir):
+    """CCNet terciles: the three buckets partition the scored docs
+    (counts sum to the scored-doc total), bucket value ranges are
+    disjoint and ordered head < middle < tail, and head/middle are
+    nonempty (the disc cut is a member, so at least the minimum lands
+    in head)."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = {r["bucket"]: r for r in
+           REGISTRY["x22_perplexity_buckets"].fn(spark, sf_dir).collect()}
+    docs = REGISTRY["x17_bigram_perplexity"].fn(spark, sf_dir)
+    n_scored = docs.count()
+    assert sum(r["n_docs"] for r in out.values()) == n_scored
+    assert out["head"]["n_docs"] > 0 and out["middle"]["n_docs"] > 0
+    if "middle" in out and "head" in out:
+        assert out["head"]["max_nll"] <= out["middle"]["min_nll"]
+    if "tail" in out and "middle" in out:
+        assert out["middle"]["max_nll"] <= out["tail"]["min_nll"]
+
+
+def test_x21_boilerplate_fraction_bounds(spark, sf_dir):
+    """Boilerplate accounting: n_boiler <= n_shingles for every doc,
+    the fraction is exactly the integer ratio, and kept is the exact
+    2x comparison."""
+    from vunnel_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["x21_boilerplate_phrases"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert r["boiler_frac"] == round(r["n_boiler"] / r["n_shingles"], 6)
+        assert r["kept"] == (2 * r["n_boiler"] <= r["n_shingles"])
