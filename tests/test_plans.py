@@ -196,7 +196,7 @@ def test_gate_window_composition_stable():
     rotation leads with the 15 queries never inside any driver gate
     through r07 (x16-x20, d11, d12, i10, i11, m15-m18, n10, v5), then
     the round-8 changes (o1, m19-m21, llm1, x5), re-verification slots,
-    and the fifteen queries added mid-round (m22-m25, x21-x25,
+    and the sixteen queries added mid-round (m22-m25, x21-x26,
     i12, t3, llm2, g4, n11, sc8).  All 50 must carry oracles.  Update the pin only on
     purpose."""
     from vunnel_spark.queries import GATE_WINDOW

@@ -18,22 +18,22 @@ reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
   x19), m19/m20/m21 (new palette+Adam7, 16-bit-depth, and RGBA PNG
   paths), llm1 (the end-to-end LLM pretrain-corpus DAG), x5
   (lint-waiver scrutiny on its oracle).
-- The fifteen queries added mid-round-8: m22 (animated-GIF LZW
+- The sixteen queries added mid-round-8: m22 (animated-GIF LZW
   codec), m23 (BMP), m24 (baseline TIFF), m25 (ICO container), x21
   (C4 boilerplate phrases), x22 (CCNet perplexity terciles), x23
   (BPE tokenizer apply), x24 (overlapping chunk windows), x25
-  (Unicode NFC keys), i12 (mergeable Bloom filter), t3 (SCD-2
-  intervals), llm2 (end-to-end multimodal corpus DAG), g4
-  (integer-exact PageRank centrality), n11 (SQ8 scalar-quantized
-  ADC), sc8 (bitwise scalar surface).
-- ~14 re-verification slots for the highest-churn / highest-complexity
+  (Unicode NFC keys), x26 (cross-split contamination audit), i12
+  (mergeable Bloom filter), t3 (SCD-2 intervals), llm2 (end-to-end
+  multimodal corpus DAG), g4 (integer-exact PageRank centrality),
+  n11 (SQ8 scalar-quantized ADC), sc8 (bitwise scalar surface).
+- ~13 re-verification slots for the highest-churn / highest-complexity
   plans: the b1/b2 layouts (rewritten r7), d3 (r6 tuning + r8
-  A/B), x11, the clustering/incremental/PQ families, g2,
-  v4, d8, x6, n4.  (t1, the four provider DAGs, the x4/d6
-  fingerprint pair, i7, c3, g1, c1, i9, b3, and h1/h2 rotated out —
-  each already gate-green at least twice.)
+  A/B), x11, i8 (the sketch family's opaque-state tier), the PQ
+  family (n7-n9), n4, g2, v4, d8, x6.  (t1, the four provider
+  DAGs, the x4/d6 fingerprint pair, i7, c3, g1, c1, i9, b3, h1/h2,
+  and c2 rotated out — each already gate-green at least twice.)
 
-External cumulative coverage after this window gates green: 229/229.
+External cumulative coverage after this window gates green: 230/230.
 
 Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
 round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
@@ -86,7 +86,6 @@ GATE_WINDOW = [
     "x11_sequence_packing",
     "d8_jaccard_skew_capped",
     "x6_decontamination",
-    "c2_lloyd_centroid_update",
     "i8_incremental_distinct_merge",
     "n4_ann_ivf_topk",
     "n7_pq_adc_topk",
@@ -112,6 +111,7 @@ GATE_WINDOW = [
     "n11_sq8_adc_topk",
     "m25_ico_feature_extract",
     "sc8_bitwise_surface",
+    "x26_split_contamination",
 ]
 
 __all__: list[str] = []
