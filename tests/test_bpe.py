@@ -125,6 +125,27 @@ def test_apply_merges_matches_reference(spark):
         assert got[w] == _py_apply(w, _BPE_FROZEN_MERGES), w
 
 
+def test_apply_merges_empty_word_guard(spark):
+    """sequence(1, 0) descends to [1, 0] — without the guard an empty
+    word would tokenize to two phantom empty symbols + EOW (n_tok=3)
+    instead of the correct [EOW] (or [] with eow=False)."""
+    from vunnel_spark.operators.bpe import EOW, apply_merges
+    from vunnel_spark.queries.text import _BPE_FROZEN_MERGES
+
+    df = spark.createDataFrame([("",), ("a",)], "word string")
+    got = {
+        r["word"]: list(r["symbols"])
+        for r in apply_merges(df, _BPE_FROZEN_MERGES).collect()
+    }
+    assert got[""] == [EOW]
+    assert got["a"] == ["a", EOW]
+    got_no_eow = {
+        r["word"]: list(r["symbols"])
+        for r in apply_merges(df, _BPE_FROZEN_MERGES, eow=False).collect()
+    }
+    assert got_no_eow[""] == []
+
+
 def test_x23_oracle_replace_trick_matches_fold():
     """The delimiter-doubled SQL replace must merge EXACTLY what the
     greedy fold merges — pin the overlap ((a,a) on [a,a,a]) and the

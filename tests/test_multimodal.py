@@ -1484,6 +1484,27 @@ def test_tiff_rejects_unsupported():
         decode_tiff(bytes(payload))
 
 
+def test_tiff_rejects_16bit_per_sample():
+    """A 16-bit RGB TIFF passes the Compression/Photometric/Samples
+    checks; without the BitsPerSample (258) guard it would be silently
+    misdecoded as 8-bit."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vunnel_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    for be, e in ((False, "<"), (True, ">")):
+        payload = bytearray(encode_tiff(img, big_endian=be))
+        # the encoder lays out BitsPerSample [8,8,8] right after the IFD
+        bps_off = 8 + 2 + 12 * 9 + 4
+        struct.pack_into(f"{e}HHH", payload, bps_off, 16, 16, 16)
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            decode_tiff(bytes(payload))
+
+
 def test_decode_image_dispatches_tiff():
     import numpy as np
 
@@ -1722,6 +1743,22 @@ def test_ico_rejects_malformed():
 
     with pytest.raises(ValueError):
         decode_ico(b"\x01\x00\x01\x00\x01\x00" + b"\x00" * 20)
+
+
+def test_ico_gray_alpha_png_entry_replicates_rgb():
+    """A gray+alpha (color type 4) PNG entry must honor the (h, w, 3)
+    RGB contract: gray replicated across channels, alpha dropped —
+    unreachable from the synthesizer but valid in external ICOs."""
+    import numpy as np
+
+    from vunnel_spark.operators.multimodal import decode_ico, encode_ico
+
+    rng = np.random.default_rng(11)
+    ga = rng.integers(0, 256, (7, 9, 2), dtype=np.uint8)
+    dec = decode_ico(encode_ico([ga], png_entry=lambda i: True))
+    assert len(dec) == 1
+    assert dec[0].shape == (7, 9, 3)
+    assert np.array_equal(dec[0], np.repeat(ga[:, :, :1], 3, axis=2))
 
 
 def test_llm2_dedup_accounting(spark, sf_dir):

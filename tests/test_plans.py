@@ -250,6 +250,24 @@ def test_x19_o1_topk_no_global_window(spark, sf_dir):
         assert "Window" not in p, (name, p)
 
 
+def test_o3_listing_rank_is_bucketed_not_global(spark, sf_dir):
+    # the full-listing rank must window over hashpartitioning(bucket)
+    # (order-aligned fname-prefix buckets) with the bucket offsets joined
+    # back via broadcast — the r8 verdict's last global-rank residual; a
+    # global row_number would single-partition a 100 TB store's listing
+    p = plan_of(q("o3_sorted_listing", spark, sf_dir))
+    assert "hashpartitioning(bucket" in p, p
+    assert "BroadcastHashJoin" in p, p
+    # every window spec that orders the full name frame (mentions fname)
+    # must be partitioned by bucket; the only unpartitioned spec is the
+    # per-bucket offset cumsum, which never touches fname
+    specs = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert specs, p
+    for ln in specs:
+        if "fname" in ln:
+            assert "windowspecdefinition(bucket#" in ln, ln
+
+
 def test_llm1_dag_two_exchanges_no_cartesian(spark, sf_dir):
     # the end-to-end LLM corpus DAG must cost exactly two shuffles:
     # hashpartitioning on the dedup digest, then on source — the cap

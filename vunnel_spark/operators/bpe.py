@@ -111,11 +111,20 @@ def apply_merges(
     (typically the distinct-word dimension); each merge is one fold
     expression applied in training order, so the whole segmentation is
     a single narrow projection — no UDF, no shuffle, and the Zipf-
-    bounded dimension amortizes the fold across every occurrence."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)),
-    )
+    bounded dimension amortizes the fold across every occurrence.
+
+    Empty words are guarded here rather than by caller discipline:
+    ``sequence(1, 0)`` DESCENDS to [1, 0] (the x17 hazard), which would
+    manufacture two phantom empty-string symbols for a zero-length
+    word — an empty word tokenizes to [] (or [EOW] with the sentinel).
+    """
+    chars = F.when(
+        F.length("word") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     symbols = F.concat(chars, F.array(F.lit(EOW))) if eow else chars
     out = words.select("word", symbols.alias("symbols"))
     for a, b in merges:

@@ -4349,6 +4349,33 @@ def decode_tiff(payload: bytes):
             for i in range(count)
         ]
 
+    # BitsPerSample (258): a 16-bit RGB TIFF passes every check above
+    # but would be silently misdecoded as 8-bit — reject explicitly.
+    # count<=2 SHORTs live packed in the entry's 4-byte value slot, so
+    # find the slot offset; count>2 points at an external array.
+    if 258 in tags:
+        _, count258, _ = tags[258]
+        if count258 <= 2:
+            bits = []
+            for i in range(n_entries):
+                (tag_i,) = struct.unpack_from(
+                    f"{e}H", payload, ifd_off + 2 + 12 * i
+                )
+                if tag_i == 258:
+                    bits = [
+                        struct.unpack_from(
+                            f"{e}H", payload, ifd_off + 10 + 12 * i + 2 * j
+                        )[0]
+                        for j in range(count258)
+                    ]
+                    break
+        else:
+            bits = read_array(258)
+        if any(b != 8 for b in bits):
+            raise NotImplementedError(
+                f"only 8-bit-per-sample TIFF supported (got {bits})"
+            )
+
     offs = read_array(273)
     counts = read_array(279)
     raster = bytearray()
@@ -4468,6 +4495,8 @@ def decode_ico(payload: bytes):
 
             if img.ndim == 2:
                 img = np.repeat(img[:, :, None], 3, axis=2)
+            elif img.shape[2] == 2:  # gray+alpha: replicate gray, drop alpha
+                img = np.repeat(img[:, :, :1], 3, axis=2)
             elif img.shape[2] == 4:
                 img = img[:, :, :3]
             images.append(img)

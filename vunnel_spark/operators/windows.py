@@ -38,24 +38,94 @@ def fill_down(
     df: DataFrame,
     cols: Sequence[str],
     order_by: Sequence[str],
-    partition_by: Sequence[str] = (),
+    partition_by: Sequence[str],
 ) -> DataFrame:
     """Propagate the last non-null value downward (W4 — the DSA text-parse
     header fill, /root/reference/src/vunnel/providers/debian/parser.py:231-239).
 
-    ``last(ignorenulls).over(unboundedPreceding..current)`` — for a global
-    order pass ``partition_by=()`` (fine for file-sized data); at scale
-    always partition (e.g. by source file) so no single task sorts the world.
+    ``last(ignorenulls).over(unboundedPreceding..current)``, windowed per
+    ``partition_by`` key (e.g. the source file).  ``partition_by`` is
+    REQUIRED: an unpartitioned fill silently sorts the world through one
+    task at scale — when the fill really is global (one logical file),
+    use :func:`fill_down_global`, which distributes the same semantics
+    as a two-level bucketed prefix pass.
     """
-    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
-    if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(*order_by).rowsBetween(
-            Window.unboundedPreceding, 0
+    if not partition_by:
+        raise ValueError(
+            "fill_down requires partition_by; for an exact global fill "
+            "use fill_down_global (distributed two-level carry)"
         )
+    w = Window.partitionBy(*partition_by).orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     out = df
     for c in cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def fill_down_global(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_col: str,
+    bucket: Column | None = None,
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Exact GLOBAL fill-down without a global window: the distributed
+    two-level carry (the x11/o3 prefix-sum discipline applied to
+    last-non-null instead of sum).
+
+    Phase 1 fills within order-aligned buckets (default: ranges of the
+    numeric ``order_col``; pass ``bucket`` for a custom order-aligned
+    bucketing expression — bucket(a) < bucket(b) must imply a <= b).
+    Phase 2 reduces each bucket to its LAST non-null value per column
+    (one row per bucket), fills THAT down across the tiny bucket frame
+    (the only unpartitioned window, #buckets rows), and broadcasts the
+    per-bucket carry back; rows still null after the local fill coalesce
+    to the carry from earlier buckets.  Identical semantics to
+    ``last(ignorenulls) OVER (ORDER BY order_col ROWS UNBOUNDED
+    PRECEDING)`` at any scale.
+    """
+    if bucket is None:
+        bucket = F.expr(f"{order_col} div {bucket_size}")
+    out = df.withColumn("_fd_bucket", bucket)
+    w_local = (
+        Window.partitionBy("_fd_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_local))
+    # one row per bucket: the bucket's last non-null per column = the
+    # value at the max order among that column's non-null rows
+    lasts = out.groupBy("_fd_bucket").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(), F.struct(F.col(order_col), F.col(c))
+                )
+            )[c].alias(f"_last_{c}")
+            for c in cols
+        ]
+    )
+    w_carry = Window.orderBy("_fd_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = lasts.select(
+        "_fd_bucket",
+        *[
+            F.last(f"_last_{c}", ignorenulls=True)
+            .over(w_carry)
+            .alias(f"_carry_{c}")
+            for c in cols
+        ],
+    )
+    out = out.join(F.broadcast(carries), "_fd_bucket")
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.col(f"_carry_{c}"))
+        ).drop(f"_carry_{c}")
+    return out.drop("_fd_bucket")
 
 
 def top_k_per_group(

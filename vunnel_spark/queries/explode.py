@@ -491,7 +491,7 @@ def e3(spark, sf_dir):
     tags=("explode", "window"),
 )
 def e5(spark, sf_dir):
-    from vunnel_spark.operators.windows import fill_down
+    from vunnel_spark.operators.windows import fill_down_global
 
     o = t(spark, sf_dir, "orders")
     line = F.when(
@@ -509,7 +509,10 @@ def e5(spark, sf_dir):
         F.nullif(F.regexp_extract("line", r"DSA-\d+-\d+ (\S+)", 1), F.lit("")).alias("pkg"),
         F.regexp_extract("line", r"\{(CVE-[0-9-]+)\}", 1).alias("cve"),
     )
-    filled = fill_down(classified, ["dsa_id", "pkg"], ["line_no"])
+    # the header fill is global in line order (one logical file) — the
+    # distributed two-level carry keeps exact global semantics with no
+    # full-frame single-partition window
+    filled = fill_down_global(classified, ["dsa_id", "pkg"], "line_no")
     return filled.filter((F.col("cve") != "") & F.col("dsa_id").isNotNull()).select(
         "dsa_id", "pkg", "cve"
     )

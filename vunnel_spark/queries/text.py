@@ -1534,7 +1534,9 @@ def x24(spark, sf_dir):
         "dedup pipeline: every doc gets a suffix of decomposed "
         "e+COMBINING ACUTE (U+0301), ANGSTROM SIGN (U+212B, an NFC "
         "singleton), and a Hangul jamo pair (U+1100 U+1161), so the "
-        "normalizer must actually compose (length shrinks by 3) and "
+        "normalizer must actually compose (length shrinks by 2: the "
+        "e+accent pair and the jamo pair each fuse; the angstrom is a "
+        "1:1 singleton remap) and "
         "the md5 over the normalized UTF-8 is the dedup key.  The "
         "oracle runs DuckDB's native nfc_normalize against the UDF's "
         "unicodedata NFC — two independent Unicode implementations "

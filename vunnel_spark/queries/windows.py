@@ -275,7 +275,13 @@ def o2(spark, sf_dir):
         "(workspace.py:268-284; rhel/parser.py:1018): deterministic listing "
         "order is what makes the digest-of-digests reproducible — the "
         "emitted position makes the sort itself gate-verified, not just the "
-        "set of names",
+        "set of names.  Scale: the naive global row_number is a "
+        "single-partition sort of the whole listing (millions of files on "
+        "a 100 TB store); this plan is the x11 two-level prefix sum "
+        "instead — fixed-length fname PREFIXES make order-aligned buckets "
+        "(prefix(a) < prefix(b) implies a < b), the rank windows per "
+        "bucket, and each bucket's exclusive offset comes from a tiny "
+        "bucket-count aggregate (rows = #buckets) broadcast back",
     tags=("topk",),
 )
 def o3(spark, sf_dir):
@@ -293,8 +299,29 @@ def o3(spark, sf_dir):
             ).alias("fname")
         )
         .distinct()
+        # order-aligned bucket: a fixed-length prefix (here through the
+        # provider directory) — at a real 100 TB store, size the prefix
+        # so buckets hold ~1e6 names each
+        .withColumn("bucket", F.substring("fname", 1, 16))
     )
-    return names.withColumn("pos", F.row_number().over(Window.orderBy("fname")))
+    w_local = Window.partitionBy("bucket").orderBy("fname")
+    local = names.withColumn("local_pos", F.row_number().over(w_local))
+    # tiny frame: one row per bucket — its global window sorts #buckets
+    # rows, never #files rows
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        names.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("before", F.coalesce(F.sum("n").over(w_bucket), F.lit(0)))
+        .select("bucket", "before")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "fname",
+            (F.col("before") + F.col("local_pos")).cast("int").alias("pos"),
+        )
+    )
 
 
 @register(
