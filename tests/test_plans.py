@@ -190,33 +190,63 @@ def test_q2_correlated_min_is_single_pass_window(spark, sf_dir):
 
 
 def test_gate_window_composition_stable():
-    """The external gate evaluates the FIRST 50 registry entries in
-    insertion order.  queries/__init__.py pins the window explicitly via
-    GATE_WINDOW and reorders the registry after import — the round-8
-    rotation leads with the 15 queries never inside any driver gate
-    through r07 (x16-x20, d11, d12, i10, i11, m15-m18, n10, v5), then
-    the round-8 changes (o1, m19-m21, llm1, x5), re-verification slots,
-    and the sixteen queries added mid-round (m22-m25, x21-x26,
-    i12, t3, llm2, g4, n11, sc8).  All 50 must carry oracles.  Update the pin only on
-    purpose."""
-    from vunnel_spark.queries import GATE_WINDOW
+    """Round 9 onward the window is COMPUTED (rotation-as-code, the r8
+    verdict ask): GATE_PRIORITY (this round's new/changed queries) first,
+    then the least-recently-externally-gated fill from the committed
+    CORRECTNESS_r*.json history.  Pin the invariants: size, priority
+    fronting, registry-order agreement, determinism, and oracles on
+    every window member."""
+    from vunnel_spark.queries import (
+        GATE_PRIORITY,
+        GATE_WINDOW,
+        WINDOW_SIZE,
+        compute_gate_window,
+        gate_history,
+    )
 
-    never_gated = [
-        "x16_gopher_repetition", "x17_bigram_perplexity", "x18_bm25_retrieval",
-        "x19_bpe_pair_stats", "x20_dsir_importance", "d11_dedup_clusters",
-        "d12_containment_pairs", "i10_cms_heavyhitter_merge",
-        "i11_hll_register_merge", "m15_progressive_jpeg_extract",
-        "m16_progressive420_extract", "m17_flac_audio_features",
-        "m18_stereo_flac_features", "n10_hard_negative_mining",
-        "v5_funnel_stages",
-    ]
-    names = list(REGISTRY)[:50]
-    assert len(GATE_WINDOW) == 50
+    names = list(REGISTRY)[:WINDOW_SIZE]
+    assert len(GATE_WINDOW) == WINDOW_SIZE
     assert names == GATE_WINDOW
-    assert names[:15] == never_gated
+    assert names[: len(GATE_PRIORITY)] == GATE_PRIORITY
+    # recomputation is deterministic and matches the applied order
+    assert compute_gate_window() == GATE_WINDOW
     assert all(REGISTRY[n].oracle for n in names), [
         n for n in names if not REGISTRY[n].oracle
     ]
+    # the non-priority slots really are the least-recently-gated: no
+    # query OUTSIDE the window may be staler than one INSIDE it
+    last, _ = gate_history()
+    fill = [n for n in names if n not in set(GATE_PRIORITY)]
+    if fill:
+        max_in = max(last.get(n, -1) for n in fill)
+        outside = [n for n in REGISTRY if n not in set(names)]
+        min_out = min(last.get(n, -1) for n in outside)
+        assert min_out >= max_in, (min_out, max_in)
+
+
+def test_gate_staleness_lint():
+    """No registered query may go more than MAX_GATE_AGE_ROUNDS rounds
+    without external gate coverage, counting the upcoming window as
+    gated this round — the lint that makes skipped rotation a test
+    failure instead of judge feedback."""
+    from vunnel_spark.queries import (
+        GATE_WINDOW,
+        MAX_GATE_AGE_ROUNDS,
+        gate_history,
+    )
+
+    last, current_round = gate_history()
+    window = set(GATE_WINDOW)
+    stale = {
+        n: last.get(n)
+        for n in REGISTRY
+        if n not in window
+        and last.get(n, -(10**6)) < current_round - MAX_GATE_AGE_ROUNDS
+    }
+    assert not stale, (
+        f"queries unverified for >{MAX_GATE_AGE_ROUNDS} rounds and not "
+        f"in the upcoming window: {stale}"
+    )
 
 
 def test_x7_sampler_is_zero_shuffle_pushed_filter(spark, sf_dir):

@@ -6,113 +6,63 @@ so the judge can line them up with the inventory.
 
 Ordering is DELIBERATE: the external correctness gate evaluates the first
 50 registry entries in insertion order, so after all modules load we
-reorder the registry to put ``GATE_WINDOW`` first.  The ROUND-8 window
-(rotated — r6 and r7 ran the identical window, which left external debt):
+reorder the registry to put the gate window first.
 
-- The 15 queries NEVER inside any driver gate through r07 (union of
-  CORRECTNESS_r02..r07 = 195/210): x16-x20, d11, d12, i10, i11,
-  m15-m18, n10, v5.  Two of them (x16, d12) also changed in r7 after
-  their last local evidence, and x19 changed again in r8 (top-k
-  de-single-partitioning).
-- The queries changed or added in round 8: o1 (same top-k rewrite as
-  x19), m19/m20/m21 (new palette+Adam7, 16-bit-depth, and RGBA PNG
-  paths), llm1 (the end-to-end LLM pretrain-corpus DAG), x5
-  (lint-waiver scrutiny on its oracle).
-- The sixteen queries added mid-round-8: m22 (animated-GIF LZW
-  codec), m23 (BMP), m24 (baseline TIFF), m25 (ICO container), x21
-  (C4 boilerplate phrases), x22 (CCNet perplexity terciles), x23
-  (BPE tokenizer apply), x24 (overlapping chunk windows), x25
-  (Unicode NFC keys), x26 (cross-split contamination audit), i12
-  (mergeable Bloom filter), t3 (SCD-2 intervals), llm2 (end-to-end
-  multimodal corpus DAG), g4 (integer-exact PageRank centrality),
-  n11 (SQ8 scalar-quantized ADC), sc8 (bitwise scalar surface).
-- ~13 re-verification slots for the highest-churn / highest-complexity
-  plans: the b1/b2 layouts (rewritten r7), d3 (r6 tuning + r8
-  A/B), x11, i8 (the sketch family's opaque-state tier), the PQ
-  family (n7-n9), n4, g2, v4, d8, x6.  (t1, the four provider
-  DAGs, the x4/d6 fingerprint pair, i7, c3, g1, c1, i9, b3, h1/h2,
-  and c2 rotated out — each already gate-green at least twice.)
+ROUND 9 ONWARD the window is COMPUTED, not hand-rotated (r6/r7 proved
+manual rotation gets skipped; the r8 verdict asked for rotation-as-code):
 
-External cumulative coverage after this window gates green: 230/230.
+1. ``GATE_PRIORITY`` — the queries added or semantically changed this
+   round, listed by hand (the only remaining manual step, because
+   "changed" is not derivable from gate history).  Always fronted.
+2. Everything else, least-recently-externally-gated first, computed from
+   the committed ``CORRECTNESS_r*.json`` gate reports at the repo root
+   (never-gated sorts first); ties break by registry insertion order so
+   the computation is deterministic.
 
-Rounds 2-3 verified aggregates/dedup/events/explode/filters(partial);
-round 4 verified tpch/pipelines/text/temporal/graph/oval_ctx/html/s12;
-round 5 verified joins/windows/setops/scalars/similarity/sinks_q/
-multimodal; rounds 6-7 verified the p4-p13/j11/s14/provider-DAG/
-x13-x15/v4/d9-d10/b/c/h/i7-i9/m4-m14/n7-n9 block twice
-(CORRECTNESS_r0{2..7}.json).  The pinned composition test is
-tests/test_plans.py::test_gate_window_composition_stable.
+The composition is pinned by
+tests/test_plans.py::test_gate_window_composition_stable (length,
+priority fronting, determinism) and the staleness lint in the same file
+asserts no registered query goes more than ``MAX_GATE_AGE_ROUNDS``
+rounds without external gate coverage under this policy.
+
+External cumulative coverage through round 8: 230/230 (union of
+CORRECTNESS_r01..r08 — zero never-gated, judge-verified).  Last-gated
+census entering round 9: r8=50, r7=42, r5=47, r4=44, r3=47 — so the
+round-9 window is the r3 block plus this round's changes, and the cycle
+revisits every query at least once every ~5 rounds.
 """
 
 from __future__ import annotations
 
 import importlib
+import json
 import pkgutil
+import re
+from pathlib import Path
 
 from vunnel_spark.registry import REGISTRY
 
-# The first 50 registry entries = the external gate window.  Every name
-# listed here must exist in the registry after all modules load (enforced
-# below with a KeyError, and pinned by the composition test).
-GATE_WINDOW = [
-    # -- the 15 never-externally-gated queries (VERDICT r7 "What's
-    # missing" #1); x16/d12 also changed in r7, x19 changed in r8
-    "x16_gopher_repetition",
-    "x17_bigram_perplexity",
-    "x18_bm25_retrieval",
-    "x19_bpe_pair_stats",
-    "x20_dsir_importance",
-    "d11_dedup_clusters",
-    "d12_containment_pairs",
-    "i10_cms_heavyhitter_merge",
-    "i11_hll_register_merge",
-    "m15_progressive_jpeg_extract",
-    "m16_progressive420_extract",
-    "m17_flac_audio_features",
-    "m18_stereo_flac_features",
-    "n10_hard_negative_mining",
-    "v5_funnel_stages",
-    # -- changed or added in round 8
-    "o1_rpm_order_sort",
-    "m19_palette_adam7_extract",
-    "m20_png16_feature_extract",
-    "m21_rgba_png_feature_extract",
-    "llm1_pretrain_corpus_dag",
-    "x5_language_id",
-    # -- high-churn / high-complexity re-verification slots
-    "b1_bucketed_colocated_join",
-    "b2_bucket_pruned_lookup",
-    "d3_minhash_lsh_pairs",
-    "x11_sequence_packing",
-    "d8_jaccard_skew_capped",
-    "x6_decontamination",
-    "i8_incremental_distinct_merge",
-    "n4_ann_ivf_topk",
-    "n7_pq_adc_topk",
-    "n8_pq_rerank_retrieval",
-    "n9_ivfpq_topk",
-    "g2_transitive_dedup",
-    "v4_stream_stream_interval_join",
-    # -- added mid-round-8 (this session): GIF/BMP/TIFF codecs, C4
-    # boilerplate, CCNet buckets, BPE apply, Bloom sketch — every
-    # brand-new query goes straight into the external window
-    "m22_gif_frame_extract",
-    "m23_bmp_feature_extract",
-    "x21_boilerplate_phrases",
-    "x22_perplexity_buckets",
+#: queries added or semantically changed THIS round — always gated first.
+#: Round 9: o3's bucketed-rank rewrite, e5's fill_down_global migration,
+#: w4 (fill_down signature change at its call site), x23 (apply_merges
+#: empty-word guard upstream), m24/m25 (decoder validation edits).
+GATE_PRIORITY = [
+    "o3_sorted_listing",
+    "e5_dsa_text_parse",
+    "w4_fill_down",
     "x23_bpe_encode",
     "m24_tiff_feature_extract",
-    "i12_bloom_filter_merge",
-    "t3_scd2_intervals",
-    "llm2_media_corpus_dag",
-    "x24_chunk_windows",
-    "x25_unicode_nfc_keys",
-    "g4_pagerank_centrality",
-    "n11_sq8_adc_topk",
     "m25_ico_feature_extract",
-    "sc8_bitwise_surface",
-    "x26_split_contamination",
 ]
+
+#: size of the external gate window (the driver hash-checks this many).
+WINDOW_SIZE = 50
+
+#: staleness bar enforced by the lint: every registered query must have
+#: been externally gated within this many rounds (or sit in the upcoming
+#: window).  230 queries / 50 slots with ~10 priority slots per round
+#: cycles the full registry in ~5 rounds; 6 leaves one round of slack.
+MAX_GATE_AGE_ROUNDS = 6
 
 __all__: list[str] = []
 
@@ -123,12 +73,51 @@ for _mod in pkgutil.iter_modules(__path__):
     __all__.append(_mod.name)
 
 
-def _apply_gate_window() -> None:
-    """Reorder REGISTRY in place so GATE_WINDOW comes first.
+def gate_history(root: Path | None = None) -> tuple[dict[str, int], int]:
+    """(last externally gated round per query, current round).
 
-    Raises KeyError on a window name that no module registered — a typo
-    here must fail at import, not silently shrink external coverage.
+    Reads the committed driver gate reports ``CORRECTNESS_r<NN>.json``
+    (NOT the ``CORRECTNESS_local_*`` evidence files).  The current round
+    is max(report round) + 1 — the round whose gate hasn't run yet.
     """
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    rounds: list[int] = []
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        for name in json.loads(f.read_text()):
+            last[name] = max(last.get(name, 0), rnd)
+    return last, (max(rounds) + 1 if rounds else 1)
+
+
+def compute_gate_window() -> list[str]:
+    """GATE_PRIORITY first, then least-recently-gated fill to WINDOW_SIZE.
+
+    Never-gated queries sort before everything (last = -1); ties break by
+    registry insertion order.  Raises KeyError on a GATE_PRIORITY name no
+    module registered — a typo must fail at import, not silently shrink
+    external coverage.
+    """
+    for name in GATE_PRIORITY:
+        if name not in REGISTRY:
+            raise KeyError(f"GATE_PRIORITY names unknown query {name!r}")
+    last, _ = gate_history()
+    order = {name: i for i, name in enumerate(REGISTRY)}
+    rest = [n for n in REGISTRY if n not in set(GATE_PRIORITY)]
+    rest.sort(key=lambda n: (last.get(n, -1), order[n]))
+    return (list(GATE_PRIORITY) + rest)[:WINDOW_SIZE]
+
+
+GATE_WINDOW = compute_gate_window()
+
+
+def _apply_gate_window() -> None:
+    """Reorder REGISTRY in place so GATE_WINDOW comes first."""
     window = {name: REGISTRY[name] for name in GATE_WINDOW}
     rest = {n: s for n, s in REGISTRY.items() if n not in window}
     REGISTRY.clear()
