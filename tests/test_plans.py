@@ -339,11 +339,15 @@ def test_x10_word_counts_partial_aggregate(spark, sf_dir):
 
 def test_pipeline_dimension_joins_broadcast(spark, sf_dir):
     # oval/sles resolution chains and the ghsa metadata join must
-    # broadcast the small sides, never shuffle the big fact frame
+    # broadcast the small sides, never shuffle the big fact frame; the
+    # r9 provider instantiations share the rule (arch's ASA date cache
+    # and hummingbird's CPE-matched platform set are broadcast dims)
     for name in ("oval1_resolution_dag", "sles1_not_affected_dag",
-                 "ghsa1_per_ecosystem_dag"):
+                 "ghsa1_per_ecosystem_dag", "arch1_avg_assembly_dag",
+                 "hummingbird1_csaf_subset_dag"):
         p = plan_of(q(name, spark, sf_dir))
         assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
 
 
 def test_x11_prefix_sum_is_bucketed_not_global(spark, sf_dir):

@@ -43,10 +43,13 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 9: o3's bucketed-rank rewrite, e5's fill_down_global migration,
-#: w4 (fill_down signature change at its call site), x23 (apply_merges
+#: Round 9: the arch/hummingbird provider instantiations (new), o3's
+#: bucketed-rank rewrite, e5's fill_down_global migration, w4
+#: (fill_down signature change at its call site), x23 (apply_merges
 #: empty-word guard upstream), m24/m25 (decoder validation edits).
 GATE_PRIORITY = [
+    "arch1_avg_assembly_dag",
+    "hummingbird1_csaf_subset_dag",
     "o3_sorted_listing",
     "e5_dsa_text_parse",
     "w4_fill_down",

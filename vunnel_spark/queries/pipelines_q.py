@@ -1039,3 +1039,308 @@ def ubuntu2(spark, sf_dir):
         "affected",
     )
     return osv_to_os(osv)
+
+
+@register(
+    "arch1_avg_assembly_dag",
+    """
+    WITH rec AS (
+      SELECT o_orderkey AS okey,
+             'AVG-' || CAST(o_orderkey AS VARCHAR) AS group_id,
+             o_custkey % 40 AS pbase,
+             CASE WHEN o_orderkey % 4 = 0 THEN ''
+                  ELSE CAST(o_orderkey % 9 AS VARCHAR) || '.' ||
+                       CAST(o_orderkey % 5 AS VARCHAR) || '-1' END AS fixed,
+             CASE o_orderkey % 6 WHEN 0 THEN 'Critical' WHEN 1 THEN 'High'
+                  WHEN 2 THEN 'Medium' WHEN 3 THEN 'Low'
+                  WHEN 4 THEN 'Bogus' ELSE '' END AS rawsev,
+             CASE WHEN o_orderkey % 5 = 0 THEN ''
+                  ELSE 'arbitrary code execution' END AS vtype
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), adv AS (
+      SELECT group_id, okey % 50 AS i FROM rec WHERE okey % 3 = 0
+      UNION ALL
+      SELECT group_id, okey % 50 + 50 FROM rec WHERE okey % 3 = 0
+      UNION ALL
+      SELECT group_id, okey % 50 FROM rec WHERE okey % 3 <> 0 AND okey % 5 = 0
+    ), asa AS (
+      SELECT range AS i,
+             CASE WHEN range % 2 = 0 THEN
+               '2024-' || lpad(CAST(range % 12 + 1 AS VARCHAR), 2, '0') ||
+               '-' || lpad(CAST(range % 28 + 1 AS VARCHAR), 2, '0') END AS dt
+      FROM range(100)
+    ), best AS (
+      SELECT a.group_id, min(s.dt) AS asa_date
+      FROM adv a JOIN asa s ON s.i = a.i AND s.dt IS NOT NULL
+      GROUP BY a.group_id
+    ), pkgs AS (
+      SELECT group_id, 'pkg' || CAST(pbase AS VARCHAR) AS name FROM rec
+      UNION ALL
+      SELECT group_id, 'pkg' || CAST(pbase + 100 AS VARCHAR)
+      FROM rec WHERE okey % 3 = 0
+    )
+    SELECT lower(r.group_id) AS record_id, p.name,
+           'arch:rolling' AS namespace, 'pacman' AS version_format,
+           CASE WHEN r.fixed <> '' THEN r.fixed ELSE 'None' END AS version,
+           CASE WHEN r.rawsev IN ('Critical','High','Medium','Low')
+                THEN r.rawsev ELSE 'Unknown' END AS severity,
+           CASE WHEN r.vtype <> '' THEN r.vtype
+                ELSE 'Arch vulnerability ' || r.group_id END AS description,
+           'https://security.archlinux.org/' || r.group_id AS link,
+           CASE WHEN r.okey % 2 = 0 THEN 'CVE-2024-' || CAST(r.okey AS VARCHAR)
+                ELSE r.group_id END AS fix_lookup_id,
+           CASE WHEN r.fixed <> '' THEN b.asa_date END AS available_date,
+           CAST(CASE WHEN r.okey % 2 = 0 THEN 2 ELSE 0 END AS INT) AS n_cves
+    FROM rec r
+    JOIN pkgs p ON p.group_id = r.group_id
+    LEFT JOIN best b ON b.group_id = r.group_id
+    """,
+    doc="Arch AVG-record assembly end-to-end (arch/parser.py:248-302 "
+        "parse, 168-226 _build_fixed_in_entries, 131-135 "
+        "_get_best_asa_date; pipelines/arch.py): 'Not affected' records "
+        "drop, severity normalizes (identity on the four tiers else "
+        "Unknown), the earliest non-null ASA advisory date becomes the "
+        "fix availability (fixed records only — the threaded HTTP date "
+        "cache is a broadcast dimension here), packages explode to one "
+        "pacman FixedIn each with Version='None' when unfixed, empty "
+        "package names are skipped, the description falls back to the "
+        "AVG id, and the record key lowercases.  Synthesized records "
+        "include empty-string packages, bogus/empty severities, missing "
+        "CVE lists, and advisories whose date fetch failed — every "
+        "branch of the reference parse.  Scale: the only wide ops are "
+        "the thin (group_id, date) min-agg and the group_id equi-joins; "
+        "the ASA dimension is broadcast-sized by domain",
+    tags=("pipeline", "join", "explode"),
+)
+def arch1(spark, sf_dir):
+    from vunnel_spark.pipelines.arch import arch_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    p1 = F.concat(F.lit("pkg"), (F.col("o_custkey") % 40).cast("string"))
+    p2 = F.concat(F.lit("pkg"), (F.col("o_custkey") % 40 + 100).cast("string"))
+    empty_arr = F.array().cast("array<string>")
+    records = o.select(
+        F.concat(F.lit("AVG-"), okey.cast("string")).alias("group_id"),
+        F.when(okey % 11 == 0, F.lit("Not affected"))
+        .when(okey % 7 == 0, F.lit("Vulnerable"))
+        .otherwise(F.lit("Fixed"))
+        .alias("status"),
+        F.concat(
+            F.array(p1),
+            F.when(okey % 3 == 0, F.array(p2)).otherwise(empty_arr),
+            F.when(okey % 13 == 0, F.array(F.lit(""))).otherwise(empty_arr),
+        ).alias("packages"),
+        F.when(
+            okey % 4 == 0, F.lit("")
+        ).otherwise(
+            F.concat(
+                (okey % 9).cast("string"), F.lit("."),
+                (okey % 5).cast("string"), F.lit("-1"),
+            )
+        ).alias("fixed_version"),
+        F.when(okey % 6 == 0, F.lit("Critical"))
+        .when(okey % 6 == 1, F.lit("High"))
+        .when(okey % 6 == 2, F.lit("Medium"))
+        .when(okey % 6 == 3, F.lit("Low"))
+        .when(okey % 6 == 4, F.lit("Bogus"))
+        .otherwise(F.lit(""))
+        .alias("severity"),
+        F.when(okey % 5 == 0, F.lit("")).otherwise(
+            F.lit("arbitrary code execution")
+        ).alias("vuln_type"),
+        F.when(
+            okey % 2 == 0,
+            F.array(
+                F.concat(F.lit("CVE-2024-"), okey.cast("string")),
+                F.concat(F.lit("CVE-2024-"), (okey + 1000000).cast("string")),
+            ),
+        ).otherwise(empty_arr).alias("issues"),
+        F.when(
+            okey % 3 == 0,
+            F.array(
+                F.concat(F.lit("ASA-"), (okey % 50).cast("string"), F.lit("-1")),
+                F.concat(F.lit("ASA-"), (okey % 50 + 50).cast("string"), F.lit("-1")),
+            ),
+        )
+        .when(
+            okey % 5 == 0,
+            F.array(
+                F.concat(F.lit("ASA-"), (okey % 50).cast("string"), F.lit("-1"))
+            ),
+        )
+        .otherwise(empty_arr)
+        .alias("advisories"),
+    )
+    asa_dates = spark.range(100).select(
+        F.concat(F.lit("ASA-"), F.col("id").cast("string"), F.lit("-1")).alias(
+            "asa_id"
+        ),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("2024-"),
+                F.lpad((F.col("id") % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"),
+            ),
+        ).alias("date"),
+    )
+    return arch_pipeline(records, asa_dates)
+
+
+@register(
+    "hummingbird1_csaf_subset_dag",
+    """
+    WITH plat AS (
+      SELECT 'plat' || CAST(n_nationkey AS VARCHAR) AS platform_id
+      FROM nation WHERE n_nationkey % 3 = 0
+    ), rels AS (
+      SELECT DISTINCT
+             'plat' || CAST(l_suppkey % 25 AS VARCHAR) || ':pkg' ||
+               CAST(l_partkey % 80 AS VARCHAR) AS composite_id,
+             'pkg' || CAST(l_partkey % 80 AS VARCHAR) AS package,
+             'plat' || CAST(l_suppkey % 25 AS VARCHAR) AS relates_to
+      FROM lineitem
+    ), kept AS (
+      SELECT r.composite_id, r.package, p.platform_id
+      FROM rels r JOIN plat p ON r.relates_to = p.platform_id
+    ), ps AS (
+      SELECT DISTINCT
+             'CVE-2025-' || CAST(l_orderkey % 400 AS VARCHAR) AS cve_id,
+             CASE WHEN l_linenumber = 1
+                  THEN 'plat' || CAST(l_suppkey % 25 AS VARCHAR)
+                  ELSE 'plat' || CAST(l_suppkey % 25 AS VARCHAR) || ':pkg' ||
+                       CAST(l_partkey % 80 AS VARCHAR) END AS product_id,
+             CASE (l_orderkey + l_linenumber) % 4
+                  WHEN 0 THEN 'fixed' WHEN 1 THEN 'known_affected'
+                  WHEN 2 THEN 'known_not_affected'
+                  ELSE 'under_investigation' END AS status
+      FROM lineitem
+    ), sc AS (
+      SELECT 'CVE-2025-' || CAST(o_orderkey % 400 AS VARCHAR) AS cve_id,
+             'plat' || CAST(o_custkey % 25 AS VARCHAR) AS product_id,
+             min(CAST(o_orderkey % 100 AS DOUBLE) / 10.0) AS score
+      FROM orders GROUP BY 1, 2
+    ), rem AS (
+      SELECT 'CVE-2025-' || CAST(o_orderkey % 400 AS VARCHAR) AS cve_id,
+             'plat' || CAST(o_custkey % 25 AS VARCHAR) || ':pkg' ||
+               CAST(o_orderkey % 80 AS VARCHAR) AS product_id,
+             min(CASE WHEN o_orderkey % 2 = 0 THEN 'vendor_fix'
+                      ELSE 'workaround' END) AS category
+      FROM orders GROUP BY 1, 2
+    ), status AS (
+      SELECT s.cve_id, s.product_id, s.status,
+             CAST(NULL AS VARCHAR) AS package, p.platform_id AS platform
+      FROM ps s JOIN plat p ON s.product_id = p.platform_id
+      UNION ALL
+      SELECT s.cve_id, s.product_id, s.status, k.package, k.platform_id
+      FROM ps s JOIN kept k ON s.product_id = k.composite_id
+    ), surv_sc AS (
+      SELECT x.cve_id, x.product_id, min(x.score) AS score FROM (
+        SELECT s.cve_id, s.product_id, s.score
+        FROM sc s JOIN plat p ON s.product_id = p.platform_id
+        UNION ALL
+        SELECT s.cve_id, s.product_id, s.score
+        FROM sc s JOIN kept k ON s.product_id = k.composite_id
+      ) x GROUP BY 1, 2
+    ), surv_rem AS (
+      SELECT x.cve_id, x.product_id, min(x.category) AS category FROM (
+        SELECT r.cve_id, r.product_id, r.category
+        FROM rem r JOIN plat p ON r.product_id = p.platform_id
+        UNION ALL
+        SELECT r.cve_id, r.product_id, r.category
+        FROM rem r JOIN kept k ON r.product_id = k.composite_id
+      ) x GROUP BY 1, 2
+    )
+    SELECT st.cve_id, st.product_id, st.status, st.package, st.platform,
+           s.score, r.category
+    FROM status st
+    LEFT JOIN surv_sc s ON s.cve_id = st.cve_id AND s.product_id = st.product_id
+    LEFT JOIN surv_rem r ON r.cve_id = st.cve_id AND r.product_id = st.product_id
+    """,
+    doc="Hummingbird CSAF-VEX corpus subsetting end-to-end "
+        "(hummingbird/parser.py:86-138 _subset_document + 143-252 "
+        "helpers; pipelines/hummingbird.py): platform ids CPE-match the "
+        "hummingbird prefix, relationships keep only hummingbird "
+        "platforms (their composite ids + package refs survive), and "
+        "product_status / scores / remediations filter to the surviving "
+        "id set — a CVE with no surviving status drops entirely.  The "
+        "reference subsets one JSON document at a time with Python sets; "
+        "here each set test is a join (platform side broadcast — the "
+        "dimension is tiny by construction; composite side a plain "
+        "equi-join on the kept-relationship frame), so ONE plan subsets "
+        "the whole advisory corpus.  Second CSAF consumer after rhel — "
+        "proves the family operators compose",
+    tags=("pipeline", "join"),
+)
+def hummingbird1(spark, sf_dir):
+    from vunnel_spark.pipelines.hummingbird import hummingbird_pipeline
+
+    nat = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    branches = nat.select(
+        F.concat(F.lit("plat"), F.col("n_nationkey").cast("string")).alias(
+            "product_id"
+        ),
+        F.when(
+            F.col("n_nationkey") % 3 == 0,
+            F.concat(
+                F.lit("cpe:/a:redhat:hummingbird:"),
+                F.col("n_nationkey").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("cpe:/o:linux:other:"), F.col("n_nationkey").cast("string"))
+        )
+        .alias("cpe"),
+    )
+    plat_expr = F.concat(F.lit("plat"), (F.col("l_suppkey") % 25).cast("string"))
+    pkg_expr = F.concat(F.lit("pkg"), (F.col("l_partkey") % 80).cast("string"))
+    relationships = li.select(
+        F.concat(plat_expr, F.lit(":"), pkg_expr).alias("composite_id"),
+        pkg_expr.alias("product_reference"),
+        plat_expr.alias("relates_to"),
+    ).distinct()
+    product_status = li.select(
+        F.concat(F.lit("CVE-2025-"), (F.col("l_orderkey") % 400).cast("string")).alias(
+            "cve_id"
+        ),
+        F.when(F.col("l_linenumber") == 1, plat_expr)
+        .otherwise(F.concat(plat_expr, F.lit(":"), pkg_expr))
+        .alias("product_id"),
+        F.element_at(
+            F.array(
+                F.lit("fixed"), F.lit("known_affected"),
+                F.lit("known_not_affected"), F.lit("under_investigation"),
+            ),
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 4 + 1).cast("int"),
+        ).alias("status"),
+    ).distinct()
+    scores = o.groupBy(
+        F.concat(F.lit("CVE-2025-"), (F.col("o_orderkey") % 400).cast("string")).alias(
+            "cve_id"
+        ),
+        F.concat(F.lit("plat"), (F.col("o_custkey") % 25).cast("string")).alias(
+            "product_id"
+        ),
+    ).agg(F.min((F.col("o_orderkey") % 100).cast("double") / 10.0).alias("score"))
+    remediations = o.groupBy(
+        F.concat(F.lit("CVE-2025-"), (F.col("o_orderkey") % 400).cast("string")).alias(
+            "cve_id"
+        ),
+        F.concat(
+            F.lit("plat"), (F.col("o_custkey") % 25).cast("string"),
+            F.lit(":pkg"), (F.col("o_orderkey") % 80).cast("string"),
+        ).alias("product_id"),
+    ).agg(
+        F.min(
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("vendor_fix")).otherwise(
+                F.lit("workaround")
+            )
+        ).alias("category")
+    )
+    return hummingbird_pipeline(
+        branches, relationships, product_status, scores, remediations
+    )
