@@ -1779,3 +1779,86 @@ def test_llm2_dedup_accounting(spark, sf_dir):
     assert sum(r["n_media"] for r in rows) == n + n_dups
     assert all(r["n_unique"] <= r["n_media"] for r in rows)
     assert sum(r["n_media"] - r["n_unique"] for r in rows) >= n_dups
+
+
+def test_webm_probe_roundtrip_multicluster():
+    from vunnel_spark.operators.multimodal import (
+        encode_vp8_frame,
+        encode_webm_vp8,
+        probe_webm_vp8,
+    )
+
+    frames = [
+        encode_vp8_frame(i % 3 == 0, 116, 44, (7 + 11 * i) % 200 + 10, fill=i)
+        for i in range(7)
+    ]
+    probe = probe_webm_vp8(encode_webm_vp8(frames, 116, 44))
+    assert probe["codec"] == "V_VP8"
+    assert (probe["track_width"], probe["track_height"]) == (116, 44)
+    assert probe["timestamp_scale"] == 1_000_000
+    assert len(probe["frames"]) == 7
+    for i, fr in enumerate(probe["frames"]):
+        assert fr["keyframe"] == (i % 3 == 0)
+        assert fr["block_keyframe"] == fr["keyframe"]
+        # 4 frames/cluster, 1000ms clusters, 40ms frame spacing
+        assert fr["ts_ms"] == (i // 4) * 1000 + (i % 4) * 40
+        assert fr["part_size"] == (7 + 11 * i) % 200 + 10
+        if fr["keyframe"]:
+            assert (fr["width"], fr["height"]) == (116, 44)
+        else:
+            assert fr["width"] is None and fr["height"] is None
+
+
+def test_webm_probe_rejects_malformed():
+    import pytest
+
+    from vunnel_spark.operators.multimodal import (
+        _ebml_el,
+        _ebml_uint,
+        encode_vp8_frame,
+        encode_webm_vp8,
+        parse_vp8_frame_header,
+        probe_webm_vp8,
+    )
+
+    with pytest.raises(ValueError, match="EBML"):
+        probe_webm_vp8(b"\x00\x00\x00\x00" + b"x" * 20)
+    # wrong DocType
+    bad = bytearray(encode_webm_vp8([encode_vp8_frame(True, 8, 8, 12)], 8, 8))
+    i = bytes(bad).find(b"webm")
+    bad[i : i + 4] = b"webX"
+    with pytest.raises(ValueError, match="DocType"):
+        probe_webm_vp8(bytes(bad))
+    # keyframe with corrupted sync code
+    kf = bytearray(encode_vp8_frame(True, 8, 8, 12))
+    kf[3] = 0x00
+    with pytest.raises(ValueError, match="sync"):
+        parse_vp8_frame_header(bytes(kf))
+    # non-VP8 codec id
+    payload = bytearray(encode_webm_vp8([encode_vp8_frame(True, 8, 8, 12)], 8, 8))
+    j = bytes(payload).find(b"V_VP8")
+    payload[j : j + 5] = b"V_VP9"
+    with pytest.raises(NotImplementedError, match="V_VP8"):
+        probe_webm_vp8(bytes(payload))
+    # the honest stub: EBML payloads do NOT pixel-decode
+    from vunnel_spark.operators.multimodal import decode_image
+
+    good = encode_webm_vp8([encode_vp8_frame(True, 8, 8, 12)], 8, 8)
+    with pytest.raises(NotImplementedError):
+        decode_image(good, 8, 8)
+    _ = _ebml_el, _ebml_uint  # imported to keep names covered
+
+
+def test_webm_ebml_varint_edges():
+    """EBML size coding across width classes: the marker bit must mask
+    off for sizes and the decoder must agree with the encoder for 1-, 2-
+    and 3-byte widths (including the all-ones avoidance at 127)."""
+    from vunnel_spark.operators.multimodal import (
+        _ebml_read_vint,
+        _ebml_size_encode,
+    )
+
+    for v in (0, 1, 126, 127, 128, 16382, 16383, 16384, 2097151):
+        enc = _ebml_size_encode(v)
+        got, pos = _ebml_read_vint(enc, 0, mask_marker=True)
+        assert got == v and pos == len(enc), v

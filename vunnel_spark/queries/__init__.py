@@ -50,6 +50,7 @@ from vunnel_spark.registry import REGISTRY
 GATE_PRIORITY = [
     "arch1_avg_assembly_dag",
     "hummingbird1_csaf_subset_dag",
+    "m26_webm_vp8_probe",
     "o3_sorted_listing",
     "e5_dsa_text_parse",
     "w4_fill_down",

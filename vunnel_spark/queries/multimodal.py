@@ -924,3 +924,46 @@ def m25(spark, sf_dir):
         F.round("mean_b", 4).alias("mean_b"),
         F.round("std_all", 4).alias("std_all"),
     )
+
+
+@register(
+    "m26_webm_vp8_probe",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 7) AS t(x)),
+    m AS (
+      SELECT doc_id AS media_id, doc_id % 6 + 2 AS nf,
+             doc_id % 100 + 16 AS w, doc_id % 60 + 16 AS h
+      FROM documents
+    )
+    SELECT media_id, CAST(x AS INT) AS frame_idx,
+           CAST((x // 4) * 1000 + (x % 4) * 40 AS BIGINT) AS ts_ms,
+           x % 3 = 0 AS is_keyframe,
+           CASE WHEN x % 3 = 0 THEN CAST(w AS INT) END AS kf_width,
+           CASE WHEN x % 3 = 0 THEN CAST(h AS INT) END AS kf_height,
+           CAST((media_id * 7 + x * 11) % 200 + 10 AS INT) AS part_size
+    FROM m JOIN xs ON x < nf
+    """,
+    doc="REAL WebM (Matroska) demux + VP8 frame-header probe end-to-end "
+        "(operators/multimodal.py encode_webm_vp8/probe_webm_vp8/"
+        "webm_frame_index): full EBML element walk (marker-bit IDs, "
+        "masked sizes), DocType validation, Info/Tracks traversal "
+        "(TimestampScale, V_VP8 CodecID, PixelWidth/Height), "
+        "multi-Cluster SimpleBlock walk (track varint + relative int16 "
+        "timestamp + keyframe flag), and the RFC 6386 §9.1 VP8 "
+        "uncompressed frame header (3-byte LE tag, keyframe sync code, "
+        "14-bit dimensions).  Entropy-coded pixels stay an honest "
+        "NotImplementedError (default probability tables are not "
+        "reproducible from memory); this probe IS the real pipeline "
+        "operation for keyframe indexing and frame-sampling decisions.  "
+        "Scale: one Arrow-batched explode, payloads never leave the "
+        "executor, no shuffle",
+    tags=("multimodal", "udf", "explode"),
+)
+def m26(spark, sf_dir):
+    from vunnel_spark.operators.multimodal import (
+        synthesize_webm_media_table,
+        webm_frame_index,
+    )
+
+    videos = synthesize_webm_media_table(t(spark, sf_dir, "documents"))
+    return webm_frame_index(videos)
