@@ -178,6 +178,16 @@ def semantic_dedup(
     scan (centroids as plan literals, same as IVF search); the quadratic
     work is bounded per cell, never corpus-wide; one shuffle on cell id.
     Returns (dropped_id, kept_id, cos_sim).
+
+    SIZE nlist WITH THE CORPUS.  Per-cell pairing is O(cell_size^2), so
+    a FIXED nlist makes the whole operator quadratic in corpus size —
+    measured directly in the r9 scale-curve (SCALECURVE.md: d9 pins
+    nlist=8 at every SF and its 10x-data time ratio is 55x; re-running
+    sf1 with nlist=64 cut it 11.5x, back into the linear band).
+    SemDeDup practice and this module's contract: pick ``nlist ~=
+    n_vectors / target_cell_size`` (target ~1e3-1e4) so cells stay
+    bounded; the gate query keeps nlist fixed only because its
+    planted-pair oracle must not depend on quantizer granularity.
     """
     from vunnel_spark.functions.vectors import cosine
     from vunnel_spark.operators.similarity import add_ivf_cells

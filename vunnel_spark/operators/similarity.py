@@ -277,6 +277,12 @@ def ivf_topk(
     written cell-partitioned), and each query touches ~nprobe/nlist of
     the data.  Rank/tie rules match brute_force_topk so recall is
     directly measurable.
+
+    SIZE nlist WITH THE CORPUS (nlist ~ n_vectors / target_cell_size):
+    per-query candidate cost is nprobe * cell_size, so a fixed nlist
+    grows it linearly with the corpus — measured in the r9 scale-curve
+    (SCALECURVE.md: n5 at fixed nlist=8 ran 24x on 10x data; nlist=64
+    cut the sf1 time 2.2x with recall preserved).
     """
     cb = add_ivf_cells(corpus, centroids, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"),
@@ -316,6 +322,13 @@ def lsh_topk(
 
     Recall < 1.0 by construction; rank/tie rules match brute_force_topk so
     the two are directly comparable in tests (recall measurement).
+
+    SIZE n_bits WITH THE CORPUS (n_bits ~ log2(n_vectors /
+    target_bucket_size)): bucket count is 2^n_bits per table, so fixed
+    bits grow bucket membership — and per-query candidates — linearly
+    with the corpus.  Measured in the r9 scale-curve (SCALECURVE.md:
+    n6 at fixed 3 bits ran 55x on 10x data; 7 bits cut the sf1 time
+    6.9x with recall preserved).
     """
     cb = add_lsh_buckets(corpus, vec_col, n_tables, n_bits, dim).select(
         F.col(id_col).alias("neighbor_id"),
