@@ -298,6 +298,19 @@ def test_o3_listing_rank_is_bucketed_not_global(spark, sf_dir):
             assert "windowspecdefinition(bucket#" in ln, ln
 
 
+def test_w6_global_fill_is_bucketed_not_global(spark, sf_dir):
+    # the exact-global fill must window per _fd_bucket; only the tiny
+    # per-bucket carry cumsum (#buckets rows) is unpartitioned, and the
+    # carry joins back via broadcast (operators/windows.fill_down_global)
+    p = plan_of(q("w6_global_fill_down", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    specs = [ln for ln in p.splitlines() if "windowspecdefinition" in ln]
+    assert specs, p
+    for ln in specs:
+        if "marker" in ln and "_last_" not in ln:
+            assert "_fd_bucket" in ln, ln
+
+
 def test_llm1_dag_two_exchanges_no_cartesian(spark, sf_dir):
     # the end-to-end LLM corpus DAG must cost exactly two shuffles:
     # hashpartitioning on the dedup digest, then on source — the cap

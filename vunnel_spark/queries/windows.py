@@ -110,6 +110,47 @@ def w4(spark, sf_dir):
 
 
 @register(
+    "w6_global_fill_down",
+    """
+    SELECT o_orderkey,
+           last_value(marker IGNORE NULLS) OVER (
+             ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN 'hdr-' || CAST(o_orderkey AS VARCHAR) END AS marker
+      FROM orders)
+    """,
+    doc="EXACT GLOBAL fill-down without a global window "
+        "(operators/windows.py fill_down_global — the r9 replacement for "
+        "the unpartitioned-window API footgun the r8 verdict flagged): "
+        "the same last_value(IGNORE NULLS) OVER (ORDER BY ...) semantics "
+        "the oracle states, realized as the distributed two-level carry — "
+        "per-bucket fill over order-aligned key ranges, one-row-per-bucket "
+        "last-non-null reduction, tiny carry cumsum (the only "
+        "unpartitioned window, #buckets rows), broadcast join back, "
+        "coalesce.  Sparse markers (1/97) force carries across MANY empty "
+        "buckets, so the bucket-boundary logic is value-gated, not just "
+        "unit-tested.  Scale: no full-frame single-partition stage — the "
+        "same discipline as x11/o3",
+    tags=("window",),
+)
+def w6(spark, sf_dir):
+    from vunnel_spark.operators.windows import fill_down_global
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.lit("hdr-"), F.col("o_orderkey").cast("string")),
+        ).alias("marker"),
+    )
+    filled = fill_down_global(orders, ["marker"], "o_orderkey", bucket_size=500)
+    return filled.select("o_orderkey", F.col("marker").alias("filled"))
+
+
+@register(
     "w5_latest_entry_top1",
     """
     SELECT source, doc_id, n_chars FROM (
