@@ -103,18 +103,19 @@ def gate_history(root: Path | None = None) -> tuple[dict[str, int], int]:
     return last, (max(rounds) + 1 if rounds else 1)
 
 
-def compute_gate_window() -> list[str]:
+def compute_gate_window(root: Path | None = None) -> list[str]:
     """GATE_PRIORITY first, then least-recently-gated fill to WINDOW_SIZE.
 
     Never-gated queries sort before everything (last = -1); ties break by
     registry insertion order.  Raises KeyError on a GATE_PRIORITY name no
     module registered — a typo must fail at import, not silently shrink
-    external coverage.
+    external coverage.  ``root`` overrides the gate-history directory
+    (tests feed synthetic histories).
     """
     for name in GATE_PRIORITY:
         if name not in REGISTRY:
             raise KeyError(f"GATE_PRIORITY names unknown query {name!r}")
-    last, _ = gate_history()
+    last, _ = gate_history(root)
     order = {name: i for i, name in enumerate(REGISTRY)}
     rest = [n for n in REGISTRY if n not in set(GATE_PRIORITY)]
     rest.sort(key=lambda n: (last.get(n, -1), order[n]))
