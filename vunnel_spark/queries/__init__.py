@@ -52,6 +52,7 @@ GATE_PRIORITY = [
     "hummingbird1_csaf_subset_dag",
     "m26_webm_vp8_probe",
     "w6_global_fill_down",
+    "d13_incremental_lsh_probe",
     "d3_minhash_lsh_pairs",
     "d8_jaccard_skew_capped",
     "d11_dedup_clusters",

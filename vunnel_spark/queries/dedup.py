@@ -589,3 +589,141 @@ def d12(spark, sf_dir):
 
     docs = _with_near_dups(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return containment_pairs(docs, threshold=0.95, max_shingle_freq=5)
+
+
+@register(
+    "d13_incremental_lsh_probe",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + {_DUP_BASE} AS doc_id, text || ' spark' AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {2 * _DUP_BASE} AS doc_id,
+             'zz' || CAST(doc_id AS VARCHAR) || ' qq' ||
+             CAST(doc_id AS VARCHAR) || ' ww' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 7 = 0
+    ), cw AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM corpus
+    ), bw AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM batch
+    ), cs AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM cw, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM cw WHERE len(w) < 3
+    ), bs AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM bw, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) g
+      WHERE len(w) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(w, ' ') FROM bw WHERE len(w) < 3
+    ), csz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id),
+    bsz AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY doc_id),
+    common AS (
+      SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS n_common
+      FROM bs b JOIN cs c ON b.shingle = c.shingle
+      GROUP BY new_id, corpus_id
+    )
+    SELECT new_id, corpus_id,
+           round(CAST(n_common AS DOUBLE) / (bn.n + cn.n - n_common), 6)
+             AS jaccard
+    FROM common
+    JOIN bsz bn ON bn.doc_id = new_id
+    JOIN csz cn ON cn.doc_id = corpus_id
+    WHERE CAST(n_common AS DOUBLE) / (bn.n + cn.n - n_common) >= 0.5
+    """,
+    doc="Incremental LSH dedup serving path end-to-end (operators/"
+        "dedup.py write_lsh_index + minhash_lsh_pairs_incremental): the "
+        "corpus is signed ONCE into a persisted (id, band, bucket) index "
+        "(~24 bytes x bands per doc regardless of text size); an ingest "
+        "batch — planted near-dups of every 5th corpus doc plus novel "
+        "docs with disjoint shingles — signs only ITSELF and probes the "
+        "index with one (band, bucket) equi-join; candidates verify by "
+        "exact Jaccard over candidate docs only (the d3 discipline: "
+        "corpus docs semi-join to candidate ids before re-shingling).  "
+        "The oracle is the full exact batch-x-corpus Jaccard>=0.5 answer "
+        "via an asymmetric shingle equi-join, so probe RECALL is "
+        "value-gated (the same recall-1.0 precondition d3 documents), "
+        "and the novel docs gate precision (they must produce nothing).  "
+        "Scale: this is THE 100 TB dedup shape — per-batch cost scales "
+        "with the batch, never the corpus",
+    tags=("dedup", "incremental"),
+)
+def d13(spark, sf_dir):
+    import os
+    import tempfile
+
+    from vunnel_spark.operators.dedup import (
+        _word_shingles,
+        minhash_lsh_pairs_incremental,
+        write_lsh_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _DUP_BASE).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2 * _DUP_BASE).alias("doc_id"),
+            F.concat(
+                F.lit("zz"), F.col("doc_id").cast("string"),
+                F.lit(" qq"), F.col("doc_id").cast("string"),
+                F.lit(" ww"), F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    index_path = os.path.join(tempfile.mkdtemp(prefix="d13_"), "lsh_index")
+    write_lsh_index(docs, index_path)
+    cand = minhash_lsh_pairs_incremental(batch, index_path).persist()
+    cand.count()  # eager: cand feeds the two id semi-joins below
+    # verify candidates only: exact Jaccard between each candidate pair's
+    # shingle sets; docs semi-join to candidate ids BEFORE re-shingling
+    new_sets = (
+        _word_shingles(
+            batch.join(
+                F.broadcast(
+                    cand.select(F.col("new_id").alias("doc_id")).distinct()
+                ),
+                "doc_id",
+                "left_semi",
+            ),
+            "text",
+            "doc_id",
+        )
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("_sa"), F.count(F.lit(1)).alias("n_a"))
+        .select(F.col("id").alias("new_id"), "_sa", "n_a")
+    )
+    corpus_sets = (
+        _word_shingles(
+            docs.join(
+                F.broadcast(
+                    cand.select(F.col("corpus_id").alias("doc_id")).distinct()
+                ),
+                "doc_id",
+                "left_semi",
+            ),
+            "text",
+            "doc_id",
+        )
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("_sb"), F.count(F.lit(1)).alias("n_b"))
+        .select(F.col("id").alias("corpus_id"), "_sb", "n_b")
+    )
+    return (
+        cand.join(new_sets, "new_id")
+        .join(corpus_sets, "corpus_id")
+        .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common") / (F.col("n_a") + F.col("n_b") - F.col("_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("new_id", "corpus_id", "jaccard")
+    )
