@@ -2297,6 +2297,13 @@ def iter_frames(payload: bytes) -> Iterator[bytes]:
     if len(payload) >= 8 and payload[4:8] == b"ftyp":
         yield from iter_mp4_frames(payload)
         return
+    if payload[:4] == _WEBM_EBML:
+        raise NotImplementedError(
+            "webm/Matroska demuxes via webm_frame_index/probe_webm_vp8 "
+            "(frame metadata, keyframe index, timestamps); VP8 "
+            "entropy-coded PIXEL decode is unsupported in this "
+            "environment, so frames cannot feed image stages"
+        )
     if payload[:4] != _VPACK_MAGIC:
         raise NotImplementedError(
             "unrecognized video container; AVI (MJPEG), ISO-BMFF mp4 and "
