@@ -527,8 +527,11 @@ def test_iter_frames_rejects_unknown_container():
 
     from vunnel_spark.operators.multimodal import iter_frames
 
-    # webm/EBML magic: not AVI, not ISO-BMFF, not VSPK
+    # a genuinely unknown magic: not AVI, not ISO-BMFF, not EBML, not VSPK
     with pytest.raises(NotImplementedError, match="unrecognized"):
+        list(iter_frames(b"\x00\x00\x00\x00not-a-container"))
+    # webm/EBML gets the webm-specific message pointing at the demux path
+    with pytest.raises(NotImplementedError, match="webm_frame_index"):
         list(iter_frames(b"\x1a\x45\xdf\xa3webm-stream-bytes"))
 
 
