@@ -146,6 +146,22 @@ def test_apply_merges_empty_word_guard(spark):
     assert got_no_eow[""] == []
 
 
+def test_apply_merges_null_word_stays_null(spark):
+    """A NULL word must propagate null symbols (the empty-word guard
+    must not coerce null to [] / [EOW])."""
+    from vunnel_spark.operators.bpe import apply_merges
+    from vunnel_spark.queries.text import _BPE_FROZEN_MERGES
+
+    df = spark.createDataFrame([(None,), ("ab",)], "word string")
+    for eow in (True, False):
+        got = {
+            r["word"]: r["symbols"]
+            for r in apply_merges(df, _BPE_FROZEN_MERGES, eow=eow).collect()
+        }
+        assert got[None] is None
+        assert got["ab"] is not None
+
+
 def test_x23_oracle_replace_trick_matches_fold():
     """The delimiter-doubled SQL replace must merge EXACTLY what the
     greedy fold merges — pin the overlap ((a,a) on [a,a,a]) and the

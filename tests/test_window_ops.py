@@ -61,6 +61,31 @@ def test_fill_down_global_matches_naive_global_window(spark):
     assert got == expect
 
 
+def test_fill_down_global_keeps_null_ordered_rows(spark):
+    """Rows whose order_col is NULL must survive (null-safe carry join)
+    and behave like the naive window's nulls-first placement: they fill
+    only from each other and seed the carry for every later bucket."""
+    rows = [
+        (None, "H0"),   # null-ordered, non-null value: seeds the carry
+        (None, None),   # null-ordered, null value: fills from H0
+        (5, None),      # first real bucket: inherits the null bucket's carry
+        (150, "H1"),
+        (260, None),
+    ]
+    df = spark.createDataFrame(rows, "line_no long, v string").repartition(4)
+    out = fill_down_global(df, ["v"], "line_no", bucket_size=100).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    got = {r["line_no"]: r["v"] for r in out}
+    assert got[5] == "H0"      # carry crossed from the null bucket
+    assert got[150] == "H1"
+    assert got[260] == "H1"
+    null_vals = [r["v"] for r in out if r["line_no"] is None]
+    assert len(null_vals) == 2 and "H0" in null_vals
+    # the null-value null-ordered row fills from H0 or stays None
+    # depending on tie order (same nondeterminism as the naive window)
+    assert set(null_vals) <= {"H0", None}
+
+
 def test_fill_down_global_plan_no_fullframe_global_window(spark):
     """Every window spec that touches the data columns must partition by
     _fd_bucket; the only unpartitioned window is the per-bucket carry

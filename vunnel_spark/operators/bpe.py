@@ -117,14 +117,16 @@ def apply_merges(
     ``sequence(1, 0)`` DESCENDS to [1, 0] (the x17 hazard), which would
     manufacture two phantom empty-string symbols for a zero-length
     word — an empty word tokenizes to [] (or [EOW] with the sentinel).
+    A NULL word stays NULL (the explicit isNotNull branch keeps the
+    guard from coercing null to [] — null in, null symbols out).
     """
     chars = F.when(
-        F.length("word") > 0,
+        F.col("word").isNotNull() & (F.length("word") > 0),
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
             lambda i: F.col("word").substr(i, F.lit(1)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).when(F.col("word").isNotNull(), F.array().cast("array<string>"))
     symbols = F.concat(chars, F.array(F.lit(EOW))) if eow else chars
     out = words.select("word", symbols.alias("symbols"))
     for a, b in merges:

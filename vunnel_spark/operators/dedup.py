@@ -692,11 +692,13 @@ def minhash_lsh_pairs(
         .join(sb, "id_b")
         .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
-            "jaccard",
-            F.round(F.col("_common") / (F.col("n_a") + F.col("n_b") - F.col("_common")), 6),
+            "_jacc",
+            F.col("_common") / (F.col("n_a") + F.col("n_b") - F.col("_common")),
         )
-        .filter(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
+        # filter on the UNROUNDED ratio (matches the oracle's order of
+        # operations); rounding happens only in the final projection
+        .filter(F.col("_jacc") >= verify_threshold)
+        .select("id_a", "id_b", F.round("_jacc", 6).alias("jaccard"))
     )
 
 

@@ -85,6 +85,12 @@ def fill_down_global(
     to the carry from earlier buckets.  Identical semantics to
     ``last(ignorenulls) OVER (ORDER BY order_col ROWS UNBOUNDED
     PRECEDING)`` at any scale.
+
+    Rows with a NULL ``order_col`` land in the null bucket, which sorts
+    FIRST (Spark's ascending nulls-first) — exactly where the naive
+    global window would place them: they fill only from each other and
+    contribute their last non-null value as carry to every later bucket.
+    The carry join is null-safe so these rows are never dropped.
     """
     if bucket is None:
         bucket = F.expr(f"{order_col} div {bucket_size}")
@@ -120,7 +126,14 @@ def fill_down_global(
             for c in cols
         ],
     )
-    out = out.join(F.broadcast(carries), "_fd_bucket")
+    # null-safe equi-join: rows whose order_col (hence bucket) is null
+    # must survive and pick up the null bucket's carry row
+    carries = carries.withColumnRenamed("_fd_bucket", "_fd_bucket_c")
+    out = out.join(
+        F.broadcast(carries),
+        F.col("_fd_bucket").eqNullSafe(F.col("_fd_bucket_c")),
+        "left",
+    ).drop("_fd_bucket_c")
     for c in cols:
         out = out.withColumn(
             c, F.coalesce(F.col(c), F.col(f"_carry_{c}"))

@@ -43,26 +43,23 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 9: the arch/hummingbird provider instantiations (new), o3's
-#: bucketed-rank rewrite, e5's fill_down_global migration, w4
-#: (fill_down signature change at its call site), x23 (apply_merges
-#: empty-word guard upstream), m24/m25 (decoder validation edits).
+#: Round 10: d3/d13 (verify filter moved to the unrounded ratio), w6/e5
+#: (fill_down_global null-safe carry join), x23 (apply_merges null-word
+#: propagation upstream).
 GATE_PRIORITY = [
-    "arch1_avg_assembly_dag",
-    "hummingbird1_csaf_subset_dag",
-    "m26_webm_vp8_probe",
-    "w6_global_fill_down",
-    "d13_incremental_lsh_probe",
     "d3_minhash_lsh_pairs",
-    "d8_jaccard_skew_capped",
-    "d11_dedup_clusters",
-    "o3_sorted_listing",
+    "d13_incremental_lsh_probe",
+    "w6_global_fill_down",
     "e5_dsa_text_parse",
-    "w4_fill_down",
     "x23_bpe_encode",
-    "m24_tiff_feature_extract",
-    "m25_ico_feature_extract",
 ]
+
+#: the round GATE_PRIORITY was written for.  compute_gate_window warns
+#: when this lags the upcoming round (max committed gate report + 1) —
+#: the unambiguous "someone forgot the one manual step" signal; gate
+#: history alone can't tell a stale leftover from changed queries that
+#: also sat in last round's window.
+GATE_PRIORITY_ROUND = 10
 
 #: size of the external gate window (the driver hash-checks this many).
 WINDOW_SIZE = 50
@@ -116,7 +113,21 @@ def compute_gate_window(root: Path | None = None) -> list[str]:
     for name in GATE_PRIORITY:
         if name not in REGISTRY:
             raise KeyError(f"GATE_PRIORITY names unknown query {name!r}")
-    last, _ = gate_history(root)
+    last, upcoming = gate_history(root)
+    # GATE_PRIORITY is a per-round hand-edit; when its round stamp lags
+    # the upcoming round it is last round's leftover silently re-burning
+    # window slots — warn loudly so the one remaining manual step can't
+    # be skipped unnoticed.
+    if root is None and GATE_PRIORITY and GATE_PRIORITY_ROUND < upcoming:
+        import warnings
+
+        warnings.warn(
+            f"GATE_PRIORITY is stamped for round {GATE_PRIORITY_ROUND} but "
+            f"the upcoming gate is round {upcoming} — update the list to "
+            "this round's new/changed queries (or [] if none) and bump "
+            "GATE_PRIORITY_ROUND",
+            stacklevel=2,
+        )
     order = {name: i for i, name in enumerate(REGISTRY)}
     rest = [n for n in REGISTRY if n not in set(GATE_PRIORITY)]
     rest.sort(key=lambda n: (last.get(n, -1), order[n]))

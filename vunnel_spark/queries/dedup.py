@@ -718,12 +718,11 @@ def d13(spark, sf_dir):
         .join(corpus_sets, "corpus_id")
         .withColumn("_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_common") / (F.col("n_a") + F.col("n_b") - F.col("_common")),
-                6,
-            ),
+            "_jacc",
+            F.col("_common") / (F.col("n_a") + F.col("n_b") - F.col("_common")),
         )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("new_id", "corpus_id", "jaccard")
+        # filter the unrounded ratio, round only in the final select —
+        # the exact order of operations the DuckDB oracle uses
+        .filter(F.col("_jacc") >= 0.5)
+        .select("new_id", "corpus_id", F.round("_jacc", 6).alias("jaccard"))
     )
