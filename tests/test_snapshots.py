@@ -46,6 +46,9 @@ PIPELINE_DAGS = [
     "oval1_resolution_dag",
     "sles1_not_affected_dag",
     "ghsa1_per_ecosystem_dag",
+    "arch1_avg_assembly_dag",
+    "hummingbird1_csaf_subset_dag",
+    "mariner1_oval_graph_dag",
 ]
 
 

@@ -43,10 +43,11 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 10: d3/d13 (verify filter moved to the unrounded ratio), w6/e5
-#: (fill_down_global null-safe carry join), x23 (apply_merges null-word
-#: propagation upstream).
+#: Round 10: mariner1 (new provider pin), d3/d13 (verify filter moved to
+#: the unrounded ratio), w6/e5 (fill_down_global null-safe carry join),
+#: x23 (apply_merges null-word propagation upstream).
 GATE_PRIORITY = [
+    "mariner1_oval_graph_dag",
     "d3_minhash_lsh_pairs",
     "d13_incremental_lsh_probe",
     "w6_global_fill_down",

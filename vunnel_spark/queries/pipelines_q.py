@@ -1344,3 +1344,212 @@ def hummingbird1(spark, sf_dir):
     return hummingbird_pipeline(
         branches, relationships, product_status, scores, remediations
     )
+
+
+@register(
+    "mariner1_oval_graph_dag",
+    """
+    WITH defs AS (
+      SELECT o_orderkey AS okey,
+             CASE WHEN o_orderkey % 23 <> 0
+                  THEN 'CVE-2025-' || CAST(o_orderkey AS VARCHAR) END AS ref_id,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE CASE o_orderkey % 5 WHEN 0 THEN 'Critical'
+                       WHEN 1 THEN 'High' WHEN 2 THEN 'Medium'
+                       WHEN 3 THEN 'Low' ELSE 'Negligible' END END AS severity,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'Not Applicable'
+                  WHEN o_orderkey % 17 = 1 THEN NULL
+                  ELSE 'true' END AS patchable,
+             CASE WHEN o_orderkey % 7 <> 0
+                  THEN 'mariner vulnerability ' || CAST(o_orderkey AS VARCHAR)
+                  END AS description,
+             CASE WHEN o_orderkey % 11 <> 0
+                  THEN 'https://cve.example.org/CVE-2025-' ||
+                       CAST(o_orderkey AS VARCHAR) END AS ref_url,
+             CASE WHEN o_orderkey % 3 <> 0
+                  THEN '2025-' ||
+                       lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0') ||
+                       '-' ||
+                       lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+                  END AS advisory_date
+      FROM orders
+    ), live AS (
+      SELECT * FROM defs
+      WHERE severity IS NOT NULL
+        AND (patchable IS NULL OR patchable <> 'Not Applicable')
+        AND ref_id IS NOT NULL
+    ), crit AS (
+      SELECT okey, 0 AS pos,
+             'tst-' || CAST(okey % 500 AS VARCHAR) AS tref FROM live
+      UNION ALL
+      SELECT okey, 1, 'tst-' || CAST(okey % 500 + 500 AS VARCHAR)
+      FROM live WHERE okey % 2 = 0
+      UNION ALL
+      SELECT okey, 2, 'tst-9999' FROM live WHERE okey % 19 = 0
+    ), tests AS (
+      SELECT 'tst-' || CAST(range AS VARCHAR) AS test_id,
+             CASE WHEN range % 37 <> 0
+                  THEN 'obj-' || CAST(range % 300 AS VARCHAR) END AS object_ref,
+             CASE WHEN range % 43 <> 0
+                  THEN 'st-' || CAST(range % 400 AS VARCHAR) END AS state_ref
+      FROM range(1000)
+    ), objs AS (
+      SELECT 'obj-' || CAST(range AS VARCHAR) AS object_id,
+             CASE WHEN range % 41 = 0 THEN ''
+                  ELSE 'pkg' || CAST(range % 120 AS VARCHAR) END AS name
+      FROM range(250)
+    ), sts AS (
+      SELECT 'st-' || CAST(range AS VARCHAR) AS state_id,
+             CASE WHEN range % 29 <> 0
+                  THEN CAST(range % 9 AS VARCHAR) || '.' ||
+                       CAST(range % 5 AS VARCHAR) || '-' ||
+                       CAST(range % 7 AS VARCHAR) END AS evr_value,
+             CASE range % 4 WHEN 0 THEN 'less than'
+                  WHEN 1 THEN 'less than or equal'
+                  WHEN 2 THEN 'greater than'
+                  ELSE 'exists' END AS evr_operation
+      FROM range(350)
+    ), tf AS (
+      SELECT c.okey, c.pos, t.object_ref, t.state_ref
+      FROM crit c JOIN tests t ON c.tref = t.test_id
+    ), first_obj AS (
+      SELECT tf.okey, arg_min(o.name, tf.pos) AS name
+      FROM tf JOIN objs o ON tf.object_ref = o.object_id
+      GROUP BY tf.okey
+    ), entries AS (
+      SELECT tf.okey, tf.pos, s.evr_value, s.evr_operation,
+             CASE s.evr_operation
+                  WHEN 'less than' THEN '< ' || s.evr_value
+                  WHEN 'greater than' THEN '> ' || s.evr_value
+                  WHEN 'less than or equal' THEN '<= ' || s.evr_value
+                  END AS entry
+      FROM tf JOIN sts s ON tf.state_ref = s.state_id
+      WHERE s.evr_value IS NOT NULL
+    ), rng AS (
+      SELECT okey,
+             string_agg(entry, ', ' ORDER BY entry DESC) AS vulnerable_range,
+             arg_max(evr_value, pos)
+               FILTER (WHERE evr_operation = 'less than') AS fixed_raw
+      FROM entries GROUP BY okey
+      HAVING count(entry) > 0
+    )
+    SELECT l.ref_id AS record_id, f.name,
+           'mariner:2.0' AS namespace, 'rpm' AS version_format,
+           coalesce(r.fixed_raw, 'None') AS version,
+           r.vulnerable_range, l.severity,
+           coalesce(l.description, '') AS description,
+           coalesce(l.ref_url, '') AS link,
+           CASE WHEN r.fixed_raw IS NOT NULL THEN l.advisory_date
+                END AS available_date,
+           CASE WHEN r.fixed_raw IS NOT NULL AND l.advisory_date IS NOT NULL
+                THEN 'advisory' END AS available_kind
+    FROM live l
+    JOIN rng r ON l.okey = r.okey
+    JOIN first_obj f ON l.okey = f.okey
+    WHERE f.name <> ''
+    """,
+    doc="Mariner/Azure-Linux OVAL graph end-to-end (mariner/parser.py:"
+        "208-236 vulnerabilities, 125-196 make_fixed_in, 98-123 the "
+        "test/object/state ref walks; pipelines/mariner.py): definitions "
+        "with no severity, 'Not Applicable' patchable, or no reference "
+        "id drop; criteria walk criterion->test->{object,state} with "
+        "missing ids dropping silently at every hop; the FIRST resolved "
+        "object names the package (empty name drops the definition); "
+        "each resolved state contributes '< v'/'> v'/'<= v' (unknown "
+        "operations contribute nothing, the LAST less-than sets the "
+        "fixed version, entries sort DESCENDING and join with ', '); "
+        "availability only for fixed definitions carrying an advisory "
+        "date.  Synthesized graph includes dangling test/object/state "
+        "refs, null evr values, unknown operations, empty object names, "
+        "and every drop branch.  Scale: the reference's three in-memory "
+        "id dicts become broadcast dimensions (bounded by the OVAL test "
+        "namespace); the only shuffles are thin per-definition aggs",
+    tags=("pipeline", "join", "explode"),
+)
+def mariner1(spark, sf_dir):
+    from vunnel_spark.pipelines.mariner import mariner_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    definitions = o.select(
+        okey.alias("def_id"),
+        F.when(
+            okey % 23 != 0, F.concat(F.lit("CVE-2025-"), okey.cast("string"))
+        ).alias("ref_id"),
+        F.when(okey % 13 == 0, F.lit(None).cast("string"))
+        .when(okey % 5 == 0, F.lit("Critical"))
+        .when(okey % 5 == 1, F.lit("High"))
+        .when(okey % 5 == 2, F.lit("Medium"))
+        .when(okey % 5 == 3, F.lit("Low"))
+        .otherwise(F.lit("Negligible"))
+        .alias("severity"),
+        F.when(okey % 17 == 0, F.lit("Not Applicable"))
+        .when(okey % 17 == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit("true"))
+        .alias("patchable"),
+        F.when(
+            okey % 7 != 0,
+            F.concat(F.lit("mariner vulnerability "), okey.cast("string")),
+        ).alias("description"),
+        F.when(
+            okey % 11 != 0,
+            F.concat(
+                F.lit("https://cve.example.org/CVE-2025-"), okey.cast("string")
+            ),
+        ).alias("ref_url"),
+        F.when(
+            okey % 3 != 0,
+            F.concat(
+                F.lit("2025-"),
+                F.lpad((okey % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((okey % 28 + 1).cast("string"), 2, "0"),
+            ),
+        ).alias("advisory_date"),
+        F.filter(
+            F.array(
+                F.concat(F.lit("tst-"), (okey % 500).cast("string")),
+                F.when(
+                    okey % 2 == 0,
+                    F.concat(F.lit("tst-"), (okey % 500 + 500).cast("string")),
+                ),
+                F.when(okey % 19 == 0, F.lit("tst-9999")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("criteria"),
+    )
+    tests = spark.range(1000).select(
+        F.concat(F.lit("tst-"), F.col("id").cast("string")).alias("test_id"),
+        F.when(
+            F.col("id") % 37 != 0,
+            F.concat(F.lit("obj-"), (F.col("id") % 300).cast("string")),
+        ).alias("object_ref"),
+        F.when(
+            F.col("id") % 43 != 0,
+            F.concat(F.lit("st-"), (F.col("id") % 400).cast("string")),
+        ).alias("state_ref"),
+    )
+    objects = spark.range(250).select(
+        F.concat(F.lit("obj-"), F.col("id").cast("string")).alias("object_id"),
+        F.when(F.col("id") % 41 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("pkg"), (F.col("id") % 120).cast("string")))
+        .alias("name"),
+    )
+    states = spark.range(350).select(
+        F.concat(F.lit("st-"), F.col("id").cast("string")).alias("state_id"),
+        F.when(
+            F.col("id") % 29 != 0,
+            F.concat_ws(
+                "",
+                (F.col("id") % 9).cast("string"), F.lit("."),
+                (F.col("id") % 5).cast("string"), F.lit("-"),
+                (F.col("id") % 7).cast("string"),
+            ),
+        ).alias("evr_value"),
+        F.when(F.col("id") % 4 == 0, F.lit("less than"))
+        .when(F.col("id") % 4 == 1, F.lit("less than or equal"))
+        .when(F.col("id") % 4 == 2, F.lit("greater than"))
+        .otherwise(F.lit("exists"))
+        .alias("evr_operation"),
+    )
+    return mariner_pipeline(definitions, tests, objects, states)
