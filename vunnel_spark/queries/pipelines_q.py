@@ -285,8 +285,19 @@ def ubuntu1(spark, sf_dir):
     tags=("pipeline", "join", "explode"),
 )
 def osv1(spark, sf_dir):
-    from vunnel_spark.pipelines.osv import osv_patch_fix_dates
+    return osv1_run(*osv1_inputs(spark, sf_dir))
 
+
+def osv1_inputs(spark, sf_dir):
+    """(advisories, fixdates): osv1's synthesized nested-corpus INPUT.
+
+    Split out so the scale harness (scripts/scalecurve.py) can
+    pre-materialize it to parquet and time the PATCH PIPELINE alone —
+    in production the nested advisory corpus is the pipeline's input,
+    not built per query, so a scale measurement that includes the
+    orders×lineitem synthesis join overstates the pipeline's growth
+    (the r9 curve's 68.4x-at-100x 'watch' item was exactly this).
+    """
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     ev = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
@@ -344,6 +355,14 @@ def osv1(spark, sf_dir):
         F.lit("observed").alias("kind"),
         F.lit(True).alias("accurate"),
     )
+    return advisories, fixdates
+
+
+def osv1_run(advisories, fixdates):
+    """The PATCH PIPELINE half of osv1: patch fix dates into the nested
+    corpus, then re-explode the rebuilt document to flat rows."""
+    from vunnel_spark.pipelines.osv import osv_patch_fix_dates
+
     patched = osv_patch_fix_dates(advisories, fixdates)
     # re-explode the REBUILT nested document to flat verification rows
     out = (
