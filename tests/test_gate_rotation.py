@@ -77,3 +77,29 @@ def test_tie_break_is_registry_order(tmp_path):
     fill = window[len(GATE_PRIORITY) :]
     order = [n for n in REGISTRY if n not in set(GATE_PRIORITY)]
     assert fill == order[: len(fill)]
+
+
+def test_priority_round_stamp_warns_when_stale(monkeypatch):
+    """GATE_PRIORITY carries an explicit round stamp; a stamp behind the
+    upcoming round (max committed gate report + 1) is last round's
+    leftover re-burning window slots and must warn (r9 ADVICE: the
+    skipped-manual-step failure mode rotation-as-code was built to
+    remove)."""
+    import warnings
+
+    import vunnel_spark.queries as Q
+
+    upcoming = gate_history()[1]
+
+    monkeypatch.setattr(Q, "GATE_PRIORITY_ROUND", upcoming)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Q.compute_gate_window()
+    assert not [x for x in w if "GATE_PRIORITY" in str(x.message)]
+
+    monkeypatch.setattr(Q, "GATE_PRIORITY_ROUND", upcoming - 1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Q.compute_gate_window()
+    hits = [x for x in w if "GATE_PRIORITY" in str(x.message)]
+    assert len(hits) == 1 and "bump" in str(hits[0].message)
