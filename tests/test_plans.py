@@ -355,9 +355,11 @@ def test_pipeline_dimension_joins_broadcast(spark, sf_dir):
     # broadcast the small sides, never shuffle the big fact frame; the
     # r9 provider instantiations share the rule (arch's ASA date cache
     # and hummingbird's CPE-matched platform set are broadcast dims)
+    # (r10: mariner's test/object/state element dims are the same shape —
+    # bounded by the OVAL test namespace, broadcast by construction)
     for name in ("oval1_resolution_dag", "sles1_not_affected_dag",
                  "ghsa1_per_ecosystem_dag", "arch1_avg_assembly_dag",
-                 "hummingbird1_csaf_subset_dag"):
+                 "hummingbird1_csaf_subset_dag", "mariner1_oval_graph_dag"):
         p = plan_of(q(name, spark, sf_dir))
         assert "BroadcastHashJoin" in p, name
         assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
