@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """One-shot timing sweep over the whole registry at one SF dir.
 
-Usage: python scripts/sweep_times.py [sf_dir] [out_json]
+Usage: python scripts/sweep_times.py [sf_dir] [out_json] [skip_csv]
 Single measured run per query (after a shared table warm-up) — this
-ranks queries for the scale-curve, it is not the benchmark.
+ranks queries for the scale-curve, it is not the benchmark.  skip_csv
+names queries to exclude (e.g. the four audited fixed-granularity ANN
+gates when sweeping sf1 — their scale story lives in
+`scalecurve.py --scaled-ann`, and at 10x data they run for many
+minutes by design).
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 
     from vunnel_spark.registry import all_queries
     from vunnel_spark.session import get_spark, load_tables
@@ -29,6 +34,8 @@ def main() -> None:
 
     times = {}
     for name, fn in all_queries().items():
+        if name in skip:
+            continue
         t0 = time.monotonic()
         try:
             fn(spark, sf_dir).count()
