@@ -313,7 +313,42 @@ def run_osv1_pipeline(sf_dir: str, out_json: str) -> None:
     print(json.dumps(result, indent=1))
 
 
+def run_debian1_scaled(sf_dir: str, id_scale: int, out_json: str) -> None:
+    """debian1 with the synthesized id space widened by the SF ratio.
+
+    The registered query's moduli (%100 DSA bases, %300 CVEs, %20 pkgs)
+    are SF-invariant so its per-(ns, vid) assembly payloads grow
+    linearly with the corpus — at sf10 the collect_list state OOMs a
+    local[32] JVM.  Production id spaces grow with the corpus; this mode
+    measures the pipeline under that (realistic) geometry."""
+    from vunnel_spark.queries.pipelines_q import debian1
+    from vunnel_spark.session import get_spark
+
+    spark = get_spark("debian1-scaled")
+    samples = []
+    for run in range(2):  # 1 codegen warm-up + 1 measured
+        spark.catalog.clearCache()
+        dt, n = _timed(lambda: debian1(spark, sf_dir, id_scale=id_scale).count())
+        if run:
+            samples.append(dt)
+    result = {"sf_dir": sf_dir, "id_scale": id_scale,
+              "time_s": min(samples), "rows": n}
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--debian1-scaled":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            REPO, ".scaledata", "sf10"
+        )
+        id_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+        out = sys.argv[4] if len(sys.argv) > 4 else os.path.join(
+            REPO, "debian1_scaled_results.json"
+        )
+        run_debian1_scaled(sf_dir, id_scale, out)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaled-ann":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
             REPO, ".scaledata", "sf1"
@@ -336,8 +371,13 @@ def main() -> None:
         REPO, "scalecurve_results.json"
     )
     extra = CURVE_EXTRA
+    only = False
     if len(sys.argv) > 2 and sys.argv[2]:
-        extra = sys.argv[2].split(",")
+        arg = sys.argv[2]
+        # "only:a,b,c" runs JUST those queries (no HEADLINE re-measure)
+        if arg.startswith("only:"):
+            only, arg = True, arg[len("only:"):]
+        extra = arg.split(",")
     # optional SF subset, e.g. "sf0.1,sf1,sf10" — the sf10 HEADLINE run
     # (SCALECURVE.md §100x) is `scalecurve.py out.json "" sf0.1,sf1,sf10`
     # default run stops at sf1: sf10 with the gate-pinned ANN granularity
@@ -352,7 +392,7 @@ def main() -> None:
 
     spark = get_spark("scalecurve")
     qs = all_queries()
-    names = HEADLINE + [n for n in extra if n not in HEADLINE]
+    names = extra if only else HEADLINE + [n for n in extra if n not in HEADLINE]
     names = [n for n in names if n in qs]
 
     results: dict[str, dict[str, float]] = {n: {} for n in names}

@@ -477,19 +477,27 @@ def osv1_run(advisories, fixdates):
         "composed lifecycle, not just the operator parts",
     tags=("pipeline", "join", "window", "agg", "sink"),
 )
-def debian1(spark, sf_dir):
+def debian1(spark, sf_dir, id_scale=1):
+    """``id_scale`` widens the synthesized id space (DSA bases, CVE ids,
+    package names) by that factor.  The registered query uses 1 (the
+    oracle depends on the exact moduli); the scale harness passes the SF
+    ratio, because an SF-INVARIANT id space means per-key payloads grow
+    linearly with the corpus and the per-(ns, vid) record assembly goes
+    quadratic in memory — a gate-construction artifact, not a pipeline
+    property (production id spaces grow with the corpus)."""
     import tempfile as _tf
 
     from vunnel_spark.pipelines.debian import debian_pipeline
 
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    cve = F.concat(F.lit("CVE-2024-"), (F.col("o_orderkey") % 300).cast("string"))
-    cve2 = F.concat(F.lit("CVE-2024-"), ((F.col("o_orderkey") + 7) % 300).cast("string"))
+    n_cve, n_pkg, n_dsa = 300 * id_scale, 20 * id_scale, 100 * id_scale
+    cve = F.concat(F.lit("CVE-2024-"), (F.col("o_orderkey") % n_cve).cast("string"))
+    cve2 = F.concat(F.lit("CVE-2024-"), ((F.col("o_orderkey") + 7) % n_cve).cast("string"))
     dsas = o.filter(F.col("o_orderkey") % 4 == 0).select(
-        (F.col("o_orderkey") % 100).alias("dsa_base"),
+        (F.col("o_orderkey") % n_dsa).alias("dsa_base"),
         F.col("o_orderkey").alias("rev"),
-        F.concat(F.lit("pkg"), (F.col("o_custkey") % 20).cast("string")).alias("pkg"),
+        F.concat(F.lit("pkg"), (F.col("o_custkey") % n_pkg).cast("string")).alias("pkg"),
         F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<string>"))
         .when(F.col("o_orderkey") % 8 == 0, F.array(cve, cve2))
         .otherwise(F.array(cve))
@@ -497,8 +505,8 @@ def debian1(spark, sf_dir):
     )
     cve_rows = li.select(
         F.concat(F.lit("deb"), (F.col("l_suppkey") % 3 + 10).cast("string")).alias("ns"),
-        F.concat(F.lit("CVE-2024-"), (F.col("l_orderkey") % 300).cast("string")).alias("cve"),
-        F.concat(F.lit("pkg"), (F.col("l_partkey") % 20).cast("string")).alias("pkg"),
+        F.concat(F.lit("CVE-2024-"), (F.col("l_orderkey") % n_cve).cast("string")).alias("cve"),
+        F.concat(F.lit("pkg"), (F.col("l_partkey") % n_pkg).cast("string")).alias("pkg"),
         F.concat_ws(
             ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
         ).alias("fixed_version"),
@@ -511,7 +519,7 @@ def debian1(spark, sf_dir):
         F.lit("deb10").alias("ns"),
         F.concat(
             F.when(F.col("o_orderkey") % 12 == 0, F.lit("CVE-2024-")).otherwise(F.lit("CVE-1999-")),
-            (F.col("o_orderkey") % 300).cast("string"),
+            (F.col("o_orderkey") % n_cve).cast("string"),
         ).alias("vid"),
         F.lit("Low").alias("severity"),
         F.array(F.struct(F.lit("legacypkg").alias("Name"), F.lit("1.0").alias("Version"))).alias("FixedIn"),
