@@ -15,7 +15,9 @@ PY ?= python
 preflight: lint gate smoke
 
 lint:
-	$(PY) -m pytest tests/test_registry_lint.py tests/test_plans.py::test_gate_window_composition_stable -q
+	GATE_LINT_STRICT=1 $(PY) -m pytest tests/test_registry_lint.py \
+	  tests/test_plans.py::test_gate_window_composition_stable \
+	  tests/test_plans.py::test_gate_priority_stamp_current -q
 
 gate:
 	$(PY) -c "from vunnel_spark.queries import GATE_WINDOW; import subprocess, sys; \

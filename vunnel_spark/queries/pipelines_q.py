@@ -544,6 +544,120 @@ def debian1(spark, sf_dir, id_scale=1):
 
 
 @register(
+    "debian2_legacy_merge_scaled",
+    """
+    WITH sk AS (
+      SELECT GREATEST(1, COUNT(*) // 5000) AS k FROM orders
+    ), dsas AS (
+      SELECT o_orderkey % (100 * k) AS dsa_base,
+             o_orderkey AS rev,
+             'pkg' || CAST(o_custkey % (20 * k) AS VARCHAR) AS pkg,
+             CASE WHEN o_orderkey % 3 = 0 THEN []::VARCHAR[]
+                  WHEN o_orderkey % 8 = 0
+                  THEN ['CVE-2024-' || CAST(o_orderkey % (300 * k) AS VARCHAR),
+                        'CVE-2024-' || CAST((o_orderkey + 7) % (300 * k) AS VARCHAR)]
+                  ELSE ['CVE-2024-' || CAST(o_orderkey % (300 * k) AS VARCHAR)]
+             END AS cves
+      FROM orders, sk WHERE o_orderkey % 4 = 0
+    ), filled AS (
+      SELECT dsa_base, rev, pkg,
+             CASE WHEN len(cves) > 0 THEN cves
+                  ELSE max_by(cves, len(cves)*1000000000 + rev)
+                         OVER (PARTITION BY dsa_base) END AS cves
+      FROM dsas
+    ), advisories AS (
+      SELECT 'DSA-' || CAST(dsa_base AS VARCHAR) || '-' || CAST(rev AS VARCHAR)
+               AS dsa_id,
+             pkg, unnest(cves) AS cve
+      FROM filled
+    ), cve_rows AS (
+      SELECT DISTINCT
+             'deb' || CAST(l_suppkey % 3 + 10 AS VARCHAR) AS ns,
+             'CVE-2024-' || CAST(l_orderkey % (300 * k) AS VARCHAR) AS cve,
+             'pkg' || CAST(l_partkey % (20 * k) AS VARCHAR) AS pkg,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
+               CAST(l_linenumber AS VARCHAR) AS fixed_version,
+             CASE l_returnflag WHEN 'A' THEN 'low'
+                               WHEN 'N' THEN 'medium'
+                               ELSE 'exotic' END AS urgency
+      FROM lineitem, sk
+    ), j2 AS (
+      SELECT c.ns, c.cve, c.pkg, c.fixed_version, c.urgency,
+             COALESCE(array_to_string(list_sort(
+               list(a.dsa_id) FILTER (WHERE a.dsa_id IS NOT NULL)), '|'), '')
+               AS advisories
+      FROM cve_rows c
+      LEFT JOIN advisories a ON a.pkg = c.pkg AND a.cve = c.cve
+      GROUP BY c.ns, c.cve, c.pkg, c.fixed_version, c.urgency
+    ), sev AS (
+      SELECT *,
+             CASE urgency WHEN 'unimportant' THEN 'Negligible'
+                          WHEN 'low' THEN 'Low'
+                          WHEN 'medium' THEN 'Medium'
+                          WHEN 'high' THEN 'High'
+                          ELSE 'Unknown' END AS severity
+      FROM j2
+    ), assembled AS (
+      SELECT ns, cve AS vid,
+             max_by(severity, CASE severity WHEN 'Negligible' THEN 1
+                                            WHEN 'Low' THEN 2
+                                            WHEN 'Medium' THEN 3
+                                            WHEN 'High' THEN 4
+                                            WHEN 'Critical' THEN 5
+                                            ELSE 0 END) AS severity,
+             array_to_string(list_transform(
+               list_sort(list(struct_pack(Name := pkg, Version := fixed_version))),
+               s -> s.Name || ':' || s.Version), '|') AS fixed_in,
+             COALESCE(array_to_string(list_sort(list_filter(list_distinct(
+               flatten(list(string_split(advisories, '|')))), x -> x <> '')), '|'), '')
+               AS advisories
+      FROM sev GROUP BY ns, cve
+    ), legacy AS (
+      SELECT DISTINCT 'deb10' AS ns,
+             CASE WHEN o_orderkey % 12 = 0
+                  THEN 'CVE-2024-' || CAST(o_orderkey % (300 * k) AS VARCHAR)
+                  ELSE 'CVE-1999-' || CAST(o_orderkey % (300 * k) AS VARCHAR) END AS vid,
+             'Low' AS severity, 'legacypkg:1.0' AS fixed_in, '' AS advisories
+      FROM orders, sk WHERE o_orderkey % 6 = 0
+    ), merged AS (
+      SELECT ns, vid, severity, fixed_in, advisories, 0 AS from_legacy
+      FROM assembled
+      UNION ALL
+      SELECT l.ns, l.vid, l.severity, l.fixed_in, l.advisories, 1
+      FROM legacy l
+      WHERE NOT EXISTS (SELECT 1 FROM assembled a
+                        WHERE a.ns = l.ns AND a.vid = l.vid)
+    )
+    SELECT ns, vid, severity, fixed_in, advisories,
+           CAST(from_legacy AS INTEGER) AS from_legacy
+    FROM merged
+    """,
+    doc="The debian DAG (see debian1) with a CORPUS-PROPORTIONAL id "
+        "space: the DSA-base / CVE / package moduli are all multiplied "
+        "by k = greatest(1, count(orders) // 5000), derived identically "
+        "in Spark and in the oracle.  Regression-guards the scale class "
+        "round 10 found in debian1's gate geometry — an SF-INVARIANT "
+        "synthetic id space makes per-(ns, vid) collect payloads grow "
+        "linearly with the corpus and the record assembly OOMs at sf10; "
+        "with the id space tied to the corpus, per-key payloads are "
+        "bounded at every SF by construction (measured 27.1 s at sf10 = "
+        "4.1x on 100x data, debian1_scaled_results.json).  Production "
+        "id spaces grow with the corpus, so THIS geometry, not "
+        "debian1's, is the 100 TB shape of the pipeline",
+    tags=("pipeline", "join", "window", "agg", "sink", "scale"),
+)
+def debian2(spark, sf_dir):
+    """Corpus-derived ``id_scale``: one driver-side count of the orders
+    table (legitimate control flow — it parametrizes synthesis moduli,
+    not row processing) sets k so the id space grows with the data.
+    sf0.001 -> k=1 (debian1's exact geometry), sf0.01 -> 3, sf0.1 -> 30,
+    sf10 -> 3000."""
+    o = t(spark, sf_dir, "orders")
+    k = max(1, o.count() // 5000)
+    return debian1(spark, sf_dir, id_scale=int(k))
+
+
+@register(
     "oval1_resolution_dag",
     """
     WITH defs AS (
