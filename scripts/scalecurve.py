@@ -144,6 +144,33 @@ def run_scaled_ann(sf_dir: str, out_json: str) -> None:
     #   smoke) every family is a singleton and this reduces to the gates'
     #   exact-original match.
     base, family = 100_000_000, 1_000_000
+    # Guard the family metric's id-layout assumption (ADVICE r10): vec_id
+    # % 1M identifies a vector's source family ONLY if every organic id
+    # >= 1M is a stride-aligned copy — its residue must itself exist as a
+    # base id.  An organic corpus with arbitrary ids above 1M would alias
+    # unrelated vectors mod 1M and silently inflate recall; fail loudly
+    # instead.  (Organic sf0.1 corpora sit entirely below 1M and pass
+    # trivially; the make_scale_data.py corpora stride copies at exactly
+    # 1M and pass by construction.)
+    organic_max = emb.agg(F.max("vec_id")).first()[0]
+    assert organic_max < base, (
+        f"organic ids reach {organic_max}, colliding with the planted "
+        f"base {base} — raise the base"
+    )
+    if organic_max >= family:
+        bases = emb.filter(F.col("vec_id") < family).select("vec_id")
+        orphans = (
+            emb.filter(F.col("vec_id") >= family)
+            .select((F.col("vec_id") % family).alias("vec_id"))
+            .distinct()
+            .join(bases, "vec_id", "left_anti")
+            .count()
+        )
+        assert orphans == 0, (
+            f"{orphans} organic ids >= {family} are not stride-aligned "
+            "copies of a base id — family-level recall would alias "
+            "unrelated vectors; use exact-id matching for this corpus"
+        )
     planted = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + base).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),

@@ -24,6 +24,9 @@ def _frames(spark):
             ("d3", "CVE-3", None, "Low", "Not Applicable", None, None, ["t1"]),
             # d4: no ref id -> drops
             ("d4", None, None, "Low", None, None, None, ["t1"]),
+            # d4b: EMPTY-STRING ref id -> drops too (parser.py:219-221 is a
+            # truthiness check, not a None check — ADVICE r10)
+            ("d4b", "", None, "Low", None, None, None, ["t1"]),
             # d5: only unknown-op / null-evr states -> empty range -> drops
             ("d5", "CVE-5", None, "Low", None, None, "2025-03-04", ["t3", "t4"]),
             # d6: first object name empty -> drops (even though t2's is not)

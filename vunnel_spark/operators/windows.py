@@ -91,6 +91,15 @@ def fill_down_global(
     global window would place them: they fill only from each other and
     contribute their last non-null value as carry to every later bucket.
     The carry join is null-safe so these rows are never dropped.
+
+    Tie precision: among rows with EQUAL (or all-null) ``order_col``
+    values, the per-bucket carry reduction picks the MAX VALUE (the
+    struct(order, value) comparison falls through to the value field),
+    whereas the naive window would return whichever row a
+    nondeterministic sort happened to place last.  Semantics therefore
+    match the naive window only up to that tie nondeterminism — any
+    value the naive window could legally return, this picks one of them
+    deterministically.
     """
     if bucket is None:
         bucket = F.expr(f"{order_col} div {bucket_size}")

@@ -127,7 +127,10 @@ def mariner_pipeline(
             F.col("patchable").isNull()
             | ~F.col("patchable").isin(*IGNORED_PATCHABLE_VALUES)
         )
+        # parser.py:219-221 drops FALSY vulnerability ids — empty string
+        # included, not just missing (ADVICE r10)
         & F.col("ref_id").isNotNull()
+        & (F.col("ref_id") != "")
     )
     resolved = resolve_criteria(live, tests)
     named = first_object_name(resolved, objects)
