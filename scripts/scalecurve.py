@@ -365,7 +365,79 @@ def run_debian1_scaled(sf_dir: str, id_scale: int, out_json: str) -> None:
     print(json.dumps(result, indent=1))
 
 
+def run_top10_sf10(out_json: str, top_n: int = 10) -> None:
+    """Push the most expensive non-headline registry queries to sf10.
+
+    Target list = top ``top_n`` by sf1 time from the committed
+    full-registry sweep (registry_sweep_r10.json), minus the HEADLINE
+    and everything already curved at sf10 in committed artifacts
+    (scalecurve_pairs_sf10_r10.json, scalecurve_llm_r10.json, debian1).
+
+    Each query runs in its OWN subprocess/SparkSession — running many
+    heavy sf10 queries inside one JVM accumulates executor state and
+    OOMs queries that pass in isolation (round-10 harness lesson).  A
+    subprocess failure is recorded as an error entry, not fatal, so one
+    OOM doesn't lose the rest of the curve."""
+    import subprocess
+    import tempfile
+
+    with open(os.path.join(REPO, "registry_sweep_r10.json")) as f:
+        sweep = json.load(f)["queries"]
+    done = set(HEADLINE) | {"debian1_legacy_merge_dag"}
+    for prior in ("scalecurve_pairs_sf10_r10.json", "scalecurve_llm_r10.json"):
+        p = os.path.join(REPO, prior)
+        if os.path.exists(p):
+            with open(p) as f:
+                done |= set(json.load(f))
+    ranked = sorted(
+        (
+            (v["sf1"], name)
+            for name, v in sweep.items()
+            if isinstance(v, dict)
+            and isinstance(v.get("sf1"), (int, float))
+            and name not in done
+        ),
+        reverse=True,
+    )
+    targets = [name for _, name in ranked[:top_n]]
+    merged: dict[str, object] = {
+        "_method": (
+            f"top {top_n} non-headline registry queries by sf1 time "
+            "(registry_sweep_r10.json), excluding those already curved at "
+            "sf10 in committed artifacts; each at sf0.1 AND sf10 (100x "
+            "data) in its own subprocess session, 1 warm-up + measured "
+            "min. Regenerate: scalecurve.py --top10-sf10 <out>"
+        ),
+        "_targets": targets,
+    }
+    for name in targets:
+        tmp = tempfile.mktemp(prefix=f"top10_{name}_", suffix=".json")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), tmp,
+             f"only:{name}", "sf0.1,sf10"],
+            capture_output=True, text=True,
+        )
+        if proc.returncode == 0 and os.path.exists(tmp):
+            with open(tmp) as f:
+                merged[name] = json.load(f)[name]
+            os.remove(tmp)
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            merged[name] = {"error": " | ".join(tail[-3:]) or
+                            f"exit {proc.returncode}"}
+        print(f"{name}: {json.dumps(merged[name])}", flush=True)
+        with open(out_json, "w") as f:  # checkpoint after every query
+            json.dump(merged, f, indent=1)
+    print(json.dumps(merged, indent=1))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--top10-sf10":
+        out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            REPO, "scalecurve_top10_r11.json"
+        )
+        run_top10_sf10(out)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--debian1-scaled":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
             REPO, ".scaledata", "sf10"
