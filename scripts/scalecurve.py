@@ -299,9 +299,98 @@ def run_scaled_ann(sf_dir: str, out_json: str) -> None:
     }
     print("n8 control:", results["n8_flat_adc_control"], flush=True)
 
+    # --- d7 embedding_dup_pairs, scaled bits (round 11: the top10-sf10
+    # push found the REGISTERED d7 — gate-pinned n_bits=8 — OOMs at sf10:
+    # 8 bits on a 2.88M corpus means ~11k members per bucket, and the
+    # per-bucket pair array is tens of GB in one row.  d7 joins the
+    # documented fixed-granularity class: bits must scale with
+    # log2(n/target_bucket).  Recall here = every planted near-dup pairs
+    # with a family member at >= 0.9 (its 2%-perturbed source sits at
+    # cosine ~0.9998, so a bucket collision is the only way to miss).
+    # NOTE the sf10 geometry is additionally output-bound BY CORPUS
+    # CONSTRUCTION: the scale data carries ~100 identical copies per
+    # source vector, so the TRUE >=0.9 pair set is ~(copies^2)/2 per
+    # family (~170M rows at sf10) — a real pipeline runs exact dedup
+    # (d1/m6) before embedding dedup precisely so identical copies never
+    # reach the pair stage; sf1 (~11 copies/family) is the largest SF at
+    # which measuring the full pair set is meaningful.
+    from vunnel_spark.operators.dedup import embedding_dup_pairs
+
+    dt, rows = _timed(
+        lambda: embedding_dup_pairs(
+            corpus, threshold=0.9, n_tables=4, n_bits=bits
+        )
+        .filter(family_match("id_a", "id_b"))
+        .select(F.explode(F.array("id_a", "id_b")).alias("v"))
+        .filter(F.col("v") >= base)
+        .distinct()
+        .count()
+    )
+    results["d7_embedding_dup_pairs"] = {
+        "time_s": dt, "granularity": f"bits={bits}x4tables",
+        "planted_recall": round(rows / n_planted, 4),
+    }
+    print("d7:", results["d7_embedding_dup_pairs"], flush=True)
+
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
+
+
+def run_d7_scaled(sf_dir: str, out_json: str) -> None:
+    """d7's gate workload with corpus-scaled LSH bits, at any SF.
+
+    The round-11 top10-sf10 push found the registered d7 (gate-pinned
+    n_bits=8) fails at sf10 twice over: the ORIGINAL operator shape
+    collected bucket members with their vectors and materialized the
+    per-bucket pair array in one row (OOM — fixed this round: thin id
+    buckets + candidate-only vector joins, minhash_lsh_pairs'
+    discipline), and the FIXED shape at 8 bits still generates ~450M
+    pre-distinct candidates because ~937-member buckets pair
+    quadratically — it spills correctly now (cluster-feasible) but
+    exceeds this box's disk.  The production config is the documented
+    ANN scaling rule: bits ~ log2(n/target_bucket).  This mode measures
+    exactly that: the gate's planted workload, threshold 0.9, scaled
+    bits, family-level recall (the scale corpora carry genuine
+    0.999-cosine copy families — the documented dup-density caveat — so
+    the within-family pair set IS the true answer)."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.operators.dedup import embedding_dup_pairs
+    from vunnel_spark.session import get_spark, load_table
+
+    spark = get_spark("d7-scaled")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base, family = 100_000_000, 1_000_000
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + base).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted).persist()
+    n_corpus = corpus.count()
+    n_planted = planted.count()
+    bits = scaled_bits(n_corpus)
+    dt, found = _timed(
+        lambda: embedding_dup_pairs(
+            corpus, threshold=0.9, n_tables=4, n_bits=bits
+        )
+        .filter((F.col("id_a") % family) == (F.col("id_b") % family))
+        .select(F.explode(F.array("id_a", "id_b")).alias("v"))
+        .filter(F.col("v") >= base)
+        .distinct()
+        .count()
+    )
+    result = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "bits": bits,
+        "time_s": dt,
+        "planted": n_planted,
+        "planted_recall": round(found / max(1, n_planted), 4),
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
 
 
 def run_osv1_pipeline(sf_dir: str, out_json: str) -> None:
@@ -456,6 +545,15 @@ def main() -> None:
             REPO, "scaled_ann_results.json"
         )
         run_scaled_ann(sf_dir, out)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--d7-scaled":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            REPO, ".scaledata", "sf10"
+        )
+        out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+            REPO, "d7_scaled_results.json"
+        )
+        run_d7_scaled(sf_dir, out)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--osv1-pipeline":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(

@@ -82,53 +82,76 @@ def embedding_dup_pairs(
     n_tables: int = 4,
     n_bits: int = 8,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets.
 
     Candidate pairs come from random-hyperplane bucket collisions
     (operators/similarity.py) — a self-equi-join on (table, bucket), never
     a cross join; cosine is then scored only on candidates.
+
+    Same shape discipline as minhash_lsh_pairs: bucket rows carry IDS
+    ONLY (the round-11 sf10 push found the old shape — member lists with
+    their 64-dim vectors attached — materializes a multi-hundred-MB pair
+    array in a single row whenever near-parallel families skew a bucket,
+    and OOMs the executor).  Ids group thin, successor pairs emit thin,
+    distinct dedups thin; vectors join back for the cosine verify only on
+    candidate ids (broadcast semi-join first, so the verify never
+    re-shuffles the corpus).  ``max_bucket_size`` is the standard LSH
+    skew cap (see minhash_lsh_pairs): a bucket of B members emits
+    B(B-1)/2 pairs, so one degenerate bucket can dominate the job; at
+    corpus scale cap it and let the within-family pairs surface through
+    exact dedup / a representative pass instead.
     """
     from vunnel_spark.functions.vectors import cosine
     from vunnel_spark.operators.similarity import add_lsh_buckets
 
     b = add_lsh_buckets(df, vec_col, n_tables, n_bits, dim).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.col(id_col).alias("id"),
         F.posexplode("buckets").alias("t", "bucket"),
     )
-    # in-bucket pair generation (see minhash_lsh_pairs): group collision
-    # members per (table, bucket) and emit successor combinations — the
-    # hashing pipeline runs once, where a self-join would run it per side.
-    # Members carry their vectors so the cosine scores without re-joining
-    # the corpus.
     grouped = (
         b.groupBy("t", "bucket")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("id"), F.col("vec")))
-            ).alias("members")
-        )
-        .filter(F.size("members") >= 2)
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # ids are sorted, so successor pairing yields canonical id_a < id_b
     pair_structs = F.flatten(
         F.transform(
-            F.col("members"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"), y["id"].alias("id_b"),
-                    x["vec"].alias("_va"), y["vec"].alias("_vb"),
-                ),
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
     )
     cand = (
         grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p._va", "p._vb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .persist()  # feeds two branches below; see minhash_lsh_pairs
     )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).join(F.broadcast(cand_ids), "id", "left_semi").persist()
+    vecs.count()  # one action fills BOTH caches (cand is upstream)
     return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("_va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb")),
+            "id_b",
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -44,9 +44,12 @@ from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
 #: Round 11: debian2 (the new corpus-proportional id-space gate for the
-#: debian DAG — regression-guards the sf10 OOM class found in r10).
+#: debian DAG — regression-guards the sf10 OOM class found in r10); d7
+#: (embedding_dup_pairs reordered to score-then-dedup so the candidate
+#: exchange stops carrying vectors — same result set, changed plan).
 GATE_PRIORITY = [
     "debian2_legacy_merge_scaled",
+    "d7_embedding_dup_pairs",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
