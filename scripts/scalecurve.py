@@ -454,13 +454,24 @@ def run_debian1_scaled(sf_dir: str, id_scale: int, out_json: str) -> None:
     print(json.dumps(result, indent=1))
 
 
+#: fixed-granularity ANN retrieval gates: their planted-query workload
+#: scales queries x corpus (quadratic) BY GATE CONSTRUCTION, so an sf10
+#: wall-clock says nothing about the operator — their scale story is the
+#: config-scaling demonstrations (--scaled-ann / --d7-scaled, recall
+#: verified), same adjudication as the r10 sweep's sf1 exclusions.
+_ANN_GEOMETRY_SKIP = ("n9_ivfpq_topk", "n2_ann_lsh_topk", "n7_pq_adc_topk")
+
+
 def run_top10_sf10(out_json: str, top_n: int = 10) -> None:
     """Push the most expensive non-headline registry queries to sf10.
 
     Target list = top ``top_n`` by sf1 time from the committed
-    full-registry sweep (registry_sweep_r10.json), minus the HEADLINE
-    and everything already curved at sf10 in committed artifacts
-    (scalecurve_pairs_sf10_r10.json, scalecurve_llm_r10.json, debian1).
+    full-registry sweep (registry_sweep_r10.json), minus the HEADLINE,
+    everything already curved at sf10 in committed artifacts
+    (scalecurve_pairs_sf10_r10.json, scalecurve_llm_r10.json, debian1),
+    the fixed-granularity ANN gates (_ANN_GEOMETRY_SKIP), and — when
+    ``out_json`` already exists — its own prior entries, so re-invoking
+    with a larger ``top_n`` CONTINUES the curve instead of re-measuring.
 
     Each query runs in its OWN subprocess/SparkSession — running many
     heavy sf10 queries inside one JVM accumulates executor state and
@@ -473,11 +484,17 @@ def run_top10_sf10(out_json: str, top_n: int = 10) -> None:
     with open(os.path.join(REPO, "registry_sweep_r10.json")) as f:
         sweep = json.load(f)["queries"]
     done = set(HEADLINE) | {"debian1_legacy_merge_dag"}
+    done |= set(_ANN_GEOMETRY_SKIP)
     for prior in ("scalecurve_pairs_sf10_r10.json", "scalecurve_llm_r10.json"):
         p = os.path.join(REPO, prior)
         if os.path.exists(p):
             with open(p) as f:
                 done |= set(json.load(f))
+    merged: dict[str, object] = {}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            merged = json.load(f)
+        done |= {k for k in merged if not k.startswith("_")}
     ranked = sorted(
         (
             (v["sf1"], name)
@@ -489,16 +506,19 @@ def run_top10_sf10(out_json: str, top_n: int = 10) -> None:
         reverse=True,
     )
     targets = [name for _, name in ranked[:top_n]]
-    merged: dict[str, object] = {
-        "_method": (
-            f"top {top_n} non-headline registry queries by sf1 time "
-            "(registry_sweep_r10.json), excluding those already curved at "
-            "sf10 in committed artifacts; each at sf0.1 AND sf10 (100x "
-            "data) in its own subprocess session, 1 warm-up + measured "
-            "min. Regenerate: scalecurve.py --top10-sf10 <out>"
-        ),
-        "_targets": targets,
-    }
+    merged["_method"] = (
+        "most expensive non-headline registry queries by sf1 time "
+        "(registry_sweep_r10.json), excluding those already curved at "
+        "sf10 in committed artifacts and the fixed-granularity ANN gates "
+        "(quadratic queries-x-corpus workload by gate construction — see "
+        "--scaled-ann); each at sf0.1 AND sf10 (100x data) in its own "
+        "subprocess session, 1 warm-up + measured min. Resumable: "
+        "re-invoke with the same out file to continue. Regenerate: "
+        "scalecurve.py --top10-sf10 <out> [top_n]"
+    )
+    merged["_targets"] = sorted(
+        set(merged.get("_targets", [])) | set(targets)
+    )
     for name in targets:
         tmp = tempfile.mktemp(prefix=f"top10_{name}_", suffix=".json")
         proc = subprocess.run(
@@ -525,7 +545,8 @@ def main() -> None:
         out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
             REPO, "scalecurve_top10_r11.json"
         )
-        run_top10_sf10(out)
+        top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        run_top10_sf10(out, top_n=top_n)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--debian1-scaled":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
