@@ -158,3 +158,125 @@ def test_patched_records_validate_against_osv_schema(patched):
              "item": {"modified": "2026-01-01T00:00:00Z"}}
     with _pytest.raises(jsonschema.ValidationError):
         validate_envelope_docs([no_id], OSV_SCHEMA)
+
+
+def test_rocky_normalize_ecosystem(spark):
+    """providers/rocky/parser.py:69-74: 'Rocky Linux:<v>' (any case,
+    exactly one colon) -> 'rocky:<v>'; everything else lowercases."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.pipelines.osv import rocky_normalize_ecosystem
+
+    rows = spark.createDataFrame(
+        [("Rocky Linux:8",), ("rocky linux:9.2",), ("Rocky Linux:8:extra",),
+         ("Rocky Linux",), ("AlmaLinux:8",), ("PyPI",)],
+        "eco string",
+    )
+    got = [
+        r["out"]
+        for r in rows.select(
+            rocky_normalize_ecosystem(F.col("eco")).alias("out")
+        ).collect()
+    ]
+    assert got == [
+        "rocky:8", "rocky:9.2", "rocky linux:8:extra",
+        "rocky linux", "almalinux:8", "pypi",
+    ]
+
+
+def test_ecosystem_processor_rewrites_lookup_only(spark):
+    """The rocky hook: the store keys by 'rocky:8' while the advisory
+    says 'Rocky Linux:8' — the processed key must hit, and the emitted
+    record must still carry the ORIGINAL ecosystem (utils/osv.py:47-48
+    rewrites a local variable, never the document)."""
+    import datetime
+
+    from vunnel_spark.pipelines.osv import (
+        osv_patch_fix_dates,
+        rocky_normalize_ecosystem,
+    )
+
+    schema = (
+        "id string, published timestamp, affected array<struct<"
+        "package: struct<name: string, ecosystem: string>, "
+        "ranges: array<struct<type: string, "
+        "events: array<struct<introduced: string, fixed: string>>>>>>"
+    )
+    advisories = spark.createDataFrame(
+        [{
+            "id": "RLSA-2025:1",
+            "published": datetime.datetime(2026, 1, 1),
+            "affected": [{
+                "package": {"name": "kernel", "ecosystem": "Rocky Linux:8"},
+                "ranges": [{
+                    "type": "ECOSYSTEM",
+                    "events": [{"introduced": None, "fixed": "5.14-1"}],
+                }],
+            }],
+        }],
+        schema,
+    )
+    fixdates = spark.createDataFrame(
+        [("RLSA-2025:1", "kernel", "rocky:8", "5.14-1",
+          datetime.date(2025, 11, 1), "observed", True)],
+        "vuln_id string, package string, ecosystem string, fix_version string, "
+        "date date, kind string, accurate boolean",
+    )
+    out = {
+        r["id"]: r.asDict(recursive=True)
+        for r in osv_patch_fix_dates(
+            advisories, fixdates, ecosystem_processor=rocky_normalize_ecosystem
+        ).collect()
+    }
+    aff = out["RLSA-2025:1"]["affected"][0]
+    assert aff["package"]["ecosystem"] == "Rocky Linux:8"  # untouched
+    assert aff["ranges"][0]["database_specific"]["anchore"]["fixes"] == [
+        {"version": "5.14-1", "date": "2025-11-01", "kind": "observed"}
+    ]
+
+
+def test_falsy_package_or_ecosystem_skips_even_fallback(spark):
+    """utils/osv.py:39-46 continues BEFORE the range loop on a falsy
+    package name or ecosystem: no store lookup AND no published-date
+    fallback — the range passes through unpatched."""
+    import datetime
+
+    from vunnel_spark.pipelines.osv import osv_patch_fix_dates
+
+    schema = (
+        "id string, published timestamp, affected array<struct<"
+        "package: struct<name: string, ecosystem: string>, "
+        "ranges: array<struct<type: string, "
+        "events: array<struct<introduced: string, fixed: string>>>>>>"
+    )
+    rng = [{"type": "ECOSYSTEM",
+            "events": [{"introduced": None, "fixed": "1.0"}]}]
+    advisories = spark.createDataFrame(
+        [
+            {"id": "OSV-E1", "published": datetime.datetime(2026, 1, 1),
+             "affected": [{"package": {"name": "", "ecosystem": "apk"},
+                           "ranges": rng}]},
+            {"id": "OSV-E2", "published": datetime.datetime(2026, 1, 1),
+             "affected": [{"package": {"name": "curl", "ecosystem": None},
+                           "ranges": rng}]},
+            {"id": "OSV-E3", "published": datetime.datetime(2026, 1, 1),
+             "affected": [{"package": {"name": "curl", "ecosystem": "apk"},
+                           "ranges": rng}]},
+        ],
+        schema,
+    )
+    fixdates = spark.createDataFrame(
+        [],
+        "vuln_id string, package string, ecosystem string, fix_version string, "
+        "date date, kind string, accurate boolean",
+    )
+    out = {
+        r["id"]: r.asDict(recursive=True)
+        for r in osv_patch_fix_dates(advisories, fixdates).collect()
+    }
+    assert out["OSV-E1"]["affected"][0]["ranges"][0]["database_specific"] is None
+    assert out["OSV-E2"]["affected"][0]["ranges"][0]["database_specific"] is None
+    # control: a well-formed entry still gets the published fallback
+    assert out["OSV-E3"]["affected"][0]["ranges"][0]["database_specific"][
+        "anchore"
+    ]["fixes"] == [{"version": "1.0", "date": "2026-01-01", "kind": "advisory"}]

@@ -33,7 +33,22 @@ from pyspark.sql import functions as F
 from vunnel_spark.operators.windows import priority_pick
 
 
-def osv_patch_fix_dates(advisories: DataFrame, fixdates: DataFrame) -> DataFrame:
+def rocky_normalize_ecosystem(eco):
+    """Rocky's fix-date lookup ecosystem (providers/rocky/parser.py:
+    69-74): 'Rocky Linux:<v>' (case-insensitive, exactly one colon)
+    -> 'rocky:<v>', anything else lowercased whole."""
+    parts = F.split(eco, ":", -1)
+    return F.when(
+        (F.size(parts) == 2) & (F.lower(parts[0]) == "rocky linux"),
+        F.concat(F.lit("rocky:"), parts[1]),
+    ).otherwise(F.lower(eco))
+
+
+def osv_patch_fix_dates(
+    advisories: DataFrame,
+    fixdates: DataFrame,
+    ecosystem_processor=None,
+) -> DataFrame:
     """Return ``advisories`` with per-range fix dates patched in.
 
     ``advisories``: (id, published timestamp, affected array<struct<
@@ -42,10 +57,19 @@ def osv_patch_fix_dates(advisories: DataFrame, fixdates: DataFrame) -> DataFrame
     ``fixdates``:   (vuln_id, package, ecosystem, fix_version,
                      date date, kind, accurate boolean)
 
+    ``ecosystem_processor`` (Column -> Column) rewrites the LOOKUP
+    ecosystem only — the record's package.ecosystem passes through
+    unchanged, exactly like the reference's hook (utils/osv.py:47-48;
+    rocky passes ``normalize_ecosystem`` -> rocky_normalize_ecosystem
+    here, bitnami/alma pass nothing).
+
     Output schema matches the input with ``database_specific
     .anchore.fixes`` added to each range that has any fixed event
     (osv.py:104-108: only set when fixes were found).  Empty ``affected``
-    / ``ranges`` arrays pass through as empty arrays.
+    / ``ranges`` arrays pass through as empty arrays.  Affected entries
+    with a falsy package name or ecosystem get NO fixes at all — not
+    even the published-date fallback (osv.py:39-46 ``continue``s before
+    the range loop).
 
     Determinism requirement: the nested arrays in ``advisories`` must be
     DETERMINISTIC per row (e.g. array_sort'ed if built via collect_list).
@@ -64,14 +88,23 @@ def osv_patch_fix_dates(advisories: DataFrame, fixdates: DataFrame) -> DataFrame
         F.col("aff.package").alias("package"),
         F.posexplode_outer("aff.ranges").alias("r_pos", "rng"),
     )
+    raw_eco = F.col("package.ecosystem")
     ev = (
-        rg.select(
+        # falsy name/ecosystem skip the whole patch, fallback included
+        # (osv.py:39-46); the guard tests the RAW values, pre-processor
+        rg.filter(
+            (F.coalesce(F.col("package.name"), F.lit("")) != "")
+            & (F.coalesce(raw_eco, F.lit("")) != "")
+        )
+        .select(
             "id",
             "published",
             "a_pos",
             "r_pos",
             F.col("package.name").alias("pkg"),
-            F.col("package.ecosystem").alias("eco"),
+            (ecosystem_processor(raw_eco) if ecosystem_processor else raw_eco).alias(
+                "eco"
+            ),
             F.explode("rng.events").alias("ev"),
         )
         .filter(F.col("ev.fixed").isNotNull())
