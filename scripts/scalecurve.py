@@ -462,6 +462,72 @@ def run_debian1_scaled(sf_dir: str, id_scale: int, out_json: str) -> None:
 _ANN_GEOMETRY_SKIP = ("n9_ivfpq_topk", "n2_ann_lsh_topk", "n7_pq_adc_topk")
 
 
+def run_cc_profile(sf_dirs: list[str], out_json: str) -> None:
+    """Split g1's cost into pair generation vs closure, per SF.
+
+    The round-11 top10-sf10 curve put g1_dup_components at 56x on 100x
+    data — the worst ratio in the registry.  g1 composes two stages with
+    different scaling laws: exact-Jaccard pair generation (d4's core —
+    pair count grows quadratically inside dup families, the adjudicated
+    dup-dense-corpus class) and the large-star/small-star closure, which
+    should be ~linear in EDGES x rounds.  This mode materializes the
+    pair set to parquet first, then times connected_components alone
+    with round/edge instrumentation, so the closure's own scaling is
+    measured against its true input size, not the corpus SF.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.operators.dedup import ngram_jaccard_pairs
+    from vunnel_spark.operators.graph import connected_components
+    from vunnel_spark.queries._util import with_near_dups
+    from vunnel_spark.session import get_spark, load_table
+
+    spark = get_spark("cc-profile")
+    results: dict[str, object] = {
+        "_method": "g1 decomposed: pairs materialized to parquet (timed), "
+        "then connected_components alone (timed, with rounds/edges from "
+        "the operator's stats hook).  Regenerate: scalecurve.py "
+        "--cc-profile <out> [sf_dir,...]",
+    }
+    for sf_dir in sf_dirs:
+        label = os.path.basename(sf_dir.rstrip("/"))
+        docs = with_near_dups(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        tmp = tempfile.mkdtemp(prefix="ccprof_")
+        try:
+            pairs_path = os.path.join(tmp, "pairs")
+            t_pairs, _ = _timed(
+                lambda: ngram_jaccard_pairs(docs, threshold=0.8)
+                .select("id_a", "id_b")
+                .write.mode("overwrite")
+                .parquet(pairs_path)
+            )
+            pairs = spark.read.parquet(pairs_path)
+            stats: dict = {}
+            t_cc, n_nodes = _timed(
+                lambda: connected_components(
+                    pairs, "id_a", "id_b", stats=stats
+                ).count()
+            )
+            results[label] = {
+                "pairs_sec": round(t_pairs, 3),
+                "cc_sec": round(t_cc, 3),
+                "edges_in": stats.get("edges_in"),
+                "rounds": stats.get("rounds"),
+                "nodes_out": n_nodes,
+            }
+            print(label, results[label], flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
 def run_top10_sf10(out_json: str, top_n: int = 10) -> None:
     """Push the most expensive non-headline registry queries to sf10.
 
@@ -547,6 +613,17 @@ def main() -> None:
         )
         top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
         run_top10_sf10(out, top_n=top_n)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--cc-profile":
+        out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+            REPO, "cc_profile_r11.json"
+        )
+        dirs = (
+            sys.argv[3].split(",")
+            if len(sys.argv) > 3
+            else ["/root/testdata/sf0.1", os.path.join(REPO, ".scaledata", "sf10")]
+        )
+        run_cc_profile(dirs, out)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--debian1-scaled":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(

@@ -75,12 +75,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve the undirected graph of ``edges`` into components.
 
     Returns ``(node, component)`` — one row per distinct node appearing in
     the edge list, where ``component`` is the minimum node id reachable
     from it (a canonical, deterministic cluster representative).
+
+    ``stats``, when given, is filled with ``edges_in`` (distinct input
+    edges), ``rounds`` (star iterations run), and ``edges_fixpoint`` —
+    the scale-audit instrumentation (scalecurve.py --cc-profile); it
+    adds no extra jobs, only records the signatures the loop already
+    computes.
     """
     e0 = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -98,7 +105,11 @@ def connected_components(
         F.expr("bit_xor(xxhash64(u, v))").alias("h"),
     ]
     sig = e.agg(*_sig_cols).first()
+    if stats is not None:
+        stats["edges_in"] = sig["n"]
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         e2 = (
             _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
         )
@@ -107,6 +118,9 @@ def connected_components(
         if (sig2["n"], sig2["h"]) == (sig["n"], sig["h"]):
             break
         sig = sig2
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges_fixpoint"] = sig["n"]
     # at fixpoint every edge is (member -> component min); a node can still
     # carry >1 edge if max_iter cut iteration short — min() keeps the
     # result well-defined either way.
