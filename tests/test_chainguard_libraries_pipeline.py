@@ -1,0 +1,151 @@
+"""openvex_pipeline branch semantics (chainguard_libraries/
+openvex_parser.py:140-270).
+
+Hand-built OpenVEX documents hit every branch: nameless-statement
+drops, last-statement-wins per document, the product filter (purl
+fallback to @id, pypi '+cgr.' / maven '.cgr.' fragments, missing
+version, unsupported types), the status contract, the advisory-
+timestamp candidate vs accurate store hits, and fixes ordering.
+"""
+
+from __future__ import annotations
+
+from vunnel_spark.pipelines.chainguard_libraries import openvex_pipeline
+
+_SCHEMA = (
+    "ecosystem string, doc_pos long, statements array<struct<"
+    "vulnerability struct<name string>, status string, timestamp string, "
+    "products array<struct<id string, identifiers struct<purl string>>>>>"
+)
+
+
+def _p(purl=None, at_id=None):
+    return (at_id, (purl,))
+
+
+def _run(spark, rows, fixdates=None):
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = openvex_pipeline(df, fixdates)
+    return {
+        (r["ecosystem"], r["vuln_id"]): r.asDict(recursive=True)
+        for r in out.collect()
+    }
+
+
+def test_product_filter_and_purl_fallback(spark):
+    out = _run(
+        spark,
+        [
+            ("python", 0, [
+                (("CVE-1",), "fixed", "2025-01-02T03:04:05Z", [
+                    # keeps: pypi purl with +cgr. fragment
+                    _p(purl="pkg:pypi/flask@2.0.1+cgr.1"),
+                    # keeps: @id fallback when identifiers.purl empty
+                    _p(purl="", at_id="pkg:maven/org.x/lib@1.2.cgr.3"),
+                    # drops: wrong fragment for type
+                    _p(purl="pkg:pypi/django@4.0.cgr.1"),
+                    # drops: unsupported type
+                    _p(purl="pkg:npm/leftpad@1.0+cgr.1"),
+                    # drops: no version
+                    _p(purl="pkg:pypi/flask"),
+                    # drops: no purl at all
+                    _p(),
+                ]),
+            ]),
+        ],
+    )
+    rec = out[("python", "CVE-1")]
+    kept = [
+        (p["identifiers"]["purl"], p["id"]) for p in rec["document"]["products"]
+    ]
+    assert kept == [
+        ("pkg:pypi/flask@2.0.1+cgr.1", None),
+        ("", "pkg:maven/org.x/lib@1.2.cgr.3"),
+    ]
+    # both fixes fall back to the advisory timestamp candidate
+    assert rec["fixes"] == [
+        {"product": "pkg:pypi/flask@2.0.1+cgr.1",
+         "available": {"date": "2025-01-02", "kind": "advisory"}},
+        {"product": "pkg:maven/org.x/lib@1.2.cgr.3",
+         "available": {"date": "2025-01-02", "kind": "advisory"}},
+    ]
+    assert rec["link"] == "https://images.chainguard.dev/security/CVE-1"
+
+
+def test_nameless_drop_last_wins_and_status_contract(spark):
+    out = _run(
+        spark,
+        [
+            ("python", 0, [
+                # nameless -> dropped
+                ((None,), "fixed", "2025-01-01T00:00:00Z",
+                 [_p(purl="pkg:pypi/a@1+cgr.1")]),
+                # first CVE-2 statement: would keep product a
+                (("CVE-2",), "fixed", "2025-01-01T00:00:00Z",
+                 [_p(purl="pkg:pypi/a@1+cgr.1")]),
+                # LAST CVE-2 statement wins (different product set)
+                (("CVE-2",), "Fixed", "2025-02-01T00:00:00Z",
+                 [_p(purl="pkg:pypi/b@2+cgr.1")]),
+                # non-fixed status: reference raises; pipeline drops
+                (("CVE-3",), "under_investigation", "2025-01-01T00:00:00Z",
+                 [_p(purl="pkg:pypi/c@3+cgr.1")]),
+                # missing status is fine
+                (("CVE-4",), None, None, [_p(purl="pkg:pypi/d@4+cgr.1")]),
+            ]),
+        ],
+    )
+    assert set(out) == {("python", "CVE-2"), ("python", "CVE-4")}
+    rec2 = out[("python", "CVE-2")]
+    assert rec2["document"]["timestamp"] == "2025-02-01T00:00:00Z"
+    assert [f["product"] for f in rec2["fixes"]] == ["pkg:pypi/b@2+cgr.1"]
+    # no timestamp and no store -> no fixes, empty array (not null)
+    assert out[("python", "CVE-4")]["fixes"] == []
+
+
+def test_store_hit_beats_advisory_candidate(spark):
+    import datetime
+
+    fixdates = spark.createDataFrame(
+        [("CVE-5", "flask", "2.0.1+cgr.1", "pypi",
+          datetime.date(2024, 12, 1), "first-observed", True)],
+        "vuln_id string, package string, fix_version string, "
+        "ecosystem string, date date, kind string, accurate boolean",
+    )
+    out = _run(
+        spark,
+        [
+            ("python", 0, [
+                (("CVE-5",), "fixed", "2025-01-15T00:00:00Z", [
+                    _p(purl="pkg:pypi/flask@2.0.1+cgr.1"),
+                    _p(purl="pkg:pypi/jinja2@3.1+cgr.2"),
+                ]),
+            ]),
+        ],
+        fixdates=fixdates,
+    )
+    fixes = out[("python", "CVE-5")]["fixes"]
+    # flask: the accurate store hit is EARLIER-dated and accurate — wins;
+    # jinja2: no store row -> advisory candidate
+    assert fixes == [
+        {"product": "pkg:pypi/flask@2.0.1+cgr.1",
+         "available": {"date": "2024-12-01", "kind": "first-observed"}},
+        {"product": "pkg:pypi/jinja2@3.1+cgr.2",
+         "available": {"date": "2025-01-15", "kind": "advisory"}},
+    ]
+
+
+def test_same_vuln_across_ecosystem_docs_stays_separate(spark):
+    out = _run(
+        spark,
+        [
+            ("python", 0, [
+                (("CVE-6",), "fixed", "2025-01-01T00:00:00Z",
+                 [_p(purl="pkg:pypi/a@1+cgr.1")]),
+            ]),
+            ("java", 1, [
+                (("CVE-6",), "fixed", "2025-01-01T00:00:00Z",
+                 [_p(purl="pkg:maven/g/a@1.cgr.1")]),
+            ]),
+        ],
+    )
+    assert set(out) == {("python", "CVE-6"), ("java", "CVE-6")}

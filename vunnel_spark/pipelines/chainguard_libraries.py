@@ -1,0 +1,226 @@
+"""Chainguard Libraries OpenVEX pipeline (SURVEY §2 provider-family
+proof — the last distinct reference parse shape: OpenVEX documents).
+
+Reference flow (/root/reference/src/vunnel/providers/chainguard_libraries/
+openvex_parser.py: 88-93 ``build_reference_links``, 140-156 ``_finalize``,
+172-187 ``_validate_statement``, 189-203 ``_build_date_candidates``,
+205-234 ``_collect_product_fixes``, 236-258 ``_filter_statements``,
+260-270 ``_get_purl``):
+
+    OpenVEX docs (one per ecosystem directory) -> statements[]
+    ->  statements without vulnerability.name drop; within a document,
+        the LAST statement for a name wins (the reference's dict
+        comprehension overwrites earlier entries)
+    ->  products filter (order-preserving): purl = identifiers.purl,
+        falling back to @id; keep only purl type pypi/maven whose
+        version carries the type's chainguard fragment
+        ('+cgr.' / '.cgr.')
+    ->  status, when present, must be 'fixed' (any case) — the
+        reference RAISES on anything else (a data contract, upstream
+        only publishes fixed statements); this pipeline drops such
+        statements instead of aborting the run, the one documented
+        deviation (a declarative plan has no per-row abort)
+    ->  date candidates: the statement timestamp through
+        normalize_date, as an accurate 'advisory' candidate
+    ->  fixes per surviving product with a purl version:
+        fixdater.best(vuln, purl.name, purl.version, purl.type,
+        candidates) — store hits and the advisory candidate compete
+        under the standard accurate-first pick (W1/J9)
+    ->  record per (ecosystem, vuln id): the filtered statement plus
+        the fixes list [{product, available{date, kind}}]
+
+The per-statement imperative walk is one posexplode + array filter;
+the fix pick is the shared priority_pick operator over the union of
+broadcast store hits and the statement's own candidate; re-assembly is
+one groupBy on the record key — the same one-shuffle shape as the
+other provider DAGs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vunnel_spark.functions.dates import normalize_date
+from vunnel_spark.operators.windows import priority_pick
+
+SECURITY_REFERENCE_URL = "https://images.chainguard.dev/security"
+
+#: purl type -> required chainguard version fragment
+#: (openvex_parser.py:242-245)
+ECOSYSTEM_FRAGMENTS = {"pypi": "+cgr.", "maven": ".cgr."}
+
+
+def purl_field(pid, part: str):
+    """purl components the reference reads via PackageURL: ``type``
+    (scheme segment), ``name`` (segment before '@' — the maven
+    artifact, the pypi name), ``version`` ('@' to end-of-purl,
+    qualifiers/subpath excluded)."""
+    pat = {
+        "type": r"^pkg:([^/]+)/",
+        "name": r"/([^/@]+)@",
+        "version": r"@([^?#]+)",
+    }[part]
+    return F.regexp_extract(F.coalesce(pid, F.lit("")), pat, 1)
+
+
+def _pid(p):
+    """identifiers.purl with the @id fallback (openvex_parser.py:260-270;
+    falsy strings fall through like the reference's walrus tests)."""
+    return F.coalesce(
+        F.nullif(p["identifiers"]["purl"], F.lit("")),
+        F.nullif(p["id"], F.lit("")),
+    )
+
+
+def filter_products(products):
+    """Keep chainguard-published artifacts only, in order
+    (openvex_parser.py:236-258)."""
+    return F.filter(
+        products,
+        lambda p: (
+            _pid(p).isNotNull()
+            & (
+                (
+                    (purl_field(_pid(p), "type") == "pypi")
+                    & purl_field(_pid(p), "version").contains("+cgr.")
+                )
+                | (
+                    (purl_field(_pid(p), "type") == "maven")
+                    & purl_field(_pid(p), "version").contains(".cgr.")
+                )
+            )
+            & (purl_field(_pid(p), "version") != "")
+        ),
+    )
+
+
+def openvex_pipeline(
+    docs: DataFrame,
+    fixdates: DataFrame | None = None,
+) -> DataFrame:
+    """docs(ecosystem string, doc_pos long, statements array<struct<
+    vulnerability struct<name string>, status string, timestamp string,
+    products array<struct<id string, identifiers struct<purl string>>>>>)
+    -> one record per (ecosystem, vulnerability id).
+
+    ``fixdates`` is the finder dimension (vuln_id, package, fix_version,
+    ecosystem, date date, kind, accurate boolean) — its ecosystem keys
+    by PURL TYPE (openvex_parser.py:224), not the provider namespace.
+    """
+    st = docs.select(
+        "ecosystem",
+        "doc_pos",
+        F.posexplode("statements").alias("s_pos", "stmt"),
+    ).filter(
+        (F.coalesce(F.col("stmt.vulnerability.name"), F.lit("")) != "")
+        # reference raises on a non-'fixed' status (docstring deviation)
+        & (
+            F.col("stmt.status").isNull()
+            | (F.lower(F.col("stmt.status")) == "fixed")
+        )
+    )
+    # within a document the LAST statement per name wins (_finalize's
+    # dict comprehension)
+    winner = priority_pick(
+        st.select(
+            "ecosystem",
+            "doc_pos",
+            "s_pos",
+            F.col("stmt.vulnerability.name").alias("vuln_id"),
+            F.col("stmt.status").alias("status"),
+            F.col("stmt.timestamp").alias("timestamp"),
+            filter_products(F.col("stmt.products")).alias("products"),
+        ),
+        ["ecosystem", "doc_pos", "vuln_id"],
+        [F.col("s_pos").desc()],
+    )
+    # the statement's own accurate 'advisory' candidate
+    winner = winner.withColumn(
+        "_adv_date", normalize_date(F.col("timestamp"), with_fallback=True)
+    )
+    prod = winner.select(
+        "ecosystem",
+        "doc_pos",
+        "vuln_id",
+        "_adv_date",
+        F.posexplode("products").alias("p_pos", "p"),
+    ).select(
+        "ecosystem",
+        "doc_pos",
+        "vuln_id",
+        "p_pos",
+        _pid(F.col("p")).alias("product"),
+        purl_field(_pid(F.col("p")), "name").alias("pkg"),
+        purl_field(_pid(F.col("p")), "version").alias("fix_version"),
+        purl_field(_pid(F.col("p")), "type").alias("purl_type"),
+        "_adv_date",
+    )
+    adv_cand = prod.filter(F.col("_adv_date").isNotNull()).select(
+        "ecosystem", "doc_pos", "vuln_id", "p_pos", "product",
+        F.col("_adv_date").alias("date"),
+        F.lit("advisory").alias("kind"),
+        F.lit(True).alias("accurate"),
+    )
+    if fixdates is not None:
+        dim = fixdates.filter(F.col("date").isNotNull()).select(
+            F.col("vuln_id"),
+            F.col("package").alias("pkg"),
+            F.col("fix_version"),
+            F.col("ecosystem").alias("purl_type"),
+            "date",
+            "kind",
+            "accurate",
+        )
+        store_cand = prod.join(
+            F.broadcast(dim), ["vuln_id", "pkg", "fix_version", "purl_type"]
+        ).select(*adv_cand.columns)
+        cand = store_cand.unionByName(adv_cand)
+    else:
+        cand = adv_cand
+    best = priority_pick(
+        cand,
+        ["ecosystem", "doc_pos", "vuln_id", "p_pos"],
+        [~F.col("accurate"), F.col("date"), F.col("kind")],
+    )
+    fixes = best.groupBy("ecosystem", "doc_pos", "vuln_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "p_pos",
+                        F.struct(
+                            F.col("product"),
+                            F.struct(
+                                F.col("date").cast("string").alias("date"),
+                                F.col("kind").alias("kind"),
+                            ).alias("available"),
+                        ).alias("fx"),
+                    )
+                )
+            ),
+            lambda s: s["fx"],
+        ).alias("fixes")
+    )
+    return (
+        winner.join(fixes, ["ecosystem", "doc_pos", "vuln_id"], "left")
+        .select(
+            "ecosystem",
+            "vuln_id",
+            F.struct(
+                F.struct(F.col("vuln_id").alias("name")).alias("vulnerability"),
+                "status",
+                "timestamp",
+                "products",
+            ).alias("document"),
+            F.coalesce(
+                "fixes",
+                F.array().cast(
+                    "array<struct<product:string,"
+                    "available:struct<date:string,kind:string>>>"
+                ),
+            ).alias("fixes"),
+            F.concat(
+                F.lit(SECURITY_REFERENCE_URL + "/"), F.col("vuln_id")
+            ).alias("link"),
+        )
+    )
