@@ -107,3 +107,23 @@ def test_cc_plan_has_no_cartesian(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     plan = connected_components(edges, "src", "dst")._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cc_stats_hook(spark):
+    """The scale-audit instrumentation (scalecurve.py --cc-profile)
+    records input edges, rounds run, and fixpoint edges — without
+    changing the result."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 1), (3, 2), (9, 9)], "src long, dst long"
+    )
+    stats: dict = {}
+    rows = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst", stats=stats).collect()
+    }
+    assert rows == {1: 1, 2: 1, 3: 1, 9: 9}
+    # distinct DIRECTED rows enter ((1,2),(2,1),(2,3),(3,2)); the (9,9)
+    # self-loop drops before counting
+    assert stats["edges_in"] == 4
+    assert stats["rounds"] >= 1
+    assert stats["edges_fixpoint"] == 2  # member->min mapping for 2,3

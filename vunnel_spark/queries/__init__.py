@@ -46,10 +46,16 @@ from vunnel_spark.registry import REGISTRY
 #: Round 11: debian2 (the new corpus-proportional id-space gate for the
 #: debian DAG — regression-guards the sf10 OOM class found in r10); d7
 #: (embedding_dup_pairs reordered to score-then-dedup so the candidate
-#: exchange stops carrying vectors — same result set, changed plan).
+#: exchange stops carrying vectors — same result set, changed plan);
+#: osv1/ubuntu2 (osv_patch_fix_dates now skips the whole patch —
+#: published-date fallback included — on falsy package name/ecosystem,
+#: matching utils/osv.py:39-46; re-oracled hash-green locally, fronted
+#: here so the external gate re-checks the changed plan too).
 GATE_PRIORITY = [
     "debian2_legacy_merge_scaled",
     "d7_embedding_dup_pairs",
+    "osv1_fixdate_patch",
+    "ubuntu2_osv_downconvert",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
