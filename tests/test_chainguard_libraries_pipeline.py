@@ -149,3 +149,27 @@ def test_same_vuln_across_ecosystem_docs_stays_separate(spark):
         ],
     )
     assert set(out) == {("python", "CVE-6"), ("java", "CVE-6")}
+
+
+def test_plan_shape_no_cartesian_store_broadcast(spark):
+    """Scale pin: the fix-date store joins broadcast against the
+    exploded product fact; nothing plans as a cartesian."""
+    import datetime
+
+    docs = spark.createDataFrame(
+        [("py", 0, [(("CVE-1",), "fixed", "2025-01-01T00:00:00Z",
+                     [_p(purl="pkg:pypi/a@1+cgr.1")])])],
+        _SCHEMA,
+    )
+    fx = spark.createDataFrame(
+        [("CVE-1", "a", "1+cgr.1", "pypi",
+          datetime.date(2024, 1, 1), "k", True)],
+        "vuln_id string, package string, fix_version string, "
+        "ecosystem string, date date, kind string, accurate boolean",
+    )
+    plan = (
+        openvex_pipeline(docs, fx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan

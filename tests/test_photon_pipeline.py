@@ -178,3 +178,30 @@ def test_advisory_join_and_fixdate_patch(spark):
     assert fi9["pkgb"]["Available"] == {"Date": "2021-07-01", "Kind": "first-observed"}
     assert fi9["pkgc"]["Available"] is None
     assert r9["Metadata"]["Issued"] is None
+
+
+def test_plan_shape_single_shuffle_broadcast_dims(spark):
+    """Scale pin (docstring contract): both dimensions broadcast and the
+    fact table shuffles exactly once, on the record key."""
+    import re
+
+    entries = spark.createDataFrame(
+        [("3.0", 0, "CVE-1", "p", 5.0, "Affected", "1")], _ENTRY_SCHEMA
+    )
+    advisories = spark.createDataFrame(
+        [("3.0", "CVE-1", "PHSA-1", "2021-01-01", "u")],
+        "version string, cve_id string, advisory_id string, "
+        "advisory_date string, advisory_url string",
+    )
+    fixdates = spark.createDataFrame(
+        [("CVE-1", "p", "1", "photon:3.0", "2021-01-02", "k")],
+        "vuln_id string, package string, fix_version string, "
+        "ecosystem string, date string, kind string",
+    )
+    plan = (
+        photon_pipeline(entries, advisories, fixdates)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 1, plan

@@ -150,3 +150,27 @@ def test_namespace_and_release_parameterization(spark):
     )
     assert out["CVE-6"]["NamespaceName"] == "secureos:1.0"
     assert out["CVE-6"]["FixedIn"][0]["NamespaceName"] == "secureos:1.0"
+
+
+def test_plan_shape_two_shuffles_no_broadcast_of_corpus(spark):
+    """Scale pin (docstring contract): the (vid, pkg) first-real pick is
+    a window (one hash exchange), assembly is the second; the corpus-
+    growing side is never a broadcast input (only the finder dim is)."""
+    import datetime  # noqa: F401
+    import re
+
+    pk = spark.createDataFrame(
+        [(0, "pkga", [("1.0-r1", ["CVE-1"])])], _SCHEMA
+    )
+    fx = spark.createDataFrame(
+        [("CVE-1", "pkga", "1.0-r1", "secureos:rolling", "2025-01-01", "k")],
+        "vuln_id string, package string, fix_version string, "
+        "ecosystem string, date string, kind string",
+    )
+    plan = (
+        secureos_pipeline(pk, fixdates=fx)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1, plan  # the finder dim only
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 2, plan
