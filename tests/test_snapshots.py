@@ -49,6 +49,7 @@ PIPELINE_DAGS = [
     "arch1_avg_assembly_dag",
     "hummingbird1_csaf_subset_dag",
     "mariner1_oval_graph_dag",
+    "photon1_advisory_patch_dag",
 ]
 
 

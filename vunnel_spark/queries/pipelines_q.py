@@ -1694,3 +1694,238 @@ def mariner1(spark, sf_dir):
         .alias("evr_operation"),
     )
     return mariner_pipeline(definitions, tests, objects, states)
+
+
+@register(
+    "photon1_advisory_patch_dag",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN '3.0' WHEN 1 THEN '4.0' ELSE '5.0' END AS ver,
+             CAST(o_orderkey % 1500 AS VARCHAR) AS cve_n
+      FROM orders
+    ), entries AS (
+      SELECT okey AS pos, ver,
+             CASE WHEN okey % 13 = 0 THEN 'BDSA-2025-' || cve_n
+                  WHEN okey % 17 = 0 THEN ''
+                  ELSE 'CVE-2025-' || cve_n END AS cve_id,
+             CASE WHEN okey % 11 = 0 THEN ''
+                  ELSE 'pkg' || CAST(okey % 40 AS VARCHAR) END AS pkg,
+             CASE CAST(okey % 7 AS INT) WHEN 1 THEN 9.5 WHEN 2 THEN 8.0
+                  WHEN 3 THEN 5.5 WHEN 4 THEN 2.0 WHEN 5 THEN 0.0 END AS score,
+             CASE WHEN okey % 5 = 0 THEN 'Not Affected'
+                  ELSE 'Affected' END AS status,
+             CASE WHEN okey % 23 = 0 THEN '0'
+                  WHEN okey % 4 = 0 THEN 'NA'
+                  WHEN okey % 4 = 1 THEN ''
+                  ELSE CAST(okey % 9 AS VARCHAR) || '.' ||
+                       CAST(okey % 5 AS VARCHAR) || '-' ||
+                       CAST(okey % 3 AS VARCHAR) END AS res_ver
+      FROM base
+    ), live AS (
+      SELECT pos, ver, cve_id, pkg, score, status,
+             CASE WHEN res_ver IN ('', 'NA') THEN 'None'
+                  ELSE res_ver END AS version,
+             CASE WHEN score IS NULL THEN 'Unknown'
+                  WHEN score >= 9.0 THEN 'Critical'
+                  WHEN score >= 7.0 THEN 'High'
+                  WHEN score >= 4.0 THEN 'Medium'
+                  WHEN score >= 0.1 THEN 'Low'
+                  ELSE 'Negligible' END AS tier
+      FROM entries
+      WHERE cve_id <> '' AND lower(cve_id) NOT LIKE 'bdsa%'
+    ), adv_files AS (
+      SELECT ver,
+             'PHSA-2021-' || ver || '-0' || cve_n AS advisory_id,
+             '2021-' || lpad(CAST(okey % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(okey % 28 + 1 AS VARCHAR), 2, '0') AS dt,
+             'https://github.com/vmware/photon/wiki/Security-Update-' ||
+               ver || '-' || cve_n AS url,
+             ['CVE-2025-' || cve_n,
+              'CVE-2025-' || CAST((okey + 7) % 1500 AS VARCHAR)] AS cves
+      FROM base
+      WHERE okey % 6 = 0 AND okey % 11 <> 0 AND okey % 7 <> 0
+    ), adv AS (
+      SELECT ver, cve_id, advisory_id, dt, url,
+             row_number() OVER (PARTITION BY ver, cve_id
+                                ORDER BY dt, advisory_id, url) AS rn
+      FROM (SELECT ver, unnest(cves) AS cve_id, advisory_id, dt, url
+            FROM adv_files)
+    ), advisory AS (
+      SELECT ver, cve_id, advisory_id, dt, url FROM adv WHERE rn = 1
+    ), fixdates AS (
+      SELECT DISTINCT
+             'CVE-2025-' || cve_n AS vuln_id,
+             'pkg' || CAST(okey % 40 AS VARCHAR) AS package,
+             CASE WHEN okey % 23 = 0 THEN '0'
+                  WHEN okey % 4 = 0 THEN 'NA'
+                  WHEN okey % 4 = 1 THEN ''
+                  ELSE CAST(okey % 9 AS VARCHAR) || '.' ||
+                       CAST(okey % 5 AS VARCHAR) || '-' ||
+                       CAST(okey % 3 AS VARCHAR) END AS fix_version,
+             'photon:' || ver AS ecosystem,
+             '2022-' || lpad(CAST((okey % 1500) % 12 + 1 AS VARCHAR), 2, '0')
+               || '-' ||
+               lpad(CAST((okey % 40) % 28 + 1 AS VARCHAR), 2, '0') AS fd,
+             'first-observed' AS kind
+      FROM base WHERE okey % 10 = 0
+    ), sev AS (
+      SELECT ver, cve_id,
+             coalesce(arg_min(tier, pos) FILTER (WHERE tier <> 'Unknown'),
+                      'Unknown') AS severity
+      FROM live GROUP BY ver, cve_id
+    ), survivors AS (
+      SELECT l.*,
+             CAST(row_number() OVER (PARTITION BY l.ver, l.cve_id
+                                     ORDER BY l.pos) - 1 AS INT) AS fi_pos
+      FROM live l
+      WHERE l.status <> 'Not Affected' AND l.pkg <> ''
+    )
+    SELECT 'photon:' || s.ver AS ns,
+           s.cve_id AS vuln_id,
+           v.severity,
+           'https://www.cve.org/CVERecord?id=' || s.cve_id AS link,
+           a.dt AS issued,
+           s.fi_pos,
+           s.pkg,
+           s.version,
+           'rpm' AS version_format,
+           a.advisory_id,
+           a.url AS advisory_url,
+           CASE WHEN s.version NOT IN ('None', '0') AND a.dt IS NOT NULL
+                THEN a.dt
+                WHEN s.version NOT IN ('None', '0') AND f.fd IS NOT NULL
+                THEN f.fd END AS avail_date,
+           CASE WHEN s.version NOT IN ('None', '0') AND a.dt IS NOT NULL
+                THEN 'advisory'
+                WHEN s.version NOT IN ('None', '0') AND f.fd IS NOT NULL
+                THEN f.kind END AS avail_kind
+    FROM survivors s
+    JOIN sev v ON v.ver = s.ver AND v.cve_id = s.cve_id
+    LEFT JOIN advisory a ON a.ver = s.ver AND a.cve_id = s.cve_id
+    LEFT JOIN fixdates f
+      ON f.vuln_id = s.cve_id AND f.package = s.pkg
+     AND f.fix_version = s.version AND f.ecosystem = 'photon:' || s.ver
+    """,
+    doc="Photon advisory+patch end-to-end (photon/parser.py:52-141 wiki "
+        "advisory map incl. the markdown regex parse — run SPARK-SIDE on "
+        "synthesized file contents hitting the non-matching-filename, "
+        "missing-date, and earliest-wins branches — 232-309 record "
+        "assembly, 311-352 two-tier fix-date patch; pipelines/photon.py). "
+        "Synthesized entries cover BDSA/empty-id skips, Not-Affected and "
+        "empty-pkg drops, whole-record drops, all five CVSS tiers plus "
+        "the unscored scan, 'NA'/''/'0' version placeholders, and "
+        "finder rows that hit, miss, and tie with advisory dates.  The "
+        "record flattens to one row per FixedIn for the value-hash "
+        "compare.  Scale: dimensions (advisory map, finder) broadcast; "
+        "the fact table shuffles once on the record key "
+        "(tests/test_photon_pipeline.py pins the plan)",
+    tags=("pipeline", "join", "aggregate"),
+)
+def photon1(spark, sf_dir):
+    from vunnel_spark.pipelines.photon import advisory_map, photon_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    ver = (
+        F.when(okey % 3 == 0, "3.0").when(okey % 3 == 1, "4.0").otherwise("5.0")
+    )
+    cve_n = (okey % 1500).cast("string")
+    res_ver = (
+        F.when(okey % 23 == 0, "0")
+        .when(okey % 4 == 0, "NA")
+        .when(okey % 4 == 1, "")
+        .otherwise(
+            F.concat(
+                (okey % 9).cast("string"), F.lit("."),
+                (okey % 5).cast("string"), F.lit("-"),
+                (okey % 3).cast("string"),
+            )
+        )
+    )
+    entries = o.select(
+        ver.alias("photon_version"),
+        okey.alias("pos"),
+        F.when(okey % 13 == 0, F.concat(F.lit("BDSA-2025-"), cve_n))
+        .when(okey % 17 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("CVE-2025-"), cve_n))
+        .alias("cve_id"),
+        F.when(okey % 11 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("pkg"), (okey % 40).cast("string")))
+        .alias("pkg"),
+        F.when(okey % 7 == 1, F.lit(9.5))
+        .when(okey % 7 == 2, F.lit(8.0))
+        .when(okey % 7 == 3, F.lit(5.5))
+        .when(okey % 7 == 4, F.lit(2.0))
+        .when(okey % 7 == 5, F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("cve_score"),
+        F.when(okey % 5 == 0, F.lit("Not Affected"))
+        .otherwise(F.lit("Affected"))
+        .alias("status"),
+        res_ver.alias("res_ver"),
+    )
+    dt = F.concat(
+        F.lit("2021-"), F.lpad(((okey % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad(((okey % 28) + 1).cast("string"), 2, "0"),
+    )
+    files = o.filter(okey % 6 == 0).select(
+        F.when(
+            okey % 11 == 0,
+            F.concat(F.lit("Notes-"), ver, F.lit("-"), cve_n, F.lit(".md")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Security-Update-"), ver, F.lit("-"), cve_n, F.lit(".md")
+            )
+        )
+        .alias("filename"),
+        F.concat(
+            F.lit("Advisory Id : PHSA-2021-"), ver, F.lit("-0"), cve_n,
+            F.lit("\n"),
+            F.when(okey % 7 == 0, F.lit(""))
+            .when(okey % 5 == 0, F.concat(F.lit("Issued on: "), dt))
+            .otherwise(F.concat(F.lit("Issue date: "), dt)),
+            F.lit("\nfixes CVE-2025-"), cve_n,
+            F.lit(" and CVE-2025-"), ((okey + 7) % 1500).cast("string"),
+        ).alias("content"),
+    )
+    fixdates = (
+        o.filter(okey % 10 == 0)
+        .select(
+            F.concat(F.lit("CVE-2025-"), cve_n).alias("vuln_id"),
+            F.concat(F.lit("pkg"), (okey % 40).cast("string")).alias("package"),
+            res_ver.alias("fix_version"),
+            F.concat(F.lit("photon:"), ver).alias("ecosystem"),
+            F.concat(
+                F.lit("2022-"),
+                F.lpad(((okey % 1500) % 12 + 1).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(((okey % 40) % 28 + 1).cast("string"), 2, "0"),
+            ).alias("date"),
+            F.lit("first-observed").alias("kind"),
+        )
+        .distinct()
+    )
+    rec = photon_pipeline(entries, advisory_map(files), fixdates)
+    return rec.select(
+        F.col("NamespaceName").alias("ns"),
+        F.col("Name").alias("vuln_id"),
+        F.col("Severity").alias("severity"),
+        F.col("Link").alias("link"),
+        F.col("Metadata.Issued").alias("issued"),
+        F.posexplode("FixedIn").alias("fi_pos", "fi"),
+    ).select(
+        "ns", "vuln_id", "severity", "link", "issued",
+        F.col("fi_pos").cast("int").alias("fi_pos"),
+        F.col("fi.Name").alias("pkg"),
+        F.col("fi.Version").alias("version"),
+        F.col("fi.VersionFormat").alias("version_format"),
+        F.col("fi.VendorAdvisory.AdvisorySummary")[0]["ID"].alias("advisory_id"),
+        F.col("fi.VendorAdvisory.AdvisorySummary")[0]["Link"].alias(
+            "advisory_url"
+        ),
+        F.col("fi.Available.Date").alias("avail_date"),
+        F.col("fi.Available.Kind").alias("avail_kind"),
+    )
