@@ -50,6 +50,11 @@ PIPELINE_DAGS = [
     "hummingbird1_csaf_subset_dag",
     "mariner1_oval_graph_dag",
     "photon1_advisory_patch_dag",
+    "fedora1_bodhi_merge_dag",
+    "echo1_rolling_merge_dag",
+    "secureos1_secdb_range_dag",
+    "alma1_osv_normalize_dag",
+    "openvex1_libraries_dag",
 ]
 
 

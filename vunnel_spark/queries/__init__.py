@@ -51,14 +51,20 @@ from vunnel_spark.registry import REGISTRY
 #: published-date fallback included — on falsy package name/ecosystem,
 #: matching utils/osv.py:39-46; re-oracled hash-green locally, fronted
 #: here so the external gate re-checks the changed plan too).
-#: photon1 is this round's new end-to-end DAG (the photon provider's
-#: wiki-advisory + fix-date-patch pipeline, flattened per FixedIn).
+#: photon1/fedora1/echo1/secureos1/alma1/openvex1 are this round's new
+#: end-to-end provider DAGs (each pipeline run under the oracle gate,
+#: flattened per FixedIn / affected entry / fix).
 GATE_PRIORITY = [
     "debian2_legacy_merge_scaled",
     "d7_embedding_dup_pairs",
     "osv1_fixdate_patch",
     "ubuntu2_osv_downconvert",
     "photon1_advisory_patch_dag",
+    "fedora1_bodhi_merge_dag",
+    "echo1_rolling_merge_dag",
+    "secureos1_secdb_range_dag",
+    "alma1_osv_normalize_dag",
+    "openvex1_libraries_dag",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns

@@ -1929,3 +1929,953 @@ def photon1(spark, sf_dir):
         F.col("fi.Available.Date").alias("avail_date"),
         F.col("fi.Available.Kind").alias("avail_kind"),
     )
+
+
+@register(
+    "fedora1_bodhi_merge_dag",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             'FEDORA-2025-' || CAST(o_orderkey AS VARCHAR) AS alias0,
+             CAST(40 + o_orderkey % 3 AS VARCHAR) AS relver0,
+             CAST(o_orderkey % 600 AS VARCHAR) AS c1,
+             CAST(o_orderkey % 600 + 1000 AS VARCHAR) AS c2
+      FROM orders
+    ), upd AS (
+      SELECT okey,
+             CASE WHEN okey % 19 = 0 THEN '' ELSE alias0 END AS alias,
+             CASE WHEN okey % 23 = 0 THEN 'rawhide' ELSE relver0 END AS relver,
+             CASE CAST(okey % 8 AS INT)
+                  WHEN 0 THEN 'urgent' WHEN 1 THEN 'critical'
+                  WHEN 2 THEN 'important' WHEN 3 THEN 'high'
+                  WHEN 4 THEN 'moderate' WHEN 5 THEN 'low'
+                  WHEN 6 THEN '' ELSE 'bogus' END AS rawsev,
+             CASE WHEN okey % 2 = 0
+                  THEN 'https://x/' || alias0 END AS url,
+             '2025-01-' || lpad(CAST(okey % 28 + 1 AS VARCHAR), 2, '0')
+               AS date_submitted,
+             CASE WHEN okey % 6 = 0 THEN ''
+                  ELSE '2025-02-' || lpad(CAST(okey % 28 + 1 AS VARCHAR), 2, '0')
+                  END AS date_modified,
+             CASE WHEN okey % 4 = 1 THEN ''
+                  ELSE '2025-03-' || lpad(CAST(okey % 28 + 1 AS VARCHAR), 2, '0')
+                  END AS date_stable,
+             c1, c2
+      FROM base
+    ), live AS (
+      SELECT *, 'fedora:' || relver AS ns,
+             CASE rawsev
+                  WHEN 'urgent' THEN 'Critical' WHEN 'critical' THEN 'Critical'
+                  WHEN 'important' THEN 'High' WHEN 'high' THEN 'High'
+                  WHEN 'moderate' THEN 'Medium' WHEN 'medium' THEN 'Medium'
+                  WHEN 'low' THEN 'Low' ELSE 'Unknown' END AS sev,
+             coalesce(url, 'https://bodhi.fedoraproject.org/updates/' || alias)
+               AS link
+      FROM upd
+      WHERE alias <> '' AND regexp_matches(relver, '^\\d+$')
+    ), vids AS (
+      -- CVE list by synthesis branch; no CVEs -> the alias itself
+      SELECT l.*, v.vuln_id, v.lookup_id FROM live l, LATERAL (
+        SELECT unnest(CASE WHEN l.okey % 3 = 2 THEN [l.alias]
+                           ELSE ['CVE-2025-' || l.c1, 'CVE-2025-' || l.c2]
+                      END) AS vuln_id,
+               CASE WHEN l.okey % 3 = 2 THEN l.alias
+                    ELSE 'CVE-2025-' || l.c1 END AS lookup_id
+      ) v
+    ), pkgs AS (
+      -- kept rpm builds in input order: b1 always, b2 when okey%3=0;
+      -- the okey%29 junk-builds branch keeps nothing (update drops)
+      SELECT okey, pkg_pos, name, version FROM (
+        SELECT okey, 0 AS pkg_pos,
+               'pkga' || CAST(okey % 30 AS VARCHAR) AS name,
+               '0:1.' || CAST(okey % 7 AS VARCHAR) || '-1.fc41' AS version
+        FROM live WHERE okey % 29 <> 0
+        UNION ALL
+        SELECT okey, 1,
+               'pkgb' || CAST(okey % 30 AS VARCHAR),
+               '2:2.0-1.fc41'
+        FROM live WHERE okey % 29 <> 0 AND okey % 3 = 0
+      )
+    ), fixdim AS (
+      SELECT DISTINCT
+             'CVE-2025-' || c1 AS f_vuln,
+             'pkga' || CAST(okey % 30 AS VARCHAR) AS f_pkg,
+             '0:1.' || CAST(okey % 7 AS VARCHAR) || '-1.fc41' AS f_ver,
+             'fedora:' || relver0 AS f_ns,
+             '2024-' || lpad(CAST((okey % 600) % 12 + 1 AS VARCHAR), 2, '0')
+               || '-' ||
+               lpad(CAST((okey % 30) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
+             'first-observed' AS f_kind
+      FROM base WHERE okey % 10 = 0
+    ), fi AS (
+      SELECT v.ns, v.vuln_id, v.alias, v.sev, v.link,
+             v.date_submitted AS issued,
+             CASE WHEN v.date_modified <> '' THEN v.date_modified
+                  WHEN v.date_stable <> '' THEN v.date_stable
+                  ELSE '' END AS updated,
+             p.pkg_pos, p.name, p.version,
+             CASE WHEN f.f_date IS NOT NULL THEN f.f_date
+                  WHEN v.date_stable <> '' THEN v.date_stable END AS avail_date,
+             CASE WHEN f.f_date IS NOT NULL THEN f.f_kind
+                  WHEN v.date_stable <> '' THEN 'advisory' END AS avail_kind
+      FROM vids v
+      JOIN pkgs p ON p.okey = v.okey
+      LEFT JOIN fixdim f
+        ON f.f_vuln = v.lookup_id AND f.f_pkg = p.name
+       AND f.f_ver = p.version AND f.f_ns = v.ns
+    ), head AS (
+      SELECT ns, vuln_id,
+             arg_min(sev, alias) AS severity,
+             arg_min(link, alias) AS head_link,
+             arg_min(issued, alias) AS head_issued,
+             arg_min(updated, alias) AS head_updated
+      FROM (SELECT DISTINCT ns, vuln_id, alias, sev, link, issued, updated
+            FROM fi)
+      GROUP BY ns, vuln_id
+    )
+    SELECT f.ns, f.vuln_id, h.severity, h.head_link AS link,
+           h.head_issued AS issued, h.head_updated AS updated,
+           CAST(row_number() OVER (PARTITION BY f.ns, f.vuln_id
+                                   ORDER BY f.alias, f.pkg_pos) - 1 AS INT)
+             AS fi_pos,
+           f.name AS pkg, f.version, 'rpm' AS version_format,
+           f.alias AS advisory_id, f.link AS advisory_link,
+           f.avail_date, f.avail_kind,
+           (f.vuln_id LIKE 'CVE-%') AS cve_self
+    FROM fi f
+    JOIN head h ON h.ns = f.ns AND h.vuln_id = f.vuln_id
+    """,
+    doc="Fedora Bodhi end-to-end under the oracle gate (fedora/parser.py:"
+        "209-234 CVE extraction precedence, 236-254 NVR parse, 284-370 "
+        "record build, 398-413 cross-update merge; pipelines/fedora.py). "
+        "Synthesis drives the SPARK side through the real regex/parse "
+        "paths — security-bug titles with duplicate CVEs and non-security "
+        "decoys, the display_name+title fallback with one shared "
+        "seen-set, NVR rsplit with null-epoch defaulting, container and "
+        "malformed-NVR skips, the junk-builds whole-update drop, empty "
+        "alias and non-numeric release drops, all severity tiers plus "
+        "bogus/empty, per-CVE vs per-alias records, cross-update "
+        "first-alias-establishes merge, and finder-over-date_stable fix "
+        "priority — while the ORACLE derives the same result from the "
+        "synthesis variables directly, so regex and relational paths "
+        "check each other.  Flattened per FixedIn.  Scale: the finder "
+        "dim broadcasts; one shuffle on the (ns, vuln) record key",
+    tags=("pipeline", "join", "explode", "aggregate"),
+)
+def fedora1(spark, sf_dir):
+    from vunnel_spark.pipelines.fedora import fedora_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    alias0 = F.concat(F.lit("FEDORA-2025-"), okey.cast("string"))
+    relver0 = (40 + okey % 3).cast("string")
+    c1 = (okey % 600).cast("string")
+    c2 = (okey % 600 + 1000).cast("string")
+    cve1 = F.concat(F.lit("CVE-2025-"), c1)
+    cve2 = F.concat(F.lit("CVE-2025-"), c2)
+    nvr1 = F.concat(
+        F.lit("pkga"), (okey % 30).cast("string"),
+        F.lit("-1."), (okey % 7).cast("string"), F.lit("-1.fc41"),
+    )
+    nvr2 = F.concat(F.lit("pkgb"), (okey % 30).cast("string"), F.lit("-2.0-1.fc41"))
+    bug = lambda sec, title: F.struct(
+        F.lit(sec).alias("security"), title.alias("title")
+    )
+    build = lambda typ, nvr, epoch: F.struct(
+        F.lit(typ).alias("type"), nvr.alias("nvr"),
+        (F.lit(epoch).cast("int") if epoch is not None else F.lit(None).cast("int")).alias("epoch"),
+    )
+    bugs = (
+        F.when(
+            okey % 3 == 0,
+            F.array(
+                bug(False, F.lit("decoy CVE-1999-0001")),
+                bug(True, F.concat(cve1, F.lit(" and "), cve2)),
+                bug(True, F.concat(F.lit("dup "), cve1)),
+            ),
+        )
+        .when(
+            okey % 3 == 1,
+            F.array(bug(False, F.lit("hidden CVE-2025-9999"))),
+        )
+        .otherwise(
+            F.array().cast(
+                "array<struct<security:boolean,title:string>>"
+            )
+        )
+    )
+    good_builds = F.concat(
+        F.array(build("rpm", nvr1, None), build("container", F.lit("img-1-1"), None)),
+        F.when(
+            okey % 3 == 0, F.array(build("rpm", nvr2, 2))
+        ).otherwise(F.array().cast("array<struct<type:string,nvr:string,epoch:int>>")),
+    )
+    junk_builds = F.array(
+        build("container", F.lit("img-1-1"), None),
+        build("rpm", F.lit("badnvr"), None),
+    )
+    lp = lambda e: F.lpad(e.cast("string"), 2, "0")
+    updates = o.select(
+        F.when(okey % 19 == 0, F.lit("")).otherwise(alias0).alias("alias"),
+        F.when(okey % 23 == 0, F.lit("rawhide")).otherwise(relver0).alias(
+            "release_version"
+        ),
+        F.when(okey % 8 == 0, F.lit("urgent"))
+        .when(okey % 8 == 1, F.lit("critical"))
+        .when(okey % 8 == 2, F.lit("important"))
+        .when(okey % 8 == 3, F.lit("high"))
+        .when(okey % 8 == 4, F.lit("moderate"))
+        .when(okey % 8 == 5, F.lit("low"))
+        .when(okey % 8 == 6, F.lit(""))
+        .otherwise(F.lit("bogus"))
+        .alias("severity"),
+        F.when(
+            okey % 3 == 1, F.concat(F.lit("fix "), cve1)
+        ).otherwise(F.lit("plain bugfix")).alias("display_name"),
+        F.when(
+            okey % 3 == 1, F.concat(F.lit("also "), cve1, F.lit(" and "), cve2)
+        ).otherwise(F.lit("t")).alias("title"),
+        F.lit("").alias("notes"),
+        F.concat(F.lit("2025-01-"), lp(okey % 28 + 1)).alias("date_submitted"),
+        F.when(okey % 6 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("2025-02-"), lp(okey % 28 + 1)))
+        .alias("date_modified"),
+        F.when(okey % 4 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("2025-03-"), lp(okey % 28 + 1)))
+        .alias("date_stable"),
+        F.when(okey % 2 == 0, F.concat(F.lit("https://x/"), alias0)).alias("url"),
+        bugs.alias("bugs"),
+        F.when(okey % 29 == 0, junk_builds).otherwise(good_builds).alias("builds"),
+    )
+    fixdates = (
+        o.filter(okey % 10 == 0)
+        .select(
+            cve1.alias("vuln_id"),
+            F.concat(F.lit("pkga"), (okey % 30).cast("string")).alias("package"),
+            F.concat(
+                F.lit("0:1."), (okey % 7).cast("string"), F.lit("-1.fc41")
+            ).alias("fix_version"),
+            F.concat(F.lit("fedora:"), relver0).alias("ecosystem"),
+            F.concat(
+                F.lit("2024-"), lp((okey % 600) % 12 + 1),
+                F.lit("-"), lp((okey % 30) % 28 + 1),
+            ).alias("date"),
+            F.lit("first-observed").alias("kind"),
+        )
+        .distinct()
+    )
+    rec = fedora_pipeline(updates, fixdates)
+    return rec.select(
+        F.col("NamespaceName").alias("ns"),
+        F.col("Name").alias("vuln_id"),
+        F.col("Severity").alias("severity"),
+        F.col("Link").alias("link"),
+        F.col("Issued").alias("issued"),
+        F.col("Updated").alias("updated"),
+        (F.size("CVE") > 0).alias("cve_self"),
+        F.posexplode("FixedIn").alias("fi_pos", "fi"),
+    ).select(
+        "ns", "vuln_id", "severity", "link", "issued", "updated",
+        F.col("fi_pos").cast("int").alias("fi_pos"),
+        F.col("fi.Name").alias("pkg"),
+        F.col("fi.Version").alias("version"),
+        F.col("fi.VersionFormat").alias("version_format"),
+        F.col("fi.VendorAdvisory.AdvisorySummary")[0]["ID"].alias("advisory_id"),
+        F.col("fi.VendorAdvisory.AdvisorySummary")[0]["Link"].alias(
+            "advisory_link"
+        ),
+        F.col("fi.Available.Date").alias("avail_date"),
+        F.col("fi.Available.Kind").alias("avail_kind"),
+        "cve_self",
+    )
+
+
+@register(
+    "echo1_rolling_merge_dag",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             'pkg' || CAST(o_orderkey % 40 AS VARCHAR) AS pkg,
+             CASE WHEN o_orderkey % 13 = 0
+                    THEN 'TEMP-0-' || CAST(o_orderkey % 90 AS VARCHAR)
+                  WHEN o_orderkey % 9 = 0
+                    THEN 'GHSA-aaaa-' || CAST(o_orderkey % 50 AS VARCHAR)
+                  WHEN o_orderkey % 17 = 0
+                    THEN 'OTHER-' || CAST(o_orderkey % 70 AS VARCHAR)
+                  ELSE 'CVE-2025-' || CAST(o_orderkey % 700 AS VARCHAR)
+                  END AS cve_id,
+             CASE CAST(o_orderkey % 5 AS INT)
+                  WHEN 1 THEN 'low' WHEN 2 THEN 'medium'
+                  WHEN 3 THEN 'high' WHEN 4 THEN 'critical' END AS severity,
+             CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                  ELSE '1.' || CAST(o_orderkey % 6 AS VARCHAR) || '-1'
+                  END AS fixed_version
+      FROM orders
+    ), live AS (
+      SELECT okey AS pos, pkg, cve_id, severity,
+             coalesce(fixed_version, '') AS version
+      FROM base WHERE cve_id NOT LIKE 'TEMP-%'
+    ), fixdim AS (
+      SELECT DISTINCT
+             'CVE-2025-' || CAST(okey % 700 AS VARCHAR) AS f_vuln,
+             'pkg' || CAST(okey % 40 AS VARCHAR) AS f_pkg,
+             '1.' || CAST(okey % 6 AS VARCHAR) || '-1' AS f_ver,
+             '2023-' || lpad(CAST((okey % 700) % 12 + 1 AS VARCHAR), 2, '0')
+               || '-' ||
+               lpad(CAST((okey % 40) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
+             'first-observed' AS f_kind
+      FROM base WHERE okey % 10 = 0
+    ), sev AS (
+      SELECT cve_id,
+             arg_min(coalesce(severity, 'Unknown'), pos) AS head_sev
+      FROM live GROUP BY cve_id
+    )
+    SELECT l.cve_id AS vuln_id,
+           'echo:rolling' AS ns,
+           CASE WHEN l.cve_id LIKE 'CVE-%'
+                  THEN 'https://www.cve.org/CVERecord?id=' || l.cve_id
+                WHEN l.cve_id LIKE 'GHSA-%'
+                  THEN 'https://github.com/advisories/' || l.cve_id
+                ELSE '' END AS link,
+           s.head_sev AS severity,
+           CAST(row_number() OVER (PARTITION BY l.cve_id ORDER BY l.pos) - 1
+                AS INT) AS fi_pos,
+           l.pkg, l.version, 'dpkg' AS version_format,
+           f.f_date AS avail_date, f.f_kind AS avail_kind
+    FROM live l
+    JOIN sev s ON s.cve_id = l.cve_id
+    LEFT JOIN fixdim f
+      ON f.f_vuln = l.cve_id AND f.f_pkg = l.pkg AND f.f_ver = l.version
+    """,
+    doc="Echo rolling-advisory merge end-to-end under the oracle gate "
+        "(echo/parser.py:77-144; pipelines/echo.py): TEMP-* skips, "
+        "first-encounter severity (null -> Unknown, later packages never "
+        "update it), CVE/GHSA/other reference-link forms, input-ordered "
+        "FixedIn with empty-string unfixed versions, and the fixdate "
+        "Available overlay keyed (cve, package, version).  Flattened per "
+        "FixedIn.  Scale: the finder dim broadcasts; one shuffle on the "
+        "cve record key",
+    tags=("pipeline", "aggregate"),
+)
+def echo1(spark, sf_dir):
+    from vunnel_spark.pipelines.echo import echo_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    advisories = o.select(
+        okey.alias("pos"),
+        F.concat(F.lit("pkg"), (okey % 40).cast("string")).alias("package"),
+        F.when(
+            okey % 13 == 0,
+            F.concat(F.lit("TEMP-0-"), (okey % 90).cast("string")),
+        )
+        .when(
+            okey % 9 == 0,
+            F.concat(F.lit("GHSA-aaaa-"), (okey % 50).cast("string")),
+        )
+        .when(
+            okey % 17 == 0,
+            F.concat(F.lit("OTHER-"), (okey % 70).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("CVE-2025-"), (okey % 700).cast("string")))
+        .alias("cve_id"),
+        F.when(okey % 5 == 1, F.lit("low"))
+        .when(okey % 5 == 2, F.lit("medium"))
+        .when(okey % 5 == 3, F.lit("high"))
+        .when(okey % 5 == 4, F.lit("critical"))
+        .alias("severity"),
+        F.when(
+            okey % 4 == 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("1."), (okey % 6).cast("string"), F.lit("-1"))
+        ).alias("fixed_version"),
+    )
+    lp = lambda e: F.lpad(e.cast("string"), 2, "0")
+    fixdates = (
+        o.filter(okey % 10 == 0)
+        .select(
+            F.concat(F.lit("CVE-2025-"), (okey % 700).cast("string")).alias(
+                "vuln_id"
+            ),
+            F.concat(F.lit("pkg"), (okey % 40).cast("string")).alias("package"),
+            F.concat(F.lit("1."), (okey % 6).cast("string"), F.lit("-1")).alias(
+                "fix_version"
+            ),
+            F.concat(
+                F.lit("2023-"), lp((okey % 700) % 12 + 1),
+                F.lit("-"), lp((okey % 40) % 28 + 1),
+            ).alias("date"),
+            F.lit("first-observed").alias("kind"),
+        )
+        .distinct()
+    )
+    rec = echo_pipeline(advisories, fixdates=fixdates)
+    return rec.select(
+        F.col("Name").alias("vuln_id"),
+        F.col("NamespaceName").alias("ns"),
+        F.col("Link").alias("link"),
+        F.col("Severity").alias("severity"),
+        F.posexplode("FixedIn").alias("fi_pos", "fi"),
+    ).select(
+        "vuln_id", "ns", "link", "severity",
+        F.col("fi_pos").cast("int").alias("fi_pos"),
+        F.col("fi.Name").alias("pkg"),
+        F.col("fi.Version").alias("version"),
+        F.col("fi.VersionFormat").alias("version_format"),
+        F.col("fi.Available.Date").alias("avail_date"),
+        F.col("fi.Available.Kind").alias("avail_kind"),
+    )
+
+
+@register(
+    "secureos1_secdb_range_dag",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             'pkg' || CAST(o_orderkey % 50 AS VARCHAR) AS pkg,
+             CAST(o_orderkey % 3 AS VARCHAR) || '.' ||
+               CAST(o_orderkey % 5 AS VARCHAR) || '-r' ||
+               CAST(o_orderkey % 4 AS VARCHAR) AS v1,
+             CAST(o_orderkey % 3 + 3 AS VARCHAR) || '.0-r' ||
+               CAST(o_orderkey % 2 + 1 AS VARCHAR) AS v2,
+             'CVE-2025-' || CAST(o_orderkey % 400 AS VARCHAR) AS cva,
+             'CVE-2025-' || CAST(o_orderkey % 400 + 2000 AS VARCHAR) AS cvb,
+             'XSA-' || CAST(o_orderkey % 20 AS VARCHAR) AS cvx
+      FROM orders
+    ), fi_rows AS (
+      -- v1 (always the smaller real, vrank 0) lists cva+cvb;
+      -- v2 (vrank 1, revision 1..2 > 0) relists cva -> carries the
+      -- range; the '0' special (okey%6=0, vrank 2+orig idx) lists cvx
+      SELECT okey, pkg, vid, version, vrank, vulnerable_range FROM (
+        -- each real row carries its POTENTIAL range (revision > 0);
+        -- first_real below keeps it only on non-first rows — a v1 row
+        -- can be non-first too when another okey shares (vid, pkg)
+        SELECT okey, pkg, v1 AS version, 0 AS vrank,
+               CASE WHEN okey % 4 > 0
+                    THEN '>=' || CAST(okey % 3 AS VARCHAR) || '.' ||
+                         CAST(okey % 5 AS VARCHAR) || '-r0, <' || v1
+                    END AS vulnerable_range,
+               unnest([cva, cvb]) AS vid
+        FROM base
+        UNION ALL
+        SELECT okey, pkg, v2, 1,
+               '>=' || CAST(okey % 3 + 3 AS VARCHAR) || '.0-r0, <' || v2,
+               cva
+        FROM base
+        UNION ALL
+        SELECT okey, pkg, '0', 4, NULL, cvx
+        FROM base WHERE okey % 6 = 0
+      )
+    ), first_real AS (
+      -- the min (pos, vrank) real per (vid, pkg) is range-free; only
+      -- non-first reals keep the synthesized range.  (pos, vrank)
+      -- encodes as pos*8+vrank — vrank < 8 by construction — because
+      -- DuckDB windows can't min a struct
+      SELECT okey, pkg, vid, version, vrank,
+             CASE WHEN version <> '0'
+                   AND okey * 8 + vrank <>
+                       min(okey * 8 + vrank) OVER (PARTITION BY vid, pkg)
+                  THEN vulnerable_range END AS vulnerable_range
+      FROM fi_rows
+    ), fixdim AS (
+      SELECT DISTINCT
+             'CVE-2025-' || CAST(okey % 400 AS VARCHAR) AS f_vuln,
+             'pkg' || CAST(okey % 50 AS VARCHAR) AS f_pkg,
+             CAST(okey % 3 AS VARCHAR) || '.' ||
+               CAST(okey % 5 AS VARCHAR) || '-r' ||
+               CAST(okey % 4 AS VARCHAR) AS f_ver,
+             '2024-' || lpad(CAST((okey % 400) % 12 + 1 AS VARCHAR), 2, '0')
+               || '-' ||
+               lpad(CAST((okey % 50) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
+             'first-observed' AS f_kind
+      FROM base WHERE okey % 10 = 0
+    )
+    SELECT r.vid AS vuln_id, 'secureos:rolling' AS ns,
+           'Unknown' AS severity,
+           CASE WHEN r.vid LIKE 'CVE-%'
+                  THEN 'https://security.secureos.io/' || r.vid
+                WHEN r.vid LIKE 'GHSA-%'
+                  THEN 'https://github.com/advisories/' || r.vid
+                ELSE '' END AS link,
+           CAST(row_number() OVER (PARTITION BY r.vid
+                                   ORDER BY r.okey, r.vrank) - 1 AS INT)
+             AS fi_pos,
+           r.pkg, r.version, 'apk' AS version_format,
+           r.vulnerable_range,
+           f.f_date AS avail_date, f.f_kind AS avail_kind
+    FROM first_real r
+    LEFT JOIN fixdim f
+      ON f.f_vuln = r.vid AND f.f_pkg = r.pkg AND f.f_ver = r.version
+    """,
+    doc="SecureOS secdb end-to-end under the oracle gate (secureos/"
+        "parser.py:162-327; pipelines/secureos.py): the SPARK side sorts "
+        "each package's deliberately-unsorted version map with the "
+        "provider's own cmp_to_key comparator (pandas UDF), walks "
+        "whitespace-split vid lists, suppresses the range on the first "
+        "real version per (vid, pkg) and emits the -r0 VulnerableRange "
+        "on later revisions, while the ORACLE derives the same rows from "
+        "the synthesis variables (versions constructed so the simplified "
+        "comparator equals numeric order; the min-(pos, rank) window "
+        "restates the seen-set).  Flattened per FixedIn.  Scale: one "
+        "window shuffle on (vid, pkg), one groupBy on the record key; "
+        "the finder dim broadcasts (plan-pinned in "
+        "tests/test_secureos_pipeline.py)",
+    tags=("pipeline", "window", "aggregate"),
+)
+def secureos1(spark, sf_dir):
+    from vunnel_spark.pipelines.secureos import secureos_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    v1 = F.concat(
+        (okey % 3).cast("string"), F.lit("."), (okey % 5).cast("string"),
+        F.lit("-r"), (okey % 4).cast("string"),
+    )
+    v2 = F.concat(
+        (okey % 3 + 3).cast("string"), F.lit(".0-r"),
+        (okey % 2 + 1).cast("string"),
+    )
+    cva = F.concat(F.lit("CVE-2025-"), (okey % 400).cast("string"))
+    cvb = F.concat(F.lit("CVE-2025-"), (okey % 400 + 2000).cast("string"))
+    cvx = F.concat(F.lit("XSA-"), (okey % 20).cast("string"))
+    sf_entry = lambda ver, vids: F.struct(
+        ver.alias("version"), vids.alias("vids")
+    )
+    # deliberately unsorted: the larger v2 listed first
+    secfixes = F.concat(
+        F.array(
+            sf_entry(v2, F.array(cva)),
+            # one whitespace-joined raw entry -> the split branch
+            sf_entry(v1, F.array(F.concat(cva, F.lit(" "), cvb))),
+        ),
+        F.when(
+            okey % 6 == 0, F.array(sf_entry(F.lit("0"), F.array(cvx)))
+        ).otherwise(
+            F.array().cast(
+                "array<struct<version:string,vids:array<string>>>"
+            )
+        ),
+    )
+    pkgs = o.select(
+        okey.alias("pos"),
+        F.concat(F.lit("pkg"), (okey % 50).cast("string")).alias("pkg"),
+        secfixes.alias("secfixes"),
+    )
+    lp = lambda e: F.lpad(e.cast("string"), 2, "0")
+    fixdates = (
+        o.filter(okey % 10 == 0)
+        .select(
+            F.concat(F.lit("CVE-2025-"), (okey % 400).cast("string")).alias(
+                "vuln_id"
+            ),
+            F.concat(F.lit("pkg"), (okey % 50).cast("string")).alias("package"),
+            v1.alias("fix_version"),
+            F.lit("secureos:rolling").alias("ecosystem"),
+            F.concat(
+                F.lit("2024-"), lp((okey % 400) % 12 + 1),
+                F.lit("-"), lp((okey % 50) % 28 + 1),
+            ).alias("date"),
+            F.lit("first-observed").alias("kind"),
+        )
+        .distinct()
+    )
+    rec = secureos_pipeline(pkgs, fixdates=fixdates)
+    return rec.select(
+        F.col("Name").alias("vuln_id"),
+        F.col("NamespaceName").alias("ns"),
+        F.col("Severity").alias("severity"),
+        F.col("Link").alias("link"),
+        F.posexplode("FixedIn").alias("fi_pos", "fi"),
+    ).select(
+        "vuln_id", "ns", "severity", "link",
+        F.col("fi_pos").cast("int").alias("fi_pos"),
+        F.col("fi.Name").alias("pkg"),
+        F.col("fi.Version").alias("version"),
+        F.col("fi.VersionFormat").alias("version_format"),
+        F.col("fi.VulnerableRange").alias("vulnerable_range"),
+        F.col("fi.Available.Date").alias("avail_date"),
+        F.col("fi.Available.Kind").alias("avail_kind"),
+    )
+
+
+#: the eight pinned alma library gaps, restated for the alma1 oracle
+_ALMA1_GAP_SQL = """
+      SELECT * FROM (VALUES
+        (0, 'ALSA-2019:3706', 'lua', 'lua-libs'),
+        (1, 'ALSA-2020:5487', 'pacemaker', 'pacemaker-libs'),
+        (2, 'ALSA-2021:4386', 'gcc', 'libgcc'),
+        (3, 'ALSA-2021:4393', 'cups', 'cups-libs'),
+        (4, 'ALSA-2021:4489', 'rpm-build', 'rpm-build-libs'),
+        (5, 'ALSA-2021:4587', 'gcc', 'libgcc'),
+        (6, 'ALSA-2022:0368', 'rpm-build', 'rpm-build-libs'),
+        (7, 'ALSA-2022:7928', 'device-mapper-multipath',
+            'device-mapper-multipath-libs')
+      ) g(gi, gid, gbase, glib)
+"""
+
+
+@register(
+    "alma1_osv_normalize_dag",
+    f"""
+    WITH gaps AS ({_ALMA1_GAP_SQL}
+    ), base AS (
+      SELECT o_orderkey AS okey,
+             CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN '8' WHEN 1 THEN '9' ELSE '10' END AS ver,
+             (o_orderkey % 97 = 0) AS is_gap,
+             CAST(o_orderkey % 8 AS INT) AS gsel
+      FROM orders
+    ), rec AS (
+      SELECT b.okey, b.ver, b.is_gap, g.gid, g.gbase, g.glib,
+             CASE WHEN b.is_gap THEN g.gid
+                  ELSE 'ALSA-2025:' || CAST(b.okey AS VARCHAR) END AS id,
+             CASE WHEN b.okey % 5 = 0 THEN '1.7.0'
+                  ELSE '1.6.' || CAST(b.okey % 4 AS VARCHAR) END
+               AS schema_version,
+             CASE WHEN b.okey % 4 = 0
+                  THEN 'mod' || CAST(b.okey % 6 AS VARCHAR) || ':10.' ||
+                       CAST(b.okey % 3 AS VARCHAR) END AS modularity
+      FROM base b LEFT JOIN gaps g ON g.gi = b.gsel AND b.is_gap
+    ), aff AS (
+      -- base entry at position 0; gap rows add either the base package
+      -- (clone appended) or both names already (no clone)
+      SELECT okey, 0 AS a_pos,
+             CASE WHEN is_gap THEN gbase
+                  ELSE 'alma-pkg' || CAST(okey % 30 AS VARCHAR) END AS pkg
+      FROM rec
+      UNION ALL
+      SELECT okey, 1,
+             glib
+      FROM rec WHERE is_gap
+      -- okey%2=1 pre-lists the lib (clone suppressed); okey%2=0 gets
+      -- the clone appended — either way the lib lands at position 1
+    )
+    SELECT 'almalinux' || r.ver || '/' || r.id AS key,
+           r.id AS vuln_id,
+           r.schema_version,
+           'advisory' AS record_type,
+           CAST(a.a_pos AS INT) AS a_pos,
+           a.pkg,
+           'AlmaLinux:' || r.ver AS ecosystem,
+           r.modularity AS rpm_modularity
+    FROM rec r JOIN aff a ON a.okey = r.okey
+    """,
+    doc="AlmaLinux OSV normalize end-to-end under the oracle gate "
+        "(alma/parser.py:68-166; pipelines/alma.py): the SPARK side runs "
+        "the real modularity grammar over synthesized summaries (token "
+        "between the first two spaces, interior colon required — hit via "
+        "happy/no-second-space/edge-colon/null branches) and the "
+        "F.aggregate gap-clone fold over the eight pinned ALSA ids "
+        "(clone-appended vs already-listed sub-branches), while the "
+        "ORACLE derives the expected affected lists and modularity from "
+        "the synthesis variables and a VALUES restatement of the gap "
+        "map.  Flattened per affected entry.  Scale: zero shuffles — "
+        "the whole normalize is row-local array algebra",
+    tags=("pipeline", "scalar"),
+)
+def alma1(spark, sf_dir):
+    from vunnel_spark.pipelines.alma import KNOWN_LIBRARY_GAPS, alma_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    ver = (
+        F.when(okey % 3 == 0, "8").when(okey % 3 == 1, "9").otherwise("10")
+    )
+    gap_ids = list(KNOWN_LIBRARY_GAPS)
+    gid = None
+    gbase = None
+    glib = None
+    for i, g in enumerate(gap_ids):
+        b, l = next(iter(KNOWN_LIBRARY_GAPS[g].items()))
+        cond = okey % 8 == i
+        gid = F.when(cond, g) if gid is None else gid.when(cond, g)
+        gbase = F.when(cond, b) if gbase is None else gbase.when(cond, b)
+        glib = F.when(cond, l) if glib is None else glib.when(cond, l)
+    is_gap = okey % 97 == 0
+    summary = (
+        F.when(
+            okey % 4 == 0,
+            F.concat(
+                F.lit("Moderate: mod"), (okey % 6).cast("string"),
+                F.lit(":10."), (okey % 3).cast("string"),
+                F.lit(" security update"),
+            ),
+        )
+        .when(okey % 4 == 1, F.lit("Critical: plainword"))
+        .when(okey % 4 == 2, F.lit("Low: :edge security update"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    entry = lambda name: F.struct(
+        F.struct(
+            name.alias("name"),
+            F.concat(F.lit("AlmaLinux:"), ver).alias("ecosystem"),
+        ).alias("package"),
+        F.lit(None)
+        .cast("struct<rpm_modularity:string>")
+        .alias("ecosystem_specific"),
+    )
+    affected = (
+        F.when(
+            is_gap & (okey % 2 == 1), F.array(entry(gbase), entry(glib))
+        )
+        .when(is_gap, F.array(entry(gbase)))
+        .otherwise(
+            F.array(
+                entry(F.concat(F.lit("alma-pkg"), (okey % 30).cast("string")))
+            )
+        )
+    )
+    advisories = o.select(
+        ver.alias("version"),
+        F.when(is_gap, gid)
+        .otherwise(F.concat(F.lit("ALSA-2025:"), okey.cast("string")))
+        .alias("id"),
+        F.when(okey % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("1.6."), (okey % 4).cast("string")))
+        .alias("schema_version"),
+        summary.alias("summary"),
+        affected.alias("affected"),
+    )
+    rec = alma_pipeline(advisories)
+    return rec.select(
+        "key",
+        F.col("id").alias("vuln_id"),
+        "schema_version",
+        "record_type",
+        F.posexplode("affected").alias("a_pos", "a"),
+    ).select(
+        "key", "vuln_id", "schema_version", "record_type",
+        F.col("a_pos").cast("int").alias("a_pos"),
+        F.col("a.package.name").alias("pkg"),
+        F.col("a.package.ecosystem").alias("ecosystem"),
+        F.col("a.ecosystem_specific.rpm_modularity").alias("rpm_modularity"),
+    )
+
+
+@register(
+    "openvex1_libraries_dag",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'python' ELSE 'java' END AS eco,
+             o_orderkey AS doc_pos,
+             'CVE-2025-' || CAST(o_orderkey % 500 AS VARCHAR) AS vname,
+             '2025-' || lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0') ||
+               '-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+               AS d0
+      FROM orders
+    ), stmts AS (
+      -- statement 1 (s_pos 0) in every doc; every 6th doc adds a
+      -- LATER statement (s_pos 1) for the SAME vuln which must win
+      SELECT okey, eco, doc_pos, vname, 0 AS s_pos,
+             CASE WHEN okey % 7 = 0 THEN 'under_investigation'
+                  WHEN okey % 11 = 0 THEN NULL
+                  WHEN okey % 2 = 0 THEN 'fixed' ELSE 'Fixed' END AS status,
+             CASE WHEN okey % 13 = 0 THEN NULL
+                  ELSE d0 || 'T00:00:00Z' END AS ts,
+             d0 AS adv_date
+      FROM base
+      UNION ALL
+      SELECT okey, eco, doc_pos, vname, 1,
+             'fixed',
+             '2025-12-' || lpad(CAST(okey % 28 + 1 AS VARCHAR), 2, '0') ||
+               'T00:00:00Z',
+             '2025-12-' || lpad(CAST(okey % 28 + 1 AS VARCHAR), 2, '0')
+      FROM base WHERE okey % 6 = 0
+    ), valid AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY eco, doc_pos, vname
+                                ORDER BY s_pos DESC) AS rn
+      FROM stmts
+      WHERE status IS NULL OR lower(status) = 'fixed'
+    ), winner AS (
+      SELECT * FROM valid WHERE rn = 1
+    ), prods AS (
+      -- kept products in order: pypi '+cgr.' at 0; maven '.cgr.' via
+      -- @id fallback at 1 when okey%3=0 (the npm/no-version/no-purl
+      -- decoys the Spark side filters never reach the fixes)
+      SELECT w.*, p.p_pos, p.product, p.pname, p.pver, p.ptype FROM winner w,
+      LATERAL (
+        SELECT 0 AS p_pos,
+               'pkg:pypi/lib' || CAST(w.okey % 25 AS VARCHAR) || '@1.' ||
+                 CAST(w.okey % 9 AS VARCHAR) || '+cgr.1' AS product,
+               'lib' || CAST(w.okey % 25 AS VARCHAR) AS pname,
+               '1.' || CAST(w.okey % 9 AS VARCHAR) || '+cgr.1' AS pver,
+               'pypi' AS ptype
+        UNION ALL
+        SELECT 1,
+               'pkg:maven/org.g/art' || CAST(w.okey % 25 AS VARCHAR) ||
+                 '@2.0.cgr.' || CAST(w.okey % 5 AS VARCHAR),
+               'art' || CAST(w.okey % 25 AS VARCHAR),
+               '2.0.cgr.' || CAST(w.okey % 5 AS VARCHAR),
+               'maven'
+        WHERE w.okey % 3 = 0
+      ) p
+    ), cand AS (
+      SELECT eco, doc_pos, vname, p_pos, product,
+             adv_date AS date, 'advisory' AS kind
+      FROM prods WHERE ts IS NOT NULL
+      UNION ALL
+      SELECT p.eco, p.doc_pos, p.vname, p.p_pos, p.product,
+             f.f_date, f.f_kind
+      FROM prods p JOIN (
+        SELECT DISTINCT
+               'CVE-2025-' || CAST(okey % 500 AS VARCHAR) AS f_vuln,
+               'lib' || CAST(okey % 25 AS VARCHAR) AS f_pkg,
+               '1.' || CAST(okey % 9 AS VARCHAR) || '+cgr.1' AS f_ver,
+               'pypi' AS f_type,
+               '2024-' || lpad(CAST((okey % 500) % 12 + 1 AS VARCHAR), 2, '0')
+                 || '-' ||
+                 lpad(CAST((okey % 25) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
+               'first-observed' AS f_kind
+        FROM base WHERE okey % 10 = 0
+      ) f ON f.f_vuln = p.vname AND f.f_pkg = p.pname
+         AND f.f_ver = p.pver AND f.f_type = p.ptype
+    ), best AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY eco, doc_pos, vname, p_pos
+               ORDER BY date, kind) AS brn
+      FROM cand
+    ), fixes AS (
+      SELECT eco, doc_pos, vname, p_pos, product, date, kind,
+             CAST(row_number() OVER (PARTITION BY eco, doc_pos, vname
+                                     ORDER BY p_pos) - 1 AS INT) AS fx_pos
+      FROM best WHERE brn = 1
+    )
+    SELECT w.eco AS ecosystem, w.vname AS vuln_id,
+           'https://images.chainguard.dev/security/' || w.vname AS link,
+           w.status, w.ts AS timestamp,
+           CAST(CASE WHEN w.okey % 3 = 0 THEN 2 ELSE 1 END AS INT)
+             AS n_products,
+           f.fx_pos, f.product, f.date AS avail_date, f.kind AS avail_kind
+    FROM winner w
+    LEFT JOIN fixes f
+      ON f.eco = w.eco AND f.doc_pos = w.doc_pos AND f.vname = w.vname
+    """,
+    doc="Chainguard Libraries OpenVEX end-to-end under the oracle gate "
+        "(chainguard_libraries/openvex_parser.py:140-270; pipelines/"
+        "chainguard_libraries.py): the SPARK side runs the real purl "
+        "regex filter over product lists salted with npm/no-version/"
+        "no-purl decoys, the @id fallback, the last-statement-wins pick, "
+        "the non-'fixed'-status drop, and the accurate-candidate race "
+        "between the statement timestamp and the first-observed store; "
+        "the ORACLE derives kept products and candidate winners from the "
+        "synthesis variables.  Records with no candidates keep an empty "
+        "fixes list (left-join row with null product).  Scale: the store "
+        "dim broadcasts; picks are windows on the record key",
+    tags=("pipeline", "window", "join"),
+)
+def openvex1(spark, sf_dir):
+    import datetime as _dt
+
+    from vunnel_spark.pipelines.chainguard_libraries import openvex_pipeline
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    eco = F.when(okey % 2 == 0, "python").otherwise(F.lit("java"))
+    vname = F.concat(F.lit("CVE-2025-"), (okey % 500).cast("string"))
+    lp = lambda e: F.lpad(e.cast("string"), 2, "0")
+    d0 = F.concat(
+        F.lit("2025-"), lp(okey % 12 + 1), F.lit("-"), lp(okey % 28 + 1)
+    )
+    purl_pypi = F.concat(
+        F.lit("pkg:pypi/lib"), (okey % 25).cast("string"),
+        F.lit("@1."), (okey % 9).cast("string"), F.lit("+cgr.1"),
+    )
+    purl_maven = F.concat(
+        F.lit("pkg:maven/org.g/art"), (okey % 25).cast("string"),
+        F.lit("@2.0.cgr."), (okey % 5).cast("string"),
+    )
+    prod = lambda purl, at_id: F.struct(
+        at_id.alias("id"),
+        F.struct(purl.alias("purl")).alias("identifiers"),
+    )
+    nulls = F.lit(None).cast("string")
+    products = F.concat(
+        F.array(
+            prod(purl_pypi, nulls),
+            # decoys the filter must drop
+            prod(F.lit("pkg:npm/leftpad@1.0+cgr.1"), nulls),
+            prod(F.lit("pkg:pypi/noversion"), nulls),
+            prod(nulls, nulls),
+        ),
+        F.when(
+            okey % 3 == 0,
+            # the maven product arrives via the @id fallback
+            F.array(prod(F.lit(""), purl_maven)),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<id:string,identifiers:struct<purl:string>>>"
+            )
+        ),
+    )
+    stmt = lambda status, ts, prods: F.struct(
+        F.struct(vname.alias("name")).alias("vulnerability"),
+        status.alias("status"),
+        ts.alias("timestamp"),
+        prods.alias("products"),
+    )
+    status0 = (
+        F.when(okey % 7 == 0, F.lit("under_investigation"))
+        .when(okey % 11 == 0, nulls)
+        .when(okey % 2 == 0, F.lit("fixed"))
+        .otherwise(F.lit("Fixed"))
+    )
+    ts0 = F.when(okey % 13 == 0, nulls).otherwise(
+        F.concat(d0, F.lit("T00:00:00Z"))
+    )
+    ts1 = F.concat(F.lit("2025-12-"), lp(okey % 28 + 1), F.lit("T00:00:00Z"))
+    statements = F.concat(
+        F.array(stmt(status0, ts0, products)),
+        F.when(
+            okey % 6 == 0, F.array(stmt(F.lit("fixed"), ts1, products))
+        ).otherwise(
+            F.array().cast(
+                "array<struct<vulnerability:struct<name:string>,"
+                "status:string,timestamp:string,"
+                "products:array<struct<id:string,"
+                "identifiers:struct<purl:string>>>>>"
+            )
+        ),
+    )
+    docs = o.select(
+        eco.alias("ecosystem"),
+        okey.alias("doc_pos"),
+        statements.alias("statements"),
+    )
+    fixdates = (
+        o.filter(okey % 10 == 0)
+        .select(
+            vname.alias("vuln_id"),
+            F.concat(F.lit("lib"), (okey % 25).cast("string")).alias("package"),
+            F.concat(
+                F.lit("1."), (okey % 9).cast("string"), F.lit("+cgr.1")
+            ).alias("fix_version"),
+            F.lit("pypi").alias("ecosystem"),
+            F.to_date(
+                F.concat(
+                    F.lit("2024-"), lp((okey % 500) % 12 + 1),
+                    F.lit("-"), lp((okey % 25) % 28 + 1),
+                )
+            ).alias("date"),
+            F.lit("first-observed").alias("kind"),
+            F.lit(True).alias("accurate"),
+        )
+        .distinct()
+    )
+    rec = openvex_pipeline(docs, fixdates)
+    return rec.select(
+        "ecosystem",
+        "vuln_id",
+        "link",
+        F.col("document.status").alias("status"),
+        F.col("document.timestamp").alias("timestamp"),
+        F.size("document.products").cast("int").alias("n_products"),
+        F.posexplode_outer("fixes").alias("fx_pos", "fx"),
+    ).select(
+        "ecosystem", "vuln_id", "link", "status", "timestamp", "n_products",
+        F.col("fx_pos").cast("int").alias("fx_pos"),
+        F.col("fx.product").alias("product"),
+        F.col("fx.available.date").alias("avail_date"),
+        F.col("fx.available.kind").alias("avail_kind"),
+    )
