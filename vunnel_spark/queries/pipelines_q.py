@@ -2766,8 +2766,6 @@ def alma1(spark, sf_dir):
     tags=("pipeline", "window", "join"),
 )
 def openvex1(spark, sf_dir):
-    import datetime as _dt
-
     from vunnel_spark.pipelines.chainguard_libraries import openvex_pipeline
 
     o = t(spark, sf_dir, "orders")
