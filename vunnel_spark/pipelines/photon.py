@@ -224,7 +224,9 @@ def photon_pipeline(
         "advisory_date",
     )
     rec = per_entry.groupBy("version", "cve_id").agg(
-        F.first("ns").alias("ns"),
+        # constant within the (version, cve) group; min() instead of
+        # first() so the agg is order-insensitive by construction
+        F.min("ns").alias("ns"),
         # first entry (input order) scoring non-Unknown, else Unknown —
         # the scan runs over ALL entries, including non-affected ones
         F.coalesce(
