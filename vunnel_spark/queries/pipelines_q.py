@@ -1699,19 +1699,21 @@ def mariner1(spark, sf_dir):
 @register(
     "photon1_advisory_patch_dag",
     """
-    WITH base AS (
-      SELECT o_orderkey AS okey,
+    WITH sk AS (
+      SELECT GREATEST(1, COUNT(*) // 5000) AS k FROM orders
+    ), base AS (
+      SELECT o_orderkey AS okey, k,
              CASE CAST(o_orderkey % 3 AS INT)
                   WHEN 0 THEN '3.0' WHEN 1 THEN '4.0' ELSE '5.0' END AS ver,
-             CAST(o_orderkey % 1500 AS VARCHAR) AS cve_n
-      FROM orders
+             CAST(o_orderkey % (1500 * k) AS VARCHAR) AS cve_n
+      FROM orders, sk
     ), entries AS (
       SELECT okey AS pos, ver,
              CASE WHEN okey % 13 = 0 THEN 'BDSA-2025-' || cve_n
                   WHEN okey % 17 = 0 THEN ''
                   ELSE 'CVE-2025-' || cve_n END AS cve_id,
              CASE WHEN okey % 11 = 0 THEN ''
-                  ELSE 'pkg' || CAST(okey % 40 AS VARCHAR) END AS pkg,
+                  ELSE 'pkg' || CAST(okey % (40 * k) AS VARCHAR) END AS pkg,
              CASE CAST(okey % 7 AS INT) WHEN 1 THEN 9.5 WHEN 2 THEN 8.0
                   WHEN 3 THEN 5.5 WHEN 4 THEN 2.0 WHEN 5 THEN 0.0 END AS score,
              CASE WHEN okey % 5 = 0 THEN 'Not Affected'
@@ -1743,7 +1745,7 @@ def mariner1(spark, sf_dir):
              'https://github.com/vmware/photon/wiki/Security-Update-' ||
                ver || '-' || cve_n AS url,
              ['CVE-2025-' || cve_n,
-              'CVE-2025-' || CAST((okey + 7) % 1500 AS VARCHAR)] AS cves
+              'CVE-2025-' || CAST((okey + 7) % (1500 * k) AS VARCHAR)] AS cves
       FROM base
       WHERE okey % 6 = 0 AND okey % 11 <> 0 AND okey % 7 <> 0
     ), adv AS (
@@ -1757,7 +1759,7 @@ def mariner1(spark, sf_dir):
     ), fixdates AS (
       SELECT DISTINCT
              'CVE-2025-' || cve_n AS vuln_id,
-             'pkg' || CAST(okey % 40 AS VARCHAR) AS package,
+             'pkg' || CAST(okey % (40 * k) AS VARCHAR) AS package,
              CASE WHEN okey % 23 = 0 THEN '0'
                   WHEN okey % 4 = 0 THEN 'NA'
                   WHEN okey % 4 = 1 THEN ''
@@ -1765,9 +1767,9 @@ def mariner1(spark, sf_dir):
                        CAST(okey % 5 AS VARCHAR) || '-' ||
                        CAST(okey % 3 AS VARCHAR) END AS fix_version,
              'photon:' || ver AS ecosystem,
-             '2022-' || lpad(CAST((okey % 1500) % 12 + 1 AS VARCHAR), 2, '0')
+             '2022-' || lpad(CAST((okey % (1500 * k)) % 12 + 1 AS VARCHAR), 2, '0')
                || '-' ||
-               lpad(CAST((okey % 40) % 28 + 1 AS VARCHAR), 2, '0') AS fd,
+               lpad(CAST((okey % (40 * k)) % 28 + 1 AS VARCHAR), 2, '0') AS fd,
              'first-observed' AS kind
       FROM base WHERE okey % 10 = 0
     ), sev AS (
@@ -1827,11 +1829,14 @@ def photon1(spark, sf_dir):
     from vunnel_spark.pipelines.photon import advisory_map, photon_pipeline
 
     o = t(spark, sf_dir, "orders")
+    # corpus-proportional id spaces (the debian2 discipline): one
+    # driver-side count, mirrored by the oracle's sk CTE
+    k = int(max(1, o.count() // 5000))
     okey = F.col("o_orderkey")
     ver = (
         F.when(okey % 3 == 0, "3.0").when(okey % 3 == 1, "4.0").otherwise("5.0")
     )
-    cve_n = (okey % 1500).cast("string")
+    cve_n = (okey % (1500 * k)).cast("string")
     res_ver = (
         F.when(okey % 23 == 0, "0")
         .when(okey % 4 == 0, "NA")
@@ -1852,7 +1857,7 @@ def photon1(spark, sf_dir):
         .otherwise(F.concat(F.lit("CVE-2025-"), cve_n))
         .alias("cve_id"),
         F.when(okey % 11 == 0, F.lit(""))
-        .otherwise(F.concat(F.lit("pkg"), (okey % 40).cast("string")))
+        .otherwise(F.concat(F.lit("pkg"), (okey % (40 * k)).cast("string")))
         .alias("pkg"),
         F.when(okey % 7 == 1, F.lit(9.5))
         .when(okey % 7 == 2, F.lit(8.0))
@@ -1888,21 +1893,21 @@ def photon1(spark, sf_dir):
             .when(okey % 5 == 0, F.concat(F.lit("Issued on: "), dt))
             .otherwise(F.concat(F.lit("Issue date: "), dt)),
             F.lit("\nfixes CVE-2025-"), cve_n,
-            F.lit(" and CVE-2025-"), ((okey + 7) % 1500).cast("string"),
+            F.lit(" and CVE-2025-"), ((okey + 7) % (1500 * k)).cast("string"),
         ).alias("content"),
     )
     fixdates = (
         o.filter(okey % 10 == 0)
         .select(
             F.concat(F.lit("CVE-2025-"), cve_n).alias("vuln_id"),
-            F.concat(F.lit("pkg"), (okey % 40).cast("string")).alias("package"),
+            F.concat(F.lit("pkg"), (okey % (40 * k)).cast("string")).alias("package"),
             res_ver.alias("fix_version"),
             F.concat(F.lit("photon:"), ver).alias("ecosystem"),
             F.concat(
                 F.lit("2022-"),
-                F.lpad(((okey % 1500) % 12 + 1).cast("string"), 2, "0"),
+                F.lpad(((okey % (1500 * k)) % 12 + 1).cast("string"), 2, "0"),
                 F.lit("-"),
-                F.lpad(((okey % 40) % 28 + 1).cast("string"), 2, "0"),
+                F.lpad(((okey % (40 * k)) % 28 + 1).cast("string"), 2, "0"),
             ).alias("date"),
             F.lit("first-observed").alias("kind"),
         )
@@ -1934,15 +1939,17 @@ def photon1(spark, sf_dir):
 @register(
     "fedora1_bodhi_merge_dag",
     """
-    WITH base AS (
-      SELECT o_orderkey AS okey,
+    WITH sk AS (
+      SELECT GREATEST(1, COUNT(*) // 5000) AS k FROM orders
+    ), base AS (
+      SELECT o_orderkey AS okey, k,
              'FEDORA-2025-' || CAST(o_orderkey AS VARCHAR) AS alias0,
              CAST(40 + o_orderkey % 3 AS VARCHAR) AS relver0,
-             CAST(o_orderkey % 600 AS VARCHAR) AS c1,
-             CAST(o_orderkey % 600 + 1000 AS VARCHAR) AS c2
-      FROM orders
+             CAST(o_orderkey % (600 * k) AS VARCHAR) AS c1,
+             CAST(o_orderkey % (600 * k) + 1000 * k AS VARCHAR) AS c2
+      FROM orders, sk
     ), upd AS (
-      SELECT okey,
+      SELECT okey, k,
              CASE WHEN okey % 19 = 0 THEN '' ELSE alias0 END AS alias,
              CASE WHEN okey % 23 = 0 THEN 'rawhide' ELSE relver0 END AS relver,
              CASE CAST(okey % 8 AS INT)
@@ -1987,24 +1994,24 @@ def photon1(spark, sf_dir):
       -- the okey%29 junk-builds branch keeps nothing (update drops)
       SELECT okey, pkg_pos, name, version FROM (
         SELECT okey, 0 AS pkg_pos,
-               'pkga' || CAST(okey % 30 AS VARCHAR) AS name,
+               'pkga' || CAST(okey % (30 * k) AS VARCHAR) AS name,
                '0:1.' || CAST(okey % 7 AS VARCHAR) || '-1.fc41' AS version
         FROM live WHERE okey % 29 <> 0
         UNION ALL
         SELECT okey, 1,
-               'pkgb' || CAST(okey % 30 AS VARCHAR),
+               'pkgb' || CAST(okey % (30 * k) AS VARCHAR),
                '2:2.0-1.fc41'
         FROM live WHERE okey % 29 <> 0 AND okey % 3 = 0
       )
     ), fixdim AS (
       SELECT DISTINCT
              'CVE-2025-' || c1 AS f_vuln,
-             'pkga' || CAST(okey % 30 AS VARCHAR) AS f_pkg,
+             'pkga' || CAST(okey % (30 * k) AS VARCHAR) AS f_pkg,
              '0:1.' || CAST(okey % 7 AS VARCHAR) || '-1.fc41' AS f_ver,
              'fedora:' || relver0 AS f_ns,
-             '2024-' || lpad(CAST((okey % 600) % 12 + 1 AS VARCHAR), 2, '0')
+             '2024-' || lpad(CAST((okey % (600 * k)) % 12 + 1 AS VARCHAR), 2, '0')
                || '-' ||
-               lpad(CAST((okey % 30) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
+               lpad(CAST((okey % (30 * k)) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
              'first-observed' AS f_kind
       FROM base WHERE okey % 10 = 0
     ), fi AS (
@@ -2066,18 +2073,21 @@ def fedora1(spark, sf_dir):
     from vunnel_spark.pipelines.fedora import fedora_pipeline
 
     o = t(spark, sf_dir, "orders")
+    # corpus-proportional id spaces (the debian2 discipline): one
+    # driver-side count, mirrored by the oracle's sk CTE
+    k = int(max(1, o.count() // 5000))
     okey = F.col("o_orderkey")
     alias0 = F.concat(F.lit("FEDORA-2025-"), okey.cast("string"))
     relver0 = (40 + okey % 3).cast("string")
-    c1 = (okey % 600).cast("string")
-    c2 = (okey % 600 + 1000).cast("string")
+    c1 = (okey % (600 * k)).cast("string")
+    c2 = (okey % (600 * k) + 1000 * k).cast("string")
     cve1 = F.concat(F.lit("CVE-2025-"), c1)
     cve2 = F.concat(F.lit("CVE-2025-"), c2)
     nvr1 = F.concat(
-        F.lit("pkga"), (okey % 30).cast("string"),
+        F.lit("pkga"), (okey % (30 * k)).cast("string"),
         F.lit("-1."), (okey % 7).cast("string"), F.lit("-1.fc41"),
     )
-    nvr2 = F.concat(F.lit("pkgb"), (okey % 30).cast("string"), F.lit("-2.0-1.fc41"))
+    nvr2 = F.concat(F.lit("pkgb"), (okey % (30 * k)).cast("string"), F.lit("-2.0-1.fc41"))
     bug = lambda sec, title: F.struct(
         F.lit(sec).alias("security"), title.alias("title")
     )
@@ -2151,14 +2161,14 @@ def fedora1(spark, sf_dir):
         o.filter(okey % 10 == 0)
         .select(
             cve1.alias("vuln_id"),
-            F.concat(F.lit("pkga"), (okey % 30).cast("string")).alias("package"),
+            F.concat(F.lit("pkga"), (okey % (30 * k)).cast("string")).alias("package"),
             F.concat(
                 F.lit("0:1."), (okey % 7).cast("string"), F.lit("-1.fc41")
             ).alias("fix_version"),
             F.concat(F.lit("fedora:"), relver0).alias("ecosystem"),
             F.concat(
-                F.lit("2024-"), lp((okey % 600) % 12 + 1),
-                F.lit("-"), lp((okey % 30) % 28 + 1),
+                F.lit("2024-"), lp((okey % (600 * k)) % 12 + 1),
+                F.lit("-"), lp((okey % (30 * k)) % 28 + 1),
             ).alias("date"),
             F.lit("first-observed").alias("kind"),
         )
@@ -2193,16 +2203,18 @@ def fedora1(spark, sf_dir):
 @register(
     "echo1_rolling_merge_dag",
     """
-    WITH base AS (
-      SELECT o_orderkey AS okey,
-             'pkg' || CAST(o_orderkey % 40 AS VARCHAR) AS pkg,
+    WITH sk AS (
+      SELECT GREATEST(1, COUNT(*) // 5000) AS k FROM orders
+    ), base AS (
+      SELECT o_orderkey AS okey, k,
+             'pkg' || CAST(o_orderkey % (40 * k) AS VARCHAR) AS pkg,
              CASE WHEN o_orderkey % 13 = 0
-                    THEN 'TEMP-0-' || CAST(o_orderkey % 90 AS VARCHAR)
+                    THEN 'TEMP-0-' || CAST(o_orderkey % (90 * k) AS VARCHAR)
                   WHEN o_orderkey % 9 = 0
-                    THEN 'GHSA-aaaa-' || CAST(o_orderkey % 50 AS VARCHAR)
+                    THEN 'GHSA-aaaa-' || CAST(o_orderkey % (50 * k) AS VARCHAR)
                   WHEN o_orderkey % 17 = 0
-                    THEN 'OTHER-' || CAST(o_orderkey % 70 AS VARCHAR)
-                  ELSE 'CVE-2025-' || CAST(o_orderkey % 700 AS VARCHAR)
+                    THEN 'OTHER-' || CAST(o_orderkey % (70 * k) AS VARCHAR)
+                  ELSE 'CVE-2025-' || CAST(o_orderkey % (700 * k) AS VARCHAR)
                   END AS cve_id,
              CASE CAST(o_orderkey % 5 AS INT)
                   WHEN 1 THEN 'low' WHEN 2 THEN 'medium'
@@ -2210,19 +2222,19 @@ def fedora1(spark, sf_dir):
              CASE WHEN o_orderkey % 4 = 0 THEN NULL
                   ELSE '1.' || CAST(o_orderkey % 6 AS VARCHAR) || '-1'
                   END AS fixed_version
-      FROM orders
+      FROM orders, sk
     ), live AS (
       SELECT okey AS pos, pkg, cve_id, severity,
              coalesce(fixed_version, '') AS version
       FROM base WHERE cve_id NOT LIKE 'TEMP-%'
     ), fixdim AS (
       SELECT DISTINCT
-             'CVE-2025-' || CAST(okey % 700 AS VARCHAR) AS f_vuln,
-             'pkg' || CAST(okey % 40 AS VARCHAR) AS f_pkg,
+             'CVE-2025-' || CAST(okey % (700 * k) AS VARCHAR) AS f_vuln,
+             'pkg' || CAST(okey % (40 * k) AS VARCHAR) AS f_pkg,
              '1.' || CAST(okey % 6 AS VARCHAR) || '-1' AS f_ver,
-             '2023-' || lpad(CAST((okey % 700) % 12 + 1 AS VARCHAR), 2, '0')
+             '2023-' || lpad(CAST((okey % (700 * k)) % 12 + 1 AS VARCHAR), 2, '0')
                || '-' ||
-               lpad(CAST((okey % 40) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
+               lpad(CAST((okey % (40 * k)) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
              'first-observed' AS f_kind
       FROM base WHERE okey % 10 = 0
     ), sev AS (
@@ -2261,23 +2273,26 @@ def echo1(spark, sf_dir):
     from vunnel_spark.pipelines.echo import echo_pipeline
 
     o = t(spark, sf_dir, "orders")
+    # corpus-proportional id spaces (the debian2 discipline): one
+    # driver-side count, mirrored by the oracle's sk CTE
+    k = int(max(1, o.count() // 5000))
     okey = F.col("o_orderkey")
     advisories = o.select(
         okey.alias("pos"),
-        F.concat(F.lit("pkg"), (okey % 40).cast("string")).alias("package"),
+        F.concat(F.lit("pkg"), (okey % (40 * k)).cast("string")).alias("package"),
         F.when(
             okey % 13 == 0,
-            F.concat(F.lit("TEMP-0-"), (okey % 90).cast("string")),
+            F.concat(F.lit("TEMP-0-"), (okey % (90 * k)).cast("string")),
         )
         .when(
             okey % 9 == 0,
-            F.concat(F.lit("GHSA-aaaa-"), (okey % 50).cast("string")),
+            F.concat(F.lit("GHSA-aaaa-"), (okey % (50 * k)).cast("string")),
         )
         .when(
             okey % 17 == 0,
-            F.concat(F.lit("OTHER-"), (okey % 70).cast("string")),
+            F.concat(F.lit("OTHER-"), (okey % (70 * k)).cast("string")),
         )
-        .otherwise(F.concat(F.lit("CVE-2025-"), (okey % 700).cast("string")))
+        .otherwise(F.concat(F.lit("CVE-2025-"), (okey % (700 * k)).cast("string")))
         .alias("cve_id"),
         F.when(okey % 5 == 1, F.lit("low"))
         .when(okey % 5 == 2, F.lit("medium"))
@@ -2294,16 +2309,16 @@ def echo1(spark, sf_dir):
     fixdates = (
         o.filter(okey % 10 == 0)
         .select(
-            F.concat(F.lit("CVE-2025-"), (okey % 700).cast("string")).alias(
+            F.concat(F.lit("CVE-2025-"), (okey % (700 * k)).cast("string")).alias(
                 "vuln_id"
             ),
-            F.concat(F.lit("pkg"), (okey % 40).cast("string")).alias("package"),
+            F.concat(F.lit("pkg"), (okey % (40 * k)).cast("string")).alias("package"),
             F.concat(F.lit("1."), (okey % 6).cast("string"), F.lit("-1")).alias(
                 "fix_version"
             ),
             F.concat(
-                F.lit("2023-"), lp((okey % 700) % 12 + 1),
-                F.lit("-"), lp((okey % 40) % 28 + 1),
+                F.lit("2023-"), lp((okey % (700 * k)) % 12 + 1),
+                F.lit("-"), lp((okey % (40 * k)) % 28 + 1),
             ).alias("date"),
             F.lit("first-observed").alias("kind"),
         )
@@ -2330,18 +2345,20 @@ def echo1(spark, sf_dir):
 @register(
     "secureos1_secdb_range_dag",
     """
-    WITH base AS (
-      SELECT o_orderkey AS okey,
-             'pkg' || CAST(o_orderkey % 50 AS VARCHAR) AS pkg,
+    WITH sk AS (
+      SELECT GREATEST(1, COUNT(*) // 5000) AS k FROM orders
+    ), base AS (
+      SELECT o_orderkey AS okey, k,
+             'pkg' || CAST(o_orderkey % (50 * k) AS VARCHAR) AS pkg,
              CAST(o_orderkey % 3 AS VARCHAR) || '.' ||
                CAST(o_orderkey % 5 AS VARCHAR) || '-r' ||
                CAST(o_orderkey % 4 AS VARCHAR) AS v1,
              CAST(o_orderkey % 3 + 3 AS VARCHAR) || '.0-r' ||
                CAST(o_orderkey % 2 + 1 AS VARCHAR) AS v2,
-             'CVE-2025-' || CAST(o_orderkey % 400 AS VARCHAR) AS cva,
-             'CVE-2025-' || CAST(o_orderkey % 400 + 2000 AS VARCHAR) AS cvb,
-             'XSA-' || CAST(o_orderkey % 20 AS VARCHAR) AS cvx
-      FROM orders
+             'CVE-2025-' || CAST(o_orderkey % (400 * k) AS VARCHAR) AS cva,
+             'CVE-2025-' || CAST(o_orderkey % (400 * k) + 2000 * k AS VARCHAR) AS cvb,
+             'XSA-' || CAST(o_orderkey % (20 * k) AS VARCHAR) AS cvx
+      FROM orders, sk
     ), fi_rows AS (
       -- v1 (always the smaller real, vrank 0) lists cva+cvb;
       -- v2 (vrank 1, revision 1..2 > 0) relists cva -> carries the
@@ -2379,14 +2396,14 @@ def echo1(spark, sf_dir):
       FROM fi_rows
     ), fixdim AS (
       SELECT DISTINCT
-             'CVE-2025-' || CAST(okey % 400 AS VARCHAR) AS f_vuln,
-             'pkg' || CAST(okey % 50 AS VARCHAR) AS f_pkg,
+             'CVE-2025-' || CAST(okey % (400 * k) AS VARCHAR) AS f_vuln,
+             'pkg' || CAST(okey % (50 * k) AS VARCHAR) AS f_pkg,
              CAST(okey % 3 AS VARCHAR) || '.' ||
                CAST(okey % 5 AS VARCHAR) || '-r' ||
                CAST(okey % 4 AS VARCHAR) AS f_ver,
-             '2024-' || lpad(CAST((okey % 400) % 12 + 1 AS VARCHAR), 2, '0')
+             '2024-' || lpad(CAST((okey % (400 * k)) % 12 + 1 AS VARCHAR), 2, '0')
                || '-' ||
-               lpad(CAST((okey % 50) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
+               lpad(CAST((okey % (50 * k)) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
              'first-observed' AS f_kind
       FROM base WHERE okey % 10 = 0
     )
@@ -2426,6 +2443,9 @@ def secureos1(spark, sf_dir):
     from vunnel_spark.pipelines.secureos import secureos_pipeline
 
     o = t(spark, sf_dir, "orders")
+    # corpus-proportional id spaces (the debian2 discipline): one
+    # driver-side count, mirrored by the oracle's sk CTE
+    k = int(max(1, o.count() // 5000))
     okey = F.col("o_orderkey")
     v1 = F.concat(
         (okey % 3).cast("string"), F.lit("."), (okey % 5).cast("string"),
@@ -2435,9 +2455,9 @@ def secureos1(spark, sf_dir):
         (okey % 3 + 3).cast("string"), F.lit(".0-r"),
         (okey % 2 + 1).cast("string"),
     )
-    cva = F.concat(F.lit("CVE-2025-"), (okey % 400).cast("string"))
-    cvb = F.concat(F.lit("CVE-2025-"), (okey % 400 + 2000).cast("string"))
-    cvx = F.concat(F.lit("XSA-"), (okey % 20).cast("string"))
+    cva = F.concat(F.lit("CVE-2025-"), (okey % (400 * k)).cast("string"))
+    cvb = F.concat(F.lit("CVE-2025-"), (okey % (400 * k) + 2000 * k).cast("string"))
+    cvx = F.concat(F.lit("XSA-"), (okey % (20 * k)).cast("string"))
     sf_entry = lambda ver, vids: F.struct(
         ver.alias("version"), vids.alias("vids")
     )
@@ -2458,22 +2478,22 @@ def secureos1(spark, sf_dir):
     )
     pkgs = o.select(
         okey.alias("pos"),
-        F.concat(F.lit("pkg"), (okey % 50).cast("string")).alias("pkg"),
+        F.concat(F.lit("pkg"), (okey % (50 * k)).cast("string")).alias("pkg"),
         secfixes.alias("secfixes"),
     )
     lp = lambda e: F.lpad(e.cast("string"), 2, "0")
     fixdates = (
         o.filter(okey % 10 == 0)
         .select(
-            F.concat(F.lit("CVE-2025-"), (okey % 400).cast("string")).alias(
+            F.concat(F.lit("CVE-2025-"), (okey % (400 * k)).cast("string")).alias(
                 "vuln_id"
             ),
-            F.concat(F.lit("pkg"), (okey % 50).cast("string")).alias("package"),
+            F.concat(F.lit("pkg"), (okey % (50 * k)).cast("string")).alias("package"),
             v1.alias("fix_version"),
             F.lit("secureos:rolling").alias("ecosystem"),
             F.concat(
-                F.lit("2024-"), lp((okey % 400) % 12 + 1),
-                F.lit("-"), lp((okey % 50) % 28 + 1),
+                F.lit("2024-"), lp((okey % (400 * k)) % 12 + 1),
+                F.lit("-"), lp((okey % (50 * k)) % 28 + 1),
             ).alias("date"),
             F.lit("first-observed").alias("kind"),
         )
