@@ -85,7 +85,7 @@ WINDOW_SIZE = 50
 
 #: staleness bar enforced by the lint: every registered query must have
 #: been externally gated within this many rounds (or sit in the upcoming
-#: window).  ~237 queries / 50 slots with ~10 priority slots per round
+#: window).  ~243 queries / 50 slots with ~10 priority slots per round
 #: cycles the full registry in ~5 rounds; 6 leaves one round of slack.
 MAX_GATE_AGE_ROUNDS = 6
 
