@@ -682,3 +682,13 @@ def test_llm2_dedup_window_feature_partitioned(spark, sf_dir):
     specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert specs and all(s.startswith("width") for s in specs), specs
     assert "CartesianProduct" not in p, p
+
+
+def test_x27_packing_single_exchange(spark, sf_dir):
+    # the packing layout is ONE running-sum window per shard: exactly one
+    # hash exchange (on shard_id), no join, no second shuffle
+    import re
+
+    p = plan_of(q("x27_sequence_packing", spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "Join" not in p, p

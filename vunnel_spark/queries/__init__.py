@@ -51,6 +51,7 @@ from vunnel_spark.registry import REGISTRY
 #: published-date fallback included — on falsy package name/ecosystem,
 #: matching utils/osv.py:39-46; re-oracled hash-green locally, fronted
 #: here so the external gate re-checks the changed plan too).
+#: x27 is the new concat-then-chunk packing operator;
 #: photon1/fedora1/echo1/secureos1/alma1/openvex1 are this round's new
 #: end-to-end provider DAGs (each pipeline run under the oracle gate,
 #: flattened per FixedIn / affected entry / fix).
@@ -65,6 +66,7 @@ GATE_PRIORITY = [
     "secureos1_secdb_range_dag",
     "alma1_osv_normalize_dag",
     "openvex1_libraries_dag",
+    "x27_sequence_packing",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns

@@ -1560,3 +1560,89 @@ def x25(spark, sf_dir):
         F.md5(F.col("norm").cast("binary")).alias("norm_key"),
         (F.length("raw") != F.length("norm")).alias("composed"),
     )
+
+
+#: packing geometry for x27 — 128-token training sequences; one EOD
+#: token is charged per document (the GPT-style concat separator)
+_PACK_B = 128
+
+
+@register(
+    "x27_sequence_packing",
+    r"""
+    WITH sk AS (
+      SELECT GREATEST(1, COUNT(*) // 5000) AS k FROM documents
+    ), d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END + 1 AS BIGINT) AS n_tokens,
+             doc_id % (32 * k) AS shard_id
+      FROM documents, sk
+    ), c AS (
+      SELECT doc_id, shard_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard_id ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id, doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_before // 128 AS BIGINT) AS start_seq,
+           CAST((cum_before + n_tokens - 1) // 128 AS BIGINT) AS end_seq,
+           CAST(cum_before % 128 AS INT) AS start_offset,
+           CAST((cum_before + n_tokens - 1) // 128
+                - cum_before // 128 + 1 AS INT) AS n_seqs
+    FROM c
+    """,
+    doc="Concat-then-chunk sequence packing — the GPT-style pretraining "
+        "batch layout x24's per-document chunker does NOT cover: "
+        "documents concatenate (one EOD token each) into a per-shard "
+        "token stream that is cut into fixed 128-token training "
+        "sequences, so a document knows which sequences it lands in "
+        "(start_seq/end_seq/start_offset) and how many it straddles.  "
+        "One running-sum window per shard computes the whole layout.  "
+        "Scale: shards derive from corpus size (doc_id % (32 * k), the "
+        "debian2 discipline) so per-shard stream length — and the "
+        "sequential window-cumsum a single task must walk — stays "
+        "BOUNDED as the corpus grows; one hash exchange on shard_id and "
+        "nothing else.  A fixed shard count would serialize the cumsum "
+        "at 100 TB — the same class as a fixed synthesis id space",
+    tags=("text", "window"),
+)
+def x27(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = int(max(1, docs.count() // 5000))
+    n_words = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    d = docs.select(
+        "doc_id",
+        (n_words + 1).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % (32 * k)).alias("shard_id"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "doc_id", "shard_id", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return c.select(
+        F.col("shard_id").cast("int").alias("shard_id"),
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f"cum_before div {_PACK_B}").alias("start_seq"),
+        F.expr(f"(cum_before + n_tokens - 1) div {_PACK_B}").alias("end_seq"),
+        (F.col("cum_before") % _PACK_B).cast("int").alias("start_offset"),
+        (
+            F.expr(f"(cum_before + n_tokens - 1) div {_PACK_B}")
+            - F.expr(f"cum_before div {_PACK_B}")
+            + 1
+        ).cast("int").alias("n_seqs"),
+    )
