@@ -121,3 +121,25 @@ def test_schema_version_default(spark):
     out = _run(spark, [("10", "A-10", None, "s", _aff("x"))])
     assert out["A-10"]["schema_version"] == "1.7.0"
     assert out["A-10"]["key"] == "almalinux10/A-10"
+
+
+def test_modularity_strips_tabs_like_str_strip(spark):
+    """The reference trims module_info with str.strip()
+    (alma/parser.py:160), which removes tabs/newlines too — F.trim
+    only strips ASCII spaces, so 'Moderate: \\tmod:1 update' must
+    still yield 'mod:1' (r11 ADVICE)."""
+    out = _run(
+        spark,
+        [
+            ("8", "A-20", None, "Moderate: \tmariadb:10.3 security update",
+             _aff("mariadb")),
+            ("8", "A-21", None, "Moderate: nodejs:16\t security update",
+             _aff("nodejs")),
+        ],
+    )
+    assert out["A-20"]["affected"][0]["ecosystem_specific"] == {
+        "rpm_modularity": "mariadb:10.3"
+    }
+    assert out["A-21"]["affected"][0]["ecosystem_specific"] == {
+        "rpm_modularity": "nodejs:16"
+    }

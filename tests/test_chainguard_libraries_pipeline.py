@@ -173,3 +173,43 @@ def test_plan_shape_no_cartesian_store_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_purl_packageurl_normalization(spark):
+    """PackageURL.from_string (reference pin packageurl-python >= 0.16)
+    lowercases the purl TYPE and normalizes pypi names (lowercase,
+    '_' -> '-'), so a non-canonical 'pkg:PyPI/Foo_Bar@1.0+cgr.1' —
+    plausible via the @id fallback — is KEPT and finder-matched as
+    'foo-bar'; maven names keep their case (r11 ADVICE)."""
+    import datetime
+
+    fixdates = spark.createDataFrame(
+        [
+            ("CVE-8", "foo-bar", "1.0+cgr.1", "pypi",
+             datetime.date(2024, 6, 1), "first-observed", True),
+            ("CVE-8", "LibA", "1.cgr.1", "maven",
+             datetime.date(2024, 6, 2), "first-observed", True),
+        ],
+        "vuln_id string, package string, fix_version string, "
+        "ecosystem string, date date, kind string, accurate boolean",
+    )
+    out = _run(
+        spark,
+        [
+            ("python", 0, [
+                (("CVE-8",), "fixed", "2025-01-15T00:00:00Z", [
+                    _p(purl="pkg:PyPI/Foo_Bar@1.0+cgr.1"),
+                    _p(purl="pkg:Maven/org.X/LibA@1.cgr.1"),
+                ]),
+            ]),
+        ],
+        fixdates=fixdates,
+    )
+    fixes = out[("python", "CVE-8")]["fixes"]
+    # both store hits land (earlier-dated accurate rows beat advisory)
+    assert fixes == [
+        {"product": "pkg:PyPI/Foo_Bar@1.0+cgr.1",
+         "available": {"date": "2024-06-01", "kind": "first-observed"}},
+        {"product": "pkg:Maven/org.X/LibA@1.cgr.1",
+         "available": {"date": "2024-06-02", "kind": "first-observed"}},
+    ]

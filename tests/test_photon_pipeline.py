@@ -205,3 +205,31 @@ def test_plan_shape_single_shuffle_broadcast_dims(spark):
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert len(re.findall(r"Exchange (hash|range)", plan)) == 1, plan
+
+
+def test_filename_prefix_match_plus_endswith_md(spark):
+    """The reference filters with re.match (START-anchored only) plus a
+    separate endswith('.md') check (photon/parser.py:78, 116-118) — so
+    'Security-Update-3.0-123.md.md' parses (version 3.0, url strips
+    only the FINAL '.md'), while a prefix match that doesn't end in
+    '.md' drops."""
+    files = spark.createDataFrame(
+        [
+            ("Security-Update-3.0-123.md.md",
+             "Advisory Id : PHSA-2021-3.0-0123\nIssue date: 2021-07-01\n"
+             "CVE-2021-9"),
+            # regex prefix matches but endswith('.md') fails -> drop
+            ("Security-Update-3.0-124.md.bak",
+             "Advisory Id : PHSA-2021-3.0-0124\nIssue date: 2021-07-02\n"
+             "CVE-2021-10"),
+        ],
+        "filename string, content string",
+    )
+    out = {
+        (r["version"], r["cve_id"]): r.asDict()
+        for r in advisory_map(files).collect()
+    }
+    assert set(out) == {("3.0", "CVE-2021-9")}
+    assert out[("3.0", "CVE-2021-9")]["advisory_url"].endswith(
+        "/wiki/Security-Update-3.0-123.md"
+    )

@@ -174,3 +174,24 @@ def test_plan_shape_two_shuffles_no_broadcast_of_corpus(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan  # the finder dim only
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert len(re.findall(r"Exchange (hash|range)", plan)) == 2, plan
+
+
+def test_revision_int_semantics_sign_and_whitespace(spark):
+    """Revision eligibility follows Python int() (parser.py:175), which
+    the pandas-UDF comparator runs verbatim: '+2' and ' 2' parse (and
+    '1_0' -> 10), so '1.0-r+2' as a non-first real EMITS the -r0 range
+    — a bare ^\\d+$ gate would compute 0 and suppress it (r11 ADVICE)."""
+    assert _compare_apk_versions("1.0-r0", "1.0-r+2") == -1
+    out = _run(
+        spark,
+        [
+            (0, "pkga", [
+                ("1.0-r+2", ["CVE-9"]),
+                ("1.0-r0", ["CVE-9"]),
+            ]),
+        ],
+    )
+    fis = out["CVE-9"]["FixedIn"]
+    assert [fi["Version"] for fi in fis] == ["1.0-r0", "1.0-r+2"]
+    assert fis[0]["VulnerableRange"] is None
+    assert fis[1]["VulnerableRange"] == ">=1.0-r0, <1.0-r+2"

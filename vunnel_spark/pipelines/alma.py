@@ -53,7 +53,10 @@ def parse_modularity(summary):
     two spaces (needs >= 3 elements for the second space to exist).
     """
     toks = F.split(F.coalesce(summary, F.lit("")), " ", -1)
-    info = F.trim(toks[1])
+    # the reference's str.strip() removes tabs/newlines too, not just
+    # ASCII spaces like F.trim — 'Moderate: \tmod:1 update' must yield
+    # 'mod:1', not '\tmod:1' (r11 ADVICE)
+    info = F.regexp_replace(toks[1], r"^\s+|\s+$", "")
     return F.when(
         (F.size(toks) >= 3)
         & info.contains(":")

@@ -54,13 +54,29 @@ def purl_field(pid, part: str):
     """purl components the reference reads via PackageURL: ``type``
     (scheme segment), ``name`` (segment before '@' — the maven
     artifact, the pypi name), ``version`` ('@' to end-of-purl,
-    qualifiers/subpath excluded)."""
+    qualifiers/subpath excluded).
+
+    PackageURL.from_string NORMALIZES (packageurl-python >= 0.16, the
+    reference's pin): the type is lowercased, and pypi names are
+    lowercased with '_' -> '-' (the purl spec's pypi rule).  Without
+    this, a non-canonical purl like 'pkg:PyPI/Foo_Bar@1.0+cgr.1' —
+    plausible via the @id fallback that exists precisely for malformed
+    docs — is kept and looked up as 'foo-bar' by the reference but
+    dropped or finder-missed here (r11 ADVICE)."""
     pat = {
         "type": r"^pkg:([^/]+)/",
         "name": r"/([^/@]+)@",
         "version": r"@([^?#]+)",
     }[part]
-    return F.regexp_extract(F.coalesce(pid, F.lit("")), pat, 1)
+    raw = F.regexp_extract(F.coalesce(pid, F.lit("")), pat, 1)
+    if part == "type":
+        return F.lower(raw)
+    if part == "name":
+        return F.when(
+            purl_field(pid, "type") == "pypi",
+            F.regexp_replace(F.lower(raw), "_", "-"),
+        ).otherwise(raw)
+    return raw
 
 
 def _pid(p):

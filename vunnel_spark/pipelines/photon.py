@@ -55,7 +55,11 @@ PHOTON_WIKI_BASE_URL = "https://github.com/vmware/photon/wiki"
 _ADVISORY_ID_RE = r"Advisory\s+(?:Id|ID)\s*:\s*(PHSA-\d{4}-(?:\d+\.\d+-)?0*\d+)"
 _ISSUE_DATE_RE = r"(?:Issue\s+date|Issued\s+on)\s*:\s*(\d{4}-\d{2}-\d{2})"
 _CVE_ID_RE = r"CVE-\d{4}-\d+"
-_ADVISORY_FILENAME_RE = r"^Security-Updates?-(\d+\.\d+)-(\d+)\.md$"
+#: start-anchored ONLY — the reference uses re.match (prefix match) plus
+#: a separate endswith('.md') pre-filter (photon/parser.py:116-118), so
+#: 'Security-Update-3.0-123.md.md' is a valid advisory there; a trailing
+#: '$' here would silently drop it (r11 ADVICE).
+_ADVISORY_FILENAME_RE = r"^Security-Updates?-(\d+\.\d+)-(\d+)\.md"
 
 
 def cvss_to_severity(score):
@@ -87,7 +91,8 @@ def advisory_map(files: DataFrame) -> DataFrame:
     (advisory_id, url) — the reference keeps whichever file listdir
     yielded first, which is not a stable order to pin.
     """
-    parsed = files.select(
+    # match()+endswith combination, mirroring parser.py:116-118
+    parsed = files.where(F.col("filename").endswith(".md")).select(
         F.regexp_extract("filename", _ADVISORY_FILENAME_RE, 1).alias("version"),
         F.regexp_extract("content", _ADVISORY_ID_RE, 1).alias("advisory_id"),
         F.regexp_extract("content", _ISSUE_DATE_RE, 1).alias("date"),

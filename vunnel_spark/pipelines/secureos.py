@@ -192,9 +192,17 @@ def secureos_pipeline(
         F.when(F.col("is_real"), F.struct("pos", "vrank"))
     ).over(Window.partitionBy("vid", "pkg"))
     rev_str = F.regexp_extract("fix_version", r"^(.*)-r(.*)$", 2)
+    # eligibility matches Python int() (parser.py:175), which the
+    # pandas-UDF sort comparator also runs verbatim: surrounding
+    # whitespace, an optional sign, and underscore digit separators
+    # are all accepted ('+2' -> 2, ' 2' -> 2, '1_0' -> 10) — a bare
+    # ^\d+$ gate would compute revision 0 for '1.0-r+2' and suppress
+    # a range the reference emits (r11 ADVICE)
+    rev_norm = F.regexp_replace(rev_str, r"[\s_]", "")
     revision = F.when(
-        F.col("fix_version").contains("-r") & rev_str.rlike(r"^\d+$"),
-        rev_str.cast("int"),
+        F.col("fix_version").contains("-r")
+        & rev_str.rlike(r"^\s*[+-]?\d+(_\d+)*\s*$"),
+        rev_norm.cast("int"),
     ).otherwise(F.lit(0))
     base_r0 = F.concat(
         F.when(
