@@ -95,22 +95,20 @@ def _timed(fn) -> tuple[float, object]:
 
 
 def scaled_nlist(n_vectors: int, target_cell: int = 375) -> int:
-    """The documented IVF/SemDeDup granularity rule (operators/dedup.py
-    semantic_dedup docstring): nlist ~ n_vectors / target_cell_size,
-    rounded to a power of two, floor 8.  target_cell=375 reproduces the
-    committed r9 demonstrations (24k corpus -> nlist 64)."""
-    import math
+    """Delegates to the library rule (operators/similarity.py) — the
+    registered queries now derive granularity from the same function, so
+    harness and gate can't drift apart."""
+    from vunnel_spark.operators.similarity import scaled_ivf_nlist
 
-    return max(8, 2 ** round(math.log2(max(1, n_vectors / target_cell))))
+    return scaled_ivf_nlist(n_vectors, target_cell)
 
 
 def scaled_bits(n_vectors: int, target_bucket: int = 190) -> int:
-    """LSH granularity rule: bits ~ log2(n_vectors / target_bucket) —
-    bucket population stays bounded as the corpus grows.  target=190
-    reproduces the r9 demonstration (24k corpus -> 7 bits)."""
-    import math
+    """Delegates to operators/similarity.py scaled_lsh_bits (see
+    scaled_nlist)."""
+    from vunnel_spark.operators.similarity import scaled_lsh_bits
 
-    return max(3, round(math.log2(max(2, n_vectors / target_bucket))))
+    return scaled_lsh_bits(n_vectors, target_bucket)
 
 
 def run_scaled_ann(sf_dir: str, out_json: str) -> None:

@@ -123,6 +123,32 @@ def _plane_value(table: int, bit: int, i: int) -> float:
     return int.from_bytes(h[:8], "big") / float(2**63) - 1.0
 
 
+def scaled_lsh_bits(n_vectors: int, target_bucket: int = 190) -> int:
+    """Corpus-derived LSH granularity: bits ~ log2(n / target_bucket).
+
+    Bucket population stays bounded (~target_bucket) as the corpus
+    grows, which keeps per-bucket pair generation O(target^2) instead of
+    quadratic in corpus size — the rule the r9-r11 scale pushes
+    validated (24k corpus -> 7 bits, planted-pair recall 1.0 through
+    sf10).  Floor 3 so tiny corpora still split; fewer bits only ever
+    ADDS candidates, so recall is monotone as n shrinks.  Use this
+    instead of a fixed n_bits anywhere the corpus size isn't pinned —
+    a fixed geometry is the debian1/d7 OOM class at 100 TB.
+    """
+    import math
+
+    return max(3, round(math.log2(max(2, n_vectors / target_bucket))))
+
+
+def scaled_ivf_nlist(n_vectors: int, target_cell: int = 375) -> int:
+    """Corpus-derived IVF granularity: nlist ~ n / target_cell, rounded
+    to a power of two, floor 8 (the semantic_dedup docstring rule;
+    target_cell=375 reproduces the committed r9 demonstrations)."""
+    import math
+
+    return max(8, 2 ** round(math.log2(max(1, n_vectors / target_cell))))
+
+
 def add_lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",

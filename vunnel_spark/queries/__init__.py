@@ -43,30 +43,27 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 11: debian2 (the new corpus-proportional id-space gate for the
-#: debian DAG — regression-guards the sf10 OOM class found in r10); d7
-#: (embedding_dup_pairs reordered to score-then-dedup so the candidate
-#: exchange stops carrying vectors — same result set, changed plan);
-#: osv1/ubuntu2 (osv_patch_fix_dates now skips the whole patch —
-#: published-date fallback included — on falsy package name/ecosystem,
-#: matching utils/osv.py:39-46; re-oracled hash-green locally, fronted
-#: here so the external gate re-checks the changed plan too).
-#: x27 is the new concat-then-chunk packing operator;
-#: photon1/fedora1/echo1/secureos1/alma1/openvex1 are this round's new
-#: end-to-end provider DAGs (each pipeline run under the oracle gate,
-#: flattened per FixedIn / affected entry / fix).
+#: Round 12 (residual-hardening; every entry is a changed PLAN or
+#: changed SEMANTICS, re-oracled locally before fronting):
+#: d7 (registered LSH bits now corpus-derived via scaled_lsh_bits — the
+#: last gate-pinned geometry, the debian2 discipline); osv1 (nested
+#: input pre-materialized through a keyed parquet cache so the gate
+#: measures the patch pipeline, not collect_list synthesis); g3 (fixture
+#: rank rebuilt on the o3/x11 two-level bucket rank — no global
+#: row_number); epss1 (percent_rank decomposed into value-domain-bucket
+#: rank + tiny offset frame — the registry's last single-partition
+#: window retired); photon1/alma1/secureos1/openvex1 (the four r11
+#: ADVICE fidelity fixes: match()+endswith filename filter, str.strip
+#: whitespace, int() revision semantics, PackageURL normalization).
 GATE_PRIORITY = [
-    "debian2_legacy_merge_scaled",
     "d7_embedding_dup_pairs",
     "osv1_fixdate_patch",
-    "ubuntu2_osv_downconvert",
+    "g3_chain_components",
+    "epss1_end_to_end_dag",
     "photon1_advisory_patch_dag",
-    "fedora1_bodhi_merge_dag",
-    "echo1_rolling_merge_dag",
-    "secureos1_secdb_range_dag",
     "alma1_osv_normalize_dag",
+    "secureos1_secdb_range_dag",
     "openvex1_libraries_dag",
-    "x27_sequence_packing",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
@@ -80,7 +77,7 @@ GATE_PRIORITY = [
 #: plain suite keeps it a warning because the driver commits each
 #: round's gate report AFTER the round's final code commit, which makes
 #: the stamp lag by exactly one at judge-suite time by construction.
-GATE_PRIORITY_ROUND = 11
+GATE_PRIORITY_ROUND = 12
 
 #: size of the external gate window (the driver hash-checks this many).
 WINDOW_SIZE = 50

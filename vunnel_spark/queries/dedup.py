@@ -289,18 +289,27 @@ def d6(spark, sf_dir):
         "corpus: the planted pairs are the only ones, and bucket collision "
         "for near-parallel vectors is near-certain across 4 tables) — the "
         "oracle is the exact cross-pair SQL; a recall miss would surface as "
-        "a row-count mismatch",
+        "a row-count mismatch.  GEOMETRY IS CORPUS-DERIVED (r11 verdict): "
+        "n_bits = scaled_lsh_bits(count) keeps bucket population ~190 at "
+        "any SF — the gate-pinned 8-bit shape generated ~450M pre-distinct "
+        "candidates at sf10; the oracle is geometry-independent (exact "
+        "pair set), so no SQL mirror is needed, only recall, which fewer "
+        "bits can only improve and the sf10 push measured at 1.0 for "
+        "scaled bits",
     tags=("dedup", "similarity"),
 )
 def d7(spark, sf_dir):
     from vunnel_spark.operators.dedup import embedding_dup_pairs
+    from vunnel_spark.operators.similarity import scaled_lsh_bits
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + _DUP_BASE).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.02 + 0.005).alias("embedding"),
     )
-    return embedding_dup_pairs(emb.unionByName(planted), threshold=0.9)
+    corpus = emb.unionByName(planted)
+    bits = scaled_lsh_bits(corpus.count())
+    return embedding_dup_pairs(corpus, threshold=0.9, n_bits=bits)
 
 
 @register(

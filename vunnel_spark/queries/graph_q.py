@@ -142,8 +142,10 @@ def g2(spark, sf_dir):
         "keys).  Star-contraction converges in O(log n) rounds where naive "
         "min-propagation needs O(n); the oracle is the closed-form chain "
         "component id, so convergence-to-fixpoint is what the gate checks. "
-        "The global row_number is fixture construction, not the operator "
-        "under test",
+        "The fixture ranks orderkeys with the o3/x11 two-level bucket rank "
+        "(order-aligned numeric buckets + per-bucket window + tiny offset "
+        "aggregate), NOT a global row_number — the r11 sweep attributed "
+        "g3's whole 13.3x to the old single-partition fixture sort",
     tags=("graph",),
 )
 def g3(spark, sf_dir):
@@ -153,10 +155,34 @@ def g3(spark, sf_dir):
 
     # fixture: rank orderkeys into a dense 1..N domain, chain consecutive
     # ranks, break the chain every 50 nodes -> components of exactly 50.
-    rn = t(spark, sf_dir, "orders").select(
-        F.row_number().over(Window.orderBy("o_orderkey")).cast("long").alias("rn")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    n_max, key_max = orders.agg(
+        F.count(F.lit(1)), F.max("o_orderkey")
+    ).first()
+    # order-aligned buckets: o_orderkey div width preserves key order
+    # across buckets; width corpus-derived so each bucket's window ranks
+    # ~4096 rows at any SF (never one global sort partition)
+    width = key_max // max(1, n_max // 4096) + 1
+    b = orders.withColumn("bucket", F.expr(f"o_orderkey div {width}"))
+    local = b.withColumn(
+        "local_pos",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("o_orderkey")
+        ),
     )
-    n_max = rn.agg(F.max("rn")).first()[0]
+    # tiny frame: one row per bucket
+    w_bucket = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("before", F.coalesce(F.sum("n").over(w_bucket), F.lit(0)))
+        .select("bucket", "before")
+    )
+    rn = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("before") + F.col("local_pos")).cast("long").alias("rn")
+    )
     edges = rn.where(
         ((F.col("rn") % 50) != 0) & (F.col("rn") < F.lit(n_max))
     ).select(F.col("rn").alias("src"), (F.col("rn") + 1).alias("dst"))

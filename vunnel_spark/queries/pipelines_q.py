@@ -281,11 +281,56 @@ def ubuntu1(spark, sf_dir):
         "in-order array reassembly, then RE-EXPLODED from the rebuilt "
         "nested doc.  The oracle states every event's expected best fix "
         "date flat; a pick that prefers the wrong candidate, or a rebuild "
-        "that drops/reorders ranges, changes the re-exploded rows",
+        "that drops/reorders ranges, changes the re-exploded rows.  "
+        "INPUT IS PRE-MATERIALIZED (r11 verdict): the registered query "
+        "reads the nested corpus from a keyed parquet cache (built once "
+        "per (sf_dir, orders count)), so gate and sweep measure the "
+        "PRODUCTION shape — the patch pipeline over a nested corpus on "
+        "disk (9.1x at 100x data, osv1_pipeline_results.json) — not the "
+        "orders x lineitem collect_list synthesis (33.5x).  The oracle "
+        "is a pure function of orders/lineitem either way",
     tags=("pipeline", "join", "explode"),
 )
 def osv1(spark, sf_dir):
-    return osv1_run(*osv1_inputs(spark, sf_dir))
+    return osv1_run(*osv1_materialized_inputs(spark, sf_dir))
+
+
+def osv1_materialized_inputs(spark, sf_dir):
+    """osv1's synthesized nested input, through a keyed parquet cache.
+
+    In production the nested advisory corpus IS the pipeline's on-disk
+    input; building it per query run made the registered osv1 measure
+    collect_list assembly instead of the pipeline (the r9 68.4x 'watch'
+    item, adjudicated r10-r11).  The cache key folds in the corpus size
+    so a regenerated testdata dir can't serve a stale synthesis; writes
+    go to a tmp dir then os.rename so concurrent/killed runs never
+    expose a half-written cache.  Lives under the gitignored .scaledata/.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    orders_n = t(spark, sf_dir, "orders").count()
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{orders_n}".encode()
+    ).hexdigest()[:16]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    root = os.path.join(repo, ".scaledata", "osv1_input", key)
+    if not os.path.isdir(root):
+        adv, fxd = osv1_inputs(spark, sf_dir)
+        tmp = f"{root}.tmp-{os.getpid()}"
+        adv.write.mode("overwrite").parquet(os.path.join(tmp, "advisories"))
+        fxd.write.mode("overwrite").parquet(os.path.join(tmp, "fixdates"))
+        try:
+            os.rename(tmp, root)
+        except OSError:  # another process won the race; its cache is fine
+            shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.read.parquet(os.path.join(root, "advisories")),
+        spark.read.parquet(os.path.join(root, "fixdates")),
+    )
 
 
 def osv1_inputs(spark, sf_dir):

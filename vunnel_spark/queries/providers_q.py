@@ -239,12 +239,15 @@ def kev1(spark, sf_dir):
         "float score casts, the '#…score_date' comment lifted into a "
         "literal column (read_csv_with_comment_header, unit-tested in "
         "tests/test_sources.py), one record per CVE with its percentile; "
-        "percent_rank is rank-based so ties stay deterministic.  The "
-        "unpartitioned window runs AFTER the per-CVE aggregation, so its "
-        "input is bounded by the CVE id space (~300k in the real feed, "
-        "a few MB) regardless of corpus size — the single-partition "
-        "WindowExec is deliberate and safe at that cardinality, exactly "
-        "like the feed file itself is a single global CSV",
+        "percent_rank is rank-based so ties stay deterministic.  "
+        "percentile-of-corpus is inherently global, but the plan is NOT a "
+        "single-partition window (the last one in the registry, retired "
+        "r12): epss lives in [0, 1], so floor(epss*1024) gives order-"
+        "aligned VALUE-DOMAIN buckets — tie values can't straddle a "
+        "bucket — and the global rank decomposes into a per-bucket rank() "
+        "window plus a tiny exclusive-prefix offset frame (one row per "
+        "bucket, the documented bounded-carry window class); N comes from "
+        "the same tiny frame, so no second pass over the scores",
     tags=("pipeline", "scalar"),
 )
 def epss1(spark, sf_dir):
@@ -256,11 +259,43 @@ def epss1(spark, sf_dir):
         )
         .groupBy("cve")
         .agg(F.max("epss0").alias("epss"))
+        .withColumn("bucket", F.floor(F.col("epss") * 1024))
     )
-    return scores.select(
+    local = scores.withColumn(
+        "local_rank",
+        F.rank().over(Window.partitionBy("bucket").orderBy("epss")),
+    )
+    # tiny frame: one row per value-domain bucket (<= 1025 rows at ANY
+    # corpus size)
+    w_bucket = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        scores.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("before", F.coalesce(F.sum("n").over(w_bucket), F.lit(0)))
+        .withColumn(
+            "total",
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("bucket", "before", "total")
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
         "cve",
         "epss",
-        F.round(F.percent_rank().over(Window.orderBy("epss")), 6).alias("percentile"),
+        F.when(F.col("total") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("before") + F.col("local_rank") - 1)
+                / (F.col("total") - 1),
+                6,
+            )
+        )
+        .alias("percentile"),
         F.lit("2026-08-14").alias("score_date"),
     )
 
