@@ -94,6 +94,21 @@ def _timed(fn) -> tuple[float, object]:
     return round(time.monotonic() - t0, 3), res
 
 
+def consume(df) -> None:
+    """Benchmark action that consumes EVERY output column.
+
+    ``count()`` lets Catalyst prune anything that doesn't change the
+    row count — pure-projection stages, WINDOW functions, and final
+    SORTs all fold away (the r11 x27 lesson: a projection-only packing
+    query measured as a parquet-footer no-op).  The noop datasource
+    iterates all rows and materializes each column, so the timed plan
+    is the plan a real consumer would run.  See
+    scripts/audit_sweep_action.py for the per-query audit of which
+    registry queries the count() action was silently truncating.
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
 def scaled_nlist(n_vectors: int, target_cell: int = 375) -> int:
     """Delegates to the library rule (operators/similarity.py) — the
     registered queries now derive granularity from the same function, so
@@ -707,7 +722,7 @@ def main() -> None:
             for run in range(n_runs):
                 spark.catalog.clearCache()
                 t0 = time.monotonic()
-                qs[name](spark, sf_dir).count()
+                consume(qs[name](spark, sf_dir))
                 dt = time.monotonic() - t0
                 if run:  # first run is codegen warm-up
                     samples.append(dt)

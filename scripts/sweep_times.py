@@ -32,13 +32,16 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scalecurve import consume  # noop-sink action; see its docstring
+
     times = {}
     for name, fn in all_queries().items():
         if name in skip:
             continue
         t0 = time.monotonic()
         try:
-            fn(spark, sf_dir).count()
+            consume(fn(spark, sf_dir))
             times[name] = round(time.monotonic() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             times[name] = f"ERR {exc}"

@@ -143,3 +143,66 @@ def test_fedora_pipeline_without_finder(spark):
     fa = by[("fedora:41", "CVE-2025-1")]["FixedIn"][0]
     # without the finder the date_stable advisory candidate attaches
     assert fa["Available"] == {"Date": "2025-01-04", "Kind": "advisory"}
+
+
+def test_advisory_candidate_beats_later_first_observed(spark):
+    """fixdate.best ranks the accurate 'advisory' candidate FIRST and
+    only discards it when an accurate first-observed store date is
+    strictly EARLIER (finder.py:153-194: results = [advisory] +
+    store, filtered by date <= first_observed) — so a store date
+    AFTER date_stable loses, and an EQUAL date loses too (the <= on
+    finder.py:187 keeps the advisory)."""
+    updates = spark.createDataFrame(
+        [
+            ("FEDORA-2026-aaa", "41", "low", "d CVE-2026-1", "t",
+             "", "", "", "2025-03-01", None,
+             [], [("rpm", "pkga-1.0-1.fc41", None),
+                  ("rpm", "pkgb-1.0-1.fc41", None)]),
+        ],
+        _SCHEMA,
+    )
+    fixdates = spark.createDataFrame(
+        [
+            # LATER than date_stable -> advisory wins
+            ("CVE-2026-1", "pkga", "0:1.0-1.fc41", "fedora:41",
+             "2025-06-01", "first-observed"),
+            # EQUAL date -> advisory still wins (kind tie-break)
+            ("CVE-2026-1", "pkgb", "0:1.0-1.fc41", "fedora:41",
+             "2025-03-01", "first-observed"),
+        ],
+        "vuln_id string, package string, fix_version string, "
+        "ecosystem string, date string, kind string",
+    )
+    out = {
+        r["Name"]: r.asDict(recursive=True)
+        for r in fedora_pipeline(updates, fixdates=fixdates).collect()
+    }
+    fa, fb = out["CVE-2026-1"]["FixedIn"]
+    assert fa["Available"] == {"Date": "2025-03-01", "Kind": "advisory"}
+    assert fb["Available"] == {"Date": "2025-03-01", "Kind": "advisory"}
+
+
+def test_nvr_rsplit_keeps_empty_segments(spark):
+    """rsplit('-', 2) only drops NVRs with fewer than two hyphens —
+    'a--b' and 'a-b-' keep their empty version/release segments
+    (fedora/parser.py:247-254), they are not malformed."""
+    updates = spark.createDataFrame(
+        [
+            ("FEDORA-2026-bbb", "41", "low", "d CVE-2026-2", "t",
+             "", "", "", "", None,
+             [], [("rpm", "pkg--7", None),      # empty version
+                  ("rpm", "pkg-2.0-", None),    # empty release
+                  ("rpm", "nodash", None),      # < 2 hyphens -> drop
+                  ("rpm", "one-dash", None)]),  # < 2 hyphens -> drop
+        ],
+        _SCHEMA,
+    )
+    out = {
+        r["Name"]: r.asDict(recursive=True)
+        for r in fedora_pipeline(updates).collect()
+    }
+    fis = out["CVE-2026-2"]["FixedIn"]
+    assert [(f["Name"], f["Version"]) for f in fis] == [
+        ("pkg", "0:-7"),
+        ("pkg", "0:2.0-"),
+    ]

@@ -49,7 +49,11 @@ SEVERITY_MAP = {
 }
 
 _CVE_RE = r"CVE-\d{4}-\d+"
-_NVR_RE = r"^(.*)-([^-]+)-([^-]+)$"
+#: rsplit('-', 2) semantics (fedora/parser.py:247-249): the reference
+#: only drops when there are fewer than two hyphens — empty version or
+#: release segments ('a--b', 'a-b-') are KEPT, so the segment groups
+#: must admit empty ([^-]*, not [^-]+)
+_NVR_RE = r"^(.*)-([^-]*)-([^-]*)$"
 
 
 def map_severity(col):
@@ -188,20 +192,31 @@ def fedora_pipeline(updates: DataFrame, fixdates: DataFrame | None = None) -> Da
                 F.struct(F.col("alias").alias("ID"), F.col("link").alias("Link"))
             ).alias("AdvisorySummary"),
         ).alias("VendorAdvisory"),
-        # finder hit wins, else the date_stable advisory candidate
-        F.when(
-            F.col("_fd_date").isNotNull(),
-            F.struct(
-                F.col("_fd_date").alias("Date"), F.col("_fd_kind").alias("Kind")
+        # fixdate.best with an accurate 'advisory' candidate
+        # (parser.py:296-304 + finder.py:137-203): the candidate ranks
+        # FIRST unless an accurate first-observed store date is strictly
+        # EARLIER — i.e. the earliest (Date, Kind) wins, the 'advisory'
+        # kind breaking equal-date ties exactly like best()'s
+        # d_adv <= d_first_observed test.  (The dim models the finder's
+        # accurate first-observed records; an unconditional finder-wins
+        # rule — the pre-r12 shape — inverted the pick whenever the
+        # store date was later than date_stable.)
+        F.least(
+            F.when(
+                F.col("_fd_date").isNotNull(),
+                F.struct(
+                    F.col("_fd_date").alias("Date"),
+                    F.col("_fd_kind").alias("Kind"),
+                ),
             ),
-        )
-        .when(
-            F.coalesce(F.col("date_stable"), F.lit("")) != "",
-            F.struct(
-                F.col("date_stable").alias("Date"), F.lit("advisory").alias("Kind")
+            F.when(
+                F.coalesce(F.col("date_stable"), F.lit("")) != "",
+                F.struct(
+                    F.col("date_stable").alias("Date"),
+                    F.lit("advisory").alias("Kind"),
+                ),
             ),
-        )
-        .alias("Available"),
+        ).alias("Available"),
     )
     per_vuln = pkgs.select(
         "alias", "ns", "sev", "link", "issued", "updated", "pkg_pos",

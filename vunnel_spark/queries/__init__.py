@@ -54,10 +54,16 @@ from vunnel_spark.registry import REGISTRY
 #: rank + tiny offset frame — the registry's last single-partition
 #: window retired); photon1/alma1/secureos1/openvex1 (the four r11
 #: ADVICE fidelity fixes: match()+endswith filename filter, str.strip
-#: whitespace, int() revision semantics, PackageURL normalization).
+#: whitespace, int() revision semantics, PackageURL normalization);
+#: fedora1 (r12 fidelity pass: fixdate.best's accurate-advisory-
+#: candidate rule — earliest of (first-observed, date_stable) with
+#: advisory winning ties — replaced finder-always-wins, and NVR
+#: rsplit now keeps empty version/release segments; the gate fixture
+#: grew a later-than-date_stable finder branch to exercise it).
 GATE_PRIORITY = [
     "d7_embedding_dup_pairs",
     "osv1_fixdate_patch",
+    "fedora1_bodhi_merge_dag",
     "g3_chain_components",
     "epss1_end_to_end_dag",
     "photon1_advisory_patch_dag",

@@ -2049,12 +2049,17 @@ def photon1(spark, sf_dir):
         FROM live WHERE okey % 29 <> 0 AND okey % 3 = 0
       )
     ), fixdim AS (
+      -- the year branches on a pure function of the key's c1 modulus so
+      -- the dim stays one row per key AND some first-observed dates
+      -- land AFTER date_stable — exercising best()'s accurate-candidate
+      -- rule (advisory wins unless first-observed is strictly earlier)
       SELECT DISTINCT
              'CVE-2025-' || c1 AS f_vuln,
              'pkga' || CAST(okey % (30 * k) AS VARCHAR) AS f_pkg,
              '0:1.' || CAST(okey % 7 AS VARCHAR) || '-1.fc41' AS f_ver,
              'fedora:' || relver0 AS f_ns,
-             '2024-' || lpad(CAST((okey % (600 * k)) % 12 + 1 AS VARCHAR), 2, '0')
+             (CASE WHEN (okey % (600 * k)) % 5 = 0 THEN '2026-' ELSE '2024-' END)
+               || lpad(CAST((okey % (600 * k)) % 12 + 1 AS VARCHAR), 2, '0')
                || '-' ||
                lpad(CAST((okey % (30 * k)) % 28 + 1 AS VARCHAR), 2, '0') AS f_date,
              'first-observed' AS f_kind
@@ -2066,9 +2071,17 @@ def photon1(spark, sf_dir):
                   WHEN v.date_stable <> '' THEN v.date_stable
                   ELSE '' END AS updated,
              p.pkg_pos, p.name, p.version,
-             CASE WHEN f.f_date IS NOT NULL THEN f.f_date
+             -- earliest of (first-observed, date_stable 'advisory'),
+             -- advisory winning equal-date ties (finder.py:187 is <=)
+             CASE WHEN f.f_date IS NOT NULL AND v.date_stable <> ''
+                    THEN CASE WHEN f.f_date < v.date_stable
+                              THEN f.f_date ELSE v.date_stable END
+                  WHEN f.f_date IS NOT NULL THEN f.f_date
                   WHEN v.date_stable <> '' THEN v.date_stable END AS avail_date,
-             CASE WHEN f.f_date IS NOT NULL THEN f.f_kind
+             CASE WHEN f.f_date IS NOT NULL AND v.date_stable <> ''
+                    THEN CASE WHEN f.f_date < v.date_stable
+                              THEN f.f_kind ELSE 'advisory' END
+                  WHEN f.f_date IS NOT NULL THEN f.f_kind
                   WHEN v.date_stable <> '' THEN 'advisory' END AS avail_kind
       FROM vids v
       JOIN pkgs p ON p.okey = v.okey
@@ -2212,7 +2225,14 @@ def fedora1(spark, sf_dir):
             ).alias("fix_version"),
             F.concat(F.lit("fedora:"), relver0).alias("ecosystem"),
             F.concat(
-                F.lit("2024-"), lp((okey % (600 * k)) % 12 + 1),
+                # year branches on the key's c1 modulus (mirrors the
+                # oracle's fixdim) so some first-observed dates land
+                # AFTER date_stable and the gate exercises best()'s
+                # accurate-candidate rule
+                F.when(
+                    (okey % (600 * k)) % 5 == 0, F.lit("2026-")
+                ).otherwise(F.lit("2024-")),
+                lp((okey % (600 * k)) % 12 + 1),
                 F.lit("-"), lp((okey % (30 * k)) % 28 + 1),
             ).alias("date"),
             F.lit("first-observed").alias("kind"),
