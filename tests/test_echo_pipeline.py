@@ -92,3 +92,36 @@ def test_echo_pipeline_without_finder(spark):
         for r in by_name.values()
         for f in r["FixedIn"]
     )
+
+
+def test_best_refuses_special_fix_versions(spark):
+    """fixdate.best returns None outright for falsy/'None'/'0' fix
+    versions (finder.py:149-151), so a store row keyed on an empty or
+    special version must never attach an Available."""
+    adv = spark.createDataFrame(
+        [
+            (0, "pkga", "CVE-1", "low", ""),
+            (1, "pkgb", "CVE-1", "low", "None"),
+            (2, "pkgc", "CVE-1", "low", "1.2-1"),
+        ],
+        "pos long, package string, cve_id string, severity string, "
+        "fixed_version string",
+    )
+    fixdates = spark.createDataFrame(
+        [
+            ("CVE-1", "pkga", "", "2024-01-01", "first-observed"),
+            ("CVE-1", "pkgb", "None", "2024-01-02", "first-observed"),
+            ("CVE-1", "pkgc", "1.2-1", "2024-01-03", "first-observed"),
+        ],
+        "vuln_id string, package string, fix_version string, "
+        "date string, kind string",
+    )
+    out = {
+        r["Name"]: r.asDict(recursive=True)
+        for r in echo_pipeline(adv, fixdates=fixdates).collect()
+    }
+    fis = out["CVE-1"]["FixedIn"]
+    assert fis[0]["Available"] is None   # '' ineligible
+    assert fis[1]["Available"] is None   # 'None' ineligible
+    assert fis[2]["Available"] == {"Date": "2024-01-03",
+                                   "Kind": "first-observed"}

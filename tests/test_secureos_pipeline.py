@@ -195,3 +195,32 @@ def test_revision_int_semantics_sign_and_whitespace(spark):
     assert [fi["Version"] for fi in fis] == ["1.0-r0", "1.0-r+2"]
     assert fis[0]["VulnerableRange"] is None
     assert fis[1]["VulnerableRange"] == ">=1.0-r0, <1.0-r+2"
+
+
+def test_best_refuses_special_fix_versions(spark):
+    """fixdate.best returns None for falsy/'None'/'0' fix versions
+    (finder.py:149-151): a store row keyed on the '0' special never
+    attaches an Available, while the real version beside it does."""
+    import datetime
+
+    fixdates = spark.createDataFrame(
+        [
+            ("CVE-10", "pkga", "0", "secureos:rolling",
+             datetime.date(2024, 1, 1), "first-observed"),
+            ("CVE-10", "pkga", "1.0-r1", "secureos:rolling",
+             datetime.date(2024, 1, 2), "first-observed"),
+        ],
+        "vuln_id string, package string, fix_version string, "
+        "ecosystem string, date date, kind string",
+    )
+    out = _run(
+        spark,
+        [(0, "pkga", [("1.0-r1", ["CVE-10"]), ("0", ["CVE-10"])])],
+        fixdates=fixdates,
+    )
+    fis = out["CVE-10"]["FixedIn"]
+    by_ver = {fi["Version"]: fi for fi in fis}
+    assert by_ver["0"]["Available"] is None
+    assert by_ver["1.0-r1"]["Available"] == {
+        "Date": datetime.date(2024, 1, 2), "Kind": "first-observed"
+    }

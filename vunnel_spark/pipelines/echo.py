@@ -93,8 +93,13 @@ def echo_pipeline(
         F.col("version").alias("Version"),
         F.lit("dpkg").alias("VersionFormat"),
         F.lit(ns).alias("NamespaceName"),
+        # fixdate.best refuses falsy/'None'/'0' fix versions outright
+        # (finder.py:149-151) — an empty fixed_version never gains an
+        # Available even when the store has a matching key (r12
+        # fidelity pass)
         F.when(
-            F.col("date").isNotNull(),
+            F.col("date").isNotNull()
+            & ~F.col("version").isin("", "None", "0"),
             F.struct(F.col("date").alias("Date"), F.col("kind").alias("Kind")),
         ).alias("Available"),
     )

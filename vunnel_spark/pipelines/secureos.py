@@ -242,8 +242,14 @@ def secureos_pipeline(
         F.lit("apk").alias("VersionFormat"),
         F.lit(ns).alias("NamespaceName"),
         F.col("vulnerable_range").alias("VulnerableRange"),
+        # fixdate.best refuses falsy/'None'/'0' fix versions outright
+        # (finder.py:149-151), so a store row keyed on a special version
+        # must never attach (r12 fidelity pass)
         F.when(
-            F.col("_fd_date").isNotNull(),
+            F.col("_fd_date").isNotNull()
+            & ~F.coalesce(F.col("fix_version"), F.lit("")).isin(
+                "", "None", "0"
+            ),
             F.struct(
                 F.col("_fd_date").alias("Date"), F.col("_fd_kind").alias("Kind")
             ),

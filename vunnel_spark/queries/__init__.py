@@ -64,6 +64,7 @@ GATE_PRIORITY = [
     "d7_embedding_dup_pairs",
     "osv1_fixdate_patch",
     "fedora1_bodhi_merge_dag",
+    "echo1_rolling_merge_dag",
     "g3_chain_components",
     "epss1_end_to_end_dag",
     "photon1_advisory_patch_dag",
