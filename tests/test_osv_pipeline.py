@@ -280,3 +280,81 @@ def test_falsy_package_or_ecosystem_skips_even_fallback(spark):
     assert out["OSV-E3"]["affected"][0]["ranges"][0]["database_specific"][
         "anchore"
     ]["fixes"] == [{"version": "1.0", "date": "2026-01-01", "kind": "advisory"}]
+
+
+def test_finder_best_cap_semantics(spark):
+    """finder.best (tool/fixdate/finder.py:137-203): the accurate
+    first-observed store date is a CAP and last resort, not a
+    competitor — the published candidate wins whenever it is <= the
+    store date (the common case: advisories publish before scanners
+    first observe), the store wins only when every candidate is dated
+    after it, an INACCURATE store row trails every candidate, and a
+    store row is the pick of last resort when published is null."""
+    import datetime
+
+    from vunnel_spark.pipelines.osv import osv_patch_fix_dates
+
+    schema = (
+        "id string, published timestamp, affected array<struct<"
+        "package: struct<name: string, ecosystem: string>, "
+        "ranges: array<struct<type: string, "
+        "events: array<struct<introduced: string, fixed: string>>>>>>"
+    )
+
+    def adv(vid, published, pkg, ver):
+        return {
+            "id": vid,
+            "published": published,
+            "affected": [
+                {
+                    "package": {"name": pkg, "ecosystem": "apk"},
+                    "ranges": [
+                        {"type": "ECOSYSTEM",
+                         "events": [{"introduced": None, "fixed": ver}]}
+                    ],
+                }
+            ],
+        }
+
+    jan10 = datetime.datetime(2026, 1, 10)
+    advisories = spark.createDataFrame(
+        [
+            # store AFTER published -> published wins ('advisory')
+            adv("OSV-A", jan10, "a", "1"),
+            # store date == published -> published wins (<= on :187)
+            adv("OSV-B", jan10, "b", "1"),
+            # INACCURATE store, earlier than published -> published
+            adv("OSV-C", jan10, "c", "1"),
+            # null published, store only -> store
+            adv("OSV-D", None, "d", "1"),
+            # null published, INACCURATE store only -> store (last resort)
+            adv("OSV-E", None, "e", "1"),
+        ],
+        schema,
+    )
+    fixdates = spark.createDataFrame(
+        [
+            ("OSV-A", "a", "apk", "1", datetime.date(2026, 3, 1), "observed", True),
+            ("OSV-B", "b", "apk", "1", datetime.date(2026, 1, 10), "observed", True),
+            ("OSV-C", "c", "apk", "1", datetime.date(2025, 1, 1), "observed", False),
+            ("OSV-D", "d", "apk", "1", datetime.date(2026, 2, 2), "observed", True),
+            ("OSV-E", "e", "apk", "1", datetime.date(2026, 2, 3), "observed", False),
+        ],
+        "vuln_id string, package string, ecosystem string, fix_version string, "
+        "date date, kind string, accurate boolean",
+    )
+    out = {
+        r["id"]: r.asDict(recursive=True)
+        for r in osv_patch_fix_dates(advisories, fixdates).collect()
+    }
+
+    def fix(vid):
+        return out[vid]["affected"][0]["ranges"][0]["database_specific"][
+            "anchore"
+        ]["fixes"][0]
+
+    assert fix("OSV-A") == {"version": "1", "date": "2026-01-10", "kind": "advisory"}
+    assert fix("OSV-B") == {"version": "1", "date": "2026-01-10", "kind": "advisory"}
+    assert fix("OSV-C") == {"version": "1", "date": "2026-01-10", "kind": "advisory"}
+    assert fix("OSV-D") == {"version": "1", "date": "2026-02-02", "kind": "observed"}
+    assert fix("OSV-E") == {"version": "1", "date": "2026-02-03", "kind": "observed"}

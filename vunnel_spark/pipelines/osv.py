@@ -114,7 +114,7 @@ def osv_patch_fix_dates(
         )
     )
 
-    # -- candidates: store hits (accurate) + advisory published fallback
+    # -- candidates: store rows + the advisory published fallback
     dim = fixdates.select(
         F.col("vuln_id").alias("id"),
         F.col("package").alias("pkg"),
@@ -124,22 +124,55 @@ def osv_patch_fix_dates(
         "kind",
         "accurate",
     )
-    hits = ev.join(dim, ["id", "pkg", "eco", "fixed"])
-    fallback = ev.filter(F.col("published").isNotNull()).select(
-        "id", "published", "a_pos", "r_pos", "pkg", "eco", "fixed",
-        F.col("published").cast("date").alias("date"),
-        F.lit("advisory").alias("kind"),
-        F.lit(False).alias("accurate"),
+    hits = ev.join(dim, ["id", "pkg", "eco", "fixed"]).withColumn(
+        "is_store", F.lit(True)
+    )
+    fallback = (
+        ev.filter(F.col("published").isNotNull())
+        .select(
+            "id", "published", "a_pos", "r_pos", "pkg", "eco", "fixed",
+            F.col("published").cast("date").alias("date"),
+            F.lit("advisory").alias("kind"),
+            F.lit(False).alias("accurate"),
+        )
+        .withColumn("is_store", F.lit(False))
     )
     cand = hits.select(*fallback.columns).unionByName(fallback)
 
-    # -- best candidate per fixed event: accurate first, then earliest
-    # (finder.best, tool/fixdate/finder.py:137-203 — same pick as J9)
-    best = priority_pick(
-        cand,
-        ["id", "a_pos", "r_pos", "fixed"],
-        [~F.col("accurate"), F.col("date"), F.col("kind")],
+    # -- best candidate per fixed event, emulating finder.best EXACTLY
+    # (tool/fixdate/finder.py:137-203).  The store's accurate
+    # first-observed date is NOT a competitor ranked by accuracy — it is
+    # a CAP and a last resort: any candidate dated <= it wins (in
+    # accuracy-tier order), candidates after it are discarded, and the
+    # store itself only surfaces when no candidate survives the cap.
+    # With an inaccurate-only store there is no cap and candidates win
+    # outright, the inaccurate store trailing last (results order:
+    # accurate candidates, strategies, inaccurate candidates, then
+    # first-observed appended).  The pre-r12 pick here ranked
+    # [~accurate, date] flat, which handed a store hit the win whenever
+    # the published date was <= it — the exact opposite of the <= test
+    # on finder.py:187, and the common case, since advisories publish
+    # before scanners first observe the fix.  The cap window shares the
+    # pick's partitioning, so Catalyst plans ONE exchange for both.
+    from pyspark.sql import Window
+
+    cap = F.min(
+        F.when(F.col("is_store") & F.col("accurate"), F.col("date"))
+    ).over(Window.partitionBy("id", "a_pos", "r_pos", "fixed"))
+    tier = (
+        F.when(
+            ~F.col("is_store") & (cap.isNull() | (F.col("date") <= cap)),
+            F.lit(0),
+        )
+        .when(F.col("is_store") & F.col("accurate"), F.lit(1))
+        .when(F.col("is_store"), F.lit(2))
+        .otherwise(F.lit(3))
     )
+    best = priority_pick(
+        cand.withColumn("_tier", tier),
+        ["id", "a_pos", "r_pos", "fixed"],
+        [F.col("_tier"), ~F.col("accurate"), F.col("date"), F.col("kind")],
+    ).drop("_tier")
 
     # -- fixes array per range, deterministic version order (O2)
     fixes = best.groupBy("id", "a_pos", "r_pos").agg(

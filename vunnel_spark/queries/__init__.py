@@ -46,9 +46,14 @@ from vunnel_spark.registry import REGISTRY
 #: Round 12 (residual-hardening; every entry is a changed PLAN or
 #: changed SEMANTICS, re-oracled locally before fronting):
 #: d7 (registered LSH bits now corpus-derived via scaled_lsh_bits — the
-#: last gate-pinned geometry, the debian2 discipline); osv1 (nested
-#: input pre-materialized through a keyed parquet cache so the gate
-#: measures the patch pipeline, not collect_list synthesis); g3 (fixture
+#: last gate-pinned geometry, the debian2 discipline); osv1 (TWO
+#: changes: nested input pre-materialized through a keyed parquet cache
+#: so the gate measures the patch pipeline, not collect_list synthesis;
+#: and osv_patch_fix_dates now emulates finder.best EXACTLY — the
+#: accurate first-observed store date is a cap and last resort, so the
+#: published candidate wins whenever <= it, with a branch-complete
+#: fixture exercising early/late/inaccurate/store-only/candidate-less
+#: shapes); g3 (fixture
 #: rank rebuilt on the o3/x11 two-level bucket rank — no global
 #: row_number); epss1 (percent_rank decomposed into value-domain-bucket
 #: rank + tiny offset frame — the registry's last single-partition

@@ -259,29 +259,58 @@ def ubuntu1(spark, sf_dir):
     "osv1_fixdate_patch",
     """
     SELECT vuln_id, package, fixed_version,
-           CASE WHEN bool_or(acc)
-                THEN min(CASE WHEN acc THEN ship_date END)
-                ELSE min(pub_date) END AS fix_date,
-           CASE WHEN bool_or(acc) THEN 'observed' ELSE 'advisory' END AS fix_kind
+           -- finder.best: the accurate-store min date is a CAP; the
+           -- published candidate wins iff <= cap (or no cap); the store
+           -- itself surfaces when nothing survives, inaccurate rows last
+           CASE WHEN cap IS NOT NULL AND (p IS NULL OR p > cap) THEN cap
+                WHEN p IS NOT NULL THEN p
+                ELSE s_min END AS fix_date,
+           CASE WHEN cap IS NOT NULL AND (p IS NULL OR p > cap)
+                  THEN 'observed'
+                WHEN p IS NOT NULL THEN 'advisory'
+                ELSE 'observed' END AS fix_kind
     FROM (
-      SELECT 'OSV-' || CAST(o_orderkey AS VARCHAR) AS vuln_id,
-             'pkg-' || CAST(l_partkey % 50 AS VARCHAR) AS package,
-             '1.' || CAST(l_linenumber AS VARCHAR) || '.'
-                  || CAST(l_partkey % 50 AS VARCHAR) AS fixed_version,
-             l_suppkey % 3 = 0 AS acc,
-             CAST(l_shipdate AS DATE) AS ship_date,
-             CAST(o_orderdate AS DATE) AS pub_date
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
-    GROUP BY vuln_id, package, fixed_version
+      -- duplicate (orderkey, linenumber) pairs exist in the corpus, so
+      -- events sharing (vuln, pkg, fixed_version) merge into ONE
+      -- candidate group — aggregate like the pipeline's group pick
+      SELECT vuln_id, package, fixed_version,
+             bool_or(has_store) AS has_store,
+             min(CASE WHEN has_store AND s_acc THEN s_date END) AS cap,
+             min(CASE WHEN has_store THEN s_date END) AS s_min,
+             max(p_date) AS p
+      FROM (
+        SELECT 'OSV-' || CAST(o_orderkey AS VARCHAR) AS vuln_id,
+               'pkg-' || CAST(l_partkey % 50 AS VARCHAR) AS package,
+               '1.' || CAST(l_linenumber AS VARCHAR) || '.'
+                    || CAST(l_partkey % 50 AS VARCHAR) AS fixed_version,
+               l_suppkey % 3 = 0 AS has_store,
+               -- store date: sometimes BEFORE published (wins under
+               -- the cap), sometimes the ship date (published wins)
+               CASE WHEN l_partkey % 2 = 0
+                    THEN CAST(o_orderdate AS DATE) - 10
+                    ELSE CAST(l_shipdate AS DATE) END AS s_date,
+               l_partkey % 7 <> 0 AS s_acc,
+               CASE WHEN o_orderkey % 31 = 0 THEN NULL
+                    ELSE CAST(o_orderdate AS DATE) END AS p_date
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      GROUP BY vuln_id, package, fixed_version)
+    WHERE has_store OR p IS NOT NULL
     """,
     doc="OSV passthrough pipeline end-to-end (utils/osv.py:9-108; "
         "pipelines/osv.py): nested advisories are built from orders/"
         "lineitem (one affected per package, fixed events per lineitem), "
-        "patched via explode -> candidate join -> accurate-first pick -> "
+        "patched via explode -> candidate join -> the finder.best cap "
+        "pick (an accurate first-observed store date is a CAP and last "
+        "resort, not a competitor: candidates dated <= it win, later "
+        "ones are discarded, the store surfaces only when nothing "
+        "survives; an inaccurate store trails every candidate) -> "
         "in-order array reassembly, then RE-EXPLODED from the rebuilt "
-        "nested doc.  The oracle states every event's expected best fix "
-        "date flat; a pick that prefers the wrong candidate, or a rebuild "
-        "that drops/reorders ranges, changes the re-exploded rows.  "
+        "nested doc.  The synthesis exercises every branch: early and "
+        "late store dates, inaccurate store rows, null published, "
+        "store-only and published-only and candidate-less events.  The "
+        "oracle states every event's expected best fix date flat; a pick "
+        "that prefers the wrong candidate, or a rebuild that drops/"
+        "reorders ranges, changes the re-exploded rows.  "
         "INPUT IS PRE-MATERIALIZED (r11 verdict): the registered query "
         "reads the nested corpus from a keyed parquet cache (built once "
         "per (sf_dir, orders count)), so gate and sweep measure the "
@@ -293,6 +322,11 @@ def ubuntu1(spark, sf_dir):
 )
 def osv1(spark, sf_dir):
     return osv1_run(*osv1_materialized_inputs(spark, sf_dir))
+
+
+#: bump when osv1_inputs' synthesis changes (v2: branch-complete
+#: fixture for the finder.best cap pick, r12)
+_OSV1_SYNTH_V = 2
 
 
 def osv1_materialized_inputs(spark, sf_dir):
@@ -311,8 +345,10 @@ def osv1_materialized_inputs(spark, sf_dir):
     import shutil
 
     orders_n = t(spark, sf_dir, "orders").count()
+    # _OSV1_SYNTH_V busts the cache whenever the synthesis itself
+    # changes — the corpus-size component alone can't see that
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{orders_n}".encode()
+        f"{os.path.abspath(sf_dir)}:{orders_n}:v{_OSV1_SYNTH_V}".encode()
     ).hexdigest()[:16]
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)
@@ -347,14 +383,19 @@ def osv1_inputs(spark, sf_dir):
     orders = t(spark, sf_dir, "orders")
     ev = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         F.concat(F.lit("OSV-"), F.col("o_orderkey").cast("string")).alias("id"),
-        F.col("o_orderdate").alias("published"),
+        # null published every 31st advisory: exercises the
+        # store-as-last-resort and candidate-less branches of the pick
+        F.when(F.col("o_orderkey") % 31 == 0, F.lit(None))
+        .otherwise(F.col("o_orderdate"))
+        .cast(orders.schema["o_orderdate"].dataType)
+        .alias("published"),
         F.concat(F.lit("pkg-"), (F.col("l_partkey") % 50).cast("string")).alias("pkg"),
         F.lit("npm").alias("eco"),
         F.concat(
             F.lit("1."), F.col("l_linenumber").cast("string"),
             F.lit("."), (F.col("l_partkey") % 50).cast("string"),
         ).alias("fixed"),
-        "l_suppkey", "l_shipdate",
+        "l_suppkey", "l_partkey", "l_shipdate", "o_orderdate",
     )
     # nested advisories: one affected per (advisory, pkg), one range each,
     # an 'introduced: 0' event plus one fixed event per lineitem
@@ -396,9 +437,19 @@ def osv1_inputs(spark, sf_dir):
         F.col("pkg").alias("package"),
         F.col("eco").alias("ecosystem"),
         F.col("fixed").alias("fix_version"),
-        F.col("l_shipdate").cast("date").alias("date"),
+        # early (pre-published) dates win under the cap; ship dates lose
+        # to the published candidate — both branches of finder.best's
+        # <=-cap rule are exercised (mirrored in the oracle's s_date)
+        F.when(
+            F.col("l_partkey") % 2 == 0,
+            F.date_sub(F.col("o_orderdate").cast("date"), 10),
+        )
+        .otherwise(F.col("l_shipdate").cast("date"))
+        .alias("date"),
         F.lit("observed").alias("kind"),
-        F.lit(True).alias("accurate"),
+        # every 7th package id: an INACCURATE store row, which must
+        # trail every candidate and never form a cap
+        (F.col("l_partkey") % 7 != 0).alias("accurate"),
     )
     return advisories, fixdates
 
