@@ -16,22 +16,26 @@ def frames(spark):
     fins = spark.createDataFrame(
         [
             # plain fix
-            ("CVE-1", "rhel8", "openssl", None, "3.0.1-2.el8", "RHSA-2024:1"),
+            ("CVE-1", "8", "openssl", None, "3.0.1-2.el8", "RHSA-2024:1"),
             # fix suppressed by package_state (same key in nfins)
-            ("CVE-1", "rhel8", "zlib", None, "1.2.12-1.el8", "RHSA-2024:2"),
-            # EUS-only fix: must infer a rhel9 wont-fix record
-            ("CVE-1", "rhel9+eus", "kernel", "kmod", "5.14-1.el9", "RHSA-2024:3"),
-            # +els platform: suppressed at emit
-            ("CVE-1", "rhel7+els", "bash", None, "4.2-1.el7", "RHSA-2024:4"),
-            # base platform HAS data: no inference for rhel8+eus's base
-            ("CVE-2", "rhel8+eus", "curl", None, "7.61-2.el8", "RHSA-2024:5"),
-            ("CVE-2", "rhel8", "curl", None, "7.61-1.el8", "RHSA-2024:6"),
+            ("CVE-1", "8", "zlib", None, "1.2.12-1.el8", "RHSA-2024:2"),
+            # EUS-only fixes on TWO minors of 9: both infer base '9'
+            # (MAJOR, _get_base_platform's split('.')[0]) -> the base
+            # record carries DUPLICATE kernel entries (parser.py:893-902
+            # has no dedup)
+            ("CVE-1", "9.2+eus", "kernel", "kmod", "5.14-1.el9", "RHSA-2024:3"),
+            ("CVE-1", "9.4+eus", "kernel", "kmod", "5.14-2.el9", "RHSA-2024:7"),
+            # +els platform: infers base '7', then suppressed at emit
+            ("CVE-1", "7+els", "bash", None, "4.2-1.el7", "RHSA-2024:4"),
+            # base platform HAS data: no inference for 8.6+eus's base
+            ("CVE-2", "8.6+eus", "curl", None, "7.61-2.el8", "RHSA-2024:5"),
+            ("CVE-2", "8", "curl", None, "7.61-1.el8", "RHSA-2024:6"),
         ],
         "cve_id string, platform string, package string, module string, "
         "version string, rhsa_id string",
     )
     nfins = spark.createDataFrame(
-        [("CVE-1", "rhel8", "zlib", None)],
+        [("CVE-1", "8", "zlib", None)],
         "cve_id string, platform string, package string, module string",
     )
     meta = spark.createDataFrame(
@@ -51,7 +55,7 @@ def test_parse_cve_dag(spark, frames):
     # +els emitted nowhere
     assert all("+els" not in ns for _, ns in rows)
 
-    r8 = rows[("CVE-1", "rhel:rhel8")]
+    r8 = rows[("CVE-1", "rhel:8")]
     assert r8.severity == "High"  # important -> High
     by_name = {f.Name: f for f in r8.FixedIn}
     # openssl fixed; zlib's fix suppressed -> wont-fix 'None' record
@@ -60,16 +64,25 @@ def test_parse_cve_dag(spark, frames):
     assert by_name["zlib"].Version == "None"
     assert by_name["zlib"].NoAdvisory is True
 
-    # EUS-only data inferred a base rhel9 wont-fix record
-    r9 = rows[("CVE-1", "rhel:rhel9")]
+    # EUS minors collapse to the MAJOR base '9'; one inferred record per
+    # source artifact -> duplicate kernel entries survive
+    r9 = rows[("CVE-1", "rhel:9")]
     assert [(f.Name, f.Version, f.NoAdvisory) for f in r9.FixedIn] == [
-        ("kernel", "None", True)
+        ("kernel", "None", True),
+        ("kernel", "None", True),
     ]
-    # the EUS platform itself is still emitted
-    assert ("CVE-1", "rhel:rhel9+eus") in rows
+    # the EUS platforms themselves are still emitted
+    assert ("CVE-1", "rhel:9.2+eus") in rows
+    assert ("CVE-1", "rhel:9.4+eus") in rows
+
+    # +els inferred its base (suffix strip, minor kept) before suppression
+    r7 = rows[("CVE-1", "rhel:7")]
+    assert [(f.Name, f.Version, f.NoAdvisory) for f in r7.FixedIn] == [
+        ("bash", "None", True)
+    ]
 
     # base platform with real data: NO inference duplicate, unknown severity
-    r2 = rows[("CVE-2", "rhel:rhel8")]
+    r2 = rows[("CVE-2", "rhel:8")]
     assert r2.severity == "Unknown"
     assert [f.Version for f in r2.FixedIn] == ["7.61-1.el8"]
 

@@ -59,26 +59,42 @@ def suppress_not_fixed(fins: DataFrame, nfins: DataFrame) -> DataFrame:
 
 
 def infer_base_platforms(artifacts: DataFrame) -> DataFrame:
-    """J13: EUS/ELS-only platforms synthesize base-platform records (version
-    'None', wont_fix) when the base platform has no data of its own
-    (parser.py:883-905).  Base platform = the name with the extended-support
-    suffix stripped."""
-    base = F.regexp_replace("platform", r"\+(eus|aus|tus|els)$", "")
+    """J13: extended-support-only platforms synthesize base-platform
+    records (version 'None', wont_fix) when the base platform has no data
+    of its own (parser.py:883-905 via _get_base_platform:785-799).
+
+    The base rule is ASYMMETRIC and exact (r12 fidelity pass — a suffix
+    strip is wrong twice over): '+eus' platforms map to their MAJOR
+    version ('8.6+eus' -> '8', the reference's split('.')[0]; a
+    minorless '8+eus' maps to itself and so never infers), '+els'
+    platforms drop only the suffix ('6+els' -> '6', minor kept), and
+    every other form — including '+aus'/'+tus', which _parse_platform
+    can never emit — has no base and never infers.  One inferred row is
+    emitted PER SOURCE ARTIFACT, duplicates included: the reference
+    appends every artifact of every extended platform sharing the base
+    into one record, so two eus minors fixing the same package yield
+    two identical FixedIn entries (parser.py:893-902 has no dedup).
+    """
+    base = F.when(
+        F.col("platform").contains("+eus"),
+        F.split(F.col("platform"), r"\.")[0],
+    ).when(
+        F.col("platform").contains("+els"),
+        F.regexp_replace("platform", r"\+els", ""),
+    )
     with_base = artifacts.withColumn("_base", base)
-    candidates = with_base.filter(F.col("_base") != F.col("platform"))
+    candidates = with_base.filter(
+        F.col("_base").isNotNull() & (F.col("_base") != F.col("platform"))
+    )
     present = artifacts.select("cve_id", F.col("platform").alias("_base")).distinct()
-    inferred = (
-        candidates.join(present, ["cve_id", "_base"], "left_anti")
-        .select(
-            "cve_id",
-            F.col("_base").alias("platform"),
-            "package",
-            "module",
-            F.lit("None").alias("version"),
-            F.lit(None).cast("string").alias("rhsa_id"),
-            F.lit(True).alias("wont_fix"),
-        )
-        .distinct()
+    inferred = candidates.join(present, ["cve_id", "_base"], "left_anti").select(
+        "cve_id",
+        F.col("_base").alias("platform"),
+        "package",
+        "module",
+        F.lit("None").alias("version"),
+        F.lit(None).cast("string").alias("rhsa_id"),
+        F.lit(True).alias("wont_fix"),
     )
     return artifacts.drop("_base").unionByName(inferred)
 

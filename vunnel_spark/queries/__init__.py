@@ -65,9 +65,16 @@ from vunnel_spark.registry import REGISTRY
 #: advisory winning ties — replaced finder-always-wins, and NVR
 #: rsplit now keeps empty version/release segments; the gate fixture
 #: grew a later-than-date_stable finder branch to exercise it).
+#: rhel1 joined the window late in r12: _get_base_platform is now exact
+#: (eus -> MAJOR via split('.')[0], els -> suffix strip keeping the
+#: minor, aus/tus/other never infer) and inferred records keep
+#: reference duplicates (one per source artifact); the fixture moved to
+#: realistic platform forms ('8', '8.3+eus', '8+els') so both rules are
+#: actually exercised.
 GATE_PRIORITY = [
     "d7_embedding_dup_pairs",
     "osv1_fixdate_patch",
+    "rhel1_parse_cve_dag",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

@@ -89,9 +89,12 @@ def nvd1(spark, sf_dir):
     "rhel1_parse_cve_dag",
     """
     WITH base AS (
+      -- realistic _parse_platform output forms: bare major ('8'),
+      -- eus with a minor ('8.3+eus'), els without one ('8+els')
       SELECT 'CVE-' || CAST(l_orderkey % 500 AS VARCHAR) AS cve_id,
-             'rhel' || CAST(l_suppkey % 3 + 7 AS VARCHAR) ||
-               CASE WHEN l_partkey % 4 = 0 THEN '+eus'
+             CAST(l_suppkey % 3 + 7 AS VARCHAR) ||
+               CASE WHEN l_partkey % 4 = 0
+                      THEN '.' || CAST(l_partkey % 10 AS VARCHAR) || '+eus'
                     WHEN l_partkey % 7 = 0 THEN '+els' ELSE '' END AS platform,
              'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS package,
              CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
@@ -109,15 +112,25 @@ def nvd1(spark, sf_dir):
                         AND n.platform = f.platform AND n.package = f.package)
       UNION ALL
       SELECT cve_id, platform, package, 'None', TRUE FROM nfins
-    ), inferred AS (
-      SELECT DISTINCT k.cve_id,
-             regexp_replace(k.platform, '\\+(eus|aus|tus|els)$', '') AS platform,
-             k.package, 'None' AS version, TRUE AS wont_fix
+    ), based AS (
+      -- _get_base_platform (parser.py:785-799): eus -> MAJOR
+      -- (split('.')[0]), els -> suffix stripped, else no base
+      SELECT k.*,
+             CASE WHEN k.platform LIKE '%+eus%'
+                    THEN string_split(k.platform, '.')[1]
+                  WHEN k.platform LIKE '%+els%'
+                    THEN replace(k.platform, '+els', '') END AS bplat
       FROM kept k
-      WHERE regexp_replace(k.platform, '\\+(eus|aus|tus|els)$', '') <> k.platform
+    ), inferred AS (
+      -- one row PER SOURCE ARTIFACT (no DISTINCT): the reference keeps
+      -- duplicate inferred FixedIn entries (parser.py:893-902)
+      SELECT b.cve_id, b.bplat AS platform,
+             b.package, 'None' AS version, TRUE AS wont_fix
+      FROM based b
+      WHERE b.bplat IS NOT NULL AND b.bplat <> b.platform
         AND NOT EXISTS (
-          SELECT 1 FROM kept p WHERE p.cve_id = k.cve_id
-          AND p.platform = regexp_replace(k.platform, '\\+(eus|aus|tus|els)$', ''))
+          SELECT 1 FROM kept p WHERE p.cve_id = b.cve_id
+          AND p.platform = b.bplat)
     ), arts AS (
       SELECT * FROM kept UNION ALL SELECT * FROM inferred
     ), meta AS (
@@ -147,9 +160,11 @@ def rhel1(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     cve = F.concat(F.lit("CVE-"), (F.col("l_orderkey") % 500).cast("string"))
     platform = F.concat(
-        F.lit("rhel"),
         (F.col("l_suppkey") % 3 + 7).cast("string"),
-        F.when(F.col("l_partkey") % 4 == 0, F.lit("+eus"))
+        F.when(
+            F.col("l_partkey") % 4 == 0,
+            F.concat(F.lit("."), (F.col("l_partkey") % 10).cast("string"), F.lit("+eus")),
+        )
         .when(F.col("l_partkey") % 7 == 0, F.lit("+els"))
         .otherwise(F.lit("")),
     )
