@@ -8,11 +8,22 @@ import pyspark.sql.functions as F
 def test_split_pkg_string_cases(spark):
     from vunnel_spark.functions.text import split_pkg_string
 
+    # every branch of _get_name_version (rhel/parser.py:395-438)
     cases = [
+        # epoch in the middle
         ("openssl-1:3.0.1-2", "openssl", "1:3.0.1-2"),
+        # epoch at the beginning
+        ("1:foo-bar-2.3.4-5.el6", "foo-bar", "1:2.3.4-5.el6"),
+        # epoch at the beginning, dashless remainder -> rhsa fallback
+        ("1:foo", "foo", None),
+        # app stream: pre-colon tail not digits -> whole head is name
+        ("foo-bar:rhel8-12345", "foo-bar", None),
+        # no colon, >= 2 dashes: rsplit-2 with NO digit test
         ("kernel-rt-5.14.0-284", "kernel-rt", "5.14.0-284"),
-        ("zlib-1.2.12", "zlib", "1.2.12"),
-        ("just-a-name", "just-a-name", None),
+        ("just-a-name", "just", "a-name"),
+        # no colon, < 2 dashes: whole string is the name (parser.py:436)
+        ("zlib-1.2.12", "zlib-1.2.12", None),
+        ("bash", "bash", None),
         (None, None, None),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], "pkg string")

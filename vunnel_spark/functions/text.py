@@ -154,29 +154,47 @@ _PKG_SPLIT_SCHEMA = T.StructType(
 
 @F.pandas_udf(_PKG_SPLIT_SCHEMA)
 def split_pkg_string(pkgs: pd.Series) -> pd.DataFrame:
-    """E7/F6 package-string heuristic split (reference semantics:
-    providers/rhel/parser.py:394-438 — epoch-position disambiguation).
+    """E7/F6 package-string heuristic split — _get_name_version
+    (providers/rhel/parser.py:395-438) branch for branch.
 
-    'name-epoch:ver-rel' | 'name-ver-rel' | 'name' -> (name, version).
-    Branchy positional logic -> a single Arrow-batched UDF, applied once
-    per row in a projection (never per comparison).
+    Four shapes, decided by colon position and digit-ness:
+      '1:foo-bar-2.3.4-5'   epoch at the BEGINNING -> ('foo-bar',
+                            '1:2.3.4-5'); a dashless remainder keeps
+                            name only ('1:foo' -> ('foo', None))
+      'foo-bar-1:2.3.4-5'   epoch in the middle (the pre-colon tail is
+                            all digits) -> ('foo-bar', '1:2.3.4-5')
+      'foo-bar:rhel8-123'   app stream (tail NOT digits) -> name is the
+                            whole pre-colon string, version None (rhsa
+                            fallback)
+      no colon              two or more dashes split name-ver-rel with
+                            NO digit test ('a-b-c' -> ('a', 'b-c'));
+                            fewer keep the whole string as the name
+                            ('zlib-1.2.12' -> ('zlib-1.2.12', None))
+    The r12 fidelity pass replaced a paraphrase that diverged in all
+    four branches (epoch-at-beginning returned the epoch as the name;
+    app streams mis-split; the no-colon arms imposed digit tests the
+    reference doesn't have).  Branchy positional logic -> one
+    Arrow-batched UDF, applied once per row in a projection.
     """
 
     def split(s):
-        if s is None:
+        if not s or not isinstance(s, str):
             return (None, None)
         if ":" in s:
-            # epoch present: name is everything before the dash preceding epoch
             head, _, tail = s.partition(":")
-            name, dash, epoch = head.rpartition("-")
-            if dash:
-                return (name, f"{epoch}:{tail}")
-            return (head, tail)
-        parts = s.rsplit("-", 2)
-        if len(parts) == 3 and parts[1][:1].isdigit():
-            return (parts[0], f"{parts[1]}-{parts[2]}")
-        if len(parts) >= 2 and parts[-1][:1].isdigit():
-            return ("-".join(parts[:-1]), parts[-1])
+            if head.isdigit():  # epoch in the beginning (parser.py:417-421)
+                comps = tail.rsplit("-", 2)
+                if len(comps) > 1:
+                    return (comps[0], head + ":" + "-".join(comps[1:]))
+                return (comps[0], None)
+            name_comps = head.rsplit("-", 1)
+            if len(name_comps) > 1 and name_comps[1].isdigit():
+                # epoch in the middle (parser.py:423-426)
+                return (name_comps[0], name_comps[1] + ":" + tail)
+            return (head, None)  # app stream (parser.py:427-428)
+        if s.count("-") >= 2:  # parser.py:431-434 — no digit test
+            comps = s.rsplit("-", 2)
+            return (comps[0], "-".join(comps[1:]))
         return (s, None)
 
     import pandas as pd  # noqa: F811

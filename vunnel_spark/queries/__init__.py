@@ -75,6 +75,7 @@ GATE_PRIORITY = [
     "d7_embedding_dup_pairs",
     "osv1_fixdate_patch",
     "rhel1_parse_cve_dag",
+    "e7_pkg_string_heuristic",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

@@ -522,45 +522,64 @@ def e5(spark, sf_dir):
     "e7_pkg_string_heuristic",
     """
     SELECT p_partkey,
-           CASE WHEN p_partkey % 3 = 0
-                THEN replace(p_name, ' ', '-') || '-' ||
-                     CAST(p_partkey % 2 + 1 AS VARCHAR) || ':' ||
+           CASE p_partkey % 4
+                WHEN 0 THEN nm || '-' || ep || ':' ||
                      CAST(p_size AS VARCHAR) || '.0-' || CAST(p_partkey % 5 AS VARCHAR)
-                ELSE replace(p_name, ' ', '-') || '-' ||
+                WHEN 1 THEN ep || ':' || nm || '-' ||
+                     CAST(p_size AS VARCHAR) || '.2-' || CAST(p_partkey % 5 AS VARCHAR)
+                WHEN 2 THEN nm || ':rhel8-' || CAST(p_partkey % 5 AS VARCHAR)
+                ELSE nm || '-' ||
                      CAST(p_size AS VARCHAR) || '.1-' || CAST(p_partkey % 7 AS VARCHAR)
            END AS pkg_string,
-           replace(p_name, ' ', '-') AS name,
-           CASE WHEN p_partkey % 3 = 0
-                THEN CAST(p_partkey % 2 + 1 AS VARCHAR) || ':' ||
+           nm AS name,
+           CASE p_partkey % 4
+                WHEN 0 THEN ep || ':' ||
                      CAST(p_size AS VARCHAR) || '.0-' || CAST(p_partkey % 5 AS VARCHAR)
+                WHEN 1 THEN ep || ':' ||
+                     CAST(p_size AS VARCHAR) || '.2-' || CAST(p_partkey % 5 AS VARCHAR)
+                WHEN 2 THEN NULL
                 ELSE CAST(p_size AS VARCHAR) || '.1-' || CAST(p_partkey % 7 AS VARCHAR)
            END AS version
-    FROM part
+    FROM (SELECT *, replace(p_name, ' ', '-') AS nm,
+                 CAST(p_partkey % 2 + 1 AS VARCHAR) AS ep
+          FROM part)
     """,
-    doc="E7/F6 Hydra package-string heuristic parse (rhel/parser.py:394-438):"
+    doc="E7/F6 Hydra package-string heuristic parse (rhel/parser.py:395-438):"
         " name/epoch:version-release disambiguation in one Arrow-batched "
-        "struct-returning UDF; golden cases in tests/test_text_functions.py. "
-        "The pkg strings are synthesized deterministically from part columns, "
-        "so the oracle states the expected (name, version) split directly — "
-        "the hash-match verifies the UDF recovers both fields exactly",
+        "struct-returning UDF, exact to _get_name_version (all FOUR branch "
+        "shapes synthesized: epoch-in-middle, epoch-at-beginning, app-stream "
+        "with version falling back to NULL, plain name-ver-rel); golden "
+        "cases in tests/test_text_functions.py.  The pkg strings are "
+        "synthesized deterministically from part columns, so the oracle "
+        "states the expected (name, version) split directly — the "
+        "hash-match verifies the UDF recovers both fields exactly",
     tags=("explode", "udf"),
 )
 def e7(spark, sf_dir):
     from vunnel_spark.functions.text import split_pkg_string
 
     p = t(spark, sf_dir, "part")
-    pkg = F.when(
-        F.col("p_partkey") % 3 == 0,
-        F.concat(
-            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
-            F.lit("-"), (F.col("p_partkey") % 2 + 1).cast("string"), F.lit(":"),
-            F.col("p_size").cast("string"), F.lit(".0-"), (F.col("p_partkey") % 5).cast("string"),
-        ),
-    ).otherwise(
-        F.concat(
-            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
-            F.lit("-"), F.col("p_size").cast("string"), F.lit(".1-"),
-            (F.col("p_partkey") % 7).cast("string"),
+    nm = F.replace(F.col("p_name"), F.lit(" "), F.lit("-"))
+    ep = (F.col("p_partkey") % 2 + 1).cast("string")
+    k5 = (F.col("p_partkey") % 5).cast("string")
+    pkg = (
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.concat(nm, F.lit("-"), ep, F.lit(":"),
+                     F.col("p_size").cast("string"), F.lit(".0-"), k5),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 1,
+            F.concat(ep, F.lit(":"), nm, F.lit("-"),
+                     F.col("p_size").cast("string"), F.lit(".2-"), k5),
+        )
+        .when(
+            F.col("p_partkey") % 4 == 2,
+            F.concat(nm, F.lit(":rhel8-"), k5),
+        )
+        .otherwise(
+            F.concat(nm, F.lit("-"), F.col("p_size").cast("string"),
+                     F.lit(".1-"), (F.col("p_partkey") % 7).cast("string"))
         )
     )
     df = p.select("p_partkey", pkg.alias("pkg_string"))
