@@ -124,3 +124,56 @@ def test_envelopes_validate_against_os_schema(spark, frames):
     bad_sev["item"]["Vulnerability"]["Severity"] = "SUPER-BAD"
     with _pytest.raises(jsonschema.ValidationError):
         validate_envelope_docs([bad_sev], OS_VULNERABILITY_SCHEMA)
+
+
+def test_reduce_fix_streams_matches_reference_example(spark):
+    """The _build_vulnerable_range docstring example (rhel/parser.py:
+    1120-1155) end-to-end through reduce_fix_streams: rpm-equal
+    duplicates skip, each base keeps its highest fix, the newest stream
+    is canonical, and the OR-constraint reads
+    '< low || >= base_hi, < hi'; a single-base bucket leaves the range
+    NULL."""
+    from vunnel_spark.pipelines.rhel import reduce_fix_streams
+
+    rows = spark.createDataFrame(
+        [
+            # two upstream bases (the reference's python3.9 example),
+            # with an rpm-equal duplicate of the low fix and a lower
+            # same-base build that per-base reduction must drop
+            ("pkgA", "0:3.9.18-3.el9_4.5"),
+            ("pkgA", "0:3.9.18-3.el9_4.5"),
+            ("pkgA", "0:3.9.18-2.el9_4"),
+            ("pkgA", "0:3.9.19-8.el9"),
+            # single base: canonical only, no range
+            ("pkgB", "0:2.34-60.el9_2.7"),
+            ("pkgB", "0:2.34-64.el9"),
+        ],
+        "bucket string, version string",
+    )
+    out = {r.bucket: r for r in reduce_fix_streams(rows, ["bucket"]).collect()}
+    a = out["pkgA"]
+    assert a.canonical == "0:3.9.19-8.el9"
+    assert a.vulnerable_range == (
+        "< 0:3.9.18-3.el9_4.5 || >= 0:3.9.19, < 0:3.9.19-8.el9"
+    )
+    b = out["pkgB"]
+    assert b.canonical == "0:2.34-64.el9"
+    assert b.vulnerable_range is None
+
+
+def test_rpm_version_base_examples(spark):
+    """_get_version_base's documented examples (parser.py:1096-1100)."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.pipelines.rhel import rpm_version_base
+
+    df = spark.createDataFrame(
+        [("0:3.9.19-8.el9",), ("3.9.18-3.el9_4.5",), ("1:2.27-34.base.el7",),
+         ("nodash",)],
+        "v string",
+    )
+    got = {r.v: r.b for r in df.select("v", rpm_version_base(F.col("v")).alias("b")).collect()}
+    assert got["0:3.9.19-8.el9"] == "0:3.9.19"
+    assert got["3.9.18-3.el9_4.5"] == "3.9.18"
+    assert got["1:2.27-34.base.el7"] == "1:2.27"
+    assert got["nodash"] == "nodash"

@@ -129,6 +129,84 @@ def assemble_records(artifacts: DataFrame, meta: DataFrame) -> DataFrame:
     )
 
 
+def rpm_version_base(v):
+    """The epoch:version portion of an RPM version string, release
+    dropped (_get_version_base, parser.py:1090-1105 over
+    utils/rpm.py:53-80 split_fullversion): strip everything after the
+    LAST dash; a dashless string is its own base.  The release carries
+    the .elN_M dist tag, so the base is the unit for deciding whether
+    two fixes belong to genuinely different upstream streams."""
+    stripped = F.regexp_extract(v, r"^(.*)-[^-]*$", 1)
+    return F.when(stripped == "", v).otherwise(stripped)
+
+
+def reduce_fix_streams(
+    df: DataFrame,
+    keys: list[str],
+    version_col: str = "version",
+) -> DataFrame:
+    """The (package, platform, module)-bucket reduction of
+    _parse_affected_release (parser.py:565-676): rpm-equal duplicate
+    versions are skipped (:569-571, e.g. the cpe:/a vs cpe:/o flavors
+    of one fix), survivors sort ASCENDING by true RPM order, each
+    distinct upstream BASE keeps its highest fix (:587-592, dict
+    last-write-wins over the ascending walk), the newest stream's fix
+    is the canonical single-constraint Version (:596-599), and when 2+
+    distinct bases remain the OR'd VulnerableRange
+    ``< v0 || >= base1, < v1 || ...`` encodes the per-stream
+    boundaries (_build_vulnerable_range, parser.py:1120-1155); a
+    single-base bucket leaves it NULL.
+
+    One rpm sort key per row (Arrow UDF, F1), then one shuffle on the
+    bucket key: the per-base keep-highest and the ascending fold both
+    ride the same collect_list sort — no window needed.
+    """
+    from vunnel_spark.functions.versions import rpm_evr_sort_key
+
+    keyed = df.withColumn("_vkey", rpm_evr_sort_key(F.col(version_col)))
+    # rpm-EQUAL dedup: identical sort keys compare 0 (the key is the
+    # F1 property-tested total order), keep one representative
+    uniq = keyed.dropDuplicates([*keys, "_vkey"]).withColumn(
+        "_base", rpm_version_base(F.col(version_col))
+    )
+    # per-base keep-highest = max _vkey per (keys, base); fixes sharing
+    # a base are contiguous in rpm order (the version segment dominates
+    # the release), so ordering buckets by their kept fix's key equals
+    # the reference's insertion-ordered fix_by_base walk
+    per_base = (
+        uniq.groupBy(*keys, "_base")
+        .agg(F.max_by(F.col(version_col), F.col("_vkey")).alias("_v"),
+             F.max("_vkey").alias("_vkey"))
+    )
+    sorted_fixes = F.array_sort(
+        F.collect_list(F.struct("_vkey", F.col("_v").alias("v"), F.col("_base").alias("b")))
+    )
+    return (
+        per_base.groupBy(*keys)
+        .agg(sorted_fixes.alias("_fx"))
+        .select(
+            *keys,
+            F.element_at("_fx", -1)["v"].alias("canonical"),
+            F.when(
+                F.size("_fx") >= 2,
+                F.concat_ws(
+                    " || ",
+                    F.concat(F.lit("< "), F.element_at("_fx", 1)["v"]),
+                    F.concat_ws(
+                        " || ",
+                        F.transform(
+                            F.slice("_fx", 2, F.size("_fx") - 1),
+                            lambda s: F.concat(
+                                F.lit(">= "), s["b"], F.lit(", < "), s["v"]
+                            ),
+                        ),
+                    ),
+                ),
+            ).alias("vulnerable_range"),
+        )
+    )
+
+
 def rhel_pipeline(fins: DataFrame, nfins: DataFrame, meta: DataFrame) -> DataFrame:
     """The composed `_parse_cve` DAG over all CVEs at once.
 

@@ -76,6 +76,7 @@ GATE_PRIORITY = [
     "osv1_fixdate_patch",
     "rhel1_parse_cve_dag",
     "e7_pkg_string_heuristic",
+    "a6_vulnerable_range_construction",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

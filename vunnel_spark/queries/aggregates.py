@@ -118,28 +118,61 @@ def a3(spark, sf_dir):
 @register(
     "a6_vulnerable_range_construction",
     """
-    SELECT l_orderkey,
-           string_agg('< ' || CAST(l_partkey AS VARCHAR), ' || ' ORDER BY l_partkey) AS vulnerable_range
-    FROM lineitem
-    WHERE l_returnflag = 'A'
-    GROUP BY l_orderkey
+    WITH vers AS (
+      -- rpm-equal duplicates collapse exactly like parser.py:569-571
+      -- (equal strings here <=> rpm compare 0, versions canonical by
+      -- construction)
+      SELECT DISTINCT l_suppkey AS bucket,
+             CAST(l_quantity AS INT) AS q, l_linenumber AS ln,
+             l_partkey % 9 AS r
+      FROM lineitem WHERE l_returnflag = 'A'
+    ), perbase AS (
+      -- per upstream base ('0:q.ln'), the highest fix wins: release r
+      -- is the only within-base differentiator
+      SELECT bucket, q, ln, max(r) AS r FROM vers GROUP BY bucket, q, ln
+    ), ordered AS (
+      SELECT bucket, q, ln, r,
+             '0:' || q || '.' || ln || '-' || r || '.el9' AS v,
+             '0:' || q || '.' || ln AS b,
+             row_number() OVER (PARTITION BY bucket ORDER BY q, ln, r) AS rn,
+             count(*) OVER (PARTITION BY bucket) AS n
+      FROM perbase
+    )
+    SELECT bucket,
+           max(CASE WHEN rn = n THEN v END) AS canonical,
+           CASE WHEN max(n) >= 2 THEN
+             string_agg(CASE WHEN rn = 1 THEN '< ' || v
+                             ELSE '>= ' || b || ', < ' || v END,
+                        ' || ' ORDER BY rn)
+           END AS vulnerable_range
+    FROM ordered GROUP BY bucket
     """,
-    doc="A6 OR'd vulnerable-range string from ascending per-base fixes "
-        "(rhel/parser.py:1120-1152): sort_array(collect_list) + concat_ws",
-    tags=("agg",),
+    doc="A6 stream-aware VulnerableRange + canonical fix, exact to "
+        "_parse_affected_release's bucket reduction (rhel/parser.py:"
+        "565-599 rpm-equal dedup + per-base keep-highest + newest-stream "
+        "canonical; :1120-1155 _build_vulnerable_range's "
+        "'< v0 || >= base1, < v1' OR-constraint, NULL for single-base "
+        "buckets; :1090-1105 _get_version_base release strip) — the "
+        "reduce_fix_streams operator in pipelines/rhel.py, run over "
+        "synthesized epoch:q.ln-r.el9 versions whose rpm order equals "
+        "the oracle's numeric (q, ln, r) order.  One Arrow rpm sort key "
+        "per row, one shuffle on the bucket",
+    tags=("agg", "udf"),
 )
 def a6(spark, sf_dir):
+    from vunnel_spark.pipelines.rhel import reduce_fix_streams
+
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
-    return (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list(F.col("l_partkey"))).alias("_parts"))
-        .select(
-            "l_orderkey",
-            F.concat_ws(
-                " || ", F.transform("_parts", lambda p: F.concat(F.lit("< "), p.cast("string")))
-            ).alias("vulnerable_range"),
-        )
+    rows = li.select(
+        F.col("l_suppkey").alias("bucket"),
+        F.concat(
+            F.lit("0:"), F.col("l_quantity").cast("int").cast("string"),
+            F.lit("."), F.col("l_linenumber").cast("string"),
+            F.lit("-"), (F.col("l_partkey") % 9).cast("string"),
+            F.lit(".el9"),
+        ).alias("version"),
     )
+    return reduce_fix_streams(rows, ["bucket"], "version")
 
 
 @register(
