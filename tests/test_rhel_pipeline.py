@@ -34,9 +34,11 @@ def frames(spark):
         "cve_id string, platform string, package string, module string, "
         "version string, rhsa_id string",
     )
+    # parse_package_state output shape: per-state (version, wont_fix)
     nfins = spark.createDataFrame(
-        [("CVE-1", "8", "zlib", None)],
-        "cve_id string, platform string, package string, module string",
+        [("CVE-1", "8", "zlib", None, "None", True)],
+        "cve_id string, platform string, package string, module string, "
+        "version string, wont_fix boolean",
     )
     meta = spark.createDataFrame(
         [
@@ -177,3 +179,45 @@ def test_rpm_version_base_examples(spark):
     assert got["3.9.18-3.el9_4.5"] == "3.9.18"
     assert got["1:2.27-34.base.el7"] == "1:2.27"
     assert got["nodash"] == "nodash"
+
+
+def test_parse_package_state_map_and_module_split(spark):
+    """_parse_package_state (parser.py:690-752): the five-state map's
+    (version, wont_fix) pairs, the 'module/pkg' split, the ':flatpak'
+    module skip, unmapped-state skips, and per-item multiplicity (a
+    package under two states emits two rows)."""
+    from vunnel_spark.pipelines.rhel import parse_package_state
+
+    rows = [
+        ("CVE-1", "8", "httpd", "Affected"),
+        ("CVE-1", "8", "httpd", "Will not fix"),      # same pkg, 2nd state
+        ("CVE-1", "8", "nginx", "Fix deferred"),
+        ("CVE-1", "8", "redis", "Out of support scope"),
+        ("CVE-1", "8", "vim", "Not affected"),
+        ("CVE-1", "8", "nodejs:16/nodejs", "Affected"),       # module split
+        ("CVE-1", "8", "app:flatpak/firefox", "Affected"),    # flatpak skip
+        ("CVE-1", "8", "gcc", "New"),                          # skip
+        ("CVE-1", "8", "glibc", "Under investigation"),        # skip
+        ("CVE-1", "8", "bash", "totally made up"),             # skip
+        ("CVE-1", "8", None, "Affected"),                      # no name
+    ]
+    out = parse_package_state(
+        spark.createDataFrame(
+            rows,
+            "cve_id string, platform string, package_name string, "
+            "fix_state string",
+        )
+    ).collect()
+    got = sorted(
+        (r.package, r.module, r.version, r.wont_fix) for r in out
+    )
+    assert got == sorted(
+        [
+            ("httpd", None, "None", False),
+            ("httpd", None, "None", True),
+            ("nginx", None, "None", False),
+            ("redis", None, "None", True),
+            ("vim", None, "0", False),
+            ("nodejs", "nodejs:16", "None", False),
+        ]
+    )

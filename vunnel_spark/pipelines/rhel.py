@@ -42,18 +42,82 @@ def normalize_severity(df: DataFrame, col: str = "threat_severity") -> DataFrame
     return df.withColumn("severity", expr)
 
 
+#: fix_state -> (Version, NoAdvisory) — _fix_state_map_ (parser.py:
+#: 702-710).  'Affected'/'Fix deferred' stay advisory-eligible
+#: (wont_fix FALSE), 'Not affected' emits the sentinel version '0',
+#: and only 'Will not fix'/'Out of support scope' are wont-fix.
+#: States outside the map ('New', 'Under investigation', junk) skip.
+_FIX_STATE_MAP = {
+    "Affected": ("None", False),
+    "Fix deferred": ("None", False),
+    "Will not fix": ("None", True),
+    "Out of support scope": ("None", True),
+    "Not affected": ("0", False),
+}
+
+
+def parse_package_state(pss: DataFrame) -> DataFrame:
+    """_parse_package_state (parser.py:712-752) over
+    (cve_id, platform, package_name, fix_state) rows: 'module/pkg'
+    names split on '/' taking components[0]/[1] (parser.py:690-699 —
+    a third segment is discarded, like the reference's indexing),
+    ':flatpak' modules skip whole, unmapped states skip, mapped states
+    project their (version, wont_fix) pair.  One row per surviving
+    input row — the reference appends per item, so a package listed
+    under two states yields two records.  (The reference's
+    affected-then-out_of_support concatenation order is normalized
+    away by the sorted FixedIn assembly, as adjudicated for O2.)"""
+    comps = F.split(F.col("package_name"), "/")
+    has_mod = F.coalesce(F.col("package_name"), F.lit("")).contains("/")
+    module = F.when(has_mod, comps[0])
+    package = F.when(has_mod, comps[1]).otherwise(F.col("package_name"))
+    ver = None
+    wf = None
+    for state, (v, w) in _FIX_STATE_MAP.items():
+        cond = F.col("fix_state") == state
+        ver = F.when(cond, v) if ver is None else ver.when(cond, v)
+        wf = F.when(cond, F.lit(w)) if wf is None else wf.when(cond, F.lit(w))
+    return (
+        pss.filter(
+            (F.coalesce(F.col("package_name"), F.lit("")) != "")
+            & F.col("fix_state").isin(*_FIX_STATE_MAP)
+        )
+        .select(
+            "cve_id",
+            "platform",
+            package.alias("package"),
+            module.alias("module"),
+            ver.alias("version"),
+            wf.alias("wont_fix"),
+        )
+        .filter(
+            F.col("module").isNull() | ~F.col("module").endswith(":flatpak")
+        )
+    )
+
+
 def suppress_not_fixed(fins: DataFrame, nfins: DataFrame) -> DataFrame:
     """J12: a fix row is dropped when the same (cve, platform, package,
-    module) is still affected/out-of-support (parser.py:858-877 'not fixed
-    trumps fixes'); the not-fixed rows themselves become wont-fix records
-    with version 'None'."""
+    module) appears in package_state at all (parser.py:858-877 'not
+    fixed trumps fixes' — the tuple set is built from EVERY nfin,
+    including advisory-eligible 'Affected' and 'Not affected' rows);
+    the nfin rows themselves pass through with their own per-state
+    (version, wont_fix) from the fix-state map."""
     keys = ["cve_id", "platform", "package", "module"]
-    kept_fins = fins.join(nfins.select(*keys).distinct(), keys, "left_anti")
+    # the reference's tuple set treats None as an ordinary element —
+    # a fin with module None IS suppressed by an nfin with module None —
+    # so the anti-join must be null-safe on every key
+    nf_keys = nfins.select(*keys).distinct()
+    cond = None
+    for k in keys:
+        c = fins[k].eqNullSafe(nf_keys[k])
+        cond = c if cond is None else cond & c
+    kept_fins = fins.join(nf_keys, cond, "left_anti")
     nf_records = nfins.select(
         *keys,
-        F.lit("None").alias("version"),
+        "version",
         F.lit(None).cast("string").alias("rhsa_id"),
-        F.lit(True).alias("wont_fix"),
+        "wont_fix",
     )
     return kept_fins.withColumn("wont_fix", F.lit(False)).unionByName(nf_records)
 

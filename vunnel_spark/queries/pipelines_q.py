@@ -99,19 +99,34 @@ def nvd1(spark, sf_dir):
              'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS package,
              CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
                CAST(l_linenumber AS VARCHAR) AS version,
-             l_returnflag AS rf
+             l_returnflag AS rf,
+             l_orderkey AS okey, l_partkey AS pk
       FROM lineitem
     ), fins AS (
-      SELECT cve_id, platform, package, version FROM base WHERE rf <> 'R'
+      SELECT cve_id, platform, package, CAST(NULL AS VARCHAR) AS module,
+             version
+      FROM base WHERE rf <> 'R'
     ), nfins AS (
-      SELECT DISTINCT cve_id, platform, package FROM base WHERE rf = 'R'
+      -- _parse_package_state (parser.py:690-752): 'module/pkg' names
+      -- split, ':flatpak' modules skip, the five-state map projects
+      -- (version, wont_fix), 'New'/'Under investigation' skip; one row
+      -- per item (NO distinct — a package under two states emits two)
+      SELECT cve_id, platform, package,
+             CASE WHEN pk % 5 = 1
+                  THEN 'm' || CAST(pk % 3 AS VARCHAR) END AS module,
+             CASE WHEN (okey + pk) % 7 = 4 THEN '0' ELSE 'None' END AS version,
+             (okey + pk) % 7 IN (2, 3) AS wont_fix
+      FROM base
+      WHERE rf = 'R' AND (okey + pk) % 7 < 5 AND pk % 5 <> 0
     ), kept AS (
-      SELECT f.cve_id, f.platform, f.package, f.version, FALSE AS wont_fix
+      SELECT f.cve_id, f.platform, f.package, f.module, f.version,
+             FALSE AS wont_fix
       FROM fins f
       WHERE NOT EXISTS (SELECT 1 FROM nfins n WHERE n.cve_id = f.cve_id
-                        AND n.platform = f.platform AND n.package = f.package)
+                        AND n.platform = f.platform AND n.package = f.package
+                        AND n.module IS NOT DISTINCT FROM f.module)
       UNION ALL
-      SELECT cve_id, platform, package, 'None', TRUE FROM nfins
+      SELECT cve_id, platform, package, module, version, wont_fix FROM nfins
     ), based AS (
       -- _get_base_platform (parser.py:785-799): eus -> MAJOR
       -- (split('.')[0]), els -> suffix stripped, else no base
@@ -125,14 +140,15 @@ def nvd1(spark, sf_dir):
       -- one row PER SOURCE ARTIFACT (no DISTINCT): the reference keeps
       -- duplicate inferred FixedIn entries (parser.py:893-902)
       SELECT b.cve_id, b.bplat AS platform,
-             b.package, 'None' AS version, TRUE AS wont_fix
+             b.package, b.module, 'None' AS version, TRUE AS wont_fix
       FROM based b
       WHERE b.bplat IS NOT NULL AND b.bplat <> b.platform
         AND NOT EXISTS (
           SELECT 1 FROM kept p WHERE p.cve_id = b.cve_id
           AND p.platform = b.bplat)
     ), arts AS (
-      SELECT * FROM kept UNION ALL SELECT * FROM inferred
+      SELECT cve_id, platform, package, module, version, wont_fix FROM kept
+      UNION ALL SELECT * FROM inferred
     ), meta AS (
       SELECT DISTINCT cve_id,
              CASE CAST(substr(cve_id, 5) AS INT) % 5
@@ -142,7 +158,8 @@ def nvd1(spark, sf_dir):
       FROM base
     )
     SELECT a.cve_id, 'rhel:' || a.platform AS namespace, m.severity,
-           m.description, a.package AS name, a.version, a.wont_fix AS no_advisory
+           m.description, a.package AS name, a.module, a.version,
+           a.wont_fix AS no_advisory
     FROM arts a JOIN meta m ON a.cve_id = m.cve_id
     WHERE a.platform NOT LIKE '%+els%'
     """,
@@ -155,7 +172,7 @@ def nvd1(spark, sf_dir):
     tags=("pipeline", "join", "agg"),
 )
 def rhel1(spark, sf_dir):
-    from vunnel_spark.pipelines.rhel import rhel_pipeline
+    from vunnel_spark.pipelines.rhel import parse_package_state, rhel_pipeline
 
     li = t(spark, sf_dir, "lineitem")
     cve = F.concat(F.lit("CVE-"), (F.col("l_orderkey") % 500).cast("string"))
@@ -172,17 +189,39 @@ def rhel1(spark, sf_dir):
     ver = F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber"))
     base = li.select(
         cve.alias("cve_id"), platform.alias("platform"), pkg.alias("package"),
-        F.lit("").alias("module"), ver.alias("version"), F.col("l_returnflag").alias("rf"),
+        ver.alias("version"), F.col("l_returnflag").alias("rf"),
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"),
     )
     fins = base.filter(F.col("rf") != "R").select(
-        "cve_id", "platform", "package", "module", "version",
+        "cve_id", "platform", "package",
+        F.lit(None).cast("string").alias("module"), "version",
         F.lit(None).cast("string").alias("rhsa_id"),
     )
-    nfins = (
-        base.filter(F.col("rf") == "R")
-        .select("cve_id", "platform", "package", "module")
-        .distinct()
+    # package_state items drive the REAL parser: module/pkg splits, a
+    # ':flatpak' skip branch, all five mapped states plus the two
+    # skipped ones ('New', 'Under investigation')
+    mod_tok = F.concat(F.lit("m"), (F.col("pk") % 3).cast("string"))
+    pkg_name = (
+        F.when(
+            F.col("pk") % 5 == 0,
+            F.concat(mod_tok, F.lit(":flatpak/"), F.col("package")),
+        )
+        .when(F.col("pk") % 5 == 1, F.concat(mod_tok, F.lit("/"), F.col("package")))
+        .otherwise(F.col("package"))
     )
+    state = F.element_at(
+        F.array(
+            F.lit("Affected"), F.lit("Fix deferred"), F.lit("Will not fix"),
+            F.lit("Out of support scope"), F.lit("Not affected"),
+            F.lit("New"), F.lit("Under investigation"),
+        ),
+        ((F.col("okey") + F.col("pk")) % 7 + 1).cast("int"),
+    )
+    pss = base.filter(F.col("rf") == "R").select(
+        "cve_id", "platform",
+        pkg_name.alias("package_name"), state.alias("fix_state"),
+    )
+    nfins = parse_package_state(pss)
     meta = base.select(
         "cve_id",
         F.element_at(
@@ -201,6 +240,7 @@ def rhel1(spark, sf_dir):
     ).select(
         "cve_id", "namespace", "severity", "description",
         F.col("f.Name").alias("name"),
+        F.col("f.Module").alias("module"),
         F.col("f.Version").alias("version"),
         F.col("f.NoAdvisory").alias("no_advisory"),
     )
