@@ -69,7 +69,9 @@ def fix_records(nodes: DataFrame) -> DataFrame:
             ":",
             F.col("pkg"),
             F.coalesce(F.col("first_patched"), F.lit("None")),
-            F.regexp_replace(F.col("vrange"), ",", ""),
+            # .get('vulnerableVersionRange', '') — a missing range is the
+            # EMPTY string, not a skipped serialization token
+            F.regexp_replace(F.coalesce(F.col("vrange"), F.lit("")), ",", ""),
         ).alias("fix"),
     )
 
@@ -98,7 +100,8 @@ def github_pipeline(advisories: DataFrame, vuln_nodes: DataFrame) -> DataFrame:
         sev.otherwise(F.lit("Unknown")).alias("severity_norm"),
         F.array_join(
             F.array_sort(
-                F.filter("identifiers", lambda v: ~v.startswith("GHSA-"))
+                # parser.py:783 tests the bare 'GHSA' prefix, no dash
+                F.filter("identifiers", lambda v: ~v.startswith("GHSA"))
             ),
             "|",
         ).alias("cves"),
