@@ -98,3 +98,27 @@ def test_stale_delta_does_not_roll_back(spark, tmp_path):
     )
     items = {r.identifier: r.item for r in out.collect()}
     assert items["cve-2024-0001"].description == "new"
+
+
+def test_override_refs_append_in_order_with_duplicates(spark):
+    """_apply_override's ref merge (nvd/manager.py:328-335): override
+    refs APPEND in their own order when not already present; existing
+    order is preserved, nothing sorts, and the presence set is built
+    from the ORIGINAL refs only — so a url repeated inside the override
+    list appends twice (the reference never updates existing_set)."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.pipelines.nvd import apply_overrides
+
+    records = spark.createDataFrame(
+        [("CVE-1", "High", "d", None, ["z-ref", "base"])],
+        "cve_id string, severity string, description string, "
+        "last_modified timestamp, refs array<string>",
+    )
+    overrides = spark.createDataFrame(
+        [("CVE-1", "OVR", ["a-ref", "base", "a-ref"])],
+        "cve_id string, severity string, extra_refs array<string>",
+    )
+    out = apply_overrides(records, overrides).collect()[0]
+    assert out.refs == ["z-ref", "base", "a-ref", "a-ref"]
+    assert out.severity == "OVR"

@@ -59,9 +59,15 @@ def upsert_input(spark: SparkSession, input_path: str, delta: DataFrame) -> Data
 def apply_overrides(records: DataFrame, overrides: DataFrame) -> DataFrame:
     """J8: patch stored records with the override table.
 
-    Severity is replaced when the override provides one; reference URLs
-    are set-unioned (manager.py:304-339 _apply_override + url union
-    328-335).  Broadcast: overrides are small by construction.
+    Severity is replaced when the override provides one (the reduced
+    model's stand-in for the reference's configurations replacement);
+    reference URLs merge with _apply_override's EXACT discipline
+    (manager.py:328-335): override refs are APPENDED in their own order
+    when their url isn't already present — existing order is preserved,
+    nothing is sorted, and the presence set is built from the ORIGINAL
+    record refs only (so duplicate urls inside the override list each
+    append, like the reference's un-updated existing_set).  Broadcast:
+    overrides are small by construction.
     """
     ovr = F.broadcast(
         overrides.select(
@@ -70,13 +76,18 @@ def apply_overrides(records: DataFrame, overrides: DataFrame) -> DataFrame:
             F.col("extra_refs").alias("_ovr_refs"),
         )
     )
+    base_refs = F.col("refs")
     return records.join(ovr, "cve_id", "left").select(
         "cve_id",
         F.coalesce(F.col("_ovr_sev"), F.col("severity")).alias("severity"),
         "description",
         "last_modified",
-        F.array_sort(
-            F.array_union(F.col("refs"), F.coalesce(F.col("_ovr_refs"), F.array()))
+        F.concat(
+            base_refs,
+            F.filter(
+                F.coalesce(F.col("_ovr_refs"), F.array()),
+                lambda r: ~F.array_contains(base_refs, r),
+            ),
         ).alias("refs"),
         F.col("_ovr_sev").isNotNull().alias("was_overridden"),
     )
@@ -95,7 +106,10 @@ def synthesize_from_overrides(records: DataFrame, overrides: DataFrame) -> DataF
         F.col("severity"),
         F.lit("synthesized from override").alias("description"),
         F.lit(None).cast("timestamp").alias("last_modified"),
-        F.array_sort(F.col("extra_refs")).alias("refs"),
+        # annotation references keep their OWN order (the synthesized
+        # record's refs are built verbatim, manager.py:292-300, and the
+        # follow-up _apply_override ref-merge finds them all present)
+        F.col("extra_refs").alias("refs"),
         F.lit(True).alias("was_overridden"),
     )
 

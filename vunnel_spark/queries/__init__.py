@@ -77,6 +77,7 @@ GATE_PRIORITY = [
     "rhel1_parse_cve_dag",
     "e7_pkg_string_heuristic",
     "a6_vulnerable_range_construction",
+    "nvd1_full_corpus_reemit",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

@@ -21,23 +21,33 @@ from vunnel_spark.registry import register
            CASE WHEN o_orderkey % 7 = 0 THEN 'OVR'
                 WHEN o_orderkey % 5 = 0 THEN 'DELTA'
                 ELSE o_orderpriority END AS severity,
+           -- override refs APPEND after existing ones in override order
+           -- ('a-ref' sorts before 'base'/'delta' — a sorted union would
+           -- invert it); the already-present 'base' never re-appends
            CASE WHEN o_orderkey % 5 = 0 THEN 'delta' ELSE 'base' END ||
-             CASE WHEN o_orderkey % 7 = 0 THEN '|ovr-ref' ELSE '' END AS refs,
+             CASE WHEN o_orderkey % 7 <> 0 THEN ''
+                  -- delta records don't carry 'base', so it appends too
+                  WHEN o_orderkey % 5 = 0 THEN '|ovr-ref|a-ref|base'
+                  ELSE '|ovr-ref|a-ref' END AS refs,
            (o_orderkey % 7 = 0) AS was_overridden
     FROM orders
     UNION ALL
-    SELECT 'cve-x' || CAST(o_orderkey AS VARCHAR), 'OVR', 'ovr-ref', TRUE
+    SELECT 'cve-x' || CAST(o_orderkey AS VARCHAR), 'OVR', 'ovr-ref|a-ref|base',
+           TRUE
     FROM orders WHERE o_orderkey % 13 = 0
     """,
     doc="NVD provider lifecycle end-to-end (nvd/manager.py:103-159 + "
         "161-186 + 304-339; pipelines/nvd.py): an initial full sync is "
         "upserted into the input store, then an incremental delta run "
         "re-emits the FULL corpus — delta rows replace stored records "
-        "last-wins, overrides patch severity and set-union refs on every "
-        "emitted record, and override-only CVEs are synthesized.  The "
-        "oracle states the expected final corpus; a pipeline that emitted "
-        "only the delta, dropped frozen records, or skipped synthesis "
-        "row-count-mismatches",
+        "last-wins, overrides patch severity and append missing refs in "
+        "override order (_apply_override:328-335 — existing order "
+        "preserved, nothing sorted, the presence set is the ORIGINAL "
+        "refs) on every emitted record, and override-only CVEs are "
+        "synthesized with their annotation refs verbatim.  The oracle "
+        "states the expected final corpus; a pipeline that emitted only "
+        "the delta, dropped frozen records, skipped synthesis, or "
+        "sort-unioned the refs mismatches",
     tags=("pipeline", "join", "sink", "incremental"),
 )
 def nvd1(spark, sf_dir):
@@ -65,15 +75,21 @@ def nvd1(spark, sf_dir):
             F.array(F.lit("delta")).alias("refs"),
         )
     )
+    # 'a-ref' sorts before 'base'; 'base' is already present on every
+    # stored record and must NOT re-append
     overrides = o.filter(F.col("o_orderkey") % 7 == 0).select(
         F.concat(F.lit("CVE-"), F.col("o_orderkey").cast("string")).alias("cve_id"),
         F.lit("OVR").alias("severity"),
-        F.array(F.lit("ovr-ref")).alias("extra_refs"),
+        F.array(F.lit("ovr-ref"), F.lit("a-ref"), F.lit("base")).alias(
+            "extra_refs"
+        ),
     ).unionByName(
         o.filter(F.col("o_orderkey") % 13 == 0).select(
             F.concat(F.lit("CVE-X"), F.col("o_orderkey").cast("string")).alias("cve_id"),
             F.lit("OVR").alias("severity"),
-            F.array(F.lit("ovr-ref")).alias("extra_refs"),
+            F.array(F.lit("ovr-ref"), F.lit("a-ref"), F.lit("base")).alias(
+                "extra_refs"
+            ),
         )
     )
     out = nvd_pipeline(spark, delta, wd, overrides=overrides)
