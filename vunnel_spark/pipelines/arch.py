@@ -41,9 +41,7 @@ def best_asa_dates(records: DataFrame, asa_dates: DataFrame) -> DataFrame:
     """(group_id, asa_date): earliest known advisory date per FIXED
     record (arch/parser.py:131-135 — unfixed records never look up a
     date; cache misses/failed fetches are null and drop out)."""
-    fixed = records.filter(
-        (F.col("fixed_version").isNotNull()) & (F.col("fixed_version") != "")
-    )
+    fixed = records.filter(F.col("fixed_version") != "")
     return (
         fixed.select("group_id", F.explode("advisories").alias("asa_id"))
         .join(
@@ -57,12 +55,29 @@ def best_asa_dates(records: DataFrame, asa_dates: DataFrame) -> DataFrame:
 def arch_pipeline(records: DataFrame, asa_dates: DataFrame) -> DataFrame:
     """records(group_id, status, packages, fixed_version, severity,
     vuln_type, issues, advisories) + asa_dates(asa_id, date) ->
-    one FixedIn row per (record, package)."""
-    live = records.filter(
-        (F.trim(F.col("group_id")) != "") & (F.col("status") != "Not affected")
-    ).withColumn("group_id", F.trim(F.col("group_id")))
+    one FixedIn row per (record, package).
+
+    The reference STRIPS every scalar it reads (parse(), parser.py:
+    255-275: name/status/fixed/severity/type all .strip() after a
+    falsy-default .get) — so ' Not affected ' still skips, a
+    whitespace-only fixed version is UNFIXED, and a padded severity
+    still maps; a missing status is the empty string and the record is
+    KEPT (r12 fidelity pass: the old un-stripped != test also dropped
+    null-status records, which the reference keeps)."""
+    live = (
+        records.withColumn("group_id", F.trim(F.coalesce("group_id", F.lit(""))))
+        .withColumn(
+            "fixed_version", F.trim(F.coalesce("fixed_version", F.lit("")))
+        )
+        .withColumn("severity", F.trim(F.coalesce("severity", F.lit(""))))
+        .withColumn("vuln_type", F.trim(F.coalesce("vuln_type", F.lit(""))))
+        .filter(
+            (F.col("group_id") != "")
+            & (F.trim(F.coalesce("status", F.lit(""))) != "Not affected")
+        )
+    )
     dates = best_asa_dates(live, asa_dates)
-    fixed = (F.col("fixed_version").isNotNull()) & (F.col("fixed_version") != "")
+    fixed = F.col("fixed_version") != ""
     per_pkg = (
         live.join(dates, "group_id", "left")
         .select(
@@ -80,10 +95,7 @@ def arch_pipeline(records: DataFrame, asa_dates: DataFrame) -> DataFrame:
             "version"
         ),
         normalize_severity(F.col("severity")).alias("severity"),
-        F.when(
-            F.col("vuln_type").isNotNull() & (F.col("vuln_type") != ""),
-            F.col("vuln_type"),
-        )
+        F.when(F.col("vuln_type") != "", F.col("vuln_type"))
         .otherwise(F.concat(F.lit("Arch vulnerability "), F.col("group_id")))
         .alias("description"),
         F.concat(F.lit("https://security.archlinux.org/"), F.col("group_id"))
