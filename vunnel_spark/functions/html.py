@@ -108,3 +108,33 @@ def extract_alas_packages(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(parse, EXTRACT_SCHEMA)
+
+
+def alas_name_version(pkg):
+    """(name, version) struct Column per get_package_name_version
+    (amazon/parser.py:149-161) over rpm.split_rpm_filename
+    (utils/rpm.py:18-51): '.rpm' appended when missing, the trailing
+    '.arch' segment STRIPPED, then name-version-release recovered with
+    rsplit('-', 2); version = 'version-release' (or bare version when
+    release is empty) and any 'epoch:' prefix on the name is DROPPED
+    ('1:bar-9-123a.ia64.rpm' -> ('bar', '9-123a') — the epoch never
+    reaches the FixedIn).  A string the reference would crash on
+    (fewer than two dashes) yields empty fields here instead — the
+    declarative plan has no per-row abort, the same documented
+    deviation as the other parse paths.
+    """
+    from pyspark.sql import functions as F
+
+    full = F.when(pkg.endswith(".rpm"), pkg).otherwise(
+        F.concat(pkg, F.lit(".rpm"))
+    )
+    body = F.regexp_extract(full, r"^(.*)\.rpm$", 1)
+    noarch = F.regexp_extract(body, r"^(.*)\.[^.]*$", 1)
+    name_raw = F.regexp_extract(noarch, r"^(.*)-[^-]*-[^-]*$", 1)
+    version = F.regexp_extract(noarch, r"-([^-]*)-[^-]*$", 1)
+    release = F.regexp_extract(noarch, r"-([^-]*)$", 1)
+    name = F.regexp_replace(name_raw, r"^[^:]*:", "")
+    ver = F.when(release != "", F.concat_ws("-", version, release)).otherwise(
+        version
+    )
+    return F.struct(name.alias("name"), ver.alias("version"))

@@ -78,6 +78,9 @@ GATE_PRIORITY = [
     "e7_pkg_string_heuristic",
     "a6_vulnerable_range_construction",
     "nvd1_full_corpus_reemit",
+    "arch1_avg_assembly_dag",
+    "f7_alas_html_extract",
+    "alas1_end_to_end_dag",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

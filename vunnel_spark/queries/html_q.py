@@ -34,12 +34,19 @@ def _alas_pages(spark, sf_dir):
         .when(F.col("p_partkey") % 3 == 1, F.lit("i686:"))
         .otherwise(F.lit("src:"))
         .alias("section"),
+        # realistic ALAS filename shape: name-ver-rel.amzn2.ARCH, with
+        # an epoch prefix on every 5th package (split_rpm_filename
+        # strips the arch and get_package_name_version drops the epoch)
         F.concat(
+            F.when(F.col("p_partkey") % 5 == 0, F.lit("1:")).otherwise(F.lit("")),
             F.lit("pkg"),
             F.col("p_partkey").cast("string"),
             F.lit("-"),
             F.col("p_size").cast("string"),
-            F.lit(".1-1.amzn2"),
+            F.lit(".1-1.amzn2."),
+            F.when(F.col("p_partkey") % 3 == 0, F.lit("x86_64"))
+            .when(F.col("p_partkey") % 3 == 1, F.lit("i686"))
+            .otherwise(F.lit("src")),
         ).alias("pkg"),
     )
     sections = entries.groupBy("page_id", "section").agg(
@@ -83,8 +90,12 @@ def _alas_pages(spark, sf_dir):
     """
     SELECT p_partkey % 100 AS page_id,
            CASE WHEN p_partkey % 3 = 0 THEN 'x86_64' ELSE 'src' END AS arch,
-           'pkg' || CAST(p_partkey AS VARCHAR) || '-'
-                 || CAST(p_size AS VARCHAR) || '.1-1.amzn2' AS pkg,
+           CASE WHEN p_partkey % 5 = 0 THEN '1:' ELSE '' END ||
+             'pkg' || CAST(p_partkey AS VARCHAR) || '-'
+                 || CAST(p_size AS VARCHAR) || '.1-1.amzn2.'
+                 || CASE WHEN p_partkey % 3 = 0 THEN 'x86_64' ELSE 'src' END
+             AS pkg,
+           -- get_package_name_version: arch stripped, epoch dropped
            'pkg' || CAST(p_partkey AS VARCHAR) AS name,
            CAST(p_size AS VARCHAR) || '.1-1.amzn2' AS version,
            'Overview for page ' || CAST(p_partkey % 100 AS VARCHAR) AS overview
@@ -93,26 +104,24 @@ def _alas_pages(spark, sf_dir):
     """,
     doc="ALAS HTML fixed-package extraction (functions/html.py; reference "
         "providers/amazon/parser.py:276-331): stateful HTMLParser walk as a "
-        "mapInPandas stage — pages synthesized from part, oracle computes "
-        "expected rows directly, so the i686-skip state machine is verified "
-        "exactly; name/version split mirrors get_package_name_version "
-        "(parser.py:213-226)",
+        "mapInPandas stage — pages synthesized from part with REALISTIC "
+        "arch-suffixed, optionally epoch-prefixed rpm filenames; oracle "
+        "computes expected rows directly, so the i686-skip state machine "
+        "AND the exact get_package_name_version split (parser.py:149-161 "
+        "over split_rpm_filename — '.rpm' append, arch strip, rsplit-2, "
+        "epoch drop) are verified end to end",
     tags=("parse", "sources"),
 )
 def f7(spark, sf_dir):
-    from vunnel_spark.functions.html import extract_alas_packages
+    from vunnel_spark.functions.html import alas_name_version, extract_alas_packages
 
     ex = extract_alas_packages(_alas_pages(spark, sf_dir))
-    pkg_re = r"^(.*)-([^-]+)-([^-]+)$"
+    nv = alas_name_version(F.col("pkg"))
     return ex.select(
         "page_id",
         "arch",
         "pkg",
-        F.regexp_extract("pkg", pkg_re, 1).alias("name"),
-        F.concat_ws(
-            "-",
-            F.regexp_extract("pkg", pkg_re, 2),
-            F.regexp_extract("pkg", pkg_re, 3),
-        ).alias("version"),
+        nv["name"].alias("name"),
+        nv["version"].alias("version"),
         "overview",
     )

@@ -97,8 +97,10 @@ def secdb1(spark, sf_dir):
     "alas1_end_to_end_dag",
     """
     WITH pkgs AS (
+      -- name:version AFTER get_package_name_version's split (arch
+      -- stripped, epoch dropped)
       SELECT p_partkey % 100 AS page_id,
-             'pkg' || CAST(p_partkey AS VARCHAR) || '-'
+             'pkg' || CAST(p_partkey AS VARCHAR) || ':'
                    || CAST(p_size AS VARCHAR) || '.1-1.amzn2' AS pkg
       FROM part WHERE p_partkey % 3 <> 1
     ), rss AS (
@@ -126,10 +128,18 @@ def secdb1(spark, sf_dir):
     tags=("pipeline", "parse", "join"),
 )
 def alas1(spark, sf_dir):
-    from vunnel_spark.functions.html import extract_alas_packages
+    from vunnel_spark.functions.html import (
+        alas_name_version,
+        extract_alas_packages,
+    )
     from vunnel_spark.queries.html_q import _alas_pages
 
     ex = extract_alas_packages(_alas_pages(spark, sf_dir))
+    # the reference's fixed_in is a SET of (name, version) AFTER the
+    # split (parser.py:203-206 + get_package_name_version), so arch
+    # variants of the same build dedup and the epoch never surfaces
+    nv = alas_name_version(F.col("pkg"))
+    ex = ex.withColumn("fix", F.concat_ws(":", nv["name"], nv["version"]))
     part = t(spark, sf_dir, "part")
     rss = part.select(
         (F.col("p_partkey") % 100).alias("page_id"),
@@ -149,7 +159,7 @@ def alas1(spark, sf_dir):
         .groupBy("page_id", "rss_sev")
         .agg(
             F.first("overview").alias("description"),
-            F.array_join(F.array_sort(F.collect_set("pkg")), "|").alias("fixed_csv"),
+            F.array_join(F.array_sort(F.collect_set("fix")), "|").alias("fixed_csv"),
         )
         .select(
             F.concat(F.lit("ALAS-2026-"), F.col("page_id").cast("string")).alias(
