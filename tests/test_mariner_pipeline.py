@@ -127,3 +127,41 @@ def test_mariner_last_less_than_wins(spark):
     # it is the lexicographically smaller one (parser.py:142-146)
     assert row["version"] == "0.5-1"
     assert row["vulnerable_range"] == "< 1.0-1, < 0.5-1"
+
+
+def test_empty_evr_value_contributes_nothing(spark):
+    """'if state.evr and state.evr.value' (mariner/parser.py:140) is a
+    falsy test: an empty-string evr produces no range entry and never
+    sets the fixed version; a definition whose only states carry empty
+    evrs drops whole (no entries)."""
+    from vunnel_spark.pipelines.mariner import mariner_pipeline
+
+    defs = spark.createDataFrame(
+        [
+            ("d1", "CVE-1", "u1", "High", None, "desc", "2024-01-01",
+             ["t1", "t2"]),
+            # only empty-evr states -> drops whole
+            ("d2", "CVE-2", "u2", "High", None, "desc", None, ["t2"]),
+        ],
+        "def_id string, ref_id string, ref_url string, severity string, "
+        "patchable string, description string, advisory_date string, "
+        "criteria array<string>",
+    )
+    tests = spark.createDataFrame(
+        [("t1", "o1", "s1"), ("t2", "o1", "s2")],
+        "test_id string, object_ref string, state_ref string",
+    )
+    objects = spark.createDataFrame(
+        [("o1", "openssl")], "object_id string, name string"
+    )
+    states = spark.createDataFrame(
+        [("s1", "3.0.1", "less than"), ("s2", "", "less than")],
+        "state_id string, evr_value string, evr_operation string",
+    )
+    out = {
+        r.record_id: r.asDict()
+        for r in mariner_pipeline(defs, tests, objects, states).collect()
+    }
+    assert set(out) == {"CVE-1"}
+    assert out["CVE-1"]["version"] == "3.0.1"
+    assert out["CVE-1"]["vulnerable_range"] == "< 3.0.1"

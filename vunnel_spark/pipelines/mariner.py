@@ -82,7 +82,12 @@ def range_entries(resolved: DataFrame, states: DataFrame) -> DataFrame:
     drop (parser.py:152-153)."""
     st = resolved.join(
         F.broadcast(states), resolved["state_ref"] == states["state_id"]
-    ).filter(F.col("evr_value").isNotNull())
+    ).filter(
+        # 'if state.evr and state.evr.value' (parser.py:140) is a FALSY
+        # test — an empty-string evr contributes no range entry and
+        # never sets the fixed version, exactly like a missing one
+        F.coalesce(F.col("evr_value"), F.lit("")) != ""
+    )
     entry = (
         F.when(F.col("evr_operation") == _OP_LT, F.concat(F.lit("< "), "evr_value"))
         .when(F.col("evr_operation") == _OP_GT, F.concat(F.lit("> "), "evr_value"))
