@@ -81,6 +81,8 @@ GATE_PRIORITY = [
     "arch1_avg_assembly_dag",
     "f7_alas_html_extract",
     "alas1_end_to_end_dag",
+    "sles2_release_resolver",
+    "mariner1_oval_graph_dag",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

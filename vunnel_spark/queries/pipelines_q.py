@@ -1065,6 +1065,53 @@ def sles1(spark, sf_dir):
 
 
 @register(
+    "sles2_release_resolver",
+    """
+    SELECT 'CVE-' || CAST(o_orderkey AS VARCHAR) AS vuln_id,
+           '15.' || CAST(o_orderkey % 4 AS VARCHAR) AS version,
+           CASE o_orderkey % 6
+                WHEN 1 THEN 'pay-weird-release'
+                WHEN 3 THEN 'pay-sles-ltss-release'
+                ELSE 'pay-sles-release' END AS payload
+    FROM orders WHERE o_orderkey % 6 <> 4
+    """,
+    doc="SLES per-version release-name resolution (sles/parser.py:"
+        "197-246 _release_resolver; pipelines/sles.py): one feed object "
+        "per version — a lone release wins whatever its name, "
+        "'sles-release' beats 'sles-ltss-release' beats nothing, and a "
+        "multi-release version with only unrecognized names is skipped "
+        "whole.  Synthesis covers all six group shapes (lone "
+        "recognized, lone unrecognized, both recognized, ltss+junk, "
+        "all-junk dropped, sles+junk); the payload column proves WHICH "
+        "release's object won, not just that one did.  One aggregation "
+        "on the (vuln, version) namespace key — no window, no explode "
+        "survives the agg",
+    tags=("pipeline", "agg", "window"),
+)
+def sles2(spark, sf_dir):
+    from vunnel_spark.pipelines.sles import release_resolver
+
+    o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    g = okey % 6
+    arr = lambda *xs: F.array(*[F.lit(x) for x in xs])  # noqa: E731
+    rels = (
+        F.when(g == 0, arr("sles-release"))
+        .when(g == 1, arr("weird-release"))
+        .when(g == 2, arr("sles-release", "sles-ltss-release"))
+        .when(g == 3, arr("sles-ltss-release", "foo-release"))
+        .when(g == 4, arr("foo-release", "bar-release"))
+        .otherwise(arr("sles-release", "foo-release"))
+    )
+    rows = o.select(
+        F.concat(F.lit("CVE-"), okey.cast("string")).alias("vuln_id"),
+        F.concat(F.lit("15."), (okey % 4).cast("string")).alias("version"),
+        F.explode(rels).alias("release"),
+    ).withColumn("payload", F.concat(F.lit("pay-"), F.col("release")))
+    return release_resolver(rows)
+
+
+@register(
     "ghsa1_per_ecosystem_dag",
     """
     WITH advisories AS (
