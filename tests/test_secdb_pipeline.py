@@ -71,3 +71,52 @@ def test_pipeline_end_to_end(spark, secdb_file, tmp_path):
     )
     dates = {r.identifier: str(r.item.earliest_fix_date) for r in out2.collect()}
     assert set(dates.values()) == {"2026-08-13"}
+
+
+def test_vid_dedup_prefix_filter_and_wolfi_mode(spark, tmp_path):
+    """Per-entry vid dedup (the reference's seen-list, wolfi/parser.py:
+    208-214), alpine's PREFIX-ONLY ^CVE- filter ('CVE-bogus' passes,
+    alpine/parser.py:266-268), and the wolfi family's no-filter mode."""
+    import json
+    import os
+
+    from vunnel_spark.pipelines.secdb import secdb_pipeline
+
+    doc = {
+        "distro": "wolfi",
+        "urlprefix": "u",
+        "apkurl": "a",
+        "packages": [
+            {"pkg": {"name": "busybox", "secfixes": [
+                # duplicate vid WITHIN one entry dedups; across entries
+                # each (vid, version) appends
+                {"version": "1.35.0-r3",
+                 "ids": ["CVE-2022-1 CVE-2022-1", "CVE-2022-1", "CVE-bogus",
+                          "GHSA-xxxx-yyyy"]},
+            ]}},
+        ],
+    }
+    p = tmp_path / "security.json"
+    p.write_text(json.dumps(doc))
+
+    out_alpine = secdb_pipeline(
+        spark, str(p), str(tmp_path / "out1")
+    )
+    ids_alpine = sorted(r.identifier for r in out_alpine.collect())
+    assert ids_alpine == ["wolfi/CVE-2022-1", "wolfi/CVE-bogus"]
+    fi = {
+        r.identifier: r.item.FixedIn
+        for r in out_alpine.collect()
+    }
+    # deduped: ONE FixedIn entry despite three mentions in the entry
+    assert [f.asDict() for f in fi["wolfi/CVE-2022-1"]] == [
+        {"Name": "busybox", "Version": "1.35.0-r3"}
+    ]
+
+    out_wolfi = secdb_pipeline(
+        spark, str(p), str(tmp_path / "out2"), cve_only=False
+    )
+    ids_wolfi = sorted(r.identifier for r in out_wolfi.collect())
+    assert ids_wolfi == [
+        "wolfi/CVE-2022-1", "wolfi/CVE-bogus", "wolfi/GHSA-xxxx-yyyy"
+    ]

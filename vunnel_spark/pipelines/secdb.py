@@ -38,20 +38,50 @@ def scan(spark: SparkSession, path: str) -> DataFrame:
 
 
 def explode_fixes(db: DataFrame) -> DataFrame:
-    """E2: nested secdb -> flat (distro, pkg, fix_version, vid) rows,
-    splitting space-separated multi-id strings."""
+    """E2: nested secdb -> flat (distro, pkg, fix_version, vid) rows.
+
+    Multi-id strings split on whitespace and vids DEDUP FIRST-OCCURRENCE
+    within one (package element, fix_version) entry — the reference's
+    per-entry ``vids`` seen-list (wolfi/parser.py:208-214,
+    alpine/parser.py:257-263); duplicate PACKAGE elements still
+    contribute independently (posexplode keeps element identity through
+    the dedup, then drops it)."""
     return (
-        db.select("distro", F.explode("packages").alias("p"))
-        .select("distro", F.col("p.pkg.name").alias("pkg"), F.explode("p.pkg.secfixes").alias("fx"))
-        .select("distro", "pkg", F.col("fx.version").alias("fix_version"), F.explode("fx.ids").alias("rawvid"))
-        .select("distro", "pkg", "fix_version", F.explode(F.split("rawvid", r"\s+")).alias("vid"))
-        .filter(F.col("vid") != "")
+        db.select("distro", F.posexplode("packages").alias("p_pos", "p"))
+        .select(
+            "distro", "p_pos",
+            F.col("p.pkg.name").alias("pkg"),
+            F.explode("p.pkg.secfixes").alias("fx"),
+        )
+        .select(
+            "distro", "pkg",
+            F.col("fx.version").alias("fix_version"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.flatten(
+                            F.transform(
+                                F.coalesce(
+                                    "fx.ids", F.array().cast("array<string>")
+                                ),
+                                lambda rv: F.split(F.trim(rv), r"\s+"),
+                            )
+                        ),
+                        lambda v: v != "",
+                    )
+                )
+            ).alias("vid"),
+        )
     )
 
 
 def cve_filter(fixes: DataFrame) -> DataFrame:
-    """P1: keep only CVE-pattern ids (debian/parser.py:302-304 analogue)."""
-    return fixes.filter(F.col("vid").rlike(r"^CVE-\d{4}-\d+$"))
+    """P1: keep only CVE-PREFIXED ids — alpine's re.match('^CVE-.*')
+    (alpine/parser.py:266-268) is a prefix test, not a full-id grammar,
+    so 'CVE-bogus' passes.  The wolfi/chainguard family applies NO id
+    filter at all (wolfi/parser.py:203-255) — see secdb_pipeline's
+    ``cve_only`` switch."""
+    return fixes.filter(F.col("vid").startswith("CVE-"))
 
 
 def apply_rejections(fixes: DataFrame, rejections: DataFrame | None) -> DataFrame:
@@ -103,10 +133,17 @@ def secdb_pipeline(
     state_path: str | None = None,
     rejections: DataFrame | None = None,
     today: str | None = None,
+    cve_only: bool = True,
 ) -> DataFrame:
     """Full provider run: scan -> transform -> enrich -> envelope -> sink.
-    Returns the written envelope frame (re-read from the sink)."""
-    fixes = cve_filter(explode_fixes(scan(spark, secdb_path)))
+    Returns the written envelope frame (re-read from the sink).
+
+    ``cve_only``: alpine keeps only CVE-prefixed ids
+    (alpine/parser.py:266-268); wolfi/chainguard/minimos keep every vid
+    (wolfi/parser.py:203-255) — pass False for that family."""
+    fixes = explode_fixes(scan(spark, secdb_path))
+    if cve_only:
+        fixes = cve_filter(fixes)
     fixes = apply_rejections(fixes, rejections)
     records = assemble_records(fixes)
     if state_path:
