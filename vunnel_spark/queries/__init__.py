@@ -84,6 +84,7 @@ GATE_PRIORITY = [
     "sles2_release_resolver",
     "mariner1_oval_graph_dag",
     "secdb1_end_to_end_dag",
+    "p6_regex_antifilter",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

@@ -104,21 +104,42 @@ def p5(spark, sf_dir):
 @register(
     "p6_regex_antifilter",
     """
-    SELECT p_brand, count(*) AS n_items
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE NOT regexp_matches(p_name, 'bolt')
-    GROUP BY p_brand
+    SELECT l_suppkey, count(*) AS n_fixed
+    FROM (
+      SELECT l_suppkey,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.'
+               || CAST(l_linenumber AS VARCHAR) || '-'
+               || CASE WHEN l_partkey % 6 = 0
+                       THEN '2.ksplice1.el7'
+                       ELSE CAST(l_partkey % 9 AS VARCHAR) || '.el7' END
+               AS version
+      FROM lineitem)
+    WHERE NOT regexp_matches(regexp_extract(version, '-([^-]*)$', 1), 'ksplice')
+    GROUP BY l_suppkey
     """,
-    doc="P6 ksplice-style regex anti-filter on joined fact (oracle/parser.py:145-201)",
-    tags=("filter", "join"),
+    doc="P6 ksplice anti-filter, exact to KspliceFilterer "
+        "(oracle/parser.py:145-201 + utils/rpm.py:53-80): the test runs "
+        "on the fix VERSION's RELEASE segment (rsplit('-', 1) tail), "
+        "matching '.*ksplice.*' — not on the package name; FixedIn "
+        "entries drop, the parent record survives.  Synthesized rpm "
+        "versions put 'ksplice1' inside the release on every 6th row",
+    tags=("filter",),
 )
 def p6(spark, sf_dir):
-    part = t(spark, sf_dir, "part").filter(~F.col("p_name").rlike("bolt"))
+    li = t(spark, sf_dir, "lineitem")
+    version = F.concat(
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit("."), F.col("l_linenumber").cast("string"), F.lit("-"),
+        F.when(F.col("l_partkey") % 6 == 0, F.lit("2.ksplice1.el7")).otherwise(
+            F.concat((F.col("l_partkey") % 9).cast("string"), F.lit(".el7"))
+        ),
+    )
+    release = F.regexp_extract(version, r"-([^-]*)$", 1)
     return (
-        t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_items"))
+        li.select("l_suppkey", release.alias("_rel"))
+        .filter(~F.col("_rel").rlike("ksplice"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_fixed"))
     )
 
 
