@@ -18,6 +18,15 @@ joins: the platform dimension is broadcast (it is tiny by construction
 equi-join against the kept relationships, and every per-vulnerability
 filter is a semi-join.  Nothing is per-document; one plan subsets the
 whole advisory corpus.
+
+MODELING ASSUMPTION (corpus-level joins vs the reference's per-file
+sets): CSAF product ids are document-scoped identifiers in general,
+but Red Hat's VEX generator derives them deterministically from the
+product CPE/purl, so the same id string denotes the same product in
+every document — which is exactly what makes the corpus-level join
+equal to the per-document subset.  Feeding this pipeline CSAF from a
+publisher whose ids are NOT globally consistent requires adding the
+document key to branches/relationships and to every join below.
 """
 
 from __future__ import annotations
