@@ -10,6 +10,16 @@ Reference flow (/root/reference/src/vunnel/providers/debian/parser.py):
     ->  legacy union-merge, current wins on (ns, vid) (J14, :495-618)
     ->  envelope -> dedup-on-write sink
 
+REDUCED SURFACE (documented): the reference also stamps per-FixedIn
+VendorAdvisory (DSA summary / NoAdvisory-on-nodsa / empty, :430-445)
+and an Available date via fixdate.best with the first matched DSA's
+date as an accurate candidate (:447-471).  This pipeline models the
+advisory LIST (the '|'-joined sorted union) but not those two derived
+fields; the exact best() cap semantics those fields need are gated
+through osv1 (pipelines/osv.py) and the advisory-candidate reductions
+through fedora1/photon1 — a user wiring Debian Available dates
+composes join_advisories' matched set with that same operator.
+
 The text-parse stage lives in queries/explode.py e5 (gate-checked on its
 own); this module composes the relational stages on already-parsed frames
 so the same DAG runs on any DSA source.  Every stage is a named function;
