@@ -560,8 +560,14 @@ def run_top10_sf10(out_json: str, top_n: int = 10) -> None:
     import subprocess
     import tempfile
 
-    with open(os.path.join(REPO, "registry_sweep_r10.json")) as f:
-        sweep = json.load(f)["queries"]
+    ranking = os.path.join(REPO, "registry_sweep_r12.json")
+    if not os.path.exists(ranking):  # pre-r12 checkouts
+        ranking = os.path.join(REPO, "registry_sweep_r10.json")
+    with open(ranking) as f:
+        data = json.load(f)
+        # r10's file wraps times under "queries"; the r12 sweep (noop
+        # consuming action, sweep_times.py) writes the flat name->sec map
+        sweep = data.get("queries", data)
     done = set(HEADLINE) | {"debian1_legacy_merge_dag"}
     done |= set(_ANN_GEOMETRY_SKIP)
     for prior in ("scalecurve_pairs_sf10_r10.json", "scalecurve_llm_r10.json"):
