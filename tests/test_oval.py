@@ -105,9 +105,11 @@ def test_oval_pipeline_semantics(spark):
 
 
 def test_sles_pipeline_not_affected(spark):
-    """sles_pipeline: not-affected tests emit Version '0' entries, gated on
-    the state's evr being '0', deduped against affected entries, with
-    severity_map normalization."""
+    """sles_pipeline: not-affected tests emit Version '0' entries, gated
+    on the state's evr being '0', with severity_map normalization.  The
+    reference's dedup-against-affected NEVER fires ((Name, None) vs
+    (Name, ''), sles/parser.py:381-409), so a package both fixed and
+    not-affected emits BOTH entries."""
     from vunnel_spark.pipelines.oval import sles_pipeline
 
     defs = spark.createDataFrame(
@@ -118,7 +120,10 @@ def test_sles_pipeline_not_affected(spark):
         [
             ("d1", None, "t-ssl", "affirm"),
             ("d1", None, "t-na-zlib", "not_affected"),   # emits zlib:0
-            ("d1", None, "t-na-ssl", "not_affected"),    # deduped: openssl affected
+            ("d1", None, "t-na-ssl", "not_affected"),    # emits openssl:0 TOO
+                                                         # (the reference's
+                                                         # affected-dedup is a
+                                                         # no-op)
             ("d2", None, "t-na-bad", "not_affected"),    # state evr != '0' -> skipped
         ],
         "def_id string, ns_test string, pkg_test string, polarity string",
@@ -139,7 +144,7 @@ def test_sles_pipeline_not_affected(spark):
         defs, pairs, tests, objects, states,
         severity_map={"important": "High"},
     ).collect()}
-    assert out["d1"].fixed_in == "openssl:0:3.0.1-1|zlib:0"
+    assert out["d1"].fixed_in == "openssl:0|openssl:0:3.0.1-1|zlib:0"
     assert out["d1"].severity == "High"
     assert out["d2"].fixed_in == ""          # defensive skip of non-zero evr
     assert out["d2"].severity == "Unknown"   # unmapped feed severity

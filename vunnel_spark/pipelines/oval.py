@@ -113,9 +113,16 @@ def sles_pipeline(
     """SLES variant (providers/sles/parser.py:40-58, 377-420): ``pairs``
     carries a ``polarity`` column; 'not_affected' tests resolve through the
     same chain but emit Version "0" FixedIn entries, only when the
-    referenced state's evr really is "0" (defensive skip otherwise) and the
-    package has no affected-side entry in the same definition (the
-    reference's already_emitted dedup).  ``severity_map`` normalizes the
+    referenced state's evr really is "0" (defensive skip otherwise).
+
+    The not-affected entries dedup only AMONG THEMSELVES: the
+    reference's "deduplicate against affected entries" intent
+    (parser.py:381-384) never fires, because ``already_emitted`` holds
+    (Name, Module=None) tuples while the membership test probes
+    (Name, "") — so a package that is both fixed and not-affected in
+    one impact item emits BOTH entries, and this pipeline reproduces
+    that (r12 fidelity pass replaced an anti-join that implemented the
+    comment instead of the code).  ``severity_map`` normalizes the
     feed's lowercase severities (PARSER_CONFIG.severity_map).
     """
     canon = canonical_definitions(defs)
@@ -130,7 +137,6 @@ def sles_pipeline(
             tests, objects, states,
         )
         .filter(F.col("evr") == "0")
-        .join(aff.select("def_id", "pkg").distinct(), ["def_id", "pkg"], "left_anti")
         .select("def_id", "pkg")
         .distinct()
         .select(

@@ -85,6 +85,7 @@ GATE_PRIORITY = [
     "mariner1_oval_graph_dag",
     "secdb1_end_to_end_dag",
     "p6_regex_antifilter",
+    "sles1_not_affected_dag",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

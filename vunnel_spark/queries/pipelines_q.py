@@ -981,14 +981,15 @@ def oval1(spark, sf_dir):
       JOIN states s ON s.state_ref = tt.state_ref
       WHERE p.polarity <> 'not_affected'
     ), na AS (
+      -- dedup among not-affected only: the reference's dedup against
+      -- affected entries never fires ((Name, None) vs (Name, ''),
+      -- parser.py:381-409), so both entries emit for a shared package
       SELECT DISTINCT p.def_id, ob.pkg, '0' AS evr
       FROM live p
       JOIN tests tt ON tt.test_id = p.pkg_test
       JOIN objects ob ON ob.object_ref = tt.object_ref
       JOIN states s ON s.state_ref = tt.state_ref
       WHERE p.polarity = 'not_affected' AND s.evr = '0'
-        AND NOT EXISTS (SELECT 1 FROM aff a
-                        WHERE a.def_id = p.def_id AND a.pkg = ob.pkg)
     ), fixes AS (
       SELECT def_id,
              array_to_string(list_sort(list_distinct(list(pkg || ':' || evr))),
@@ -1007,11 +1008,14 @@ def oval1(spark, sf_dir):
         "377-420; pipelines/oval.py sles_pipeline): the not_affected "
         "polarity resolves through the same test/object/state chain but "
         "emits Version-'0' FixedIn entries, gated on the state's evr "
-        "actually being '0' (the reference's defensive skip) and "
-        "anti-joined against affected entries of the same definition (its "
-        "already_emitted dedup); feed severities normalize through "
-        "PARSER_CONFIG.severity_map.  Inputs synthesized from "
-        "orders/lineitem/part; the oracle restates every stage",
+        "actually being '0' (the reference's defensive skip), deduped "
+        "only AMONG the not-affected entries — the reference's "
+        "dedup-against-affected never fires ((Name, None) vs (Name, ''), "
+        "parser.py:381-409), so a package both fixed and not-affected "
+        "emits both entries, which this gate now exercises; feed "
+        "severities normalize through PARSER_CONFIG.severity_map.  "
+        "Inputs synthesized from orders/lineitem/part; the oracle "
+        "restates every stage",
     tags=("pipeline", "join", "window", "agg"),
 )
 def sles1(spark, sf_dir):
