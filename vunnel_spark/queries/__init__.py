@@ -86,6 +86,7 @@ GATE_PRIORITY = [
     "secdb1_end_to_end_dag",
     "p6_regex_antifilter",
     "sles1_not_affected_dag",
+    "w2_ael_demotion_pick",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

@@ -20,12 +20,21 @@ from vunnel_spark.registry import register
       SELECT o_custkey, o_orderkey,
              (o_orderstatus <> 'F') AS is_backup,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY (o_orderstatus <> 'F'), o_orderdate, o_orderkey) AS rn
+                ORDER BY (o_orderstatus <> 'F'),
+                         CASE WHEN o_orderstatus = 'F' THEN o_orderdate END ASC,
+                         CASE WHEN o_orderstatus = 'F' THEN o_orderkey END ASC,
+                         CASE WHEN o_orderstatus <> 'F' THEN o_orderdate END DESC,
+                         CASE WHEN o_orderstatus <> 'F' THEN o_orderkey END DESC
+             ) AS rn
       FROM orders)
     WHERE rn = 1
     """,
-    doc="W2 ael-demotion pick (rhel/csaf_parser.py:263-282): first non-backup "
-        "candidate, else first backup — one boolean-first window ordering",
+    doc="W2 ael-demotion pick (rhel/csaf_parser.py:263-282): the FIRST "
+        "non-ael candidate short-circuits, but the ael backup variable is "
+        "overwritten on every alternative match — so when only ael "
+        "candidates exist the LAST one in candidate order wins, not the "
+        "first (r12 fidelity pass).  One window: boolean-first, then "
+        "candidate order ascending for reals and DESCENDING for backups",
     tags=("window",),
 )
 def w2(spark, sf_dir):
@@ -34,8 +43,17 @@ def w2(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").withColumn(
         "is_backup", F.col("o_orderstatus") != "F"
     )
+    bk = F.col("is_backup")
     picked = priority_pick(
-        orders, ["o_custkey"], [F.col("is_backup"), F.col("o_orderdate"), F.col("o_orderkey")]
+        orders,
+        ["o_custkey"],
+        [
+            bk,
+            F.when(~bk, F.col("o_orderdate")).asc(),
+            F.when(~bk, F.col("o_orderkey")).asc(),
+            F.when(bk, F.col("o_orderdate")).desc(),
+            F.when(bk, F.col("o_orderkey")).desc(),
+        ],
     )
     return picked.select("o_custkey", F.col("o_orderkey").alias("picked"), "is_backup")
 
