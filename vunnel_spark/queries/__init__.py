@@ -87,6 +87,7 @@ GATE_PRIORITY = [
     "p6_regex_antifilter",
     "sles1_not_affected_dag",
     "w2_ael_demotion_pick",
+    "e14_cvss_base_score",
     "fedora1_bodhi_merge_dag",
     "echo1_rolling_merge_dag",
     "g3_chain_components",

@@ -328,69 +328,134 @@ def _map_expr(field: str, mapping: dict) -> "F.Column":
 @register(
     "e14_cvss_base_score",
     """
-    SELECT vector, round(
-             CASE WHEN impact_sub <= 0 THEN 0.0
-                  ELSE ceil(least(6.42 * impact_sub + 8.22 * av * ac * pr * ui, 10.0) * 10) / 10
-             END, 1) AS base_score
+    SELECT vector,
+           CASE WHEN impact <= 0 THEN 0.0
+                WHEN i5 % 10000 = 0 THEN i5 / 100000.0
+                ELSE (i5 // 10000 + 1) / 10.0 END AS base_score
     FROM (
-      SELECT vector,
-             1 - (1 - c_val) * (1 - i_val) * (1 - a_val) AS impact_sub,
-             av, ac, pr, ui
+      SELECT vector, impact,
+             CAST(floor(least(CASE WHEN chg THEN 1.08 * (impact + expl)
+                              ELSE impact + expl END, 10.0) * 100000)
+                  AS BIGINT) AS i5
       FROM (
-        SELECT vector,
-               CASE regexp_extract(vector, '/AV:([A-Z])', 1) WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END AS av,
-               CASE regexp_extract(vector, '/AC:([A-Z])', 1) WHEN 'L' THEN 0.77 ELSE 0.44 END AS ac,
-               CASE regexp_extract(vector, '/PR:([A-Z])', 1) WHEN 'N' THEN 0.85 WHEN 'L' THEN 0.62 ELSE 0.27 END AS pr,
-               CASE regexp_extract(vector, '/UI:([A-Z])', 1) WHEN 'N' THEN 0.85 ELSE 0.62 END AS ui,
-               CASE regexp_extract(vector, '/C:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS c_val,
-               CASE regexp_extract(vector, '/I:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS i_val,
-               CASE regexp_extract(vector, '/A:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS a_val
+        SELECT vector, chg,
+               CASE WHEN chg
+                    THEN 7.52 * (iss - 0.029)
+                         - 3.25 * ((((x8 * x4) * x2) * x1))
+                    ELSE 6.42 * iss END AS impact,
+               8.22 * av * ac * pr * ui AS expl
         FROM (
-          SELECT 'CVSS:3.1/AV:' ||
-                 CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END ||
-                 '/AC:' || CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'L' ELSE 'H' END ||
-                 '/PR:' || CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END ||
-                 '/UI:' || CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'N' ELSE 'R' END ||
-                 '/S:U/C:' || CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END ||
-                 '/I:' || CASE CAST(o_orderkey % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END ||
-                 '/A:' || CASE CAST(o_orderkey % 7 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS vector
-          FROM orders)))
+          SELECT vector, chg, iss, av, ac, pr, ui,
+                 x2 * x2 AS x4, (x2 * x2) * (x2 * x2) AS x8, x1, x2
+          FROM (
+            SELECT vector, chg, iss, av, ac, pr, ui,
+                   iss - 0.02 AS x1, (iss - 0.02) * (iss - 0.02) AS x2
+            FROM (
+              SELECT vector, chg,
+                     -- DOUBLE arithmetic throughout: DuckDB's decimal
+                     -- literals overflow scale 38 in the ^15 expansion
+                     CAST(1 - (1 - c_val) * (1 - i_val) * (1 - a_val)
+                          AS DOUBLE) AS iss,
+                     av, ac, pr, ui
+              FROM (
+                SELECT vector,
+                       regexp_extract(vector, '/S:([A-Z])', 1) = 'C' AS chg,
+                       CASE regexp_extract(vector, '/AV:([A-Z])', 1) WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END AS av,
+                       CASE regexp_extract(vector, '/AC:([A-Z])', 1) WHEN 'L' THEN 0.77 ELSE 0.44 END AS ac,
+                       CASE regexp_extract(vector, '/PR:([A-Z])', 1)
+                            WHEN 'N' THEN 0.85
+                            WHEN 'L' THEN CASE WHEN regexp_extract(vector, '/S:([A-Z])', 1) = 'C' THEN 0.68 ELSE 0.62 END
+                            ELSE CASE WHEN regexp_extract(vector, '/S:([A-Z])', 1) = 'C' THEN 0.5 ELSE 0.27 END END AS pr,
+                       CASE regexp_extract(vector, '/UI:([A-Z])', 1) WHEN 'N' THEN 0.85 ELSE 0.62 END AS ui,
+                       CASE regexp_extract(vector, '/C:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS c_val,
+                       CASE regexp_extract(vector, '/I:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS i_val,
+                       CASE regexp_extract(vector, '/A:([A-Z])', 1) WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS a_val
+                FROM (
+                  SELECT 'CVSS:3.1/AV:' ||
+                         CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END ||
+                         '/AC:' || CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'L' ELSE 'H' END ||
+                         '/PR:' || CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END ||
+                         '/UI:' || CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'N' ELSE 'R' END ||
+                         '/S:' || CASE WHEN o_orderkey % 5 < 3 THEN 'U' ELSE 'C' END ||
+                         '/C:' || CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END ||
+                         '/I:' || CASE CAST(o_orderkey % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END ||
+                         '/A:' || CASE CAST(o_orderkey % 7 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS vector
+                  FROM orders)))))))
     """,
-    doc="E14/F3 CVSS 3.1 base-score computation (github/parser.py:604-687) "
-        "as PURE Catalyst expressions — no cvss library, no UDF: the FIRST "
-        "formula (scope unchanged) over regex-extracted metrics; "
-        "score = roundup1(min(impact + exploitability, 10))",
+    doc="E14/F3 CVSS 3.1 base-score computation (github/parser.py:604-687 "
+        "over the cvss library) as PURE Catalyst expressions — no cvss "
+        "library, no UDF — covering BOTH scopes per the public spec: "
+        "scope-dependent PR values (L 0.62->0.68, H 0.27->0.5 when "
+        "changed), Impact = 6.42*ISS unchanged vs "
+        "7.52*(ISS-0.029) - 3.25*(ISS-0.02)^15 changed (the power "
+        "expanded to explicit IEEE multiplications so both engines "
+        "compute bit-identical doubles), score 0 when Impact <= 0, else "
+        "Roundup(min([1.08x](Impact+Expl), 10)) with the SPEC's roundup "
+        "(floor to 1e-5, snap to the 0.1 boundary when exact, else next "
+        "tenth — plain ceil mis-rounds values within an ulp of a "
+        "boundary, Appendix A of the 3.1 spec)",
     tags=("explode", "scalar", "udf"),
 )
 def e14(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
     vector = F.concat(
         F.lit("CVSS:3.1/AV:"),
-        F.when(F.col("o_orderkey") % 4 == 0, "N").when(F.col("o_orderkey") % 4 == 1, "A")
-        .when(F.col("o_orderkey") % 4 == 2, "L").otherwise("P"),
-        F.lit("/AC:"), F.when(F.col("o_orderkey") % 2 == 0, "L").otherwise("H"),
+        F.when(okey % 4 == 0, "N").when(okey % 4 == 1, "A")
+        .when(okey % 4 == 2, "L").otherwise("P"),
+        F.lit("/AC:"), F.when(okey % 2 == 0, "L").otherwise("H"),
         F.lit("/PR:"),
-        F.when(F.col("o_orderkey") % 3 == 0, "N").when(F.col("o_orderkey") % 3 == 1, "L").otherwise("H"),
-        F.lit("/UI:"), F.when(F.col("o_orderkey") % 2 == 0, "N").otherwise("R"),
-        F.lit("/S:U/C:"),
-        F.when(F.col("o_orderkey") % 3 == 0, "H").when(F.col("o_orderkey") % 3 == 1, "L").otherwise("N"),
+        F.when(okey % 3 == 0, "N").when(okey % 3 == 1, "L").otherwise("H"),
+        F.lit("/UI:"), F.when(okey % 2 == 0, "N").otherwise("R"),
+        F.lit("/S:"), F.when(okey % 5 < 3, "U").otherwise("C"),
+        F.lit("/C:"),
+        F.when(okey % 3 == 0, "H").when(okey % 3 == 1, "L").otherwise("N"),
         F.lit("/I:"),
-        F.when(F.col("o_orderkey") % 5 % 3 == 0, "H").when(F.col("o_orderkey") % 5 % 3 == 1, "L").otherwise("N"),
+        F.when(okey % 5 % 3 == 0, "H").when(okey % 5 % 3 == 1, "L").otherwise("N"),
         F.lit("/A:"),
-        F.when(F.col("o_orderkey") % 7 % 3 == 0, "H").when(F.col("o_orderkey") % 7 % 3 == 1, "L").otherwise("N"),
+        F.when(okey % 7 % 3 == 0, "H").when(okey % 7 % 3 == 1, "L").otherwise("N"),
     )
     df = o.select(vector.alias("vector"))
+    chg = F.regexp_extract("vector", r"/S:([A-Z])", 1) == "C"
     av = _map_expr("AV", _CVSS_AV)
     ac = _map_expr("AC", _CVSS_AC)
-    pr = _map_expr("PR", _CVSS_PR)
+    pr_raw = F.regexp_extract("vector", r"/PR:([A-Z])", 1)
+    pr = (
+        F.when(pr_raw == "N", F.lit(0.85))
+        .when(pr_raw == "L", F.when(chg, F.lit(0.68)).otherwise(F.lit(0.62)))
+        .otherwise(F.when(chg, F.lit(0.5)).otherwise(F.lit(0.27)))
+    )
     ui = _map_expr("UI", _CVSS_UI)
     c_v = _map_expr("C", _CVSS_CIA)
     i_v = _map_expr("I", _CVSS_CIA)
     a_v = _map_expr("A", _CVSS_CIA)
-    iss = 1 - (1 - c_v) * (1 - i_v) * (1 - a_v)
-    raw = F.least(F.lit(6.42) * iss + F.lit(8.22) * av * ac * pr * ui, F.lit(10.0))
-    score = F.when(iss <= 0, F.lit(0.0)).otherwise(F.ceil(raw * 10) / 10)
-    return df.select("vector", F.round(score, 1).alias("base_score"))
+    df = df.withColumn("_iss", 1 - (1 - c_v) * (1 - i_v) * (1 - a_v))
+    iss = F.col("_iss")
+    # (iss - 0.02)^15 as explicit IEEE multiplications, same association
+    # as the oracle: (((x8 * x4) * x2) * x1)
+    df = df.withColumn("_x1", iss - F.lit(0.02)).withColumn(
+        "_x2", (iss - F.lit(0.02)) * (iss - F.lit(0.02))
+    )
+    df = df.withColumn("_x4", F.col("_x2") * F.col("_x2")).withColumn(
+        "_x8", (F.col("_x2") * F.col("_x2")) * (F.col("_x2") * F.col("_x2"))
+    )
+    x15 = ((F.col("_x8") * F.col("_x4")) * F.col("_x2")) * F.col("_x1")
+    impact = F.when(
+        chg, F.lit(7.52) * (iss - F.lit(0.029)) - F.lit(3.25) * x15
+    ).otherwise(F.lit(6.42) * iss)
+    expl = F.lit(8.22) * av * ac * pr * ui
+    combined = F.least(
+        F.when(chg, F.lit(1.08) * (impact + expl)).otherwise(impact + expl),
+        F.lit(10.0),
+    )
+    # the spec's Roundup (3.1 Appendix A): floor at 1e-5 precision,
+    # snap when exactly on a 0.1 boundary, else the next tenth up
+    i5 = F.floor(combined * F.lit(100000)).cast("long")
+    roundup = F.when(i5 % 10000 == 0, i5 / F.lit(100000.0)).otherwise(
+        (F.floor(i5 / 10000) + 1) / F.lit(10.0)
+    )
+    score = F.when(impact <= 0, F.lit(0.0)).otherwise(roundup)
+    return df.select("vector", score.alias("base_score"))
 
 
 @register(
