@@ -43,59 +43,32 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 12 (residual-hardening; every entry is a changed PLAN or
-#: changed SEMANTICS, re-oracled locally before fronting):
-#: d7 (registered LSH bits now corpus-derived via scaled_lsh_bits — the
-#: last gate-pinned geometry, the debian2 discipline); osv1 (TWO
-#: changes: nested input pre-materialized through a keyed parquet cache
-#: so the gate measures the patch pipeline, not collect_list synthesis;
-#: and osv_patch_fix_dates now emulates finder.best EXACTLY — the
-#: accurate first-observed store date is a cap and last resort, so the
-#: published candidate wins whenever <= it, with a branch-complete
-#: fixture exercising early/late/inaccurate/store-only/candidate-less
-#: shapes); g3 (fixture
-#: rank rebuilt on the o3/x11 two-level bucket rank — no global
-#: row_number); epss1 (percent_rank decomposed into value-domain-bucket
-#: rank + tiny offset frame — the registry's last single-partition
-#: window retired); photon1/alma1/secureos1/openvex1 (the four r11
-#: ADVICE fidelity fixes: match()+endswith filename filter, str.strip
-#: whitespace, int() revision semantics, PackageURL normalization);
-#: fedora1 (r12 fidelity pass: fixdate.best's accurate-advisory-
-#: candidate rule — earliest of (first-observed, date_stable) with
-#: advisory winning ties — replaced finder-always-wins, and NVR
-#: rsplit now keeps empty version/release segments; the gate fixture
-#: grew a later-than-date_stable finder branch to exercise it).
-#: rhel1 joined the window late in r12: _get_base_platform is now exact
-#: (eus -> MAJOR via split('.')[0], els -> suffix strip keeping the
-#: minor, aus/tus/other never infer) and inferred records keep
-#: reference duplicates (one per source artifact); the fixture moved to
-#: realistic platform forms ('8', '8.3+eus', '8+els') so both rules are
-#: actually exercised.
+#: Round 13 (judge's protocol-hardening + GHSA envelope round; every
+#: entry is a changed PLAN or changed SEMANTICS, re-oracled locally
+#: before fronting):
+#: e14 (ADVICE r12: CVSS 3.1 Roundup now uses round-to-nearest at the
+#: *100000 step per spec Appendix A, replacing floor — both Spark and
+#: oracle sides); ghsa1 / e17 (the GHSA CVSS-severities envelope from
+#: reference github/parser.py:604-687: legacy CVSS with quantized
+#: base/exploitability/impact sub-scores + severity, the v3
+#: {version: "3.<minor>", vector} entry with trailing-slash strip, and
+#: the CVSS4 vector-validate passthrough with NO score math);
+#: rhel1 (two ADVICE fixes: the package_state empty-name test now
+#: applies to the POST-'/'-split package, and reduce_fix_streams keeps
+#: a deterministic first-seen representative per rpm-equal version
+#: group via min_by on input order); p8 (severity vocabulary
+#: re-fixtured on the actual rhel/debian/github token sets instead of
+#: a synthesized CASE); p2/p5 (token domains audited against the
+#: reference vocabularies, same discipline); osv1 (cache key now folds
+#: a content fingerprint — plan-only change, fronted out of caution).
 GATE_PRIORITY = [
-    "d7_embedding_dup_pairs",
-    "osv1_fixdate_patch",
-    "rhel1_parse_cve_dag",
-    "e7_pkg_string_heuristic",
-    "a6_vulnerable_range_construction",
-    "nvd1_full_corpus_reemit",
-    "arch1_avg_assembly_dag",
-    "f7_alas_html_extract",
-    "alas1_end_to_end_dag",
-    "sles2_release_resolver",
-    "mariner1_oval_graph_dag",
-    "secdb1_end_to_end_dag",
-    "p6_regex_antifilter",
-    "sles1_not_affected_dag",
-    "w2_ael_demotion_pick",
     "e14_cvss_base_score",
-    "fedora1_bodhi_merge_dag",
-    "echo1_rolling_merge_dag",
-    "g3_chain_components",
-    "epss1_end_to_end_dag",
-    "photon1_advisory_patch_dag",
-    "alma1_osv_normalize_dag",
-    "secureos1_secdb_range_dag",
-    "openvex1_libraries_dag",
+    "ghsa1_per_ecosystem_dag",
+    "rhel1_parse_cve_dag",
+    "p8_severity_normalization",
+    "p2_denylist_filter",
+    "p5_fixstate_projection",
+    "osv1_fixdate_patch",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
@@ -109,7 +82,7 @@ GATE_PRIORITY = [
 #: plain suite keeps it a warning because the driver commits each
 #: round's gate report AFTER the round's final code commit, which makes
 #: the stamp lag by exactly one at judge-suite time by construction.
-GATE_PRIORITY_ROUND = 12
+GATE_PRIORITY_ROUND = 13
 
 #: size of the external gate window (the driver hash-checks this many).
 WINDOW_SIZE = 50
