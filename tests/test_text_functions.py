@@ -193,59 +193,166 @@ def test_x21_boilerplate_fraction_bounds(spark, sf_dir):
 
 
 def test_cvss31_both_scopes_known_anchors(spark):
-    """The e14 Catalyst CVSS 3.1 expressions against published FIRST
-    calculator anchors, both scopes, including the Impact<=0 zero and
-    the spec Roundup (not plain ceil)."""
-    from vunnel_spark.registry import REGISTRY
-    import vunnel_spark.queries  # noqa: F401  (populate)
-
-    # reuse e14's internal expressions by running vectors through a
-    # frame shaped like its own: hijack the registered query's logic by
-    # computing scores over literal vectors with the same code path
+    """The shared Catalyst CVSS 3.1 scoring (functions/cvss.py, used by
+    e14 and the GHSA envelope) against published FIRST calculator
+    anchors, both scopes, including the Impact<=0 zero and the spec
+    Roundup; sub-scores and severities pinned alongside."""
     from pyspark.sql import functions as F
-    from vunnel_spark.queries.explode import (
-        _CVSS_AV, _CVSS_AC, _CVSS_CIA, _CVSS_UI, _map_expr,
-    )
+    from vunnel_spark.functions.cvss import cvss3_scores
 
+    # (base, esc, isc, severity) — esc/isc from the FIRST 3.1 formulas,
+    # quantized to 0.1 like github/parser.py:613-615
     cases = {
-        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:C/C:H/I:H/A:H": 10.0,
-        "CVSS:3.1/AV:N/AC:L/PR:L/UI:N/S:C/C:L/I:L/A:N": 6.4,
-        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H": 9.8,
-        "CVSS:3.1/AV:L/AC:H/PR:H/UI:R/S:C/C:L/I:N/A:N": 2.3,
-        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:N/I:N/A:N": 0.0,
-        "CVSS:3.1/AV:P/AC:H/PR:H/UI:R/S:C/C:N/I:N/A:L": 1.8,
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:C/C:H/I:H/A:H": (10.0, 3.9, 6.0, "Critical"),
+        "CVSS:3.1/AV:N/AC:L/PR:L/UI:N/S:C/C:L/I:L/A:N": (6.4, 3.1, 2.7, "Medium"),
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H": (9.8, 3.9, 5.9, "Critical"),
+        "CVSS:3.1/AV:L/AC:H/PR:H/UI:R/S:C/C:L/I:N/A:N": (2.3, 0.6, 1.4, "Low"),
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:N/I:N/A:N": (0.0, 3.9, 0.0, "None"),
+        "CVSS:3.1/AV:P/AC:H/PR:H/UI:R/S:C/C:N/I:N/A:L": (1.8, 0.2, 1.4, "Low"),
     }
     df = spark.createDataFrame([(v,) for v in cases], "vector string")
-    chg = F.regexp_extract("vector", r"/S:([A-Z])", 1) == "C"
-    av = _map_expr("AV", _CVSS_AV)
-    ac = _map_expr("AC", _CVSS_AC)
-    pr_raw = F.regexp_extract("vector", r"/PR:([A-Z])", 1)
-    pr = (
-        F.when(pr_raw == "N", F.lit(0.85))
-        .when(pr_raw == "L", F.when(chg, F.lit(0.68)).otherwise(F.lit(0.62)))
-        .otherwise(F.when(chg, F.lit(0.5)).otherwise(F.lit(0.27)))
+    s = cvss3_scores(F.col("vector"))
+    got = {
+        r.vector: (r.base, r.esc, r.isc, r.sev)
+        for r in df.select(
+            "vector",
+            s["base_score"].alias("base"),
+            s["esc"].alias("esc"),
+            s["isc"].alias("isc"),
+            s["severity"].alias("sev"),
+        ).collect()
+    }
+    for v, (base, esc, isc, sev) in cases.items():
+        gb, ge, gi, gs = got[v]
+        assert abs(gb - base) < 1e-9, (v, gb, base)
+        assert abs(ge - esc) < 1e-9, (v, ge, esc)
+        assert abs(gi - isc) < 1e-9, (v, gi, isc)
+        assert gs == sev, (v, gs, sev)
+
+
+def test_cvss_quantize_matches_decimal_half_even():
+    """Exhaustive pin of the quantization claim in functions/cvss.py:
+    plain round-half-up on the double esc/isc equals the reference's
+    Decimal half-even quantize (github/parser.py:613-615) for EVERY
+    reachable metric combination — no reachable value sits near a .05
+    tie, so the rounding modes cannot disagree."""
+    from decimal import Decimal as D
+    from itertools import product
+
+    AV = [D("0.85"), D("0.62"), D("0.55"), D("0.2")]
+    AC = [D("0.77"), D("0.44")]
+    PR_U = [D("0.85"), D("0.62"), D("0.27")]
+    PR_C = [D("0.85"), D("0.68"), D("0.5")]
+    UI = [D("0.85"), D("0.62")]
+    CIA = [D("0.56"), D("0.22"), D("0")]
+
+    def f_round1(x: float) -> float:
+        # the engines' round(x, 1): half away from zero on the double
+        import math
+        return math.floor(abs(x) * 10 + 0.5) / 10 * (1 if x >= 0 else -1)
+
+    # exploitability: 8.22 * AV * AC * PR * UI, both PR tables
+    for av, ac, ui in product(AV, AC, UI):
+        for pr in PR_U + PR_C:
+            exact = D("8.22") * av * ac * pr * ui
+            ref = float(exact.quantize(D("0.1")))  # half-even
+            got = f_round1(float(av) * float(ac) * float(pr) * float(ui) * 8.22)
+            assert got == ref, (av, ac, pr, ui, got, ref)
+
+    # impact: both scopes over all 27 CIA combinations
+    for c, i, a in product(CIA, repeat=3):
+        iss_d = 1 - (1 - c) * (1 - i) * (1 - a)
+        iss_f = 1 - (1 - float(c)) * (1 - float(i)) * (1 - float(a))
+        # unchanged
+        ref = float((D("6.42") * iss_d).quantize(D("0.1")))
+        assert f_round1(6.42 * iss_f) == ref
+        # changed (the ^15 expanded exactly like the Catalyst side)
+        exact = D("7.52") * (iss_d - D("0.029")) - D("3.25") * (iss_d - D("0.02")) ** 15
+        x1 = iss_f - 0.02
+        x2 = x1 * x1
+        x4 = x2 * x2
+        x8 = x4 * x4
+        approx = 7.52 * (iss_f - 0.029) - 3.25 * (((x8 * x4) * x2) * x1)
+        assert f_round1(approx) == float(exact.quantize(D("0.1")))
+
+
+def test_ghsa_cvss_envelope_branches(spark):
+    """Branch pins for the GHSA CVSS-severities envelope
+    (github/parser.py:604-687 via pipelines/github.py): trailing-slash
+    strip, 3.0-vs-3.1 minor detection, legacy sub-scores + N/A status,
+    v4 validate-only passthrough (version always 4.0, no score), and
+    every malformed class dropping exactly the entries the reference's
+    exception handlers drop."""
+    from pyspark.sql import functions as F
+    from vunnel_spark.pipelines.github import cvss_severities_envelope
+
+    rows = [
+        # (id, v3 vector, v4 vector)
+        ("ok31", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H", None),
+        ("ok30slash", "CVSS:3.0/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/", None),
+        ("temporal", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/E:F/RL:W", None),
+        ("badprefix", "CVSS:2.0/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H", None),
+        ("missing", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H", None),
+        ("badval", "CVSS:3.1/AV:Q/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H", None),
+        ("dupkey", "CVSS:3.1/AV:N/AV:L/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H", None),
+        ("unknownkey", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/XX:N", None),
+        ("v4ok", None,
+         "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N"),
+        ("v4slashu", None,
+         "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N/U:Green/"),
+        ("v4bad", None,
+         "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N"),
+        ("both", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/",
+         "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N"),
+        ("none", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, cvss_v3_vector string, cvss_v4_vector string"
     )
-    ui = _map_expr("UI", _CVSS_UI)
-    iss = 1 - (1 - _map_expr("C", _CVSS_CIA)) * (1 - _map_expr("I", _CVSS_CIA)) * (
-        1 - _map_expr("A", _CVSS_CIA)
-    )
-    x1 = iss - F.lit(0.02)
-    x2 = x1 * x1
-    x4 = x2 * x2
-    x8 = x4 * x4
-    impact = F.when(
-        chg, F.lit(7.52) * (iss - F.lit(0.029)) - F.lit(3.25) * (((x8 * x4) * x2) * x1)
-    ).otherwise(F.lit(6.42) * iss)
-    expl = F.lit(8.22) * av * ac * pr * ui
-    comb = F.least(
-        F.when(chg, F.lit(1.08) * (impact + expl)).otherwise(impact + expl),
-        F.lit(10.0),
-    )
-    i5 = F.floor(comb * F.lit(100000)).cast("long")
-    roundup = F.when(i5 % 10000 == 0, i5 / F.lit(100000.0)).otherwise(
-        (F.floor(i5 / 10000) + 1) / F.lit(10.0)
-    )
-    score = F.when(impact <= 0, F.lit(0.0)).otherwise(roundup)
-    got = {r.vector: r.s for r in df.select("vector", score.alias("s")).collect()}
-    for v, expected in cases.items():
-        assert abs(got[v] - expected) < 1e-9, (v, got[v], expected)
+    out = {
+        r.id: r
+        for r in cvss_severities_envelope(df)
+        .select(
+            "id", "legacy_cvss", "cvss_v3", "cvss_v4",
+            F.filter(
+                F.array("cvss_v3", "cvss_v4"), lambda x: x.isNotNull()
+            ).alias("entries"),
+        )
+        .collect()
+    }
+    ok = out["ok31"]
+    assert ok.legacy_cvss.version == "3.1"
+    assert ok.legacy_cvss.status == "N/A"
+    assert ok.legacy_cvss.base_metrics.base_score == 9.8
+    assert ok.legacy_cvss.base_metrics.exploitability_score == 3.9
+    assert ok.legacy_cvss.base_metrics.impact_score == 5.9
+    assert ok.legacy_cvss.base_metrics.base_severity == "Critical"
+    assert ok.cvss_v3.version == "3.1"
+    assert [e.version for e in ok.entries] == ["3.1"]
+
+    slash = out["ok30slash"]
+    assert slash.legacy_cvss.version == "3.0"
+    # removesuffix: the stored vector loses exactly the one trailing /
+    assert not slash.cvss_v3.vector.endswith("/")
+    assert slash.cvss_v3.version == "3.0"
+
+    # temporal metrics are valid vector content; base score unchanged
+    assert out["temporal"].legacy_cvss.base_metrics.base_score == 9.8
+
+    for bad in ("badprefix", "missing", "badval", "dupkey", "unknownkey"):
+        assert out[bad].legacy_cvss is None, bad
+        assert out[bad].cvss_v3 is None, bad
+
+    v4 = out["v4ok"]
+    assert v4.legacy_cvss is None and v4.cvss_v3 is None
+    assert v4.cvss_v4.version == "4.0"
+    # multi-letter U value + trailing slash both accepted
+    u = out["v4slashu"].cvss_v4
+    assert u.version == "4.0" and u.vector.endswith("/U:Green")
+    assert out["v4bad"].cvss_v4 is None  # SA missing -> mandatory check
+
+    both = out["both"]
+    # append order v3 then v4 (parser.py:677/:685)
+    assert [e.version for e in both.entries] == ["3.1", "4.0"]
+    none = out["none"]
+    assert none.legacy_cvss is None and none.entries == []

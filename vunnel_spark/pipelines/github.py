@@ -24,6 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vunnel_spark.functions.cvss import (
+    cvss3_scores,
+    cvss3_valid,
+    cvss3_version,
+    cvss4_valid,
+    strip_trailing_slash,
+)
+
 #: parser.py:42-55 — GitHub ecosystem -> grype namespace ecosystem
 ECOSYSTEM_MAP = {
     "COMPOSER": "composer",
@@ -73,6 +81,71 @@ def fix_records(nodes: DataFrame) -> DataFrame:
             # EMPTY string, not a skipped serialization token
             F.regexp_replace(F.coalesce(F.col("vrange"), F.lit("")), ",", ""),
         ).alias("fix"),
+    )
+
+
+def cvss_severities_envelope(df: DataFrame, v3_col: str = "cvss_v3_vector",
+                             v4_col: str = "cvss_v4_vector") -> DataFrame:
+    """The reference's ``_make_cvss_severities`` envelope
+    (github/parser.py:604-687) over vector columns.
+
+    Input columns (either nullable — a missing ``cvssSeverities`` entry
+    or a falsy ``vectorString`` is a NULL here, matching the reference's
+    ``if v3: / if vector:`` guards at :669-672/:679-682):
+
+    * ``v3_col`` — ``cvssSeverities.cvssV3.vectorString``
+    * ``v4_col`` — ``cvssSeverities.cvssV4.vectorString``
+
+    Adds three columns:
+
+    * ``legacy_cvss`` — struct ``(version, vector_string,
+      base_metrics(base_score, exploitability_score, impact_score,
+      base_severity), status)`` per ``_make_legacy_cvss`` (:604-628);
+      NULL when there is no v3 vector (the reference never assigns
+      ``self["CVSS"]``) AND when the parse fails (the reference assigns
+      None).  Those two cases are indistinguishable downstream, so one
+      NULL models both.
+    * ``cvss_v3`` / ``cvss_v4`` — the ``{"version", "vector"}`` entries
+      of ``_make_cvss_v3`` / ``_make_cvss_v4``, NULL when absent or
+      malformed.  The reference appends v3 then v4 into a list
+      (:677/:685); callers needing the list shape use
+      ``filter(array(cvss_v3, cvss_v4), x -> x is not null)`` which
+      preserves exactly that order.
+
+    All validation and scoring is pure Catalyst (functions/cvss.py) —
+    no UDF, no driver round-trip; at scale this is a map-only stage.
+    """
+    v3s = strip_trailing_slash(F.col(v3_col))
+    v4s = strip_trailing_slash(F.col(v4_col))
+    v3_ok = F.col(v3_col).isNotNull() & cvss3_valid(v3s)
+    v4_ok = F.col(v4_col).isNotNull() & cvss4_valid(v4s)
+    s = cvss3_scores(v3s)
+    legacy = F.when(
+        v3_ok,
+        F.struct(
+            cvss3_version(v3s).alias("version"),
+            v3s.alias("vector_string"),
+            F.struct(
+                s["base_score"].alias("base_score"),
+                s["esc"].alias("exploitability_score"),
+                s["isc"].alias("impact_score"),
+                s["severity"].alias("base_severity"),
+            ).alias("base_metrics"),
+            F.lit("N/A").alias("status"),
+        ),
+    )
+    v3_entry = F.when(
+        v3_ok, F.struct(cvss3_version(v3s).alias("version"), v3s.alias("vector"))
+    )
+    # _make_cvss_v4: version from clean_vector()'s prefix — "4.0" for
+    # every vector the parse accepts; NO score math (parser.py:648-665)
+    v4_entry = F.when(
+        v4_ok, F.struct(F.lit("4.0").alias("version"), v4s.alias("vector"))
+    )
+    return (
+        df.withColumn("legacy_cvss", legacy)
+        .withColumn("cvss_v3", v3_entry)
+        .withColumn("cvss_v4", v4_entry)
     )
 
 

@@ -63,7 +63,7 @@ from vunnel_spark.registry import REGISTRY
 #: a content fingerprint — plan-only change, fronted out of caution).
 GATE_PRIORITY = [
     "e14_cvss_base_score",
-    "ghsa1_per_ecosystem_dag",
+    "e17_ghsa_cvss_envelope",
     "rhel1_parse_cve_dag",
     "p8_severity_normalization",
     "p2_denylist_filter",

@@ -308,23 +308,8 @@ def e15(spark, sf_dir):
     )
 
 
-# CVSS 3.1 base-score constants (public FIRST specification)
-_CVSS_AV = {"N": 0.85, "A": 0.62, "L": 0.55, "P": 0.2}
-_CVSS_AC = {"L": 0.77, "H": 0.44}
-_CVSS_PR = {"N": 0.85, "L": 0.62, "H": 0.27}  # scope unchanged
-_CVSS_UI = {"N": 0.85, "R": 0.62}
-_CVSS_CIA = {"H": 0.56, "L": 0.22, "N": 0.0}
-
-
-def _map_expr(field: str, mapping: dict) -> "F.Column":
-    c = F.regexp_extract("vector", rf"/{field}:([A-Z])", 1)
-    expr = F.lit(None).cast("double")
-    chain = None
-    for k, v in mapping.items():
-        chain = (F.when(c == k, v) if chain is None else chain.when(c == k, v))
-    return chain.otherwise(F.lit(None))
-
-
+# CVSS 3.1 base-score math lives in functions/cvss.py since r13 (shared
+# with the GHSA envelope, e17); e14 remains the dedicated scoring gate.
 @register(
     "e14_cvss_base_score",
     """
@@ -334,7 +319,7 @@ def _map_expr(field: str, mapping: dict) -> "F.Column":
                 ELSE (i5 // 10000 + 1) / 10.0 END AS base_score
     FROM (
       SELECT vector, impact,
-             CAST(floor(least(CASE WHEN chg THEN 1.08 * (impact + expl)
+             CAST(round(least(CASE WHEN chg THEN 1.08 * (impact + expl)
                               ELSE impact + expl END, 10.0) * 100000)
                   AS BIGINT) AS i5
       FROM (
@@ -391,9 +376,12 @@ def _map_expr(field: str, mapping: dict) -> "F.Column":
         "expanded to explicit IEEE multiplications so both engines "
         "compute bit-identical doubles), score 0 when Impact <= 0, else "
         "Roundup(min([1.08x](Impact+Expl), 10)) with the SPEC's roundup "
-        "(floor to 1e-5, snap to the 0.1 boundary when exact, else next "
-        "tenth — plain ceil mis-rounds values within an ulp of a "
-        "boundary, Appendix A of the 3.1 spec)",
+        "(ROUND-to-nearest at 1e-5 per Appendix A's round(input*100000) "
+        "— r13 ADVICE fix, floor snapped true values an ulp below a "
+        "boundary down a tenth — then exact-boundary passthrough, else "
+        "next tenth up).  Since r13 the Spark side delegates to the "
+        "shared functions/cvss.py builders that also power the GHSA "
+        "envelope (e17)",
     tags=("explode", "scalar", "udf"),
 )
 def e14(spark, sf_dir):
@@ -415,47 +403,212 @@ def e14(spark, sf_dir):
         F.lit("/A:"),
         F.when(okey % 7 % 3 == 0, "H").when(okey % 7 % 3 == 1, "L").otherwise("N"),
     )
+    from vunnel_spark.functions.cvss import cvss3_scores
+
     df = o.select(vector.alias("vector"))
-    chg = F.regexp_extract("vector", r"/S:([A-Z])", 1) == "C"
-    av = _map_expr("AV", _CVSS_AV)
-    ac = _map_expr("AC", _CVSS_AC)
-    pr_raw = F.regexp_extract("vector", r"/PR:([A-Z])", 1)
-    pr = (
-        F.when(pr_raw == "N", F.lit(0.85))
-        .when(pr_raw == "L", F.when(chg, F.lit(0.68)).otherwise(F.lit(0.62)))
-        .otherwise(F.when(chg, F.lit(0.5)).otherwise(F.lit(0.27)))
-    )
-    ui = _map_expr("UI", _CVSS_UI)
-    c_v = _map_expr("C", _CVSS_CIA)
-    i_v = _map_expr("I", _CVSS_CIA)
-    a_v = _map_expr("A", _CVSS_CIA)
-    df = df.withColumn("_iss", 1 - (1 - c_v) * (1 - i_v) * (1 - a_v))
-    iss = F.col("_iss")
-    # (iss - 0.02)^15 as explicit IEEE multiplications, same association
-    # as the oracle: (((x8 * x4) * x2) * x1)
-    df = df.withColumn("_x1", iss - F.lit(0.02)).withColumn(
-        "_x2", (iss - F.lit(0.02)) * (iss - F.lit(0.02))
-    )
-    df = df.withColumn("_x4", F.col("_x2") * F.col("_x2")).withColumn(
-        "_x8", (F.col("_x2") * F.col("_x2")) * (F.col("_x2") * F.col("_x2"))
-    )
-    x15 = ((F.col("_x8") * F.col("_x4")) * F.col("_x2")) * F.col("_x1")
-    impact = F.when(
-        chg, F.lit(7.52) * (iss - F.lit(0.029)) - F.lit(3.25) * x15
-    ).otherwise(F.lit(6.42) * iss)
-    expl = F.lit(8.22) * av * ac * pr * ui
-    combined = F.least(
-        F.when(chg, F.lit(1.08) * (impact + expl)).otherwise(impact + expl),
-        F.lit(10.0),
-    )
-    # the spec's Roundup (3.1 Appendix A): floor at 1e-5 precision,
-    # snap when exactly on a 0.1 boundary, else the next tenth up
-    i5 = F.floor(combined * F.lit(100000)).cast("long")
-    roundup = F.when(i5 % 10000 == 0, i5 / F.lit(100000.0)).otherwise(
-        (F.floor(i5 / 10000) + 1) / F.lit(10.0)
-    )
-    score = F.when(impact <= 0, F.lit(0.0)).otherwise(roundup)
+    score = cvss3_scores(F.col("vector"))["base_score"]
     return df.select("vector", score.alias("base_score"))
+
+
+@register(
+    "e17_ghsa_cvss_envelope",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END AS av,
+             CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'L' ELSE 'H' END AS ac,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END AS pr,
+             CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'N' ELSE 'R' END AS ui,
+             CASE WHEN o_orderkey % 5 < 3 THEN 'U' ELSE 'C' END AS sco,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS cc,
+             CASE CAST(o_orderkey % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS ic,
+             CASE CAST(o_orderkey % 7 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS aa,
+             CASE WHEN o_orderkey % 2 = 0 THEN '3.1' ELSE '3.0' END AS ver3,
+             CASE WHEN o_orderkey % 3 < 2 THEN 'N' ELSE 'P' END AS at4,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'A' END AS ui4,
+             CASE CAST((o_orderkey + 1) % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS sc4,
+             CASE CAST((o_orderkey + 2) % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS si4,
+             CASE CAST((o_orderkey + 1) % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS sa4
+      FROM orders
+    ), strings AS (
+      SELECT *,
+             'AV:' || av || '/AC:' || ac || '/PR:' || pr || '/UI:' || ui
+               || '/S:' || sco || '/C:' || cc || '/I:' || ic AS core7,
+             'AV:' || av || '/AC:' || ac || '/PR:' || pr || '/UI:' || ui
+               || '/S:' || sco || '/C:' || cc || '/I:' || ic || '/A:' || aa AS core,
+             '/AC:' || ac || '/AT:' || at4 || '/PR:' || pr || '/UI:' || ui4
+               || '/VC:' || cc || '/VI:' || ic || '/VA:' || aa
+               || '/SC:' || sc4 || '/SI:' || si4 AS sfx10,
+             CAST(k % 8 AS INT) AS kls, CAST(k % 5 AS INT) AS jls
+      FROM base
+    ), vecs AS (
+      SELECT *,
+             (ck % 7 <> 0 AND kls <= 4) AS v3ok,
+             (ck % 3 <> 0 AND jls <= 2) AS v4ok,
+             -- the STRIPPED vector the envelope stores (removesuffix('/'))
+             CASE WHEN kls = 4 THEN 'CVSS:' || ver3 || '/' || core || '/E:F/RL:W'
+                  ELSE 'CVSS:' || ver3 || '/' || core END AS v3s,
+             CASE WHEN jls = 2 THEN 'CVSS:4.0/AV:' || av || sfx10 || '/SA:' || sa4 || '/U:Green'
+                  ELSE 'CVSS:4.0/AV:' || av || sfx10 || '/SA:' || sa4 END AS v4s
+      FROM strings
+    ), vals AS (
+      SELECT *, sco = 'C' AS chg,
+             CASE av WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END AS av_v,
+             CASE ac WHEN 'L' THEN 0.77 ELSE 0.44 END AS ac_v,
+             CASE pr WHEN 'N' THEN 0.85
+                     WHEN 'L' THEN CASE WHEN sco = 'C' THEN 0.68 ELSE 0.62 END
+                     ELSE CASE WHEN sco = 'C' THEN 0.5 ELSE 0.27 END END AS pr_v,
+             CASE ui WHEN 'N' THEN 0.85 ELSE 0.62 END AS ui_v,
+             CASE cc WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS c_v,
+             CASE ic WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS i_v,
+             CASE aa WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS a_v
+      FROM vecs
+    ), iss_t AS (
+      SELECT *, CAST(1 - (1 - c_v) * (1 - i_v) * (1 - a_v) AS DOUBLE) AS iss
+      FROM vals
+    ), pow_t AS (
+      SELECT *, iss - 0.02 AS x1, (iss - 0.02) * (iss - 0.02) AS x2 FROM iss_t
+    ), pow2_t AS (
+      SELECT *, x2 * x2 AS x4, (x2 * x2) * (x2 * x2) AS x8 FROM pow_t
+    ), sc_t AS (
+      SELECT *,
+             CASE WHEN chg THEN 7.52 * (iss - 0.029) - 3.25 * ((((x8 * x4) * x2) * x1))
+                  ELSE 6.42 * iss END AS impact,
+             8.22 * av_v * ac_v * pr_v * ui_v AS expl
+      FROM pow2_t
+    ), comb_t AS (
+      SELECT *, CAST(round(least(CASE WHEN chg THEN 1.08 * (impact + expl)
+                                 ELSE impact + expl END, 10.0) * 100000)
+                     AS BIGINT) AS i5
+      FROM sc_t
+    ), score_t AS (
+      SELECT *,
+             CASE WHEN impact <= 0 THEN 0.0
+                  WHEN i5 % 10000 = 0 THEN i5 / 100000.0
+                  ELSE (i5 // 10000 + 1) / 10.0 END AS base
+      FROM comb_t
+    )
+    SELECT 'GHSA-' || CAST(k AS VARCHAR) AS ghsa_id,
+           CASE WHEN v3ok THEN ver3 END AS legacy_version,
+           CASE WHEN v3ok THEN v3s END AS legacy_vector,
+           CASE WHEN v3ok THEN base END AS base_score,
+           -- expl is exact DECIMAL in DuckDB (2-dp literal products);
+           -- cast the rounded value to DOUBLE so canon-formatting
+           -- matches Spark ("2" not "2.0"); no reachable value is
+           -- within 2e-4 of a .05 tie so decimal-vs-double rounding
+           -- cannot disagree (tests/test_text_functions.py pin)
+           CASE WHEN v3ok THEN CAST(round(expl, 1) AS DOUBLE) END AS exploitability_score,
+           CASE WHEN v3ok THEN CAST(round(impact, 1) AS DOUBLE) END AS impact_score,
+           CASE WHEN v3ok THEN
+             CASE WHEN base = 0.0 THEN 'None' WHEN base < 4.0 THEN 'Low'
+                  WHEN base < 7.0 THEN 'Medium' WHEN base < 9.0 THEN 'High'
+                  ELSE 'Critical' END END AS base_severity,
+           CASE WHEN v3ok THEN 'N/A' END AS legacy_status,
+           concat_ws('|', CASE WHEN v3ok THEN ver3 END,
+                          CASE WHEN v4ok THEN '4.0' END) AS entry_versions,
+           concat_ws('|', CASE WHEN v3ok THEN v3s END,
+                          CASE WHEN v4ok THEN v4s END) AS entry_vectors
+    FROM score_t
+    """,
+    doc="E17: the GHSA CVSS-severities envelope "
+        "(github/parser.py:604-687) end-to-end over pipelines/github.py's "
+        "cvss_severities_envelope: one trailing-slash strip (removesuffix), "
+        "grammar validation of v3.0/v3.1/v4.0 vectors (prefix, per-segment "
+        "key:value vocabulary, duplicate keys, mandatory metrics) as pure "
+        "Catalyst array expressions, the legacy CVSS object with version "
+        "'3.<minor>', quantized base/exploitability/impact sub-scores "
+        "(Decimal-half-even-equal, see functions/cvss.py), severities()[0] "
+        "and status 'N/A', the v3 {version, vector} entry, and the CVSS4 "
+        "validate-only passthrough (version always '4.0', NO score math). "
+        "The fixture synthesizes valid/trailing-slash/temporal-metric "
+        "vectors plus one malformed class per reference exception branch "
+        "(bad prefix, missing mandatory, bad value, unknown key) and NULL "
+        "cvssSeverities slots; the ORACLE derives validity independently "
+        "from the construction class (never from the string), so a grammar "
+        "bug on the Spark side cannot self-confirm",
+    tags=("explode", "scalar", "pipeline"),
+)
+def e17(spark, sf_dir):
+    from vunnel_spark.pipelines.github import cvss_severities_envelope
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ck = F.col("o_custkey")
+    av = (F.when(k % 4 == 0, "N").when(k % 4 == 1, "A")
+          .when(k % 4 == 2, "L").otherwise("P"))
+    ac = F.when(k % 2 == 0, "L").otherwise("H")
+    pr = F.when(k % 3 == 0, "N").when(k % 3 == 1, "L").otherwise("H")
+    ui = F.when(k % 2 == 0, "N").otherwise("R")
+    sco = F.when(k % 5 < 3, "U").otherwise("C")
+    cc = F.when(k % 3 == 0, "H").when(k % 3 == 1, "L").otherwise("N")
+    ic = F.when(k % 5 % 3 == 0, "H").when(k % 5 % 3 == 1, "L").otherwise("N")
+    aa = F.when(k % 7 % 3 == 0, "H").when(k % 7 % 3 == 1, "L").otherwise("N")
+    ver3 = F.when(k % 2 == 0, "3.1").otherwise("3.0")
+    core7 = F.concat(
+        F.lit("AV:"), av, F.lit("/AC:"), ac, F.lit("/PR:"), pr,
+        F.lit("/UI:"), ui, F.lit("/S:"), sco, F.lit("/C:"), cc,
+        F.lit("/I:"), ic,
+    )
+    core = F.concat(core7, F.lit("/A:"), aa)
+    pfx = F.concat(F.lit("CVSS:"), ver3, F.lit("/"))
+    kls = (k % 8).cast("int")
+    v3_raw = F.when(ck % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(kls <= 2, F.concat(pfx, core))
+        .when(kls == 3, F.concat(pfx, core, F.lit("/")))
+        .when(kls == 4, F.concat(pfx, core, F.lit("/E:F/RL:W")))
+        .when(kls == 5, F.concat(F.lit("CVSS:2.0/"), core))
+        .when(kls == 6, F.concat(pfx, core7))
+        .otherwise(F.concat(pfx, core, F.lit("/XX:N")))
+    )
+    at4 = F.when(k % 3 < 2, "N").otherwise("P")
+    ui4 = F.when(k % 3 == 0, "N").when(k % 3 == 1, "P").otherwise("A")
+    sc4 = (F.when((k + 1) % 3 == 0, "H").when((k + 1) % 3 == 1, "L")
+           .otherwise("N"))
+    si4 = (F.when((k + 2) % 3 == 0, "H").when((k + 2) % 3 == 1, "L")
+           .otherwise("N"))
+    sa4 = (F.when((k + 1) % 5 % 3 == 0, "H").when((k + 1) % 5 % 3 == 1, "L")
+           .otherwise("N"))
+    sfx10 = F.concat(
+        F.lit("/AC:"), ac, F.lit("/AT:"), at4, F.lit("/PR:"), pr,
+        F.lit("/UI:"), ui4, F.lit("/VC:"), cc, F.lit("/VI:"), ic,
+        F.lit("/VA:"), aa, F.lit("/SC:"), sc4, F.lit("/SI:"), si4,
+    )
+    jls = (k % 5).cast("int")
+    v4_raw = F.when(ck % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(jls <= 1, F.concat(F.lit("CVSS:4.0/AV:"), av, sfx10,
+                                  F.lit("/SA:"), sa4))
+        .when(jls == 2, F.concat(F.lit("CVSS:4.0/AV:"), av, sfx10,
+                                 F.lit("/SA:"), sa4, F.lit("/U:Green/")))
+        .when(jls == 3, F.concat(F.lit("CVSS:4.0/AV:Q"), sfx10,
+                                 F.lit("/SA:"), sa4))
+        .otherwise(F.concat(F.lit("CVSS:4.0/AV:"), av, sfx10))
+    )
+    df = o.select(
+        F.concat(F.lit("GHSA-"), k.cast("string")).alias("ghsa_id"),
+        v3_raw.alias("cvss_v3_vector"),
+        v4_raw.alias("cvss_v4_vector"),
+    )
+    env = cvss_severities_envelope(df)
+    return env.select(
+        "ghsa_id",
+        F.col("legacy_cvss.version").alias("legacy_version"),
+        F.col("legacy_cvss.vector_string").alias("legacy_vector"),
+        F.col("legacy_cvss.base_metrics.base_score").alias("base_score"),
+        F.col("legacy_cvss.base_metrics.exploitability_score").alias(
+            "exploitability_score"
+        ),
+        F.col("legacy_cvss.base_metrics.impact_score").alias("impact_score"),
+        F.col("legacy_cvss.base_metrics.base_severity").alias("base_severity"),
+        F.col("legacy_cvss.status").alias("legacy_status"),
+        # append order v3 then v4 (parser.py:677/:685); concat_ws skips
+        # the NULL entries in both engines
+        F.concat_ws("|", F.col("cvss_v3.version"), F.col("cvss_v4.version")).alias(
+            "entry_versions"
+        ),
+        F.concat_ws("|", F.col("cvss_v3.vector"), F.col("cvss_v4.vector")).alias(
+            "entry_vectors"
+        ),
+    )
 
 
 @register(
