@@ -163,6 +163,76 @@ def test_reduce_fix_streams_matches_reference_example(spark):
     assert b.vulnerable_range is None
 
 
+def test_reduce_fix_streams_deterministic_representative(spark):
+    """r13 ADVICE fix: rpm-equal but TEXTUALLY different versions
+    ('1.0-1' vs '0:1.0-1' — epoch 0 is implicit in rpm ordering) pick a
+    deterministic representative: first-seen when an input-order column
+    is supplied (the reference's bucket.append guard,
+    rhel/parser.py:569-571), else the lexicographically smallest
+    version text."""
+    from vunnel_spark.pipelines.rhel import reduce_fix_streams
+
+    rows = spark.createDataFrame(
+        [
+            ("pkgA", "1.0-1", 1),
+            ("pkgA", "0:1.0-1", 2),  # rpm-equal to the first
+            ("pkgA", "1.0-2", 3),
+        ],
+        "bucket string, version string, ord int",
+    )
+    # first-seen with an order column: '1.0-1' arrived before '0:1.0-1'
+    out = {r.bucket: r for r in
+           reduce_fix_streams(rows, ["bucket"], order_col="ord").collect()}
+    assert out["pkgA"].canonical == "1.0-2"
+    assert out["pkgA"].vulnerable_range is None  # same base either way
+
+    # reversed arrival order flips the representative (range would show
+    # it if the bases differed textually); canonical still the highest
+    rev = spark.createDataFrame(
+        [("pkgA", "0:1.0-1", 1), ("pkgA", "1.0-1", 2), ("pkgA", "2.0-1", 3)],
+        "bucket string, version string, ord int",
+    )
+    out_rev = {r.bucket: r for r in
+               reduce_fix_streams(rev, ["bucket"], order_col="ord").collect()}
+    assert out_rev["pkgA"].vulnerable_range == "< 0:1.0-1 || >= 2.0, < 2.0-1"
+
+    # no order column: lexicographic min text, stable across runs
+    no_ord = rows.drop("ord")
+    for _ in range(2):
+        got = {r.bucket: r for r in
+               reduce_fix_streams(no_ord, ["bucket"]).collect()}
+        assert got["pkgA"].canonical == "1.0-2"
+
+
+def test_parse_package_state_post_split_empty_name(spark):
+    """r13 ADVICE fix: the emptiness skip runs on the POST-split package
+    (parser.py:724-728) — 'mod/' is skipped even though the raw
+    package_name is non-empty; '', NULL, and ':flatpak' modules skip as
+    before; a third '/' segment is discarded like the reference's
+    components[1] indexing."""
+    from vunnel_spark.pipelines.rhel import parse_package_state
+
+    pss = spark.createDataFrame(
+        [
+            ("CVE-1", "8", "mod/", "Affected"),          # empty post-split
+            ("CVE-1", "8", "", "Affected"),              # empty raw
+            ("CVE-1", "8", None, "Affected"),            # null raw
+            ("CVE-1", "8", "mod/pkg1", "Affected"),      # kept, module
+            ("CVE-1", "8", "m:flatpak/pkg2", "Affected"),  # flatpak skip
+            ("CVE-1", "8", "mod/pkg3/extra", "Will not fix"),  # 3rd seg dropped
+            ("CVE-1", "8", "plain", "Not affected"),     # kept, no module
+        ],
+        "cve_id string, platform string, package_name string, fix_state string",
+    )
+    got = {(r.package, r.module): (r.version, r.wont_fix)
+           for r in parse_package_state(pss).collect()}
+    assert got == {
+        ("pkg1", "mod"): ("None", False),
+        ("pkg3", "mod"): ("None", True),
+        ("plain", None): ("0", False),
+    }
+
+
 def test_rpm_version_base_examples(spark):
     """_get_version_base's documented examples (parser.py:1096-1100)."""
     from pyspark.sql import functions as F

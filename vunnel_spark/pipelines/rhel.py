@@ -66,7 +66,15 @@ def parse_package_state(pss: DataFrame) -> DataFrame:
     input row — the reference appends per item, so a package listed
     under two states yields two records.  (The reference's
     affected-then-out_of_support concatenation order is normalized
-    away by the sorted FixedIn assembly, as adjudicated for O2.)"""
+    away by the sorted FixedIn assembly, as adjudicated for O2.)
+
+    The emptiness skip tests the POST-split name (`if not package_name`
+    AFTER _parse_package_name_and_module, parser.py:724-728): an input
+    like 'mod/' splits to package '' and is skipped, while the raw
+    string was non-empty (r13 ADVICE fix — the test previously ran on
+    the raw package_name, letting 'mod/' emit a package='' row).  The
+    reference's split also only fires when the raw name is truthy, so
+    '' and NULL fall through to the same skip."""
     comps = F.split(F.col("package_name"), "/")
     has_mod = F.coalesce(F.col("package_name"), F.lit("")).contains("/")
     module = F.when(has_mod, comps[0])
@@ -78,10 +86,7 @@ def parse_package_state(pss: DataFrame) -> DataFrame:
         ver = F.when(cond, v) if ver is None else ver.when(cond, v)
         wf = F.when(cond, F.lit(w)) if wf is None else wf.when(cond, F.lit(w))
     return (
-        pss.filter(
-            (F.coalesce(F.col("package_name"), F.lit("")) != "")
-            & F.col("fix_state").isin(*_FIX_STATE_MAP)
-        )
+        pss.filter(F.col("fix_state").isin(*_FIX_STATE_MAP))
         .select(
             "cve_id",
             "platform",
@@ -90,6 +95,9 @@ def parse_package_state(pss: DataFrame) -> DataFrame:
             ver.alias("version"),
             wf.alias("wont_fix"),
         )
+        # post-split emptiness (parser.py:727) THEN the flatpak skip
+        # (:731); both are plain skips so relative order is free
+        .filter(F.coalesce(F.col("package"), F.lit("")) != "")
         .filter(
             F.col("module").isNull() | ~F.col("module").endswith(":flatpak")
         )
@@ -208,6 +216,7 @@ def reduce_fix_streams(
     df: DataFrame,
     keys: list[str],
     version_col: str = "version",
+    order_col: str | None = None,
 ) -> DataFrame:
     """The (package, platform, module)-bucket reduction of
     _parse_affected_release (parser.py:565-676): rpm-equal duplicate
@@ -224,14 +233,32 @@ def reduce_fix_streams(
     One rpm sort key per row (Arrow UDF, F1), then one shuffle on the
     bucket key: the per-base keep-highest and the ascending fold both
     ride the same collect_list sort — no window needed.
+
+    Representative choice for rpm-EQUAL versions (r13 ADVICE fix —
+    dropDuplicates kept an arbitrary one): the reference keeps the
+    FIRST-SEEN version string in document order (the bucket.append
+    guard at parser.py:569-571 rejects later rpm-equal entries), so
+    textually different but rpm-equal versions ('1.0-1' vs '0:1.0-1')
+    must resolve deterministically.  Pass ``order_col`` (a stable
+    input-order column) to reproduce first-seen exactly; without one a
+    DataFrame has no document order, so the fallback keeps the
+    lexicographically smallest version string per rpm-equal group —
+    deterministic across runs/partitionings, and identical to the
+    reference whenever duplicates are textually canonical (every
+    current caller's fixtures are).
     """
     from vunnel_spark.functions.versions import rpm_evr_sort_key
 
     keyed = df.withColumn("_vkey", rpm_evr_sort_key(F.col(version_col)))
     # rpm-EQUAL dedup: identical sort keys compare 0 (the key is the
-    # F1 property-tested total order), keep one representative
-    uniq = keyed.dropDuplicates([*keys, "_vkey"]).withColumn(
-        "_base", rpm_version_base(F.col(version_col))
+    # F1 property-tested total order); keep the deterministic
+    # representative (first-seen via order_col, else min version text)
+    pick = (F.min_by(F.col(version_col), F.col(order_col))
+            if order_col is not None else F.min(F.col(version_col)))
+    uniq = (
+        keyed.groupBy(*keys, "_vkey")
+        .agg(pick.alias(version_col))
+        .withColumn("_base", rpm_version_base(F.col(version_col)))
     )
     # per-base keep-highest = max _vkey per (keys, base); fixes sharing
     # a base are contiguous in rpm order (the version segment dominates

@@ -124,16 +124,18 @@ def nvd1(spark, sf_dir):
       FROM base WHERE rf <> 'R'
     ), nfins AS (
       -- _parse_package_state (parser.py:690-752): 'module/pkg' names
-      -- split, ':flatpak' modules skip, the five-state map projects
-      -- (version, wont_fix), 'New'/'Under investigation' skip; one row
-      -- per item (NO distinct — a package under two states emits two)
+      -- split, ':flatpak' modules skip, EMPTY post-split names skip
+      -- (parser.py:727 — the pk%5=2 'mod/' class, r13 ADVICE fix),
+      -- the five-state map projects (version, wont_fix),
+      -- 'New'/'Under investigation' skip; one row per item (NO
+      -- distinct — a package under two states emits two)
       SELECT cve_id, platform, package,
              CASE WHEN pk % 5 = 1
                   THEN 'm' || CAST(pk % 3 AS VARCHAR) END AS module,
              CASE WHEN (okey + pk) % 7 = 4 THEN '0' ELSE 'None' END AS version,
              (okey + pk) % 7 IN (2, 3) AS wont_fix
       FROM base
-      WHERE rf = 'R' AND (okey + pk) % 7 < 5 AND pk % 5 <> 0
+      WHERE rf = 'R' AND (okey + pk) % 7 < 5 AND pk % 5 NOT IN (0, 2)
     ), kept AS (
       SELECT f.cve_id, f.platform, f.package, f.module, f.version,
              FALSE AS wont_fix
@@ -223,6 +225,9 @@ def rhel1(spark, sf_dir):
             F.concat(mod_tok, F.lit(":flatpak/"), F.col("package")),
         )
         .when(F.col("pk") % 5 == 1, F.concat(mod_tok, F.lit("/"), F.col("package")))
+        # 'mod/' — non-empty raw name whose POST-split package is empty;
+        # the reference skips it at parser.py:727 (r13 ADVICE fix class)
+        .when(F.col("pk") % 5 == 2, F.concat(mod_tok, F.lit("/")))
         .otherwise(F.col("package"))
     )
     state = F.element_at(
