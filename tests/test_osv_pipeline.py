@@ -358,3 +358,70 @@ def test_finder_best_cap_semantics(spark):
     assert fix("OSV-C") == {"version": "1", "date": "2026-01-10", "kind": "advisory"}
     assert fix("OSV-D") == {"version": "1", "date": "2026-02-02", "kind": "observed"}
     assert fix("OSV-E") == {"version": "1", "date": "2026-02-03", "kind": "observed"}
+
+
+def test_store_dim_uniqueness_contract(spark):
+    """VERDICT r12 What's-wrong #4 pin: the cap's `min` over accurate
+    store dates equals the reference's first-result semantics ONLY
+    under one-row-per-(vuln_id, package, ecosystem, fix_version) — the
+    structural guarantee of the reference store
+    (vunnel_first_observed.py:35-63 returns <=1 row per key).
+    validate_store_dim=True enforces it at execution time; a duplicate
+    key must fail loudly instead of silently picking the earliest."""
+    import datetime
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from vunnel_spark.pipelines.osv import osv_patch_fix_dates
+
+    schema = (
+        "id string, published timestamp, affected array<struct<"
+        "package: struct<name: string, ecosystem: string>, "
+        "ranges: array<struct<type: string, "
+        "events: array<struct<introduced: string, fixed: string>>>>>>"
+    )
+    advisories = spark.createDataFrame(
+        [
+            {
+                "id": "OSV-1",
+                "published": datetime.datetime(2026, 1, 10),
+                "affected": [
+                    {
+                        "package": {"name": "zlib", "ecosystem": "apk"},
+                        "ranges": [
+                            {
+                                "type": "ECOSYSTEM",
+                                "events": [{"introduced": None, "fixed": "1.2.3"}],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ],
+        schema,
+    )
+    dim_schema = (
+        "vuln_id string, package string, ecosystem string, fix_version string, "
+        "date date, kind string, accurate boolean"
+    )
+    unique_dim = spark.createDataFrame(
+        [("OSV-1", "zlib", "apk", "1.2.3", datetime.date(2025, 12, 1),
+          "observed", True)],
+        dim_schema,
+    )
+    out = osv_patch_fix_dates(advisories, unique_dim, validate_store_dim=True)
+    rng = out.collect()[0].asDict(recursive=True)["affected"][0]["ranges"][0]
+    assert rng["database_specific"]["anchore"]["fixes"][0]["date"] == "2025-12-01"
+
+    dup_dim = spark.createDataFrame(
+        [
+            ("OSV-1", "zlib", "apk", "1.2.3", datetime.date(2025, 12, 1),
+             "observed", True),
+            ("OSV-1", "zlib", "apk", "1.2.3", datetime.date(2025, 11, 1),
+             "observed", True),
+        ],
+        dim_schema,
+    )
+    bad = osv_patch_fix_dates(advisories, dup_dim, validate_store_dim=True)
+    with pytest.raises(SparkRuntimeException, match="duplicate key"):
+        bad.collect()

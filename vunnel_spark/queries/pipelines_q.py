@@ -411,8 +411,10 @@ def osv1_materialized_inputs(spark, sf_dir):
     In production the nested advisory corpus IS the pipeline's on-disk
     input; building it per query run made the registered osv1 measure
     collect_list assembly instead of the pipeline (the r9 68.4x 'watch'
-    item, adjudicated r10-r11).  The cache key folds in the corpus size
-    so a regenerated testdata dir can't serve a stale synthesis; writes
+    item, adjudicated r10-r11).  The cache key folds in a content
+    fingerprint of the source tables (sizes + mtimes, r13 ADVICE — row
+    count alone couldn't distinguish regenerated same-size data), so a
+    regenerated testdata dir can't serve a stale synthesis; writes
     go to a tmp dir then os.rename so concurrent/killed runs never
     expose a half-written cache.  Lives under the gitignored .scaledata/.
     """
@@ -420,11 +422,29 @@ def osv1_materialized_inputs(spark, sf_dir):
     import os
     import shutil
 
-    orders_n = t(spark, sf_dir, "orders").count()
+    # content fingerprint (r13 ADVICE): file sizes + mtimes of the two
+    # source tables, so a REGENERATED testdata dir with the same row
+    # count but different content busts the cache (the row-count key
+    # couldn't see that).  Stat-only — no Spark job, unlike the old
+    # count(); a parquet "file" may be a directory of part files.
+    def _fp(table: str) -> str:
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        paths = [p]
+        if os.path.isdir(p):
+            paths = sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            )
+        return ";".join(
+            f"{os.path.basename(q)}:{os.stat(q).st_size}:{os.stat(q).st_mtime_ns}"
+            for q in paths
+        )
+
     # _OSV1_SYNTH_V busts the cache whenever the synthesis itself
-    # changes — the corpus-size component alone can't see that
+    # changes — the content fingerprint alone can't see that
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{orders_n}:v{_OSV1_SYNTH_V}".encode()
+        f"{os.path.abspath(sf_dir)}:{_fp('orders')}:{_fp('lineitem')}:"
+        f"v{_OSV1_SYNTH_V}".encode()
     ).hexdigest()[:16]
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)
