@@ -52,6 +52,56 @@ def normalize_severity(col: Column) -> Column:
     return expr
 
 
+def rhel_severity(col: Column) -> Column:
+    """EXACT rhel threat_severity normalization (rhel/parser.py:833-849):
+    falsy (NULL or '') -> Unknown; otherwise lower() THEN the five-token
+    chain critical/important/moderate/low/unknown, anything else
+    Unknown.  No strip — the reference lowercases only, so
+    'Critical ' (trailing space) is Unknown."""
+    lowered = F.lower(col)
+    return (
+        F.when(F.coalesce(col, F.lit("")) == "", "Unknown")
+        .when(lowered == "critical", "Critical")
+        .when(lowered == "important", "High")
+        .when(lowered == "moderate", "Medium")
+        .when(lowered == "low", "Low")
+        .otherwise("Unknown")  # 'unknown' and every other token
+    )
+
+
+def github_severity(col: Column) -> Column:
+    """EXACT GHSA severity normalization (github/parser.py:595-602):
+    case-SENSITIVE dict get over the four UPPER feed tokens with
+    'Unknown' default — 'Moderate' (mixed case) is Unknown, unlike the
+    rhel map which lowercases first."""
+    return (
+        F.when(col == "LOW", "Low")
+        .when(col == "MODERATE", "Medium")
+        .when(col == "HIGH", "High")
+        .when(col == "CRITICAL", "Critical")
+        .otherwise("Unknown")
+    )
+
+
+def debian_severity(urgency: Column, nvd_severity: Column) -> Column:
+    """EXACT debian urgency normalization (debian/parser.py:356-374):
+    when the urgency key is present (non-NULL here), the case-SENSITIVE
+    token lists low/low**, medium/medium**, high/high**, unimportant
+    map to Low/Medium/High/Negligible; any other token (including
+    'not yet assigned', 'end-of-life', '') falls back to the record's
+    nvd severity when truthy, else Unknown.  When urgency is absent the
+    same nvd-else-Unknown fallback applies."""
+    nvd = F.when(F.coalesce(nvd_severity, F.lit("")) != "", nvd_severity)
+    return (
+        F.when(urgency.isNull(), F.coalesce(nvd, F.lit("Unknown")))
+        .when(urgency.isin("low", "low**"), "Low")
+        .when(urgency.isin("medium", "medium**"), "Medium")
+        .when(urgency.isin("high", "high**"), "High")
+        .when(urgency == "unimportant", "Negligible")
+        .otherwise(F.coalesce(nvd, F.lit("Unknown")))
+    )
+
+
 def severity_rank(col: Column) -> Column:
     """Canonical severity -> integer rank (for max-merge, A2)."""
     mapping = F.create_map(

@@ -35,23 +35,39 @@ def p1(spark, sf_dir):
 @register(
     "p2_denylist_filter",
     """
-    SELECT n_nationkey, count(*) AS n_customers
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE n_name NOT IN ('NATION_0', 'NATION_3', 'NATION_7')
-    GROUP BY n_nationkey
+    WITH plats AS (
+      SELECT c_custkey,
+             list_extract(['3', '4', '5', '8', '8.1+eus', '9', '3.0', '4x'],
+                          CAST(c_custkey % 8 + 1 AS INT)) AS platform
+      FROM customer
+    )
+    SELECT 'rhel:' || platform AS namespace, count(*) AS n_records
+    FROM plats
+    WHERE 'rhel:' || platform NOT IN ('rhel:3', 'rhel:4')
+    GROUP BY 'rhel:' || platform
     """,
-    doc="P2 namespace deny-list (reference: skip rhel:3/4, rhel/parser.py:96)",
+    doc="P2 namespace deny-list, EXACT to the reference's skip_namespaces "
+        "default ['rhel:3', 'rhel:4'] (rhel/parser.py:96, applied at "
+        ":488/:721/:888 as a full-namespace-string membership test — r13 "
+        "re-fixture off the synthesized NATION_* vocab): the test is on "
+        "the COMPOSED 'rhel:<platform>' string, so platform '3.0' or "
+        "'4x' survives (no prefix matching), and only the exact "
+        "rhel:3/rhel:4 namespaces drop",
     tags=("filter",),
 )
 def p2(spark, sf_dir):
-    nation = t(spark, sf_dir, "nation").filter(
-        ~F.col("n_name").isin("NATION_0", "NATION_3", "NATION_7")
+    c = t(spark, sf_dir, "customer")
+    plats = ["3", "4", "5", "8", "8.1+eus", "9", "3.0", "4x"]
+    platform = F.element_at(
+        F.array(*[F.lit(p) for p in plats]),
+        (F.col("c_custkey") % 8 + 1).cast("int"),
     )
+    ns = F.concat(F.lit("rhel:"), platform)
     return (
-        t(spark, sf_dir, "customer")
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        c.select(ns.alias("namespace"))
+        .filter(~F.col("namespace").isin("rhel:3", "rhel:4"))
+        .groupBy("namespace")
+        .agg(F.count(F.lit(1)).alias("n_records"))
     )
 
 
@@ -80,24 +96,57 @@ def p3(spark, sf_dir):
 @register(
     "p5_fixstate_projection",
     """
-    SELECT o_orderkey,
-           CASE o_orderstatus WHEN 'F' THEN 'fixed'
-                              WHEN 'O' THEN 'open'
-                              WHEN 'P' THEN 'pending'
-                              ELSE 'unknown' END AS fix_state
-    FROM orders
+    WITH states AS (
+      SELECT o_orderkey,
+             list_extract(['Affected', 'Fix deferred', 'Will not fix',
+                           'Out of support scope', 'Not affected', 'New',
+                           'Under investigation', 'Exotic state', NULL],
+                          CAST(o_orderkey % 9 + 1 AS INT)) AS fix_state
+      FROM orders
+    )
+    SELECT o_orderkey, fix_state,
+           CASE fix_state WHEN 'Not affected' THEN '0' ELSE 'None' END AS version,
+           fix_state IN ('Will not fix', 'Out of support scope') AS wont_fix
+    FROM states
+    WHERE fix_state IN ('Affected', 'Fix deferred', 'Will not fix',
+                        'Out of support scope', 'Not affected')
     """,
-    doc="P5 fix-state semantics projection (rhel/parser.py:702-752 state mapping)",
+    doc="P5 fix-state projection, EXACT to the reference's "
+        "_fix_state_map_ (rhel/parser.py:702-752, r13 re-fixture off the "
+        "synthesized fixed/open/pending vocab): the five mapped states "
+        "project their (version, wont_fix) pair — Affected/Fix deferred "
+        "-> ('None', false), Will not fix -> ('None', true), Out of "
+        "support scope -> ('None', true), Not affected -> ('0', false) — "
+        "and unmapped states ('New', 'Under investigation', unknown "
+        "tokens, NULL) are SKIPPED, not defaulted.  Driven by the "
+        "production _FIX_STATE_MAP constant so the gate pins the same "
+        "table rhel1's parse_package_state uses",
     tags=("filter",),
 )
 def p5(spark, sf_dir):
-    return t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.when(F.col("o_orderstatus") == "F", "fixed")
-        .when(F.col("o_orderstatus") == "O", "open")
-        .when(F.col("o_orderstatus") == "P", "pending")
-        .otherwise("unknown")
-        .alias("fix_state"),
+    from vunnel_spark.pipelines.rhel import _FIX_STATE_MAP
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    tokens = ["Affected", "Fix deferred", "Will not fix",
+              "Out of support scope", "Not affected", "New",
+              "Under investigation", "Exotic state", None]
+    state = F.element_at(
+        F.array(*[F.lit(v) for v in tokens]), (k % 9 + 1).cast("int")
+    )
+    ver = None
+    wf = None
+    for s, (v, w) in _FIX_STATE_MAP.items():
+        cond = F.col("fix_state") == s
+        ver = F.when(cond, v) if ver is None else ver.when(cond, v)
+        wf = F.when(cond, F.lit(w)) if wf is None else wf.when(cond, F.lit(w))
+    return (
+        o.select("o_orderkey", state.alias("fix_state"))
+        .filter(F.col("fix_state").isin(*_FIX_STATE_MAP))
+        .select(
+            "o_orderkey", "fix_state",
+            ver.alias("version"), wf.alias("wont_fix"),
+        )
     )
 
 
@@ -146,28 +195,89 @@ def p6(spark, sf_dir):
 @register(
     "p8_severity_normalization",
     """
+    WITH toks AS (
+      SELECT o_orderkey,
+             list_extract(['Critical', 'IMPORTANT', 'moderate', 'low',
+                           'unknown', 'severe', '', NULL],
+                          CAST(o_orderkey % 8 + 1 AS INT)) AS rhel_tok,
+             list_extract(['LOW', 'MODERATE', 'HIGH', 'CRITICAL',
+                           'Moderate', 'bogus', NULL],
+                          CAST(o_orderkey % 7 + 1 AS INT)) AS gh_tok,
+             list_extract(['low', 'low**', 'medium', 'medium**', 'high',
+                           'high**', 'unimportant', 'not yet assigned',
+                           'end-of-life', NULL],
+                          CAST(o_orderkey % 10 + 1 AS INT)) AS urgency,
+             list_extract(['High', 'Medium', '', NULL],
+                          CAST(o_orderkey % 4 + 1 AS INT)) AS nvd_sev
+      FROM orders
+    )
     SELECT o_orderkey,
-           CASE WHEN o_orderpriority = '1-URGENT' THEN 'Critical'
-                WHEN o_orderpriority = '2-HIGH' THEN 'High'
-                WHEN o_orderpriority = '3-MEDIUM' THEN 'Medium'
-                WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 'Unknown'
-                WHEN o_orderpriority = '5-LOW' THEN 'Low'
-                ELSE 'Unknown' END AS severity
-    FROM orders
+           -- rhel/parser.py:833-849: falsy -> Unknown, lower() then map
+           CASE WHEN rhel_tok IS NULL OR rhel_tok = '' THEN 'Unknown'
+                WHEN lower(rhel_tok) = 'critical' THEN 'Critical'
+                WHEN lower(rhel_tok) = 'important' THEN 'High'
+                WHEN lower(rhel_tok) = 'moderate' THEN 'Medium'
+                WHEN lower(rhel_tok) = 'low' THEN 'Low'
+                ELSE 'Unknown' END AS rhel_sev,
+           -- github/parser.py:595-602: case-SENSITIVE get, Unknown default
+           CASE gh_tok WHEN 'LOW' THEN 'Low' WHEN 'MODERATE' THEN 'Medium'
+                       WHEN 'HIGH' THEN 'High' WHEN 'CRITICAL' THEN 'Critical'
+                       ELSE 'Unknown' END AS github_sev,
+           -- debian/parser.py:356-374: starred tokens, unimportant ->
+           -- Negligible, truthy-nvd fallback else Unknown
+           CASE WHEN urgency IS NULL THEN
+                  CASE WHEN nvd_sev IS NOT NULL AND nvd_sev <> ''
+                       THEN nvd_sev ELSE 'Unknown' END
+                WHEN urgency IN ('low', 'low**') THEN 'Low'
+                WHEN urgency IN ('medium', 'medium**') THEN 'Medium'
+                WHEN urgency IN ('high', 'high**') THEN 'High'
+                WHEN urgency = 'unimportant' THEN 'Negligible'
+                ELSE CASE WHEN nvd_sev IS NOT NULL AND nvd_sev <> ''
+                          THEN nvd_sev ELSE 'Unknown' END END AS debian_sev
+    FROM toks
     """,
-    doc="P8 severity normalization CASE chain (rhel/parser.py:833-849)",
+    doc="P8 severity normalization, EXACT per-source reference maps (r13 "
+        "re-fixture off the synthesized CASE vocab): rhel threat_severity "
+        "(parser.py:833-849 — falsy->Unknown, lower() THEN the five-token "
+        "chain, no strip), GHSA (parser.py:595-602 — case-SENSITIVE upper "
+        "tokens, Unknown default), debian urgency (parser.py:356-374 — "
+        "starred low**/medium**/high** variants, unimportant->Negligible, "
+        "truthy nvd-severity fallback else Unknown, absent-urgency "
+        "fallback).  Tokens synthesized to hit every branch including "
+        "case-mismatch ('IMPORTANT' maps for rhel, 'Moderate' does NOT "
+        "for github), empty string vs NULL, and the empty-nvd fallback",
     tags=("filter",),
 )
 def p8(spark, sf_dir):
-    return t(spark, sf_dir, "orders").select(
+    from vunnel_spark.functions.severity import (
+        debian_severity,
+        github_severity,
+        rhel_severity,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def pick(values, mod):
+        arr = F.array(*[F.lit(v) for v in values])
+        return F.element_at(arr, (k % mod + 1).cast("int"))
+
+    toks = o.select(
         "o_orderkey",
-        F.when(F.col("o_orderpriority") == "1-URGENT", "Critical")
-        .when(F.col("o_orderpriority") == "2-HIGH", "High")
-        .when(F.col("o_orderpriority") == "3-MEDIUM", "Medium")
-        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", "Unknown")
-        .when(F.col("o_orderpriority") == "5-LOW", "Low")
-        .otherwise("Unknown")
-        .alias("severity"),
+        pick(["Critical", "IMPORTANT", "moderate", "low", "unknown",
+              "severe", "", None], 8).alias("rhel_tok"),
+        pick(["LOW", "MODERATE", "HIGH", "CRITICAL", "Moderate", "bogus",
+              None], 7).alias("gh_tok"),
+        pick(["low", "low**", "medium", "medium**", "high", "high**",
+              "unimportant", "not yet assigned", "end-of-life", None],
+             10).alias("urgency"),
+        pick(["High", "Medium", "", None], 4).alias("nvd_sev"),
+    )
+    return toks.select(
+        "o_orderkey",
+        rhel_severity(F.col("rhel_tok")).alias("rhel_sev"),
+        github_severity(F.col("gh_tok")).alias("github_sev"),
+        debian_severity(F.col("urgency"), F.col("nvd_sev")).alias("debian_sev"),
     )
 
 
