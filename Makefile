@@ -17,7 +17,8 @@ preflight: lint gate smoke
 lint:
 	GATE_LINT_STRICT=1 $(PY) -m pytest tests/test_registry_lint.py \
 	  tests/test_plans.py::test_gate_window_composition_stable \
-	  tests/test_plans.py::test_gate_priority_stamp_current -q
+	  tests/test_plans.py::test_gate_priority_stamp_current \
+	  tests/test_plans.py::test_local_evidence_spliced_current -q
 
 gate:
 	$(PY) -c "from vunnel_spark.queries import GATE_WINDOW; import subprocess, sys; \
