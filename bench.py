@@ -61,21 +61,38 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR).values():
         df.count()
 
-    # Machine-drift calibration (r10 verdict #2): byte-identical headline
-    # code measured 8.955 s -> 10.638 s across rounds purely on host speed,
-    # so the headline alone can't distinguish a real regression from a slow
-    # box.  Two fixed controls, medians of 3, run on the warmed session:
+    # Machine-drift calibration (r10 verdict #2, protocol hardened per
+    # r12 verdict Next #2): byte-identical headline code measured
+    # 8.955 s -> 10.638 s across rounds purely on host speed, so the
+    # headline alone can't distinguish a real regression from a slow
+    # box.  Controls, run on the warmed session:
     # - jvm_hash: spark.range(4e9) -> bit_xor(xxhash64) — data-free, pure
     #   JVM compute through whole-stage codegen; tracks CPU speed x threads.
     # - scan_agg: full lineitem scan + one sum/count — tracks the parquet
     #   scan + decode path (IO side) at the bench SF.
-    # Neither touches the headline plans; `normalized` = headline total /
-    # jvm_hash is the round-over-round comparable (BASELINE.md §3).
+    # r12's anomaly showed the box drifts WITHIN a run harder than a
+    # single start-of-run median can correct (the committed +30%
+    # normalized was pure drift; the judge's idle re-run normalized
+    # BETTER than r11).  The jvm_hash control is therefore INTERLEAVED:
+    # three samples at the start, two between the TPC-H block and the
+    # heavy-operator block, two at the end; `normalized` = headline
+    # total / median(all samples), and every sample is recorded so a
+    # drifting run is visible in the artifact itself.
     from pyspark.sql import functions as F
 
+    def _jvm_hash_run() -> float:
+        t0 = time.perf_counter()
+        spark.range(4_000_000_000).select(
+            F.bit_xor(F.xxhash64("id")).alias("h")  # xor: no ANSI overflow
+        ).collect()
+        return time.perf_counter() - t0
+
+    jvm_samples: list[float] = []
+    _jvm_hash_run()  # codegen warm-up, discarded
+    jvm_samples += [_jvm_hash_run() for _ in range(3)]
+
     def _median3(fn) -> float:
-        # same protocol as the headline: one discarded codegen warm-up,
-        # then median of three (the first 1e9-row run pays ~3 s of Janino)
+        # one discarded codegen warm-up, then median of three
         runs = []
         for i in range(4):
             t0 = time.perf_counter()
@@ -85,25 +102,24 @@ def main() -> None:
         return round(sorted(runs)[1], 3)
 
     li_path = os.path.join(SF_DIR, "lineitem.parquet")
-    calibration = {
-        "jvm_hash_sec": _median3(
-            lambda: spark.range(4_000_000_000)
-            .select(F.bit_xor(F.xxhash64("id")).alias("h"))  # xor: no ANSI overflow
-            .collect()
-        ),
-        "scan_agg_sec": _median3(
-            lambda: spark.read.parquet(li_path)
-            .agg(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                F.count("*"),
-            )
-            .collect()
-        ),
-    }
+    scan_agg_sec = _median3(
+        lambda: spark.read.parquet(li_path)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            F.count("*"),
+        )
+        .collect()
+    )
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in names:
+    mid_point = next(
+        (i for i, n in enumerate(names) if not n.startswith("tpch_")),
+        len(names),
+    )
+    for qi, name in enumerate(names):
+        if qi == mid_point:  # TPC-H block done: mid-run drift samples
+            jvm_samples += [_jvm_hash_run() for _ in range(2)]
         # One discarded warm-up run pays the one-time whole-stage-codegen
         # compilation (Janino) for this plan shape — at real scale that
         # amortizes to nothing over hours of execution — then THREE
@@ -138,6 +154,15 @@ def main() -> None:
         times[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
+    jvm_samples += [_jvm_hash_run() for _ in range(2)]  # end-of-run drift
+    jvm_samples = [round(s, 3) for s in jvm_samples]
+    jvm_median = sorted(jvm_samples)[len(jvm_samples) // 2]
+    calibration = {
+        "jvm_hash_sec": jvm_median,
+        "jvm_hash_samples": jvm_samples,  # 3 start, 2 mid, 2 end
+        "scan_agg_sec": scan_agg_sec,
+    }
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -148,7 +173,7 @@ def main() -> None:
                 "queries": times,
                 "spread": spread,
                 "calibration": calibration,
-                "normalized": round(total / calibration["jvm_hash_sec"], 3),
+                "normalized": round(total / jvm_median, 3),
                 "sf": sf,
             }
         )
