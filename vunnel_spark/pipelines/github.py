@@ -149,8 +149,17 @@ def cvss_severities_envelope(df: DataFrame, v3_col: str = "cvss_v3_vector",
     )
 
 
+#: advisory-level envelope columns (cvss_severities_envelope output)
+#: carried through the per-ecosystem fan-out verbatim — the reference
+#: writes `dict(advisory)` per ecosystem (__init__.py:94), so CVSS /
+#: cvss_severities repeat identically on every ecosystem record.
+ENVELOPE_COLS = ("legacy_cvss", "cvss_v3", "cvss_v4")
+
+
 def github_pipeline(advisories: DataFrame, vuln_nodes: DataFrame) -> DataFrame:
-    """advisories: (ghsa_id, severity, identifiers array<string>, withdrawn)
+    """advisories: (ghsa_id, severity, identifiers array<string>, withdrawn
+    [, legacy_cvss, cvss_v3, cvss_v4 — optional envelope columns from
+    cvss_severities_envelope, passed through per ecosystem record])
     vuln_nodes:  (ghsa_id, github_ecosystem, pkg, first_patched, vrange)
 
     Returns one row per (advisory, mapped ecosystem): the reference's
@@ -168,6 +177,7 @@ def github_pipeline(advisories: DataFrame, vuln_nodes: DataFrame) -> DataFrame:
     for raw, cooked in SEVERITY_MAP.items():
         sev = (F.when(F.col("severity") == raw, cooked) if sev is None
                else sev.when(F.col("severity") == raw, cooked))
+    extra = [c for c in ENVELOPE_COLS if c in advisories.columns]
     meta = advisories.select(
         "ghsa_id",
         sev.otherwise(F.lit("Unknown")).alias("severity_norm"),
@@ -179,6 +189,7 @@ def github_pipeline(advisories: DataFrame, vuln_nodes: DataFrame) -> DataFrame:
             "|",
         ).alias("cves"),
         "withdrawn",
+        *extra,
     )
     return per_eco.join(F.broadcast(meta), "ghsa_id").select(
         F.concat(
@@ -189,4 +200,5 @@ def github_pipeline(advisories: DataFrame, vuln_nodes: DataFrame) -> DataFrame:
         "fixed_in",
         "n_fixes",
         "withdrawn",
+        *extra,
     )

@@ -53,17 +53,25 @@ from vunnel_spark.registry import REGISTRY
 #: base/exploitability/impact sub-scores + severity, the v3
 #: {version: "3.<minor>", vector} entry with trailing-slash strip, and
 #: the CVSS4 vector-validate passthrough with NO score math);
+#: ghsa1 (the envelope wired into the provider DAG itself — the
+#: reference repeats CVSS/cvss_severities on every per-ecosystem
+#: record, __init__.py:94 — with vector synthesis keyed on
+#: o_orderkey div 2 so even-key advisories hit every class);
 #: rhel1 (two ADVICE fixes: the package_state empty-name test now
 #: applies to the POST-'/'-split package, and reduce_fix_streams keeps
 #: a deterministic first-seen representative per rpm-equal version
-#: group via min_by on input order); p8 (severity vocabulary
-#: re-fixtured on the actual rhel/debian/github token sets instead of
-#: a synthesized CASE); p2/p5 (token domains audited against the
-#: reference vocabularies, same discipline); osv1 (cache key now folds
-#: a content fingerprint — plan-only change, fronted out of caution).
+#: group via min_by on input order; plus the debian2-discipline
+#: corpus-derived cve/pkg id scale after the r13 watch-list decompose
+#: — k=1 at every gate SF so oracle values are unchanged); p8
+#: (severity vocabulary re-fixtured on the actual rhel/debian/github
+#: token sets instead of a synthesized CASE); p2/p5 (token domains
+#: audited against the reference vocabularies, same discipline); osv1
+#: (cache key now folds a content fingerprint — plan-only change,
+#: fronted out of caution).
 GATE_PRIORITY = [
     "e14_cvss_base_score",
     "e17_ghsa_cvss_envelope",
+    "ghsa1_per_ecosystem_dag",
     "rhel1_parse_cve_dag",
     "p8_severity_normalization",
     "p2_denylist_filter",

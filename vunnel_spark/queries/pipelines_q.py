@@ -104,20 +104,27 @@ def nvd1(spark, sf_dir):
 @register(
     "rhel1_parse_cve_dag",
     """
-    WITH base AS (
+    WITH sk AS (
+      -- corpus-derived id scale (the debian2 discipline, r13): k = 1 at
+      -- every gate SF (values unchanged), 100 at sf10 — the cve/package
+      -- domains grow with the corpus so per-key density stays constant
+      -- instead of amplifying 100x (the r13 watch-list decompose found
+      -- the fixed %500 domain driving rhel1 to 16x on 100x data)
+      SELECT GREATEST(1, COUNT(*) // 150000) AS k FROM orders
+    ), base AS (
       -- realistic _parse_platform output forms: bare major ('8'),
       -- eus with a minor ('8.3+eus'), els without one ('8+els')
-      SELECT 'CVE-' || CAST(l_orderkey % 500 AS VARCHAR) AS cve_id,
+      SELECT 'CVE-' || CAST(l_orderkey % (500 * k) AS VARCHAR) AS cve_id,
              CAST(l_suppkey % 3 + 7 AS VARCHAR) ||
                CASE WHEN l_partkey % 4 = 0
                       THEN '.' || CAST(l_partkey % 10 AS VARCHAR) || '+eus'
                     WHEN l_partkey % 7 = 0 THEN '+els' ELSE '' END AS platform,
-             'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS package,
+             'pkg' || CAST(l_partkey % (50 * k) AS VARCHAR) AS package,
              CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
                CAST(l_linenumber AS VARCHAR) AS version,
              l_returnflag AS rf,
              l_orderkey AS okey, l_partkey AS pk
-      FROM lineitem
+      FROM lineitem, sk
     ), fins AS (
       SELECT cve_id, platform, package, CAST(NULL AS VARCHAR) AS module,
              version
@@ -193,7 +200,11 @@ def rhel1(spark, sf_dir):
     from vunnel_spark.pipelines.rhel import parse_package_state, rhel_pipeline
 
     li = t(spark, sf_dir, "lineitem")
-    cve = F.concat(F.lit("CVE-"), (F.col("l_orderkey") % 500).cast("string"))
+    # corpus-derived id scale (one driver-side count parametrizing
+    # synthesis moduli, the debian2 discipline): k=1 at every gate SF,
+    # 100 at sf10 — constant per-cve density at any corpus size
+    k = max(1, t(spark, sf_dir, "orders").count() // 150000)
+    cve = F.concat(F.lit("CVE-"), (F.col("l_orderkey") % (500 * k)).cast("string"))
     platform = F.concat(
         (F.col("l_suppkey") % 3 + 7).cast("string"),
         F.when(
@@ -203,7 +214,7 @@ def rhel1(spark, sf_dir):
         .when(F.col("l_partkey") % 7 == 0, F.lit("+els"))
         .otherwise(F.lit("")),
     )
-    pkg = F.concat(F.lit("pkg"), (F.col("l_partkey") % 50).cast("string"))
+    pkg = F.concat(F.lit("pkg"), (F.col("l_partkey") % (50 * k)).cast("string"))
     ver = F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber"))
     base = li.select(
         cve.alias("cve_id"), platform.alias("platform"), pkg.alias("package"),
@@ -1186,6 +1197,83 @@ def sles2(spark, sf_dir):
              array_to_string(list_sort(list(fix)), '|') AS fixed_in,
              count(*) AS n_fixes
       FROM mapped GROUP BY ghsa_id, ecosystem
+    ), envb AS (
+      -- cvssSeverities envelope (parser.py:604-693), class selectors on
+      -- kk = o_orderkey // 2 (advisories are even keys)
+      SELECT 'GHSA-' || CAST(o_orderkey AS VARCHAR) AS ghsa_id,
+             o_orderkey // 2 AS kk, o_custkey AS ck
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), envl AS (
+      SELECT ghsa_id, kk, ck,
+             CASE CAST(kk % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END AS av,
+             CASE CAST(kk % 2 AS INT) WHEN 0 THEN 'L' ELSE 'H' END AS ac,
+             CASE CAST(kk % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END AS pr,
+             CASE CAST(kk % 2 AS INT) WHEN 0 THEN 'N' ELSE 'R' END AS ui,
+             CASE WHEN kk % 5 < 3 THEN 'U' ELSE 'C' END AS sco,
+             CASE CAST(kk % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS cc,
+             CASE CAST(kk % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS ic,
+             CASE CAST(kk % 7 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS aa,
+             CASE WHEN kk % 2 = 0 THEN '3.1' ELSE '3.0' END AS ver3,
+             CASE WHEN kk % 3 < 2 THEN 'N' ELSE 'P' END AS at4,
+             CASE CAST(kk % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'P' ELSE 'A' END AS ui4,
+             CASE CAST((kk + 1) % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS sc4,
+             CASE CAST((kk + 2) % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS si4,
+             CASE CAST((kk + 1) % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS sa4
+      FROM envb
+    ), envs AS (
+      SELECT *,
+             'AV:' || av || '/AC:' || ac || '/PR:' || pr || '/UI:' || ui
+               || '/S:' || sco || '/C:' || cc || '/I:' || ic || '/A:' || aa AS core,
+             (ck % 7 <> 0 AND CAST(kk % 8 AS INT) <= 4) AS v3ok,
+             (ck % 3 <> 0 AND CAST(kk % 5 AS INT) <= 2) AS v4ok,
+             CASE WHEN CAST(kk % 8 AS INT) = 4
+                  THEN 'CVSS:' || ver3 || '/AV:' || av || '/AC:' || ac || '/PR:' || pr || '/UI:' || ui
+                       || '/S:' || sco || '/C:' || cc || '/I:' || ic || '/A:' || aa || '/E:F/RL:W'
+                  ELSE 'CVSS:' || ver3 || '/AV:' || av || '/AC:' || ac || '/PR:' || pr || '/UI:' || ui
+                       || '/S:' || sco || '/C:' || cc || '/I:' || ic || '/A:' || aa END AS v3s,
+             CASE WHEN CAST(kk % 5 AS INT) = 2
+                  THEN 'CVSS:4.0/AV:' || av || '/AC:' || ac || '/AT:' || at4 || '/PR:' || pr
+                       || '/UI:' || ui4 || '/VC:' || cc || '/VI:' || ic || '/VA:' || aa
+                       || '/SC:' || sc4 || '/SI:' || si4 || '/SA:' || sa4 || '/U:Green'
+                  ELSE 'CVSS:4.0/AV:' || av || '/AC:' || ac || '/AT:' || at4 || '/PR:' || pr
+                       || '/UI:' || ui4 || '/VC:' || cc || '/VI:' || ic || '/VA:' || aa
+                       || '/SC:' || sc4 || '/SI:' || si4 || '/SA:' || sa4 END AS v4s
+      FROM envl
+    ), envv AS (
+      SELECT *, sco = 'C' AS chg,
+             CASE av WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END AS av_v,
+             CASE ac WHEN 'L' THEN 0.77 ELSE 0.44 END AS ac_v,
+             CASE pr WHEN 'N' THEN 0.85
+                     WHEN 'L' THEN CASE WHEN sco = 'C' THEN 0.68 ELSE 0.62 END
+                     ELSE CASE WHEN sco = 'C' THEN 0.5 ELSE 0.27 END END AS pr_v,
+             CASE ui WHEN 'N' THEN 0.85 ELSE 0.62 END AS ui_v,
+             CASE cc WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS c_v,
+             CASE ic WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS i_v,
+             CASE aa WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS a_v
+      FROM envs
+    ), envi AS (
+      SELECT *, CAST(1 - (1 - c_v) * (1 - i_v) * (1 - a_v) AS DOUBLE) AS iss FROM envv
+    ), envp AS (
+      SELECT *, iss - 0.02 AS x1, (iss - 0.02) * (iss - 0.02) AS x2 FROM envi
+    ), envp2 AS (
+      SELECT *, x2 * x2 AS x4, (x2 * x2) * (x2 * x2) AS x8 FROM envp
+    ), envsc AS (
+      SELECT *,
+             CASE WHEN chg THEN 7.52 * (iss - 0.029) - 3.25 * ((((x8 * x4) * x2) * x1))
+                  ELSE 6.42 * iss END AS impact,
+             8.22 * av_v * ac_v * pr_v * ui_v AS expl
+      FROM envp2
+    ), envcb AS (
+      SELECT *, CAST(round(least(CASE WHEN chg THEN 1.08 * (impact + expl)
+                                 ELSE impact + expl END, 10.0) * 100000)
+                     AS BIGINT) AS i5
+      FROM envsc
+    ), env AS (
+      SELECT ghsa_id, v3ok, v4ok, ver3, v3s, v4s, expl, impact,
+             CASE WHEN impact <= 0 THEN 0.0
+                  WHEN i5 % 10000 = 0 THEN i5 / 100000.0
+                  ELSE (i5 // 10000 + 1) / 10.0 END AS base
+      FROM envcb
     )
     SELECT 'github:' || p.ecosystem || '/' || lower(p.ghsa_id) AS identifier,
            CASE a.severity WHEN 'LOW' THEN 'Low' WHEN 'MODERATE' THEN 'Medium'
@@ -1193,8 +1281,22 @@ def sles2(spark, sf_dir):
                            ELSE 'Unknown' END AS severity,
            array_to_string(list_sort(list_filter(a.identifiers,
              x -> NOT starts_with(x, 'GHSA-'))), '|') AS cves,
-           p.fixed_in, p.n_fixes, a.withdrawn
-    FROM per_eco p JOIN advisories a USING (ghsa_id)
+           p.fixed_in, p.n_fixes, a.withdrawn,
+           CASE WHEN e.v3ok THEN e.ver3 END AS legacy_version,
+           CASE WHEN e.v3ok THEN e.base END AS base_score,
+           CASE WHEN e.v3ok THEN CAST(round(e.expl, 1) AS DOUBLE) END AS exploitability_score,
+           CASE WHEN e.v3ok THEN CAST(round(e.impact, 1) AS DOUBLE) END AS impact_score,
+           CASE WHEN e.v3ok THEN
+             CASE WHEN e.base = 0.0 THEN 'None' WHEN e.base < 4.0 THEN 'Low'
+                  WHEN e.base < 7.0 THEN 'Medium' WHEN e.base < 9.0 THEN 'High'
+                  ELSE 'Critical' END END AS base_severity,
+           concat_ws('|', CASE WHEN e.v3ok THEN e.ver3 END,
+                          CASE WHEN e.v4ok THEN '4.0' END) AS entry_versions,
+           concat_ws('|', CASE WHEN e.v3ok THEN e.v3s END,
+                          CASE WHEN e.v4ok THEN e.v4s END) AS entry_vectors
+    FROM per_eco p
+    JOIN advisories a USING (ghsa_id)
+    JOIN env e USING (ghsa_id)
     """,
     doc="GitHub Security Advisory DAG end-to-end (github/parser.py:42-55, "
         "576-602, 695-757; __init__.py:73-120; pipelines/github.py): "
@@ -1207,26 +1309,90 @@ def sles2(spark, sf_dir):
     tags=("pipeline", "join", "agg"),
 )
 def ghsa1(spark, sf_dir):
-    from vunnel_spark.pipelines.github import github_pipeline
+    from vunnel_spark.pipelines.github import (
+        cvss_severities_envelope,
+        github_pipeline,
+    )
 
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     ghsa = F.concat(F.lit("GHSA-"), F.col("o_orderkey").cast("string"))
     cve1 = F.concat(F.lit("CVE-2024-"), (F.col("o_orderkey") % 300).cast("string"))
     cve2 = F.concat(F.lit("CVE-2023-"), (F.col("o_orderkey") % 100).cast("string"))
-    advisories = o.filter(F.col("o_orderkey") % 2 == 0).select(
-        ghsa.alias("ghsa_id"),
-        F.when(F.col("o_orderstatus") == "F", F.lit("CRITICAL"))
-        .when(F.col("o_orderstatus") == "O", F.lit("MODERATE"))
-        .otherwise(
-            F.when(F.col("o_orderkey") % 5 == 0, F.lit("BOGUS")).otherwise(F.lit("LOW"))
-        )
-        .alias("severity"),
-        F.when(F.col("o_orderkey") % 4 == 0, F.array(ghsa, cve1, cve2))
-        .otherwise(F.array(ghsa, cve1))
-        .alias("identifiers"),
-        F.when(F.col("o_orderkey") % 10 == 0, F.lit("2024-01-01")).alias("withdrawn"),
+
+    # cvssSeverities vector synthesis (r13: the reference's parsed
+    # advisory carries CVSS + cvss_severities, parser.py:604-693, and
+    # __init__.py:94 repeats them on every per-ecosystem record).
+    # Advisories are EVEN orderkeys, so class selectors key on
+    # kk = o_orderkey div 2 to reach every class/minor combination.
+    kk = F.expr("o_orderkey div 2")
+    ck = F.col("o_custkey")
+    av = (F.when(kk % 4 == 0, "N").when(kk % 4 == 1, "A")
+          .when(kk % 4 == 2, "L").otherwise("P"))
+    ac = F.when(kk % 2 == 0, "L").otherwise("H")
+    pr = F.when(kk % 3 == 0, "N").when(kk % 3 == 1, "L").otherwise("H")
+    ui = F.when(kk % 2 == 0, "N").otherwise("R")
+    sco = F.when(kk % 5 < 3, "U").otherwise("C")
+    cc = F.when(kk % 3 == 0, "H").when(kk % 3 == 1, "L").otherwise("N")
+    ic = F.when(kk % 5 % 3 == 0, "H").when(kk % 5 % 3 == 1, "L").otherwise("N")
+    aa = F.when(kk % 7 % 3 == 0, "H").when(kk % 7 % 3 == 1, "L").otherwise("N")
+    ver3 = F.when(kk % 2 == 0, "3.1").otherwise("3.0")
+    core7 = F.concat(
+        F.lit("AV:"), av, F.lit("/AC:"), ac, F.lit("/PR:"), pr,
+        F.lit("/UI:"), ui, F.lit("/S:"), sco, F.lit("/C:"), cc,
+        F.lit("/I:"), ic,
     )
+    core = F.concat(core7, F.lit("/A:"), aa)
+    pfx = F.concat(F.lit("CVSS:"), ver3, F.lit("/"))
+    kls = (kk % 8).cast("int")
+    v3_raw = F.when(ck % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(kls <= 2, F.concat(pfx, core))
+        .when(kls == 3, F.concat(pfx, core, F.lit("/")))
+        .when(kls == 4, F.concat(pfx, core, F.lit("/E:F/RL:W")))
+        .when(kls == 5, F.concat(F.lit("CVSS:2.0/"), core))
+        .when(kls == 6, F.concat(pfx, core7))
+        .otherwise(F.concat(pfx, core, F.lit("/XX:N")))
+    )
+    sfx10 = F.concat(
+        F.lit("/AC:"), ac, F.lit("/AT:"),
+        F.when(kk % 3 < 2, "N").otherwise("P"),
+        F.lit("/PR:"), pr, F.lit("/UI:"),
+        F.when(kk % 3 == 0, "N").when(kk % 3 == 1, "P").otherwise("A"),
+        F.lit("/VC:"), cc, F.lit("/VI:"), ic, F.lit("/VA:"), aa,
+        F.lit("/SC:"),
+        F.when((kk + 1) % 3 == 0, "H").when((kk + 1) % 3 == 1, "L").otherwise("N"),
+        F.lit("/SI:"),
+        F.when((kk + 2) % 3 == 0, "H").when((kk + 2) % 3 == 1, "L").otherwise("N"),
+    )
+    sa4 = (F.when((kk + 1) % 5 % 3 == 0, "H").when((kk + 1) % 5 % 3 == 1, "L")
+           .otherwise("N"))
+    jls = (kk % 5).cast("int")
+    v4_raw = F.when(ck % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(jls <= 1, F.concat(F.lit("CVSS:4.0/AV:"), av, sfx10,
+                                  F.lit("/SA:"), sa4))
+        .when(jls == 2, F.concat(F.lit("CVSS:4.0/AV:"), av, sfx10,
+                                 F.lit("/SA:"), sa4, F.lit("/U:Green/")))
+        .when(jls == 3, F.concat(F.lit("CVSS:4.0/AV:Q"), sfx10,
+                                 F.lit("/SA:"), sa4))
+        .otherwise(F.concat(F.lit("CVSS:4.0/AV:"), av, sfx10))
+    )
+    advisories = cvss_severities_envelope(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            ghsa.alias("ghsa_id"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("CRITICAL"))
+            .when(F.col("o_orderstatus") == "O", F.lit("MODERATE"))
+            .otherwise(
+                F.when(F.col("o_orderkey") % 5 == 0, F.lit("BOGUS")).otherwise(F.lit("LOW"))
+            )
+            .alias("severity"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.array(ghsa, cve1, cve2))
+            .otherwise(F.array(ghsa, cve1))
+            .alias("identifiers"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("2024-01-01")).alias("withdrawn"),
+            v3_raw.alias("cvss_v3_vector"),
+            v4_raw.alias("cvss_v4_vector"),
+        )
+    ).drop("cvss_v3_vector", "cvss_v4_vector")
     ecos = ["COMPOSER", "ERLANG", "GO", "MAVEN", "NPM", "NUGET", "PIP", "PUB",
             "RUBYGEMS", "RUST", "SWIFT", "ACTIONS", "DEB", "RPM", "OTHER"]
     vuln_nodes = li.filter(F.col("l_orderkey") % 2 == 0).select(
@@ -1242,7 +1408,23 @@ def ghsa1(spark, sf_dir):
         ).alias("first_patched"),
         F.concat(F.lit(">= 1.0, < "), F.col("l_quantity").cast("int").cast("string")).alias("vrange"),
     )
-    return github_pipeline(advisories, vuln_nodes)
+    out = github_pipeline(advisories, vuln_nodes)
+    return out.select(
+        "identifier", "severity", "cves", "fixed_in", "n_fixes", "withdrawn",
+        F.col("legacy_cvss.version").alias("legacy_version"),
+        F.col("legacy_cvss.base_metrics.base_score").alias("base_score"),
+        F.col("legacy_cvss.base_metrics.exploitability_score").alias(
+            "exploitability_score"
+        ),
+        F.col("legacy_cvss.base_metrics.impact_score").alias("impact_score"),
+        F.col("legacy_cvss.base_metrics.base_severity").alias("base_severity"),
+        F.concat_ws("|", F.col("cvss_v3.version"), F.col("cvss_v4.version")).alias(
+            "entry_versions"
+        ),
+        F.concat_ws("|", F.col("cvss_v3.vector"), F.col("cvss_v4.vector")).alias(
+            "entry_vectors"
+        ),
+    )
 
 
 @register(
