@@ -41,3 +41,49 @@ def test_github_pipeline_semantics(spark):
     assert py.cves == "CVE-2019-0001|CVE-2020-5236"
     assert rows["github:java/ghsa-bbbb"].severity == "Unknown"
     assert rows["github:java/ghsa-bbbb"].withdrawn == "2024-01-01"
+
+
+def test_github_fixdate_lookup_store_only_best(spark):
+    """r13: _fixedin's fixdater.best (github/parser.py:745-756) — the
+    github Finder is store-only (default_finder: strategies=[], just the
+    first-observed store), so best() is a guarded dim hit: falsy/'None'/
+    '0' fix versions skip the lookup (finder.py:149-151), a store row
+    appends available {date, kind} whether accurate or not, a miss
+    leaves the record bare.  The lookup keys on the MAPPED ecosystem."""
+    import datetime
+
+    from vunnel_spark.pipelines.github import github_pipeline
+
+    advisories = spark.createDataFrame(
+        [("GHSA-aaaa", "LOW", ["GHSA-aaaa", "CVE-2024-1"], None)],
+        "ghsa_id string, severity string, identifiers array<string>, withdrawn string",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("GHSA-aaaa", "PIP", "waitress", "1.4.3", "< 1.4.3"),   # store hit
+            ("GHSA-aaaa", "PIP", "flask", None, "< 2.0"),            # falsy: no lookup
+            ("GHSA-aaaa", "PIP", "jinja2", "0", "< 3.0"),            # '0': no lookup
+            ("GHSA-aaaa", "PIP", "django", "4.2.1", "< 4.2.1"),      # store miss
+        ],
+        "ghsa_id string, github_ecosystem string, pkg string, "
+        "first_patched string, vrange string",
+    )
+    fixdates = spark.createDataFrame(
+        [
+            ("GHSA-aaaa", "waitress", "python", "1.4.3",
+             datetime.date(2020, 2, 4), "observed"),
+            # '0' row present in the store: must NOT surface (guard fires first)
+            ("GHSA-aaaa", "jinja2", "python", "0",
+             datetime.date(2021, 1, 1), "observed"),
+            # wrong ecosystem: github eco 'PIP' maps to 'python', not 'PIP'
+            ("GHSA-aaaa", "django", "PIP", "4.2.1",
+             datetime.date(2022, 3, 3), "observed"),
+        ],
+        "ghsa_id string, pkg string, ecosystem string, fix_version string, "
+        "date date, kind string",
+    )
+    row = github_pipeline(advisories, nodes, fixdates).collect()[0]
+    assert row.fixed_in == (
+        "django:4.2.1:< 4.2.1|flask:None:< 2.0|jinja2:0:< 3.0"
+        "|waitress:1.4.3:< 1.4.3:2020-02-04:observed"
+    )

@@ -67,20 +67,60 @@ def map_ecosystems(vuln_nodes: DataFrame) -> DataFrame:
     )
 
 
-def fix_records(nodes: DataFrame) -> DataFrame:
+def fix_records(nodes: DataFrame, fixdates: DataFrame | None = None) -> DataFrame:
     """One FixedIn record per surviving node: name, fix version (or the
-    literal 'None'), comma-stripped range, github:{eco} namespace."""
-    return nodes.select(
-        "ghsa_id",
-        "ecosystem",
-        F.concat_ws(
-            ":",
-            F.col("pkg"),
-            F.coalesce(F.col("first_patched"), F.lit("None")),
-            # .get('vulnerableVersionRange', '') — a missing range is the
-            # EMPTY string, not a skipped serialization token
-            F.regexp_replace(F.coalesce(F.col("vrange"), F.lit("")), ",", ""),
-        ).alias("fix"),
+    literal 'None'), comma-stripped range, github:{eco} namespace.
+
+    ``fixdates`` (optional): the first-observed store dim
+    (ghsa_id, pkg, ecosystem, fix_version, date, kind), at most one row
+    per key.  The reference's github Finder is STORE-ONLY —
+    ``fixdate.default_finder`` builds ``Finder(strategies=[],
+    first_observed=Store)`` and ``_fixedin`` passes no candidates
+    (parser.py:745-756), so ``best()`` reduces to: falsy/'None'/'0' fix
+    version -> no result (finder.py:149-151), else the store row for
+    (vuln_id, package, fix_version, ecosystem) whether accurate or not
+    (an accurate row returns at :194, an inaccurate one via the
+    last-resort extend at :198-203 — with no other sources the cap
+    logic cannot discard anything).  A hit appends the
+    ``available {date, kind}`` pair to the record (parser.py:751-756);
+    a miss leaves the record without it."""
+    base = F.concat_ws(
+        ":",
+        F.col("pkg"),
+        F.coalesce(F.col("first_patched"), F.lit("None")),
+        # .get('vulnerableVersionRange', '') — a missing range is the
+        # EMPTY string, not a skipped serialization token
+        F.regexp_replace(F.coalesce(F.col("vrange"), F.lit("")), ",", ""),
+    )
+    if fixdates is None:
+        return nodes.select("ghsa_id", "ecosystem", base.alias("fix"))
+    # best()'s falsy-version guard: no lookup at all for absent/None/0
+    eligible = (
+        F.col("first_patched").isNotNull()
+        & ~F.col("first_patched").isin("", "None", "0")
+    )
+    dim = F.broadcast(
+        fixdates.select(
+            F.col("ghsa_id").alias("_g"), F.col("pkg").alias("_p"),
+            F.col("ecosystem").alias("_e"), F.col("fix_version").alias("_v"),
+            "date", "kind",
+        )
+    )
+    joined = nodes.join(
+        dim,
+        eligible
+        & (F.col("ghsa_id") == F.col("_g"))
+        & (F.col("pkg") == F.col("_p"))
+        & (F.col("ecosystem") == F.col("_e"))
+        & (F.col("first_patched") == F.col("_v")),
+        "left",
+    )
+    avail = F.when(
+        F.col("date").isNotNull(),
+        F.concat(F.lit(":"), F.col("date").cast("string"), F.lit(":"), F.col("kind")),
+    ).otherwise(F.lit(""))
+    return joined.select(
+        "ghsa_id", "ecosystem", F.concat(base, avail).alias("fix")
     )
 
 
@@ -156,17 +196,25 @@ def cvss_severities_envelope(df: DataFrame, v3_col: str = "cvss_v3_vector",
 ENVELOPE_COLS = ("legacy_cvss", "cvss_v3", "cvss_v4")
 
 
-def github_pipeline(advisories: DataFrame, vuln_nodes: DataFrame) -> DataFrame:
+def github_pipeline(
+    advisories: DataFrame,
+    vuln_nodes: DataFrame,
+    fixdates: DataFrame | None = None,
+) -> DataFrame:
     """advisories: (ghsa_id, severity, identifiers array<string>, withdrawn
     [, legacy_cvss, cvss_v3, cvss_v4 — optional envelope columns from
     cvss_severities_envelope, passed through per ecosystem record])
     vuln_nodes:  (ghsa_id, github_ecosystem, pkg, first_patched, vrange)
+    fixdates:    optional first-observed store dim (see fix_records) —
+    the lookup runs AFTER the ecosystem map like the reference's
+    per-node flow (_fixedin maps the ecosystem before calling
+    fixdater.best, parser.py:717-747).
 
     Returns one row per (advisory, mapped ecosystem): the reference's
     per-ecosystem write loop (__init__.py:79-94) as a single groupBy+join.
     """
     per_eco = (
-        fix_records(map_ecosystems(vuln_nodes))
+        fix_records(map_ecosystems(vuln_nodes), fixdates)
         .groupBy("ghsa_id", "ecosystem")
         .agg(
             F.concat_ws("|", F.array_sort(F.collect_list("fix"))).alias("fixed_in"),

@@ -1187,11 +1187,40 @@ def sles2(spark, sf_dir):
              ('MAVEN','java'), ('NPM','npm'), ('NUGET','nuget'),
              ('PIP','python'), ('PUB','dart'), ('RUBYGEMS','gem'),
              ('RUST','rust'), ('SWIFT','swift'), ('ACTIONS','github-action')
+    ), fdsrc AS (
+      -- first-observed store dim: ~1/3 subset of node keys
+      SELECT 'GHSA-' || CAST(l_orderkey AS VARCHAR) AS ghsa_id,
+             list_extract(
+               ['COMPOSER','ERLANG','GO','MAVEN','NPM','NUGET','PIP','PUB',
+                'RUBYGEMS','RUST','SWIFT','ACTIONS','DEB','RPM','OTHER'],
+               CAST(l_suppkey % 15 + 1 AS INT)) AS github_ecosystem,
+             'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS pkg,
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.'
+               || CAST(l_linenumber AS VARCHAR) AS fix_version,
+             DATE '2020-01-01' + CAST(l_partkey % 900 AS INT) AS d,
+             CASE WHEN l_partkey % 4 = 0 THEN 'grype-db' ELSE 'observed' END AS kind
+      FROM lineitem
+      WHERE l_orderkey % 2 = 0 AND (l_orderkey + l_partkey) % 3 = 0
+    ), fixdim AS (
+      SELECT f.ghsa_id, f.pkg, m.ecosystem, f.fix_version,
+             min(f.d) AS d, min(f.kind) AS kind
+      FROM fdsrc f JOIN eco_map m USING (github_ecosystem)
+      GROUP BY f.ghsa_id, f.pkg, m.ecosystem, f.fix_version
     ), mapped AS (
+      -- fixdater.best on each record (parser.py:745-756): store-only
+      -- finder, falsy/'None'/'0' fix versions skip the lookup entirely
       SELECT v.ghsa_id, m.ecosystem,
              v.pkg || ':' || COALESCE(v.first_patched, 'None') || ':'
-               || replace(v.vrange, ',', '') AS fix
-      FROM vuln_nodes v JOIN eco_map m USING (github_ecosystem)
+               || replace(v.vrange, ',', '')
+               || COALESCE(':' || CAST(f.d AS VARCHAR) || ':' || f.kind, '')
+               AS fix
+      FROM vuln_nodes v
+      JOIN eco_map m USING (github_ecosystem)
+      LEFT JOIN fixdim f
+        ON v.first_patched IS NOT NULL
+       AND v.first_patched NOT IN ('', 'None', '0')
+       AND f.ghsa_id = v.ghsa_id AND f.pkg = v.pkg
+       AND f.ecosystem = m.ecosystem AND f.fix_version = v.first_patched
     ), per_eco AS (
       SELECT ghsa_id, ecosystem,
              array_to_string(list_sort(list(fix)), '|') AS fixed_in,
@@ -1408,7 +1437,39 @@ def ghsa1(spark, sf_dir):
         ).alias("first_patched"),
         F.concat(F.lit(">= 1.0, < "), F.col("l_quantity").cast("int").cast("string")).alias("vrange"),
     )
-    out = github_pipeline(advisories, vuln_nodes)
+    # first-observed store dim (r13: _fixedin's fixdater.best lookup,
+    # parser.py:745-756 — store-only for github, so best() is a guarded
+    # dim hit).  A ~1/3 subset of node keys so hits AND misses occur;
+    # the ln%5 null first_patched rows exercise the falsy-version guard.
+    from vunnel_spark.pipelines.github import ECOSYSTEM_MAP
+
+    eco_m = F.create_map(*[F.lit(x) for kv in ECOSYSTEM_MAP.items() for x in kv])
+    fd_src = li.filter(
+        (F.col("l_orderkey") % 2 == 0)
+        & ((F.col("l_orderkey") + F.col("l_partkey")) % 3 == 0)
+    ).select(
+        F.concat(F.lit("GHSA-"), F.col("l_orderkey").cast("string")).alias("ghsa_id"),
+        F.concat(F.lit("pkg"), (F.col("l_partkey") % 50).cast("string")).alias("pkg"),
+        eco_m[
+            F.element_at(
+                F.array(*[F.lit(e) for e in ecos]),
+                (F.col("l_suppkey") % 15 + 1).cast("int"),
+            )
+        ].alias("ecosystem"),
+        F.concat_ws(
+            ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
+        ).alias("fix_version"),
+        F.date_add(
+            F.to_date(F.lit("2020-01-01")), (F.col("l_partkey") % 900).cast("int")
+        ).alias("date"),
+        F.when(F.col("l_partkey") % 4 == 0, "grype-db")
+        .otherwise("observed")
+        .alias("kind"),
+    ).filter(F.col("ecosystem").isNotNull())
+    fixdates = fd_src.groupBy("ghsa_id", "pkg", "ecosystem", "fix_version").agg(
+        F.min("date").alias("date"), F.min("kind").alias("kind")
+    )
+    out = github_pipeline(advisories, vuln_nodes, fixdates)
     return out.select(
         "identifier", "severity", "cves", "fixed_in", "n_fixes", "withdrawn",
         F.col("legacy_cvss.version").alias("legacy_version"),
