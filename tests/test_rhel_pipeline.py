@@ -291,3 +291,41 @@ def test_parse_package_state_map_and_module_split(spark):
             ("nodejs", "nodejs:16", "None", False),
         ]
     )
+
+
+def test_parse_cvss3_feed_score_vs_computed_severity(spark):
+    """RHELCVSS3.normalize pins (rhel/parser.py:1155-1176 via
+    pipelines/rhel.py parse_cvss3): the FEED base_score passes through
+    while base_severity follows the COMPUTED score; no trailing-slash
+    strip (parse error -> None, unlike the GHSA envelope); falsy feed
+    score or vector -> None; status passes through nullable."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.pipelines.rhel import parse_cvss3
+
+    rows = [
+        # AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H computes 9.8 Critical;
+        # the feed disagrees (3.0) -> base_score 3.0, severity Critical
+        ("disagree", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H", 3.0, "verified"),
+        ("slash", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/", 9.8, "draft"),
+        ("zerofeed", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H", 0.0, None),
+        ("nullvec", None, 5.0, "verified"),
+        ("v30", "CVSS:3.0/AV:L/AC:H/PR:H/UI:R/S:C/C:L/I:N/A:N", 2.3, None),
+    ]
+    df = spark.createDataFrame(rows, "id string, vec string, feed double, st string")
+    obj = parse_cvss3(F.col("vec"), F.col("feed"), F.col("st"))
+    got = {r.id: r.o for r in df.select("id", obj.alias("o")).collect()}
+
+    d = got["disagree"]
+    assert d.base_metrics.base_score == 3.0          # feed passthrough
+    assert d.base_metrics.base_severity == "Critical"  # computed 9.8
+    assert d.base_metrics.exploitability_score == 3.9
+    assert d.base_metrics.impact_score == 5.9
+    assert d.version == "3.1" and d.status == "verified"
+
+    assert got["slash"] is None     # rhel never strips the trailing /
+    assert got["zerofeed"] is None  # falsy feed score
+    assert got["nullvec"] is None
+    v30 = got["v30"]
+    assert v30.version == "3.0" and v30.status is None
+    assert v30.base_metrics.base_severity == "Low"  # computed 2.3

@@ -201,6 +201,58 @@ def assemble_records(artifacts: DataFrame, meta: DataFrame) -> DataFrame:
     )
 
 
+def parse_cvss3(vector, base_score, status):
+    """_parse_cvss3 + RHELCVSS3.normalize (rhel/parser.py:799-819,
+    1155-1176) as one Column: the rhel CVSS envelope, which differs from
+    the GHSA one (pipelines/github.py) in three exact ways —
+
+    * NO trailing-slash strip: RHELCVSS3 feeds the raw
+      cvss3_scoring_vector to CVSS3(), so a trailing '/' is a parse
+      error and the whole object is None (github removesuffixes first).
+    * ``base_score`` is the FEED value passed through
+      (``float(self.base_score)``, :1171) — never recomputed — and a
+      falsy feed score (None, 0) drops the object (:806-807, plus the
+      constructor's own guard :1157-1158).  exploitability/impact ARE
+      computed from the vector and quantized to 0.1 (:1172-1173).
+    * ``base_severity`` comes from ``cvss3_obj.severities()[0]``
+      (:1174) — thresholds on the library's COMPUTED base score, so a
+      vendor feed score that disagrees with the vector shows the feed
+      number next to a severity derived from the computed one.
+
+    Any CVSS3 parse error (bad prefix, missing mandatory metric, bad
+    value, duplicate or unknown key) -> None via the except at :816-818;
+    ``status`` passes through nullable (.get(..., None), :813).
+    """
+    from vunnel_spark.functions.cvss import (
+        cvss3_scores,
+        cvss3_valid,
+        cvss3_version,
+    )
+
+    s = cvss3_scores(vector)
+    ok = (
+        vector.isNotNull()
+        & (vector != "")
+        & base_score.isNotNull()
+        & (base_score.cast("double") != 0.0)
+        & cvss3_valid(vector)
+    )
+    return F.when(
+        ok,
+        F.struct(
+            cvss3_version(vector).alias("version"),
+            status.alias("status"),
+            vector.alias("vector_string"),
+            F.struct(
+                base_score.cast("double").alias("base_score"),
+                s["esc"].alias("exploitability_score"),
+                s["isc"].alias("impact_score"),
+                s["severity"].alias("base_severity"),
+            ).alias("base_metrics"),
+        ),
+    )
+
+
 def rpm_version_base(v):
     """The epoch:version portion of an RPM version string, release
     dropped (_get_version_base, parser.py:1090-1105 over

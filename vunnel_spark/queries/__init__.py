@@ -73,6 +73,7 @@ GATE_PRIORITY = [
     "e17_ghsa_cvss_envelope",
     "ghsa1_per_ecosystem_dag",
     "rhel1_parse_cve_dag",
+    "rhel2_cvss_normalize",
     "p8_severity_normalization",
     "p2_denylist_filter",
     "p5_fixstate_projection",

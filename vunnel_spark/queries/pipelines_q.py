@@ -279,6 +279,162 @@ def rhel1(spark, sf_dir):
 
 
 @register(
+    "rhel2_cvss_normalize",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'A' WHEN 2 THEN 'L' ELSE 'P' END AS av,
+             CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'L' ELSE 'H' END AS ac,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'N' WHEN 1 THEN 'L' ELSE 'H' END AS pr,
+             CASE CAST(o_orderkey % 2 AS INT) WHEN 0 THEN 'N' ELSE 'R' END AS ui,
+             CASE WHEN o_orderkey % 5 < 3 THEN 'U' ELSE 'C' END AS sco,
+             CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS cc,
+             CASE CAST(o_orderkey % 5 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS ic,
+             CASE CAST(o_orderkey % 7 % 3 AS INT) WHEN 0 THEN 'H' WHEN 1 THEN 'L' ELSE 'N' END AS aa,
+             CASE WHEN o_orderkey % 2 = 0 THEN '3.1' ELSE '3.0' END AS ver3,
+             CAST(o_orderkey % 6 AS INT) AS kls,
+             CASE WHEN o_orderkey % 7 = 0 THEN 0.0
+                  WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE (CAST(o_orderkey % 90 AS INT) + 10) / 10.0 END AS feed_score,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  WHEN o_orderkey % 3 = 1 THEN 'verified' ELSE 'draft' END AS status
+      FROM orders
+    ), vecs AS (
+      SELECT *,
+             'CVSS:' || ver3 || '/AV:' || av || '/AC:' || ac || '/PR:' || pr || '/UI:' || ui
+               || '/S:' || sco || '/C:' || cc || '/I:' || ic || '/A:' || aa AS core,
+             CASE WHEN kls = 5 THEN NULL
+                  WHEN kls = 3 THEN 'CVSS:' || ver3 || '/AV:' || av || '/AC:' || ac || '/PR:' || pr
+                       || '/UI:' || ui || '/S:' || sco || '/C:' || cc || '/I:' || ic || '/A:' || aa || '/'
+                  WHEN kls = 4 THEN 'CVSS:' || ver3 || '/AV:' || av || '/AC:' || ac || '/PR:' || pr
+                       || '/UI:' || ui || '/S:' || sco || '/C:' || cc || '/I:' || ic
+                  ELSE 'CVSS:' || ver3 || '/AV:' || av || '/AC:' || ac || '/PR:' || pr || '/UI:' || ui
+                       || '/S:' || sco || '/C:' || cc || '/I:' || ic || '/A:' || aa END AS vec,
+             -- rhel does NOT strip the trailing slash, so kls=3 is a
+             -- parse error; only kls 0-2 with a truthy feed score emit
+             (kls <= 2 AND CAST(k % 7 AS INT) <> 0
+              AND CAST(k % 11 AS INT) <> 0) AS ok
+      FROM base
+    ), vals AS (
+      SELECT *, sco = 'C' AS chg,
+             CASE av WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55 ELSE 0.2 END AS av_v,
+             CASE ac WHEN 'L' THEN 0.77 ELSE 0.44 END AS ac_v,
+             CASE pr WHEN 'N' THEN 0.85
+                     WHEN 'L' THEN CASE WHEN sco = 'C' THEN 0.68 ELSE 0.62 END
+                     ELSE CASE WHEN sco = 'C' THEN 0.5 ELSE 0.27 END END AS pr_v,
+             CASE ui WHEN 'N' THEN 0.85 ELSE 0.62 END AS ui_v,
+             CASE cc WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS c_v,
+             CASE ic WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS i_v,
+             CASE aa WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS a_v
+      FROM vecs
+    ), issx AS (
+      SELECT *, CAST(1 - (1 - c_v) * (1 - i_v) * (1 - a_v) AS DOUBLE) AS iss FROM vals
+    ), powx AS (
+      SELECT *, iss - 0.02 AS x1, (iss - 0.02) * (iss - 0.02) AS x2 FROM issx
+    ), powy AS (
+      SELECT *, x2 * x2 AS x4, (x2 * x2) * (x2 * x2) AS x8 FROM powx
+    ), scx AS (
+      SELECT *,
+             CASE WHEN chg THEN 7.52 * (iss - 0.029) - 3.25 * ((((x8 * x4) * x2) * x1))
+                  ELSE 6.42 * iss END AS impact,
+             8.22 * av_v * ac_v * pr_v * ui_v AS expl
+      FROM powy
+    ), cbx AS (
+      SELECT *, CAST(round(least(CASE WHEN chg THEN 1.08 * (impact + expl)
+                                 ELSE impact + expl END, 10.0) * 100000)
+                     AS BIGINT) AS i5
+      FROM scx
+    ), fin AS (
+      SELECT *,
+             CASE WHEN impact <= 0 THEN 0.0
+                  WHEN i5 % 10000 = 0 THEN i5 / 100000.0
+                  ELSE (i5 // 10000 + 1) / 10.0 END AS computed
+      FROM cbx
+    )
+    SELECT 'CVE-' || CAST(k AS VARCHAR) AS cve_id,
+           CASE WHEN ok THEN ver3 END AS version,
+           CASE WHEN ok THEN status END AS status,
+           CASE WHEN ok THEN vec END AS vector_string,
+           -- the FEED score passes through; severity follows the
+           -- COMPUTED score (RHELCVSS3.normalize :1171 vs :1174)
+           CASE WHEN ok THEN CAST(feed_score AS DOUBLE) END AS base_score,
+           CASE WHEN ok THEN CAST(round(expl, 1) AS DOUBLE) END AS exploitability_score,
+           CASE WHEN ok THEN CAST(round(impact, 1) AS DOUBLE) END AS impact_score,
+           CASE WHEN ok THEN
+             CASE WHEN computed = 0.0 THEN 'None' WHEN computed < 4.0 THEN 'Low'
+                  WHEN computed < 7.0 THEN 'Medium' WHEN computed < 9.0 THEN 'High'
+                  ELSE 'Critical' END END AS base_severity
+    FROM fin
+    """,
+    doc="RHEL CVSS3 envelope, exact to _parse_cvss3 + RHELCVSS3.normalize "
+        "(rhel/parser.py:799-819, 1155-1176; pipelines/rhel.py "
+        "parse_cvss3): NO trailing-slash strip (a trailing '/' is a parse "
+        "error, unlike the GHSA envelope), falsy feed vector/base_score "
+        "drop the object, the FEED base_score passes through while "
+        "exploitability/impact are computed+quantized from the vector and "
+        "base_severity follows the library's COMPUTED score — the fixture "
+        "feeds deliberately-disagreeing feed scores so the gate catches "
+        "any implementation that derives severity from the feed number.  "
+        "Classes: valid 3.0/3.1, null-status, trailing-slash, missing "
+        "metric, null vector, zero and null feed scores",
+    tags=("pipeline", "scalar"),
+)
+def rhel2(spark, sf_dir):
+    from vunnel_spark.pipelines.rhel import parse_cvss3
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    av = (F.when(k % 4 == 0, "N").when(k % 4 == 1, "A")
+          .when(k % 4 == 2, "L").otherwise("P"))
+    ac = F.when(k % 2 == 0, "L").otherwise("H")
+    pr = F.when(k % 3 == 0, "N").when(k % 3 == 1, "L").otherwise("H")
+    ui = F.when(k % 2 == 0, "N").otherwise("R")
+    sco = F.when(k % 5 < 3, "U").otherwise("C")
+    cc = F.when(k % 3 == 0, "H").when(k % 3 == 1, "L").otherwise("N")
+    ic = F.when(k % 5 % 3 == 0, "H").when(k % 5 % 3 == 1, "L").otherwise("N")
+    aa = F.when(k % 7 % 3 == 0, "H").when(k % 7 % 3 == 1, "L").otherwise("N")
+    ver3 = F.when(k % 2 == 0, "3.1").otherwise("3.0")
+    core7 = F.concat(
+        F.lit("CVSS:"), ver3, F.lit("/AV:"), av, F.lit("/AC:"), ac,
+        F.lit("/PR:"), pr, F.lit("/UI:"), ui, F.lit("/S:"), sco,
+        F.lit("/C:"), cc, F.lit("/I:"), ic,
+    )
+    core = F.concat(core7, F.lit("/A:"), aa)
+    kls = (k % 6).cast("int")
+    vec = (
+        F.when(kls == 5, F.lit(None).cast("string"))
+        .when(kls == 3, F.concat(core, F.lit("/")))
+        .when(kls == 4, core7)
+        .otherwise(core)
+    )
+    feed = (
+        F.when(k % 7 == 0, F.lit(0.0))
+        .when(k % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(((k % 90).cast("int") + 10) / F.lit(10.0))
+    )
+    status = (
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .when(k % 3 == 1, F.lit("verified"))
+        .otherwise(F.lit("draft"))
+    )
+    df = o.select(
+        F.concat(F.lit("CVE-"), k.cast("string")).alias("cve_id"),
+        vec.alias("vec"), feed.alias("feed"), status.alias("st"),
+    )
+    obj = parse_cvss3(F.col("vec"), F.col("feed"), F.col("st"))
+    return df.select(
+        "cve_id",
+        obj["version"].alias("version"),
+        obj["status"].alias("status"),
+        obj["vector_string"].alias("vector_string"),
+        obj["base_metrics"]["base_score"].alias("base_score"),
+        obj["base_metrics"]["exploitability_score"].alias("exploitability_score"),
+        obj["base_metrics"]["impact_score"].alias("impact_score"),
+        obj["base_metrics"]["base_severity"].alias("base_severity"),
+    )
+
+
+@register(
     "ubuntu1_pro_inference",
     """
     WITH frags AS (
