@@ -63,3 +63,45 @@ def release_resolver(
         .filter((F.col("_n") == 1) | (F.col("_best") <= 1))
         .select(*keys, *[F.col("_pick")[c].alias(c) for c in payload])
     )
+
+
+def sles_make_cvss(vector):
+    """SLES ``_make_cvss`` (sles/parser.py:171-194) as one Column: the
+    third CVSS-envelope flavor in the reference, distinct from BOTH
+    gated siblings —
+
+    * unlike github's ``_make_legacy_cvss`` (parser.py:604-628) there is
+      NO trailing-slash ``removesuffix``: the raw vector feeds CVSS3(),
+      so a trailing '/' is a parse error and the object is None;
+    * unlike rhel's ``RHELCVSS3`` (parser.py:1155-1176) the base_score
+      IS the library-computed score quantized to 0.1 (:179) — no feed
+      passthrough — alongside esc/isc quantized the same way and
+      ``severities()[0]``; ``status`` is the literal "N/A" (:184).
+
+    Pure composition of the shared functions/cvss.py builders, each
+    already oracle-gated (e17 covers computed+strip, rhel2 covers
+    no-strip+feed-score; this is computed+no-strip), unit-pinned in
+    tests/test_landing.py-style branch tests.
+    """
+    from vunnel_spark.functions.cvss import (
+        cvss3_scores,
+        cvss3_valid,
+        cvss3_version,
+    )
+
+    s = cvss3_scores(vector)
+    ok = vector.isNotNull() & cvss3_valid(vector)
+    return F.when(
+        ok,
+        F.struct(
+            cvss3_version(vector).alias("version"),
+            vector.alias("vector_string"),
+            F.struct(
+                s["base_score"].alias("base_score"),
+                s["esc"].alias("exploitability_score"),
+                s["isc"].alias("impact_score"),
+                s["severity"].alias("base_severity"),
+            ).alias("base_metrics"),
+            F.lit("N/A").alias("status"),
+        ),
+    )
