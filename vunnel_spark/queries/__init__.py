@@ -53,10 +53,14 @@ from vunnel_spark.registry import REGISTRY
 #: base/exploitability/impact sub-scores + severity, the v3
 #: {version: "3.<minor>", vector} entry with trailing-slash strip, and
 #: the CVSS4 vector-validate passthrough with NO score math);
-#: ghsa1 (the envelope wired into the provider DAG itself — the
-#: reference repeats CVSS/cvss_severities on every per-ecosystem
-#: record, __init__.py:94 — with vector synthesis keyed on
-#: o_orderkey div 2 so even-key advisories hit every class);
+#: ghsa1 (TWO integrations: the envelope wired into the provider DAG —
+#: the reference repeats CVSS/cvss_severities on every per-ecosystem
+#: record, __init__.py:94, vectors keyed on o_orderkey div 2 so
+#: even-key advisories hit every class — and _fixedin's fixdater.best
+#: store lookup, a guarded broadcast dim hit since github's Finder is
+#: store-only); rhel2 (NEW operator: the RHEL CVSS3 envelope,
+#: _parse_cvss3 + RHELCVSS3.normalize — feed base_score passthrough,
+#: computed-score severity, no trailing-slash strip);
 #: rhel1 (two ADVICE fixes: the package_state empty-name test now
 #: applies to the POST-'/'-split package, and reduce_fix_streams keeps
 #: a deterministic first-seen representative per rpm-equal version
