@@ -87,3 +87,74 @@ def test_github_fixdate_lookup_store_only_best(spark):
         "django:4.2.1:< 4.2.1|flask:None:< 2.0|jinja2:0:< 3.0"
         "|waitress:1.4.3:< 1.4.3:2020-02-04:observed"
     )
+
+
+def test_fixdate_key_normalization(spark):
+    """r13 fidelity find: the fixdate store key space is NORMALIZED on
+    both sides — finder._normalize_ecosystem (finder.py:109-115, lower +
+    the syft-type mapping with identity fallback, falsy passthrough) and
+    normalize_package_name (ecosystem.py — strip + PEP-503 '_'/'.'->'-'
+    for the python family).  A github 'java' record therefore probes the
+    store as 'java-archive', and a PyPI 'foo_bar' as 'foo-bar'."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.functions.fixdate import (
+        normalize_fixdate_ecosystem,
+        normalize_fixdate_package,
+    )
+    from vunnel_spark.pipelines.github import github_pipeline
+
+    df = spark.createDataFrame(
+        [("MAVEN",), ("java",), ("Rust",), ("pip",), ("apk",), ("",), (None,)],
+        "eco string",
+    )
+    got = dict(
+        df.select("eco", normalize_fixdate_ecosystem(F.col("eco")).alias("n"))
+        .collect()
+    )
+    assert got == {"MAVEN": "java-archive", "java": "java-archive",
+                   "Rust": "rust-crate", "pip": "python", "apk": "apk",
+                   "": "", None: None}
+
+    pk = spark.createDataFrame(
+        [(" foo_bar.baz ", "python"), (" foo_bar.baz ", "gem")],
+        "pkg string, eco string",
+    )
+    pks = [r.n for r in pk.select(
+        normalize_fixdate_package(F.col("pkg"), F.col("eco")).alias("n")
+    ).collect()]
+    assert pks == ["foo-bar-baz", "foo_bar.baz"]
+
+    # end-to-end: a java node hits a dim row stored under 'java-archive',
+    # and a python node with an underscore hits its PEP-503-normalized row
+    advisories = spark.createDataFrame(
+        [("GHSA-x", "LOW", ["GHSA-x"], None)],
+        "ghsa_id string, severity string, identifiers array<string>, withdrawn string",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("GHSA-x", "MAVEN", "log4j", "2.17.0", "< 2.17.0"),
+            ("GHSA-x", "PIP", "fla_sk", "2.0.1", "< 2.0.1"),
+        ],
+        "ghsa_id string, github_ecosystem string, pkg string, "
+        "first_patched string, vrange string",
+    )
+    fixdates = spark.createDataFrame(
+        [
+            ("GHSA-x", "log4j", "java-archive", "2.17.0",
+             datetime.date(2021, 12, 18), "observed"),
+            ("GHSA-x", "fla-sk", "python", "2.0.1",
+             datetime.date(2021, 5, 1), "observed"),
+        ],
+        "ghsa_id string, pkg string, ecosystem string, fix_version string, "
+        "date date, kind string",
+    )
+    rows = {r.identifier: r
+            for r in github_pipeline(advisories, nodes, fixdates).collect()}
+    assert rows["github:java/ghsa-x"].fixed_in == \
+        "log4j:2.17.0:< 2.17.0:2021-12-18:observed"
+    # the record keeps the RAW package name; only the probe normalized
+    assert rows["github:python/ghsa-x"].fixed_in == \
+        "fla_sk:2.0.1:< 2.0.1:2021-05-01:observed"

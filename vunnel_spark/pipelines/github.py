@@ -73,7 +73,14 @@ def fix_records(nodes: DataFrame, fixdates: DataFrame | None = None) -> DataFram
 
     ``fixdates`` (optional): the first-observed store dim
     (ghsa_id, pkg, ecosystem, fix_version, date, kind), at most one row
-    per key.  The reference's github Finder is STORE-ONLY —
+    per key, carrying NORMALIZED pkg/ecosystem keys (the store writes
+    through normalize_package_name and the finder-normalized ecosystem
+    — functions/fixdate.py).  The probe side applies the same
+    normalization (finder.py:147 + vunnel_first_observed.py:128): the
+    mapped GHSA ecosystem normalizes again for the STORE key space
+    ('java' -> 'java-archive', 'rust' -> 'rust-crate', ...), and python
+    package names get the PEP-503 '_'/'.' -> '-' substitutions.
+    The reference's github Finder is STORE-ONLY —
     ``fixdate.default_finder`` builds ``Finder(strategies=[],
     first_observed=Store)`` and ``_fixedin`` passes no candidates
     (parser.py:745-756), so ``best()`` reduces to: falsy/'None'/'0' fix
@@ -106,12 +113,19 @@ def fix_records(nodes: DataFrame, fixdates: DataFrame | None = None) -> DataFram
             "date", "kind",
         )
     )
+    from vunnel_spark.functions.fixdate import (
+        normalize_fixdate_ecosystem,
+        normalize_fixdate_package,
+    )
+
+    probe_eco = normalize_fixdate_ecosystem(F.col("ecosystem"))
+    probe_pkg = normalize_fixdate_package(F.col("pkg"), probe_eco)
     joined = nodes.join(
         dim,
         eligible
         & (F.col("ghsa_id") == F.col("_g"))
-        & (F.col("pkg") == F.col("_p"))
-        & (F.col("ecosystem") == F.col("_e"))
+        & (probe_pkg == F.col("_p"))
+        & (probe_eco == F.col("_e"))
         & (F.col("first_patched") == F.col("_v")),
         "left",
     )

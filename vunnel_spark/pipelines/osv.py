@@ -56,7 +56,12 @@ def osv_patch_fix_dates(
         package struct<name, ecosystem>,
         ranges array<struct<type, events array<struct<introduced, fixed>>>>>>)
     ``fixdates``:   (vuln_id, package, ecosystem, fix_version,
-                     date date, kind, accurate boolean)
+                     date date, kind, accurate boolean) — with
+                     NORMALIZED package/ecosystem keys: the reference
+                     store writes through normalize_package_name and
+                     the finder-normalized ecosystem, and the probe
+                     below normalizes identically (functions/fixdate.py,
+                     r13).
 
     CONTRACT: ``fixdates`` must carry AT MOST ONE row per
     (vuln_id, package, ecosystem, fix_version).  The reference's store
@@ -103,7 +108,21 @@ def osv_patch_fix_dates(
         F.col("aff.package").alias("package"),
         F.posexplode_outer("aff.ranges").alias("r_pos", "rng"),
     )
+    from vunnel_spark.functions.fixdate import (
+        normalize_fixdate_ecosystem,
+        normalize_fixdate_package,
+    )
+
     raw_eco = F.col("package.ecosystem")
+    # the store PROBE keys are normalized (r13 fidelity find): the
+    # provider hook runs first (utils/osv.py:47-48), then finder.best's
+    # _normalize_ecosystem (finder.py:147), then the store's
+    # normalize_package_name with that ecosystem
+    # (vunnel_first_observed.py:128).  pkg/eco here exist only as probe
+    # keys — the patched records never carry them — so normalizing the
+    # columns is exactly normalizing the probe.
+    hook_eco = ecosystem_processor(raw_eco) if ecosystem_processor else raw_eco
+    probe_eco = normalize_fixdate_ecosystem(hook_eco)
     ev = (
         # falsy name/ecosystem skip the whole patch, fallback included
         # (osv.py:39-46); the guard tests the RAW values, pre-processor
@@ -116,10 +135,8 @@ def osv_patch_fix_dates(
             "published",
             "a_pos",
             "r_pos",
-            F.col("package.name").alias("pkg"),
-            (ecosystem_processor(raw_eco) if ecosystem_processor else raw_eco).alias(
-                "eco"
-            ),
+            normalize_fixdate_package(F.col("package.name"), probe_eco).alias("pkg"),
+            probe_eco.alias("eco"),
             F.explode("rng.events").alias("ev"),
         )
         .filter(F.col("ev.fixed").isNotNull())

@@ -1332,17 +1332,24 @@ def sles2(spark, sf_dir):
                ['COMPOSER','ERLANG','GO','MAVEN','NPM','NUGET','PIP','PUB',
                 'RUBYGEMS','RUST','SWIFT','ACTIONS','DEB','RPM','OTHER'],
                CAST(l_suppkey % 15 + 1 AS INT)) AS github_ecosystem,
-             'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS pkg,
+             CASE WHEN l_partkey % 9 = 0
+                  THEN 'pkg_' || CAST(l_partkey % 50 AS VARCHAR)
+                  ELSE 'pkg' || CAST(l_partkey % 50 AS VARCHAR) END AS pkg,
              CASE WHEN l_linenumber % 5 = 0 THEN NULL
                   ELSE CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.'
                        || CAST(l_linenumber AS VARCHAR) END AS first_patched,
              '>= 1.0, < ' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS vrange
       FROM lineitem WHERE l_orderkey % 2 = 0
-    ), eco_map(github_ecosystem, ecosystem) AS (
-      VALUES ('COMPOSER','composer'), ('ERLANG','erlang'), ('GO','go'),
-             ('MAVEN','java'), ('NPM','npm'), ('NUGET','nuget'),
-             ('PIP','python'), ('PUB','dart'), ('RUBYGEMS','gem'),
-             ('RUST','rust'), ('SWIFT','swift'), ('ACTIONS','github-action')
+    ), eco_map(github_ecosystem, ecosystem, store_eco) AS (
+      -- third column: the FINDER-normalized store key space
+      -- (tool/fixdate/finder.py:12-29 over the mapped ecosystem)
+      VALUES ('COMPOSER','composer','php-composer'),
+             ('ERLANG','erlang','erlang'), ('GO','go','go-module'),
+             ('MAVEN','java','java-archive'), ('NPM','npm','npm'),
+             ('NUGET','nuget','dotnet'), ('PIP','python','python'),
+             ('PUB','dart','dart-pub'), ('RUBYGEMS','gem','gem'),
+             ('RUST','rust','rust-crate'), ('SWIFT','swift','swift'),
+             ('ACTIONS','github-action','github-action')
     ), fdsrc AS (
       -- first-observed store dim: ~1/3 subset of node keys
       SELECT 'GHSA-' || CAST(l_orderkey AS VARCHAR) AS ghsa_id,
@@ -1350,7 +1357,9 @@ def sles2(spark, sf_dir):
                ['COMPOSER','ERLANG','GO','MAVEN','NPM','NUGET','PIP','PUB',
                 'RUBYGEMS','RUST','SWIFT','ACTIONS','DEB','RPM','OTHER'],
                CAST(l_suppkey % 15 + 1 AS INT)) AS github_ecosystem,
-             'pkg' || CAST(l_partkey % 50 AS VARCHAR) AS pkg,
+             CASE WHEN l_partkey % 9 = 0
+                  THEN 'pkg_' || CAST(l_partkey % 50 AS VARCHAR)
+                  ELSE 'pkg' || CAST(l_partkey % 50 AS VARCHAR) END AS pkg,
              CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.'
                || CAST(l_linenumber AS VARCHAR) AS fix_version,
              DATE '2020-01-01' + CAST(l_partkey % 900 AS INT) AS d,
@@ -1358,13 +1367,20 @@ def sles2(spark, sf_dir):
       FROM lineitem
       WHERE l_orderkey % 2 = 0 AND (l_orderkey + l_partkey) % 3 = 0
     ), fixdim AS (
-      SELECT f.ghsa_id, f.pkg, m.ecosystem, f.fix_version,
+      -- store keys are written NORMALIZED (normalize_package_name +
+      -- finder-normalized ecosystem)
+      SELECT f.ghsa_id,
+             CASE WHEN m.store_eco IN ('pypi', 'python')
+                  THEN replace(replace(trim(f.pkg), '_', '-'), '.', '-')
+                  ELSE trim(f.pkg) END AS pkg,
+             m.store_eco AS ecosystem, f.fix_version,
              min(f.d) AS d, min(f.kind) AS kind
       FROM fdsrc f JOIN eco_map m USING (github_ecosystem)
-      GROUP BY f.ghsa_id, f.pkg, m.ecosystem, f.fix_version
+      GROUP BY 1, 2, 3, 4
     ), mapped AS (
       -- fixdater.best on each record (parser.py:745-756): store-only
-      -- finder, falsy/'None'/'0' fix versions skip the lookup entirely
+      -- finder, falsy/'None'/'0' fix versions skip the lookup entirely;
+      -- PROBE keys normalize exactly like the store writes
       SELECT v.ghsa_id, m.ecosystem,
              v.pkg || ':' || COALESCE(v.first_patched, 'None') || ':'
                || replace(v.vrange, ',', '')
@@ -1375,8 +1391,11 @@ def sles2(spark, sf_dir):
       LEFT JOIN fixdim f
         ON v.first_patched IS NOT NULL
        AND v.first_patched NOT IN ('', 'None', '0')
-       AND f.ghsa_id = v.ghsa_id AND f.pkg = v.pkg
-       AND f.ecosystem = m.ecosystem AND f.fix_version = v.first_patched
+       AND f.ghsa_id = v.ghsa_id
+       AND f.pkg = CASE WHEN m.store_eco IN ('pypi', 'python')
+                        THEN replace(replace(trim(v.pkg), '_', '-'), '.', '-')
+                        ELSE trim(v.pkg) END
+       AND f.ecosystem = m.store_eco AND f.fix_version = v.first_patched
     ), per_eco AS (
       SELECT ghsa_id, ecosystem,
              array_to_string(list_sort(list(fix)), '|') AS fixed_in,
@@ -1580,13 +1599,19 @@ def ghsa1(spark, sf_dir):
     ).drop("cvss_v3_vector", "cvss_v4_vector")
     ecos = ["COMPOSER", "ERLANG", "GO", "MAVEN", "NPM", "NUGET", "PIP", "PUB",
             "RUBYGEMS", "RUST", "SWIFT", "ACTIONS", "DEB", "RPM", "OTHER"]
+    # pkg token: an underscore class (partkey%9=0) exercises the store's
+    # PEP-503 package normalization for python-family ecosystems
+    pkg_tok = F.when(
+        F.col("l_partkey") % 9 == 0,
+        F.concat(F.lit("pkg_"), (F.col("l_partkey") % 50).cast("string")),
+    ).otherwise(F.concat(F.lit("pkg"), (F.col("l_partkey") % 50).cast("string")))
     vuln_nodes = li.filter(F.col("l_orderkey") % 2 == 0).select(
         F.concat(F.lit("GHSA-"), F.col("l_orderkey").cast("string")).alias("ghsa_id"),
         F.element_at(
             F.array(*[F.lit(e) for e in ecos]),
             (F.col("l_suppkey") % 15 + 1).cast("int"),
         ).alias("github_ecosystem"),
-        F.concat(F.lit("pkg"), (F.col("l_partkey") % 50).cast("string")).alias("pkg"),
+        pkg_tok.alias("pkg"),
         F.when(
             F.col("l_linenumber") % 5 != 0,
             F.concat_ws(".", F.col("l_quantity").cast("int"), F.col("l_linenumber")),
@@ -1597,21 +1622,30 @@ def ghsa1(spark, sf_dir):
     # parser.py:745-756 — store-only for github, so best() is a guarded
     # dim hit).  A ~1/3 subset of node keys so hits AND misses occur;
     # the ln%5 null first_patched rows exercise the falsy-version guard.
+    from vunnel_spark.functions.fixdate import (
+        normalize_fixdate_ecosystem,
+        normalize_fixdate_package,
+    )
     from vunnel_spark.pipelines.github import ECOSYSTEM_MAP
 
     eco_m = F.create_map(*[F.lit(x) for kv in ECOSYSTEM_MAP.items() for x in kv])
+    # the dim is a REFERENCE-BUILT store: keys are written through the
+    # finder-normalized ecosystem ('java' -> 'java-archive', ...) and
+    # normalize_package_name ('pkg_7' -> 'pkg-7' for python)
+    _mapped_eco = eco_m[
+        F.element_at(
+            F.array(*[F.lit(e) for e in ecos]),
+            (F.col("l_suppkey") % 15 + 1).cast("int"),
+        )
+    ]
+    _store_eco = normalize_fixdate_ecosystem(_mapped_eco)
     fd_src = li.filter(
         (F.col("l_orderkey") % 2 == 0)
         & ((F.col("l_orderkey") + F.col("l_partkey")) % 3 == 0)
     ).select(
         F.concat(F.lit("GHSA-"), F.col("l_orderkey").cast("string")).alias("ghsa_id"),
-        F.concat(F.lit("pkg"), (F.col("l_partkey") % 50).cast("string")).alias("pkg"),
-        eco_m[
-            F.element_at(
-                F.array(*[F.lit(e) for e in ecos]),
-                (F.col("l_suppkey") % 15 + 1).cast("int"),
-            )
-        ].alias("ecosystem"),
+        normalize_fixdate_package(pkg_tok, _store_eco).alias("pkg"),
+        _store_eco.alias("ecosystem"),
         F.concat_ws(
             ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
         ).alias("fix_version"),
