@@ -106,12 +106,14 @@ def fix_records(nodes: DataFrame, fixdates: DataFrame | None = None) -> DataFram
         F.col("first_patched").isNotNull()
         & ~F.col("first_patched").isin("", "None", "0")
     )
-    dim = F.broadcast(
-        fixdates.select(
-            F.col("ghsa_id").alias("_g"), F.col("pkg").alias("_p"),
-            F.col("ecosystem").alias("_e"), F.col("fix_version").alias("_v"),
-            "date", "kind",
-        )
+    # NO forced broadcast: a production first-observed store has
+    # millions of rows (and the sf10 fixture dim ~10M) — AQE picks
+    # broadcast when the dim is actually small; forcing it ships the
+    # whole store to every task at scale (r13 sf10 measure caught this)
+    dim = fixdates.select(
+        F.col("ghsa_id").alias("_g"), F.col("pkg").alias("_p"),
+        F.col("ecosystem").alias("_e"), F.col("fix_version").alias("_v"),
+        "date", "kind",
     )
     from vunnel_spark.functions.fixdate import (
         normalize_fixdate_ecosystem,
