@@ -749,3 +749,16 @@ def test_x27_packing_single_exchange(spark, sf_dir):
     p = plan_of(q("x27_sequence_packing", spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "Join" not in p, p
+
+
+def test_cvss_grammar_evaluated_once(spark, sf_dir):
+    # r13 perf find: extracting struct fields directly from a
+    # when()-struct pushes GetStructField into the branches and
+    # re-evaluates the whole CVSS grammar+score tree per output column
+    # (8x = ~50x slower on rhel2).  The envelope builders compute the
+    # expensive scalars once in their own projection; the optimized plan
+    # must carry exactly ONE copy of the segment-grammar regex.
+    for name in ("rhel2_cvss_normalize", "e17_ghsa_cvss_envelope",
+                 "ghsa1_per_ecosystem_dag"):
+        p = plan_of(q(name, spark, sf_dir))
+        assert p.count("AV:[NALP]") == 1, (name, p.count("AV:[NALP]"))

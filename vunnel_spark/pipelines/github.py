@@ -170,38 +170,65 @@ def cvss_severities_envelope(df: DataFrame, v3_col: str = "cvss_v3_vector",
 
     All validation and scoring is pure Catalyst (functions/cvss.py) —
     no UDF, no driver round-trip; at scale this is a map-only stage.
+
+    STRUCTURE MATTERS for cost (r13 perf find): downstream consumers
+    extract individual struct fields, and Catalyst pushes
+    GetStructField into the ``when`` branches — if the structs were
+    built directly over the expensive validity/score expressions, every
+    extracted field would re-evaluate the whole grammar+score tree
+    (measured 8x = ~50x slower on rhel2's sibling shape).  So the
+    expensive scalars are computed EXACTLY ONCE in a mid-projection and
+    the structs assemble from those attributes; CollapseProject leaves
+    the two projections separate (it refuses to duplicate non-cheap
+    expressions, SPARK-36718), and downstream field extraction then
+    touches only cheap attribute references.
     """
     v3s = strip_trailing_slash(F.col(v3_col))
     v4s = strip_trailing_slash(F.col(v4_col))
-    v3_ok = F.col(v3_col).isNotNull() & cvss3_valid(v3s)
-    v4_ok = F.col(v4_col).isNotNull() & cvss4_valid(v4s)
     s = cvss3_scores(v3s)
+    helpers = ["_v3ok", "_v4ok", "_v3ver", "_v3s", "_v4s",
+               "_base", "_esc", "_isc", "_sev"]
+    mid = df.select(
+        "*",
+        (F.col(v3_col).isNotNull() & cvss3_valid(v3s)).alias("_v3ok"),
+        (F.col(v4_col).isNotNull() & cvss4_valid(v4s)).alias("_v4ok"),
+        cvss3_version(v3s).alias("_v3ver"),
+        v3s.alias("_v3s"),
+        v4s.alias("_v4s"),
+        s["base_score"].alias("_base"),
+        s["esc"].alias("_esc"),
+        s["isc"].alias("_isc"),
+        s["severity"].alias("_sev"),
+    )
     legacy = F.when(
-        v3_ok,
+        F.col("_v3ok"),
         F.struct(
-            cvss3_version(v3s).alias("version"),
-            v3s.alias("vector_string"),
+            F.col("_v3ver").alias("version"),
+            F.col("_v3s").alias("vector_string"),
             F.struct(
-                s["base_score"].alias("base_score"),
-                s["esc"].alias("exploitability_score"),
-                s["isc"].alias("impact_score"),
-                s["severity"].alias("base_severity"),
+                F.col("_base").alias("base_score"),
+                F.col("_esc").alias("exploitability_score"),
+                F.col("_isc").alias("impact_score"),
+                F.col("_sev").alias("base_severity"),
             ).alias("base_metrics"),
             F.lit("N/A").alias("status"),
         ),
     )
     v3_entry = F.when(
-        v3_ok, F.struct(cvss3_version(v3s).alias("version"), v3s.alias("vector"))
+        F.col("_v3ok"),
+        F.struct(F.col("_v3ver").alias("version"), F.col("_v3s").alias("vector")),
     )
     # _make_cvss_v4: version from clean_vector()'s prefix — "4.0" for
     # every vector the parse accepts; NO score math (parser.py:648-665)
     v4_entry = F.when(
-        v4_ok, F.struct(F.lit("4.0").alias("version"), v4s.alias("vector"))
+        F.col("_v4ok"),
+        F.struct(F.lit("4.0").alias("version"), F.col("_v4s").alias("vector")),
     )
     return (
-        df.withColumn("legacy_cvss", legacy)
+        mid.withColumn("legacy_cvss", legacy)
         .withColumn("cvss_v3", v3_entry)
         .withColumn("cvss_v4", v4_entry)
+        .drop(*helpers)
     )
 
 

@@ -422,15 +422,21 @@ def rhel2(spark, sf_dir):
         vec.alias("vec"), feed.alias("feed"), status.alias("st"),
     )
     obj = parse_cvss3(F.col("vec"), F.col("feed"), F.col("st"))
-    return df.select(
+    # two-step select: the struct evaluates ONCE in its own projection
+    # (CollapseProject refuses to inline a non-cheap expression into the
+    # 7-field extraction, SPARK-36718); extracting the fields directly
+    # from `obj` re-evaluated the whole grammar+score tree per field —
+    # measured 14.4 s -> 0.28 s at sf0.1 (r13 perf find)
+    mid = df.select("cve_id", obj.alias("_o"))
+    return mid.select(
         "cve_id",
-        obj["version"].alias("version"),
-        obj["status"].alias("status"),
-        obj["vector_string"].alias("vector_string"),
-        obj["base_metrics"]["base_score"].alias("base_score"),
-        obj["base_metrics"]["exploitability_score"].alias("exploitability_score"),
-        obj["base_metrics"]["impact_score"].alias("impact_score"),
-        obj["base_metrics"]["base_severity"].alias("base_severity"),
+        F.col("_o.version").alias("version"),
+        F.col("_o.status").alias("status"),
+        F.col("_o.vector_string").alias("vector_string"),
+        F.col("_o.base_metrics.base_score").alias("base_score"),
+        F.col("_o.base_metrics.exploitability_score").alias("exploitability_score"),
+        F.col("_o.base_metrics.impact_score").alias("impact_score"),
+        F.col("_o.base_metrics.base_severity").alias("base_severity"),
     )
 
 
