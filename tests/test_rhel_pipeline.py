@@ -295,13 +295,13 @@ def test_parse_package_state_map_and_module_split(spark):
 
 def test_parse_cvss3_feed_score_vs_computed_severity(spark):
     """RHELCVSS3.normalize pins (rhel/parser.py:1155-1176 via
-    pipelines/rhel.py parse_cvss3): the FEED base_score passes through
+    pipelines/rhel.py with_rhel_cvss3): the FEED base_score passes through
     while base_severity follows the COMPUTED score; no trailing-slash
     strip (parse error -> None, unlike the GHSA envelope); falsy feed
     score or vector -> None; status passes through nullable."""
     from pyspark.sql import functions as F
 
-    from vunnel_spark.pipelines.rhel import parse_cvss3
+    from vunnel_spark.pipelines.rhel import with_rhel_cvss3
 
     rows = [
         # AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H computes 9.8 Critical;
@@ -313,8 +313,8 @@ def test_parse_cvss3_feed_score_vs_computed_severity(spark):
         ("v30", "CVSS:3.0/AV:L/AC:H/PR:H/UI:R/S:C/C:L/I:N/A:N", 2.3, None),
     ]
     df = spark.createDataFrame(rows, "id string, vec string, feed double, st string")
-    obj = parse_cvss3(F.col("vec"), F.col("feed"), F.col("st"))
-    got = {r.id: r.o for r in df.select("id", obj.alias("o")).collect()}
+    out = with_rhel_cvss3(df, F.col("vec"), F.col("feed"), F.col("st"), out="o")
+    got = {r.id: r.o for r in out.select("id", "o").collect()}
 
     d = got["disagree"]
     assert d.base_metrics.base_score == 3.0          # feed passthrough
@@ -338,7 +338,7 @@ def test_sles_make_cvss_flavor(spark):
     same shared builders."""
     from pyspark.sql import functions as F
 
-    from vunnel_spark.pipelines.sles import sles_make_cvss
+    from vunnel_spark.pipelines.sles import with_sles_cvss
 
     rows = [
         ("ok", "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H"),
@@ -349,7 +349,7 @@ def test_sles_make_cvss_flavor(spark):
     ]
     df = spark.createDataFrame(rows, "id string, vec string")
     got = {r.id: r.o for r in
-           df.select("id", sles_make_cvss(F.col("vec")).alias("o")).collect()}
+           with_sles_cvss(df, F.col("vec"), out="o").select("id", "o").collect()}
     ok = got["ok"]
     assert ok.version == "3.1" and ok.status == "N/A"
     assert ok.base_metrics.base_score == 9.8          # COMPUTED, not feed

@@ -356,3 +356,65 @@ def test_ghsa_cvss_envelope_branches(spark):
     assert [e.version for e in both.entries] == ["3.1", "4.0"]
     none = out["none"]
     assert none.legacy_cvss is None and none.entries == []
+
+
+def test_layered_cvss_eval_equals_column_form(spark):
+    """The r14 hot-path rework (functions/cvss.py with_cvss3_eval /
+    with_cvss4_valid — layered named-column projections) must accept and
+    score EXACTLY the language of the single-Column builders it
+    replaced in the envelopes.  Fixture covers every malformed class
+    (bad prefix, trailing slash, unknown key, bad value, multi-char
+    value, 3-part segment, empty value, missing mandatory, duplicate
+    key, NULL) plus valid 3.0/3.1/temporal and v4 word-valued vectors;
+    compared via exceptAll both ways so a NULL-vs-False or score drift
+    anywhere fails loudly."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.functions.cvss import (
+        cvss3_scores,
+        cvss3_valid,
+        cvss4_valid,
+        with_cvss3_eval,
+        with_cvss4_valid,
+    )
+
+    v3 = [
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        "CVSS:3.0/AV:P/AC:H/PR:H/UI:R/S:C/C:N/I:L/A:N/E:F/RL:W/RC:C",
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/",
+        "CVSS:2.0/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H/ZZ:X",
+        "CVSS:3.1/AV:Q/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        "CVSS:3.1/AV:NA/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        "CVSS:3.1/AV:N:X/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        "CVSS:3.1/AV:/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H",
+        "CVSS:3.1/AV:N/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+        None,
+    ]
+    v4 = [
+        "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:H/SI:H/SA:H",
+        "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:H/SI:H/SA:H/U:Green",
+        "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:H/SI:H/SA:H/U:Teal",
+        "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:H/SI:H",
+        None,
+    ]
+    df3 = spark.createDataFrame([(v,) for v in v3], "vec string")
+    s = cvss3_scores(F.col("vec"))
+    col3 = df3.select(
+        "vec", cvss3_valid(F.col("vec")).alias("ok"),
+        s["base_score"].alias("b"), s["esc"].alias("e"),
+        s["isc"].alias("i"), s["severity"].alias("sv"))
+    lay3 = with_cvss3_eval(df3, F.col("vec"), "_c3").select(
+        "vec", F.col("_c3_ok").alias("ok"), F.col("_c3_base").alias("b"),
+        F.col("_c3_esc").alias("e"), F.col("_c3_isc").alias("i"),
+        F.col("_c3_sev").alias("sv"))
+    assert col3.exceptAll(lay3).count() == 0
+    assert lay3.exceptAll(col3).count() == 0
+
+    df4 = spark.createDataFrame([(v,) for v in v4], "vec string")
+    col4 = df4.select("vec", cvss4_valid(F.col("vec")).alias("ok"))
+    lay4 = with_cvss4_valid(df4, F.col("vec"), "_c4").select(
+        "vec", F.col("_c4_ok").alias("ok"))
+    assert col4.exceptAll(lay4).count() == 0
+    assert lay4.exceptAll(col4).count() == 0

@@ -25,11 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vunnel_spark.functions.cvss import (
-    cvss3_scores,
-    cvss3_valid,
-    cvss3_version,
-    cvss4_valid,
+    cvss3_eval_cols,
+    cvss4_eval_cols,
     strip_trailing_slash,
+    with_cvss3_eval,
+    with_cvss4_valid,
 )
 
 #: parser.py:42-55 — GitHub ecosystem -> grype namespace ecosystem
@@ -171,35 +171,35 @@ def cvss_severities_envelope(df: DataFrame, v3_col: str = "cvss_v3_vector",
     All validation and scoring is pure Catalyst (functions/cvss.py) —
     no UDF, no driver round-trip; at scale this is a map-only stage.
 
-    STRUCTURE MATTERS for cost (r13 perf find): downstream consumers
-    extract individual struct fields, and Catalyst pushes
+    STRUCTURE MATTERS for cost (r13 perf find, r14 rework): downstream
+    consumers extract individual struct fields, and Catalyst pushes
     GetStructField into the ``when`` branches — if the structs were
     built directly over the expensive validity/score expressions, every
     extracted field would re-evaluate the whole grammar+score tree
-    (measured 8x = ~50x slower on rhel2's sibling shape).  So the
-    expensive scalars are computed EXACTLY ONCE in a mid-projection and
-    the structs assemble from those attributes; CollapseProject leaves
-    the two projections separate (it refuses to duplicate non-cheap
-    expressions, SPARK-36718), and downstream field extraction then
-    touches only cheap attribute references.
+    (measured 8x = ~50x slower on rhel2's sibling shape).  Since r14
+    the expensive scalars come from the LAYERED with_cvss3_eval /
+    with_cvss4_valid projections (every intermediate a named column —
+    the r13 single mid-projection still duplicated the shared split/ISS
+    subtrees inside itself and broke codegen, see functions/cvss.py);
+    the structs assemble from cheap attribute references only.
     """
-    v3s = strip_trailing_slash(F.col(v3_col))
-    v4s = strip_trailing_slash(F.col(v4_col))
-    s = cvss3_scores(v3s)
+    p3, p4 = "_g3", "_g4"
+    mid = with_cvss3_eval(df, strip_trailing_slash(F.col(v3_col)), p3)
+    mid = with_cvss4_valid(mid, strip_trailing_slash(F.col(v4_col)), p4)
     helpers = ["_v3ok", "_v4ok", "_v3ver", "_v3s", "_v4s",
                "_base", "_esc", "_isc", "_sev"]
-    mid = df.select(
+    mid = mid.select(
         "*",
-        (F.col(v3_col).isNotNull() & cvss3_valid(v3s)).alias("_v3ok"),
-        (F.col(v4_col).isNotNull() & cvss4_valid(v4s)).alias("_v4ok"),
-        cvss3_version(v3s).alias("_v3ver"),
-        v3s.alias("_v3s"),
-        v4s.alias("_v4s"),
-        s["base_score"].alias("_base"),
-        s["esc"].alias("_esc"),
-        s["isc"].alias("_isc"),
-        s["severity"].alias("_sev"),
-    )
+        (F.col(v3_col).isNotNull() & F.col(f"{p3}_ok")).alias("_v3ok"),
+        (F.col(v4_col).isNotNull() & F.col(f"{p4}_ok")).alias("_v4ok"),
+        F.col(f"{p3}_ver").alias("_v3ver"),
+        F.col(f"{p3}_vec").alias("_v3s"),
+        F.col(f"{p4}_vec").alias("_v4s"),
+        F.col(f"{p3}_base").alias("_base"),
+        F.col(f"{p3}_esc").alias("_esc"),
+        F.col(f"{p3}_isc").alias("_isc"),
+        F.col(f"{p3}_sev").alias("_sev"),
+    ).drop(*cvss3_eval_cols(p3), *cvss4_eval_cols(p4))
     legacy = F.when(
         F.col("_v3ok"),
         F.struct(

@@ -201,10 +201,11 @@ def assemble_records(artifacts: DataFrame, meta: DataFrame) -> DataFrame:
     )
 
 
-def parse_cvss3(vector, base_score, status):
+def with_rhel_cvss3(df, vector, base_score, status, out="cvss3_obj"):
     """_parse_cvss3 + RHELCVSS3.normalize (rhel/parser.py:799-819,
-    1155-1176) as one Column: the rhel CVSS envelope, which differs from
-    the GHSA one (pipelines/github.py) in three exact ways —
+    1155-1176) appended as struct column ``out``: the rhel CVSS
+    envelope, which differs from the GHSA one (pipelines/github.py) in
+    three exact ways —
 
     * NO trailing-slash strip: RHELCVSS3 feeds the raw
       cvss3_scoring_vector to CVSS3(), so a trailing '/' is a parse
@@ -222,35 +223,43 @@ def parse_cvss3(vector, base_score, status):
     Any CVSS3 parse error (bad prefix, missing mandatory metric, bad
     value, duplicate or unknown key) -> None via the except at :816-818;
     ``status`` passes through nullable (.get(..., None), :813).
-    """
-    from vunnel_spark.functions.cvss import (
-        cvss3_scores,
-        cvss3_valid,
-        cvss3_version,
-    )
 
-    s = cvss3_scores(vector)
+    DataFrame form (r14): the grammar+score tree is evaluated ONCE via
+    the layered with_cvss3_eval projections and the envelope struct
+    assembles from cheap attribute references — the r13 Column form
+    pasted a fresh copy of the whole tree into every struct field,
+    which blew past janino's method limit (codegen fell back to the
+    interpreted path with no subexpression elimination) and measured
+    ~2 ms-core/row on rhel2.  ``vector``/``base_score``/``status``
+    should be attribute references on ``df`` (not expensive
+    expressions — they are referenced more than once here).
+    """
+    from vunnel_spark.functions.cvss import cvss3_eval_cols, with_cvss3_eval
+
+    p = "_rc3"
+    df = with_cvss3_eval(df, vector, p)
     ok = (
         vector.isNotNull()
         & (vector != "")
         & base_score.isNotNull()
         & (base_score.cast("double") != 0.0)
-        & cvss3_valid(vector)
+        & F.col(f"{p}_ok")
     )
-    return F.when(
+    obj = F.when(
         ok,
         F.struct(
-            cvss3_version(vector).alias("version"),
+            F.col(f"{p}_ver").alias("version"),
             status.alias("status"),
             vector.alias("vector_string"),
             F.struct(
                 base_score.cast("double").alias("base_score"),
-                s["esc"].alias("exploitability_score"),
-                s["isc"].alias("impact_score"),
-                s["severity"].alias("base_severity"),
+                F.col(f"{p}_esc").alias("exploitability_score"),
+                F.col(f"{p}_isc").alias("impact_score"),
+                F.col(f"{p}_sev").alias("base_severity"),
             ).alias("base_metrics"),
         ),
     )
+    return df.withColumn(out, obj).drop(*cvss3_eval_cols(p))
 
 
 def rpm_version_base(v):

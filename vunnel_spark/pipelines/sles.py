@@ -65,10 +65,10 @@ def release_resolver(
     )
 
 
-def sles_make_cvss(vector):
-    """SLES ``_make_cvss`` (sles/parser.py:171-194) as one Column: the
-    third CVSS-envelope flavor in the reference, distinct from BOTH
-    gated siblings —
+def with_sles_cvss(df, vector, out="cvss_obj"):
+    """SLES ``_make_cvss`` (sles/parser.py:171-194) appended as struct
+    column ``out``: the third CVSS-envelope flavor in the reference,
+    distinct from BOTH gated siblings —
 
     * unlike github's ``_make_legacy_cvss`` (parser.py:604-628) there is
       NO trailing-slash ``removesuffix``: the raw vector feeds CVSS3(),
@@ -81,27 +81,27 @@ def sles_make_cvss(vector):
     Pure composition of the shared functions/cvss.py builders, each
     already oracle-gated (e17 covers computed+strip, rhel2 covers
     no-strip+feed-score; this is computed+no-strip), unit-pinned in
-    tests/test_landing.py-style branch tests.
+    tests/test_landing.py-style branch tests.  DataFrame form since r14
+    (layered one-evaluation projections — see with_rhel_cvss3's note);
+    ``vector`` should be an attribute reference on ``df``.
     """
-    from vunnel_spark.functions.cvss import (
-        cvss3_scores,
-        cvss3_valid,
-        cvss3_version,
-    )
+    from vunnel_spark.functions.cvss import cvss3_eval_cols, with_cvss3_eval
 
-    s = cvss3_scores(vector)
-    ok = vector.isNotNull() & cvss3_valid(vector)
-    return F.when(
+    p = "_sc3"
+    df = with_cvss3_eval(df, vector, p)
+    ok = vector.isNotNull() & F.col(f"{p}_ok")
+    obj = F.when(
         ok,
         F.struct(
-            cvss3_version(vector).alias("version"),
+            F.col(f"{p}_ver").alias("version"),
             vector.alias("vector_string"),
             F.struct(
-                s["base_score"].alias("base_score"),
-                s["esc"].alias("exploitability_score"),
-                s["isc"].alias("impact_score"),
-                s["severity"].alias("base_severity"),
+                F.col(f"{p}_base").alias("base_score"),
+                F.col(f"{p}_esc").alias("exploitability_score"),
+                F.col(f"{p}_isc").alias("impact_score"),
+                F.col(f"{p}_sev").alias("base_severity"),
             ).alias("base_metrics"),
             F.lit("N/A").alias("status"),
         ),
     )
+    return df.withColumn(out, obj).drop(*cvss3_eval_cols(p))

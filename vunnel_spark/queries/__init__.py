@@ -43,45 +43,25 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 13 (judge's protocol-hardening + GHSA envelope round; every
-#: entry is a changed PLAN or changed SEMANTICS, re-oracled locally
-#: before fronting):
-#: e14 (ADVICE r12: CVSS 3.1 Roundup now uses round-to-nearest at the
-#: *100000 step per spec Appendix A, replacing floor — both Spark and
-#: oracle sides); ghsa1 / e17 (the GHSA CVSS-severities envelope from
-#: reference github/parser.py:604-687: legacy CVSS with quantized
-#: base/exploitability/impact sub-scores + severity, the v3
-#: {version: "3.<minor>", vector} entry with trailing-slash strip, and
-#: the CVSS4 vector-validate passthrough with NO score math);
-#: ghsa1 (TWO integrations: the envelope wired into the provider DAG —
-#: the reference repeats CVSS/cvss_severities on every per-ecosystem
-#: record, __init__.py:94, vectors keyed on o_orderkey div 2 so
-#: even-key advisories hit every class — and _fixedin's fixdater.best
-#: store lookup, a guarded broadcast dim hit since github's Finder is
-#: store-only); rhel2 (NEW operator: the RHEL CVSS3 envelope,
-#: _parse_cvss3 + RHELCVSS3.normalize — feed base_score passthrough,
-#: computed-score severity, no trailing-slash strip);
-#: rhel1 (two ADVICE fixes: the package_state empty-name test now
-#: applies to the POST-'/'-split package, and reduce_fix_streams keeps
-#: a deterministic first-seen representative per rpm-equal version
-#: group via min_by on input order; plus the debian2-discipline
-#: corpus-derived cve/pkg id scale after the r13 watch-list decompose
-#: — k=1 at every gate SF so oracle values are unchanged); p8
-#: (severity vocabulary re-fixtured on the actual rhel/debian/github
-#: token sets instead of a synthesized CASE); p2/p5 (token domains
-#: audited against the reference vocabularies, same discipline); osv1
-#: (cache key now folds a content fingerprint — plan-only change,
-#: fronted out of caution).
+#: Round 14 (the judge's one-real-performance-round agenda; every entry
+#: is a changed PLAN, semantics unchanged, re-oracled locally before
+#: fronting):
+#: e14 / e17 / ghsa1 / rhel2 (the CVSS evaluation rework — VERDICT r13
+#: "What's wrong #1", both prescribed levers: the per-segment 22-branch
+#: alternation rlike is replaced by split-once + map-literal membership
+#: checks, AND the whole grammar+score evaluation moved from by-value
+#: Column composition — whose tree duplication broke janino codegen and
+#: forced interpreted eval — to layered named-column projections
+#: (functions/cvss.py with_cvss3_eval/with_cvss4_valid).  All four
+#: queries consume the builders through their provider envelopes, so
+#: their optimized plans change while outputs are bit-identical;
+#: equivalence to the r13 Column forms is exceptAll-pinned in
+#: tests/test_text_functions.py).
 GATE_PRIORITY = [
     "e14_cvss_base_score",
     "e17_ghsa_cvss_envelope",
     "ghsa1_per_ecosystem_dag",
-    "rhel1_parse_cve_dag",
     "rhel2_cvss_normalize",
-    "p8_severity_normalization",
-    "p2_denylist_filter",
-    "p5_fixstate_projection",
-    "osv1_fixdate_patch",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
@@ -95,7 +75,7 @@ GATE_PRIORITY = [
 #: plain suite keeps it a warning because the driver commits each
 #: round's gate report AFTER the round's final code commit, which makes
 #: the stamp lag by exactly one at judge-suite time by construction.
-GATE_PRIORITY_ROUND = 13
+GATE_PRIORITY_ROUND = 14
 
 #: size of the external gate window (the driver hash-checks this many).
 WINDOW_SIZE = 50

@@ -403,11 +403,11 @@ def e14(spark, sf_dir):
         F.lit("/A:"),
         F.when(okey % 7 % 3 == 0, "H").when(okey % 7 % 3 == 1, "L").otherwise("N"),
     )
-    from vunnel_spark.functions.cvss import cvss3_scores
+    from vunnel_spark.functions.cvss import with_cvss3_eval
 
     df = o.select(vector.alias("vector"))
-    score = cvss3_scores(F.col("vector"))["base_score"]
-    return df.select("vector", score.alias("base_score"))
+    df = with_cvss3_eval(df, F.col("vector"), "_c3")
+    return df.select("vector", F.col("_c3_base").alias("base_score"))
 
 
 @register(

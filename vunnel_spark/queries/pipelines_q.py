@@ -368,7 +368,7 @@ def rhel1(spark, sf_dir):
     """,
     doc="RHEL CVSS3 envelope, exact to _parse_cvss3 + RHELCVSS3.normalize "
         "(rhel/parser.py:799-819, 1155-1176; pipelines/rhel.py "
-        "parse_cvss3): NO trailing-slash strip (a trailing '/' is a parse "
+        "with_rhel_cvss3): NO trailing-slash strip (a trailing '/' is a parse "
         "error, unlike the GHSA envelope), falsy feed vector/base_score "
         "drop the object, the FEED base_score passes through while "
         "exploitability/impact are computed+quantized from the vector and "
@@ -380,7 +380,7 @@ def rhel1(spark, sf_dir):
     tags=("pipeline", "scalar"),
 )
 def rhel2(spark, sf_dir):
-    from vunnel_spark.pipelines.rhel import parse_cvss3
+    from vunnel_spark.pipelines.rhel import with_rhel_cvss3
 
     o = t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
@@ -421,13 +421,11 @@ def rhel2(spark, sf_dir):
         F.concat(F.lit("CVE-"), k.cast("string")).alias("cve_id"),
         vec.alias("vec"), feed.alias("feed"), status.alias("st"),
     )
-    obj = parse_cvss3(F.col("vec"), F.col("feed"), F.col("st"))
-    # two-step select: the struct evaluates ONCE in its own projection
-    # (CollapseProject refuses to inline a non-cheap expression into the
-    # 7-field extraction, SPARK-36718); extracting the fields directly
-    # from `obj` re-evaluated the whole grammar+score tree per field —
-    # measured 14.4 s -> 0.28 s at sf0.1 (r13 perf find)
-    mid = df.select("cve_id", obj.alias("_o"))
+    # with_rhel_cvss3 evaluates the grammar+score tree once through the
+    # layered projections (r14 rework of the r13 find — the struct now
+    # assembles from cheap attribute refs, so field extraction is free)
+    mid = with_rhel_cvss3(df, F.col("vec"), F.col("feed"), F.col("st"),
+                          out="_o")
     return mid.select(
         "cve_id",
         F.col("_o.version").alias("version"),

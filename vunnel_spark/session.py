@@ -100,4 +100,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     for cname, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(cname, F.col(cname).cast("timestamp"))
+    # Fixture-partitioning policy (VERDICT r13 "What's wrong #1b"): the
+    # driver's single-file, single-row-group parquet collapses every scan
+    # to ONE input partition, so a scan-rooted query with no exchange
+    # (rhel2, e17, ...) serializes on one core at local[32] and the
+    # measurement reflects the file layout, not the operator.  At
+    # production scale the same scan has thousands of splits, so baking a
+    # repartition into the registered plans would add a pure-overhead
+    # shuffle; instead, measurement harnesses (scripts/scalecurve.py)
+    # opt in via VS_SCAN_MIN_PARTITIONS=<n> and correctness gates /
+    # registered plans stay exchange-free by default.  Tiny dims are
+    # exempt (fanning out 25 nation rows only adds scheduling overhead).
+    fanout = int(os.environ.get("VS_SCAN_MIN_PARTITIONS", "0"))
+    if fanout > 1 and name not in ("region", "nation", "supplier"):
+        df = df.repartition(fanout)
     return df
