@@ -8,6 +8,24 @@ value hash.  Usage: python scripts/check_correctness.py [sf_dir] [name ...]
 
 Set CHECK_PLAIN_SESSION=1 to use a bare SparkSession like the driver's gate
 (no get_spark() builder confs) — catches confs that queries wrongly assume.
+
+Evidence modes (the committed CORRECTNESS_local_r{N}*.json workflow):
+
+* CHECK_JSON_OUT=path — write the full gate-shaped report.  Each entry
+  carries a content ``anchor`` (sha256 of the registering query module's
+  source at run time) and ``_meta`` records ``engine_tree_hash`` (digest
+  over every engine source file) + the generating commit.  The preflight
+  splice lint (tests/test_plans.py::test_local_evidence_spliced_current)
+  recomputes both against the working tree, so evidence whose anchors
+  predate a code change cannot pass by timestamp alone (VERDICT r13
+  Next #5 — the r13 lint compared commit times only, which a
+  touch-the-file splice could satisfy without re-running anything).
+* CHECK_SPLICE_INTO=path — re-run the named queries (or ``--stale`` to
+  select every entry whose recorded anchor mismatches the current
+  module source), update exactly those entries + their anchors in the
+  existing JSON, refresh _meta.engine_tree_hash, and append an honest
+  _meta.splices record (CHECK_SPLICE_NOTE sets the note).  Re-running
+  the queries is the ONLY path that refreshes anchors.
 """
 
 from __future__ import annotations
@@ -65,6 +83,47 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def engine_tree_hash() -> str:
+    """Digest over every engine source file (the splice lint recomputes
+    this against the working tree)."""
+    h = hashlib.sha256()
+    paths = [os.path.join(REPO, "__spark_entry__.py")]
+    for root, _dirs, files in os.walk(os.path.join(REPO, "vunnel_spark")):
+        for fn in files:
+            if fn.endswith(".py"):
+                paths.append(os.path.join(root, fn))
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, REPO).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def module_anchor(fn) -> str | None:
+    """sha256 of the source file that registered a query (per-entry
+    content anchor; None when the source can't be located)."""
+    import inspect
+
+    try:
+        src = inspect.getsourcefile(fn)
+        with open(src, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:16]
+    except (TypeError, OSError):
+        return None
+
+
+def _git_short_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def main() -> None:
     from vunnel_spark.registry import all_oracles, all_queries
     from vunnel_spark.session import get_spark
@@ -88,13 +147,33 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = all_queries(), all_oracles()
+    splice_path = os.environ.get("CHECK_SPLICE_INTO")
+    only = set(ONLY)
+    if splice_path:
+        import json
+
+        with open(splice_path) as f:
+            existing = json.load(f)
+        if "--stale" in only:
+            only.discard("--stale")
+            for name, entry in existing.items():
+                if name == "_meta":
+                    continue
+                cur = module_anchor(qs[name]) if name in qs else None
+                if entry.get("anchor") != cur:
+                    only.add(name)
+            print(f"splice --stale selected: {sorted(only) or 'nothing'}")
+            if not only:
+                print("all anchors current; nothing to splice")
+                sys.exit(0)
     n_pass = n_fail = n_rows_only = 0
     report: dict[str, dict] = {}
     for name in sorted(qs):
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
-               "spark_rows": None, "oracle_rows": None, "err": None}
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "anchor": module_anchor(qs[name])}
         report[name] = rec
         try:
             sdf = qs[name](spark, SF_DIR)
@@ -146,8 +225,30 @@ def main() -> None:
     if out_path:
         import json
 
+        report["_meta"] = {
+            "engine_tree_hash": engine_tree_hash(),
+            "at_commit": _git_short_head(),
+            "splices": [],
+        }
         with open(out_path, "w") as f:
             json.dump(report, f, indent=2)
+    if splice_path and not n_fail:
+        import json
+
+        spliced = {n: r for n, r in report.items() if n != "_meta"}
+        existing.update(spliced)
+        meta = existing.setdefault("_meta", {})
+        meta["engine_tree_hash"] = engine_tree_hash()
+        meta.setdefault("splices", []).append({
+            "at_commit": _git_short_head(),
+            "queries": sorted(spliced),
+            "note": os.environ.get("CHECK_SPLICE_NOTE", "re-ran and spliced"),
+        })
+        with open(splice_path, "w") as f:
+            json.dump(existing, f, indent=2)
+        print(f"spliced {len(report)} entries into {splice_path}")
+    elif splice_path:
+        print("splice ABORTED: failures above — evidence file unchanged")
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
     sys.exit(1 if n_fail else 0)
 

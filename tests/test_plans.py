@@ -328,6 +328,49 @@ def test_local_evidence_spliced_current():
         "reflects HEAD"
     )
 
+    # Content anchors (r13 verdict Next #5): the timestamp check above
+    # can be satisfied by touching the evidence file; the anchors can
+    # only be refreshed by actually re-running queries through
+    # check_correctness (full run or CHECK_SPLICE_INTO).  Verify every
+    # recorded per-entry module anchor and the whole-engine tree hash
+    # against the WORKING tree.  Evidence predating the anchor scheme
+    # (no _meta.engine_tree_hash) is exempt — r14+ evidence always
+    # carries them.
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, str(repo / "scripts"))
+    try:
+        from check_correctness import engine_tree_hash, module_anchor
+    finally:
+        _sys.path.pop(0)
+    from vunnel_spark.registry import all_queries
+
+    qs = all_queries()
+    tree_now = engine_tree_hash()
+    for ev in evidence:
+        data = _json.loads(ev.read_text())
+        meta = data.get("_meta", {})
+        if "engine_tree_hash" not in meta:
+            continue  # pre-anchor evidence (r13 and earlier)
+        assert meta["engine_tree_hash"] == tree_now, (
+            f"{ev.name}: _meta.engine_tree_hash {meta['engine_tree_hash']} "
+            f"was recorded on a different engine tree than the working one "
+            f"({tree_now}) — re-run the affected queries with "
+            "CHECK_SPLICE_INTO (a timestamp-only touch cannot fix this)"
+        )
+        stale = sorted(
+            name
+            for name, entry in data.items()
+            if name != "_meta" and name in qs
+            and entry.get("anchor") != module_anchor(qs[name])
+        )
+        assert not stale, (
+            f"{ev.name}: recorded anchors are stale for {stale} — their "
+            "query modules changed since the evidence ran; re-run with "
+            f"CHECK_SPLICE_INTO={ev.name} and '--stale'"
+        )
+
 
 def test_x7_sampler_is_zero_shuffle_pushed_filter(spark, sf_dir):
     # hash-threshold sampling must stay a pure scan+filter: no Exchange at
