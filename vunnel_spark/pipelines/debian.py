@@ -35,13 +35,6 @@ from pyspark.sql import functions as F
 
 from vunnel_spark.sinks.writers import EnvelopeWriter, envelope
 
-# debian urgency -> canonical severity (parser.py:356-374)
-_URGENCY_TO_SEVERITY = {
-    "unimportant": "Negligible",
-    "low": "Low",
-    "medium": "Medium",
-    "high": "High",
-}
 _SEVERITY_RANK = {
     "Unknown": 0, "Negligible": 1, "Low": 2, "Medium": 3, "High": 4, "Critical": 5,
 }
@@ -89,13 +82,21 @@ def join_advisories(cve_rows: DataFrame, advisories: DataFrame) -> DataFrame:
 
 
 def normalize_severity(df: DataFrame) -> DataFrame:
-    """P8: urgency -> canonical severity; unmapped -> Unknown."""
-    mapping = F.create_map(
-        *[F.lit(x) for kv in _URGENCY_TO_SEVERITY.items() for x in kv]
+    """P8: urgency -> canonical severity via the EXACT reference map
+    (functions/severity.debian_severity — parser.py:356-374: low/low**,
+    medium/medium**, high/high**, unimportant, case-sensitive; anything
+    else falls back to the record's nvd severity when the DAG carries
+    one, else Unknown).  Until r14 this used a reduced map without the
+    ``**`` variants or the nvd fallback — the last un-re-audited token
+    domain from the r12-r13 severity vocabulary sweeps."""
+    from vunnel_spark.functions.severity import debian_severity
+
+    nvd = (
+        F.col("nvd_severity")
+        if "nvd_severity" in df.columns
+        else F.lit(None).cast("string")
     )
-    return df.withColumn(
-        "severity", F.coalesce(mapping[F.col("urgency")], F.lit("Unknown"))
-    )
+    return df.withColumn("severity", debian_severity(F.col("urgency"), nvd))
 
 
 def assemble_records(df: DataFrame) -> DataFrame:

@@ -57,11 +57,20 @@ from vunnel_spark.registry import REGISTRY
 #: their optimized plans change while outputs are bit-identical;
 #: equivalence to the r13 Column forms is exceptAll-pinned in
 #: tests/test_text_functions.py).
+#: debian1 / debian2 (fidelity slice, verdict Next #8: the DAG's
+#: urgency normalizer now delegates to the p8-exact
+#: functions/severity.debian_severity — the old reduced map dropped the
+#: reference's low**/medium**/high** variants and the nvd fallback —
+#: and the shared fixture's urgency domain widened to the full
+#: reference vocabulary so the oracle actually exercises it; snapshot
+#: regenerated, diff reviewed in the commit).
 GATE_PRIORITY = [
     "e14_cvss_base_score",
     "e17_ghsa_cvss_envelope",
     "ghsa1_per_ecosystem_dag",
     "rhel2_cvss_normalize",
+    "debian1_legacy_merge_dag",
+    "debian2_legacy_merge_scaled",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns

@@ -775,9 +775,10 @@ def osv1_run(advisories, fixdates):
              'pkg' || CAST(l_partkey % 20 AS VARCHAR) AS pkg,
              CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
                CAST(l_linenumber AS VARCHAR) AS fixed_version,
-             CASE l_returnflag WHEN 'A' THEN 'low'
-                               WHEN 'N' THEN 'medium'
-                               ELSE 'exotic' END AS urgency
+             -- full reference urgency vocabulary incl. ** variants
+             list_extract(['low','low**','medium','medium**','high',
+                           'high**','unimportant','exotic'],
+                          CAST(l_partkey % 8 AS INT) + 1) AS urgency
       FROM lineitem
     ), j2 AS (
       SELECT c.ns, c.cve, c.pkg, c.fixed_version, c.urgency,
@@ -789,11 +790,11 @@ def osv1_run(advisories, fixdates):
       GROUP BY c.ns, c.cve, c.pkg, c.fixed_version, c.urgency
     ), sev AS (
       SELECT *,
-             CASE urgency WHEN 'unimportant' THEN 'Negligible'
-                          WHEN 'low' THEN 'Low'
-                          WHEN 'medium' THEN 'Medium'
-                          WHEN 'high' THEN 'High'
-                          ELSE 'Unknown' END AS severity
+             CASE WHEN urgency IN ('low', 'low**') THEN 'Low'
+                  WHEN urgency IN ('medium', 'medium**') THEN 'Medium'
+                  WHEN urgency IN ('high', 'high**') THEN 'High'
+                  WHEN urgency = 'unimportant' THEN 'Negligible'
+                  ELSE 'Unknown' END AS severity
       FROM j2
     ), assembled AS (
       SELECT ns, cve AS vid,
@@ -873,10 +874,14 @@ def debian1(spark, sf_dir, id_scale=1):
         F.concat_ws(
             ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
         ).alias("fixed_version"),
-        F.when(F.col("l_returnflag") == "A", F.lit("low"))
-        .when(F.col("l_returnflag") == "N", F.lit("medium"))
-        .otherwise(F.lit("exotic"))
-        .alias("urgency"),
+        # full reference urgency vocabulary (debian/parser.py:356-374)
+        # incl. the ** variants, plus one fallback token ('exotic' ->
+        # nvd-else-Unknown branch; the DAG carries no nvd stream)
+        F.element_at(
+            F.lit(["low", "low**", "medium", "medium**", "high",
+                   "high**", "unimportant", "exotic"]),
+            (F.col("l_partkey") % 8).cast("int") + 1,
+        ).alias("urgency"),
     ).distinct()
     legacy = o.filter(F.col("o_orderkey") % 6 == 0).select(
         F.lit("deb10").alias("ns"),
@@ -940,9 +945,10 @@ def debian1(spark, sf_dir, id_scale=1):
              'pkg' || CAST(l_partkey % (20 * k) AS VARCHAR) AS pkg,
              CAST(CAST(l_quantity AS INT) AS VARCHAR) || '.' ||
                CAST(l_linenumber AS VARCHAR) AS fixed_version,
-             CASE l_returnflag WHEN 'A' THEN 'low'
-                               WHEN 'N' THEN 'medium'
-                               ELSE 'exotic' END AS urgency
+             -- full reference urgency vocabulary incl. ** variants
+             list_extract(['low','low**','medium','medium**','high',
+                           'high**','unimportant','exotic'],
+                          CAST(l_partkey % 8 AS INT) + 1) AS urgency
       FROM lineitem, sk
     ), j2 AS (
       SELECT c.ns, c.cve, c.pkg, c.fixed_version, c.urgency,
@@ -954,11 +960,11 @@ def debian1(spark, sf_dir, id_scale=1):
       GROUP BY c.ns, c.cve, c.pkg, c.fixed_version, c.urgency
     ), sev AS (
       SELECT *,
-             CASE urgency WHEN 'unimportant' THEN 'Negligible'
-                          WHEN 'low' THEN 'Low'
-                          WHEN 'medium' THEN 'Medium'
-                          WHEN 'high' THEN 'High'
-                          ELSE 'Unknown' END AS severity
+             CASE WHEN urgency IN ('low', 'low**') THEN 'Low'
+                  WHEN urgency IN ('medium', 'medium**') THEN 'Medium'
+                  WHEN urgency IN ('high', 'high**') THEN 'High'
+                  WHEN urgency = 'unimportant' THEN 'Negligible'
+                  ELSE 'Unknown' END AS severity
       FROM j2
     ), assembled AS (
       SELECT ns, cve AS vid,
