@@ -741,15 +741,20 @@ def main() -> None:
             # knob; queries that shuffle anyway are measured unmodified.
             probe = qs[name](spark, sf_dir)
             plan = probe._jdf.queryExecution().executedPlan().toString()
+            # under-parallel bar: <3/4 of local cores (not just the
+            # fully-serialized <=2 case — the sf10 corpora are 16-part
+            # directories, so a no-shuffle query ran 16-way there vs
+            # 32-way at a fanned-out sf0.1, inflating ratios ~2x)
+            cores = spark.sparkContext.defaultParallelism
             fanout = (
                 not SHUFFLE_RE.search(plan)
-                and probe.rdd.getNumPartitions() <= 2
+                and probe.rdd.getNumPartitions() < max(4, cores * 3 // 4)
             )
             samples = []
             for run in range(n_runs):
                 spark.catalog.clearCache()
                 if fanout:
-                    os.environ["VS_SCAN_MIN_PARTITIONS"] = "32"
+                    os.environ["VS_SCAN_MIN_PARTITIONS"] = str(cores)
                 try:
                     t0 = time.monotonic()
                     consume(qs[name](spark, sf_dir))

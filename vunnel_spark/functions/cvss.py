@@ -294,11 +294,61 @@ def _with_layers(df: DataFrame, layers: list[dict[str, Column]]) -> DataFrame:
     return df
 
 
+def _bit_map(metrics: dict) -> Column:
+    """Literal ``map<string, long>`` key -> its one-hot bit (constant-
+    folded like :func:`_vocab_map`; <=33 keys fit a long)."""
+    entries: list[Column] = []
+    for i, key in enumerate(metrics):
+        entries.append(F.lit(key))
+        entries.append(F.lit(1 << i).cast("long"))
+    return F.create_map(*entries)
+
+
+def _mandatory_mask(metrics: dict, mandatory: tuple[str, ...]) -> int:
+    keys = list(metrics)
+    return sum(1 << keys.index(m) for m in mandatory)
+
+
 def _validity_layers(p: str, prefixes: tuple[str, ...], metrics: dict,
                      mandatory: tuple[str, ...]) -> list[dict[str, Column]]:
-    """Layers computing ``{p}_ok`` from ``{p}_vec`` (split-once +
-    map-literal membership, same language as :func:`_segments_valid`)."""
+    """Layers computing ``{p}_ok`` from ``{p}_vec``.
+
+    Accepts exactly the language of :func:`_segments_valid` (the
+    exceptAll equivalence pin in tests/test_text_functions.py covers
+    every malformed class), but the per-segment checks run in ONE
+    ``aggregate`` pass over the split-once array: the accumulator
+    carries (all-segments-valid, seen-key bitmask), so vocabulary
+    membership, duplicate keys (bit already set), and unknown keys
+    (NULL bit -> coalesced fail) fold into a single traversal, and the
+    mandatory-metrics check is one mask comparison at the end — versus
+    the two transforms + forall + array_distinct + per-mandatory
+    array_contains of the first r14 form.  Higher-order functions are
+    CodegenFallback (interpreted), so traversal count is the cost that
+    matters.  Duplicate-UNKNOWN keys don't need the bitmask: any
+    unknown key already fails the vocabulary probe, same as the
+    distinct-count form.
+    """
     vocab = _vocab_map(metrics)
+    bits = _bit_map(metrics)
+    mand = _mandatory_mask(metrics, mandatory)
+
+    def step(acc: Column, s: Column) -> Column:
+        bit = F.try_element_at(bits, F.get(s, 0))
+        seg_ok = (
+            (F.size(s) == 2)
+            & F.coalesce(
+                F.array_contains(
+                    F.try_element_at(vocab, F.get(s, 0)), F.get(s, 1)
+                ),
+                F.lit(False),
+            )
+            & (acc["seen"].bitwiseAND(F.coalesce(bit, F.lit(0))) == 0)
+        )
+        return F.struct(
+            (acc["ok"] & seg_ok).alias("ok"),
+            acc["seen"].bitwiseOR(F.coalesce(bit, F.lit(0))).alias("seen"),
+        )
+
     return [
         {f"{p}_parts": F.split(F.col(f"{p}_vec"), "/")},
         {
@@ -310,29 +360,22 @@ def _validity_layers(p: str, prefixes: tuple[str, ...], metrics: dict,
         },
         {f"{p}_kvs": F.transform(F.col(f"{p}_rest"), lambda s: F.split(s, ":"))},
         {
-            f"{p}_keys": F.transform(F.col(f"{p}_kvs"), lambda s: F.get(s, 0)),
-            f"{p}_segok": F.forall(
+            f"{p}_agg": F.aggregate(
                 F.col(f"{p}_kvs"),
-                lambda s: (F.size(s) == 2)
-                & F.coalesce(
-                    F.array_contains(
-                        F.try_element_at(vocab, F.get(s, 0)), F.get(s, 1)
-                    ),
-                    F.lit(False),
+                F.struct(
+                    F.lit(True).alias("ok"),
+                    F.lit(0).cast("long").alias("seen"),
                 ),
-            ),
+                step,
+            )
         },
         {
             f"{p}_ok": F.col(f"{p}_pfx").isin(list(prefixes))
             & (F.size(F.col(f"{p}_rest")) >= len(mandatory))
-            & F.col(f"{p}_segok")
+            & F.col(f"{p}_agg")["ok"]
             & (
-                F.size(F.col(f"{p}_rest"))
-                == F.size(F.array_distinct(F.col(f"{p}_keys")))
-            )
-            & F.forall(
-                F.array(*[F.lit(m) for m in mandatory]),
-                lambda m: F.array_contains(F.col(f"{p}_keys"), m),
+                F.col(f"{p}_agg")["seen"].bitwiseAND(F.lit(mand).cast("long"))
+                == F.lit(mand).cast("long")
             )
         },
     ]
@@ -341,7 +384,7 @@ def _validity_layers(p: str, prefixes: tuple[str, ...], metrics: dict,
 def cvss3_eval_cols(p: str = "_c3") -> list[str]:
     """Every helper column :func:`with_cvss3_eval` appends (callers drop
     these after assembling their envelope)."""
-    mids = ["parts", "rest", "pfx", "kvs", "keys", "segok",
+    mids = ["parts", "rest", "pfx", "kvs", "agg",
             "avc", "acc", "prc", "uic", "chg", "cvv", "ivv", "avv",
             "av", "ac", "pr", "ui", "iss", "x1", "x2", "x4", "x8",
             "pow", "impact", "expl", "comb", "i5",
@@ -453,7 +496,7 @@ def with_cvss3_eval(df: DataFrame, vec: Column, p: str = "_c3") -> DataFrame:
 def cvss4_eval_cols(p: str = "_c4") -> list[str]:
     """Helper columns :func:`with_cvss4_valid` appends."""
     return [f"{p}_{m}" for m in
-            ("vec", "parts", "rest", "pfx", "kvs", "keys", "segok", "ok")]
+            ("vec", "parts", "rest", "pfx", "kvs", "agg", "ok")]
 
 
 def with_cvss4_valid(df: DataFrame, vec: Column, p: str = "_c4") -> DataFrame:
