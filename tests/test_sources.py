@@ -39,6 +39,21 @@ def test_load_table_dtype_contract(spark, sf_dir):
     assert dict(tables["events"].dtypes)["ts"] == "timestamp"
 
 
+def test_load_table_fanout_knob(spark, sf_dir, monkeypatch):
+    """VS_SCAN_MIN_PARTITIONS (r14 fixture-partitioning policy): OFF by
+    default — registered plans stay exchange-free over the single-file
+    fixtures; measurement harnesses opt in and get an N-way repartition,
+    with the tiny dims exempt."""
+    from vunnel_spark.session import load_table
+
+    monkeypatch.delenv("VS_SCAN_MIN_PARTITIONS", raising=False)
+    assert load_table(spark, sf_dir, "orders").rdd.getNumPartitions() <= 2
+    monkeypatch.setenv("VS_SCAN_MIN_PARTITIONS", "8")
+    assert load_table(spark, sf_dir, "orders").rdd.getNumPartitions() == 8
+    # dims stay un-fanned (scheduling overhead would swamp 25-row tables)
+    assert load_table(spark, sf_dir, "nation").rdd.getNumPartitions() <= 2
+
+
 def test_jsonl_explicit_schema_and_corrupt_routing(spark, tmp_path):
     p = str(tmp_path / "in.jsonl")
     with open(p, "w") as f:
