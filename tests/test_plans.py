@@ -801,18 +801,18 @@ def test_cvss_grammar_evaluated_once(spark, sf_dir):
     # (8x = ~50x slower on rhel2).  The envelope builders compute the
     # expensive scalars once in their own projection; the optimized plan
     # must carry exactly ONE copy of the segment-vocabulary map literal.
-    # r14: the grammar is the split-once + map-literal membership form
-    # (no rlike anywhere in these plans); "[X,U,W,T,O]" is the RL value
-    # set — unique to the constant-folded CVSS3 vocab map — and
-    # "Clear,Green,Amber,Red" (the U value set) marks the CVSS4 map.
+    # r14 final form: whole-vector anchored grammar regex per version
+    # (all codegen, no HOFs).  "RL:[XUWTO]" appears only in the CVSS3
+    # grammar regex; "Clear|Green|Amber|Red" only in the CVSS4 one.
+    # Each grammar must appear EXACTLY once per plan — a second copy
+    # means some consumer re-inlined the validity tree.
     for name, v3_copies, v4_copies in (
         ("rhel2_cvss_normalize", 1, 0),
         ("e17_ghsa_cvss_envelope", 1, 1),
         ("ghsa1_per_ecosystem_dag", 1, 1),
     ):
         p = plan_of(q(name, spark, sf_dir))
-        assert "AV:[NALP]" not in p, name  # the r13 regex grammar is gone
-        assert p.count("[X,U,W,T,O]") == v3_copies, (
-            name, p.count("[X,U,W,T,O]"))
-        assert p.count("Clear,Green,Amber,Red") == v4_copies, (
-            name, p.count("Clear,Green,Amber,Red"))
+        assert p.count("RL:[XUWTO]") == v3_copies, (
+            name, p.count("RL:[XUWTO]"))
+        assert p.count("Clear|Green|Amber|Red") == v4_copies, (
+            name, p.count("Clear|Green|Amber|Red"))

@@ -294,98 +294,71 @@ def _with_layers(df: DataFrame, layers: list[dict[str, Column]]) -> DataFrame:
     return df
 
 
-def _bit_map(metrics: dict) -> Column:
-    """Literal ``map<string, long>`` key -> its one-hot bit (constant-
-    folded like :func:`_vocab_map`; <=33 keys fit a long)."""
-    entries: list[Column] = []
-    for i, key in enumerate(metrics):
-        entries.append(F.lit(key))
-        entries.append(F.lit(1 << i).cast("long"))
-    return F.create_map(*entries)
+def _whole_vector_res(prefixes: tuple[str, ...],
+                      metrics: dict) -> tuple[str, str]:
+    """(grammar_re, duplicate_re) for the no-HOF validity path.
 
+    * grammar: one anchored whole-vector regex — prefix alternation,
+      then one-or-more ``/key:value`` segments drawn from the
+      vocabulary.  Rejects unknown keys, bad/multi-char/empty values,
+      3-part segments, empty segments, and trailing slashes exactly
+      like the split form (the alternation can only consume a complete
+      valid segment between '/' boundaries).
+    * duplicate: backreference search ``(?:^|/)(<key-alt>):.*/\\1:`` —
+      a second occurrence of the SAME known key later in the vector.
+      The leading ``(?:^|/)`` and the ``/`` before ``\\1`` keep 'AV'
+      from matching inside 'MAV' (values never contain '/' or ':').
+      Duplicate UNKNOWN keys need no handling: they already fail the
+      grammar.
+    """
+    import re as _re
 
-def _mandatory_mask(metrics: dict, mandatory: tuple[str, ...]) -> int:
-    keys = list(metrics)
-    return sum(1 << keys.index(m) for m in mandatory)
+    alts = []
+    for key, vals in metrics.items():
+        if isinstance(vals, str):
+            alts.append(f"{key}:[{vals}]")
+        else:
+            alts.append(f"{key}:(?:{'|'.join(vals)})")
+    grammar = (
+        "^(?:" + "|".join(_re.escape(p) for p in prefixes) + ")"
+        "(?:/(?:" + "|".join(alts) + "))+$"
+    )
+    dup = "(?:^|/)(" + "|".join(metrics) + "):.*/\\1:"
+    return grammar, dup
 
 
 def _validity_layers(p: str, prefixes: tuple[str, ...], metrics: dict,
                      mandatory: tuple[str, ...]) -> list[dict[str, Column]]:
-    """Layers computing ``{p}_ok`` from ``{p}_vec``.
+    """One layer computing ``{p}_ok`` from ``{p}_vec`` with NO
+    higher-order functions.
 
     Accepts exactly the language of :func:`_segments_valid` (the
-    exceptAll equivalence pin in tests/test_text_functions.py covers
-    every malformed class), but the per-segment checks run in ONE
-    ``aggregate`` pass over the split-once array: the accumulator
-    carries (all-segments-valid, seen-key bitmask), so vocabulary
-    membership, duplicate keys (bit already set), and unknown keys
-    (NULL bit -> coalesced fail) fold into a single traversal, and the
-    mandatory-metrics check is one mask comparison at the end — versus
-    the two transforms + forall + array_distinct + per-mandatory
-    array_contains of the first r14 form.  Higher-order functions are
-    CodegenFallback (interpreted), so traversal count is the cost that
-    matters.  Duplicate-UNKNOWN keys don't need the bitmask: any
-    unknown key already fails the vocabulary probe, same as the
-    distinct-count form.
+    exceptAll equivalence pin in tests/test_text_functions.py compares
+    the two independent implementations over every malformed class).
+    Evolution of the r14 forms: split-once + map-probe forall, then a
+    fused single-aggregate pass — both still CodegenFallback
+    (interpreted, boxed) because Spark HOFs don't code-generate, and
+    they remained the dominant per-row cost (v3 ~9 us/row, v4
+    ~13 us/row at sf0.1).  This form is two compiled-regex executions
+    (grammar + duplicate-key backreference) plus one substring
+    ``contains`` per mandatory metric — every operator inside
+    whole-stage codegen.  ``contains(vec, '/KEY:')`` is exact given the
+    grammar passed: values never contain '/' or ':', so the substring
+    can only occur as a real segment boundary, and a prefix-shadowing
+    key ('AV' inside '/MAV:') is excluded by the leading '/'.
     """
-    vocab = _vocab_map(metrics)
-    bits = _bit_map(metrics)
-    mand = _mandatory_mask(metrics, mandatory)
-
-    def step(acc: Column, s: Column) -> Column:
-        bit = F.try_element_at(bits, F.get(s, 0))
-        seg_ok = (
-            (F.size(s) == 2)
-            & F.coalesce(
-                F.array_contains(
-                    F.try_element_at(vocab, F.get(s, 0)), F.get(s, 1)
-                ),
-                F.lit(False),
-            )
-            & (acc["seen"].bitwiseAND(F.coalesce(bit, F.lit(0))) == 0)
-        )
-        return F.struct(
-            (acc["ok"] & seg_ok).alias("ok"),
-            acc["seen"].bitwiseOR(F.coalesce(bit, F.lit(0))).alias("seen"),
-        )
-
-    return [
-        {f"{p}_parts": F.split(F.col(f"{p}_vec"), "/")},
-        {
-            f"{p}_rest": F.slice(
-                F.col(f"{p}_parts"), 2,
-                F.greatest(F.size(F.col(f"{p}_parts")) - 1, F.lit(0)),
-            ),
-            f"{p}_pfx": F.element_at(F.col(f"{p}_parts"), 1),
-        },
-        {f"{p}_kvs": F.transform(F.col(f"{p}_rest"), lambda s: F.split(s, ":"))},
-        {
-            f"{p}_agg": F.aggregate(
-                F.col(f"{p}_kvs"),
-                F.struct(
-                    F.lit(True).alias("ok"),
-                    F.lit(0).cast("long").alias("seen"),
-                ),
-                step,
-            )
-        },
-        {
-            f"{p}_ok": F.col(f"{p}_pfx").isin(list(prefixes))
-            & (F.size(F.col(f"{p}_rest")) >= len(mandatory))
-            & F.col(f"{p}_agg")["ok"]
-            & (
-                F.col(f"{p}_agg")["seen"].bitwiseAND(F.lit(mand).cast("long"))
-                == F.lit(mand).cast("long")
-            )
-        },
-    ]
+    vec = F.col(f"{p}_vec")
+    grammar, dup = _whole_vector_res(prefixes, metrics)
+    ok = vec.rlike(grammar) & ~vec.rlike(dup)
+    for m in mandatory:
+        ok = ok & vec.contains(f"/{m}:")
+    return [{f"{p}_ok": ok}]
 
 
 def cvss3_eval_cols(p: str = "_c3") -> list[str]:
     """Every helper column :func:`with_cvss3_eval` appends (callers drop
     these after assembling their envelope)."""
-    mids = ["parts", "rest", "pfx", "kvs", "agg",
-            "avc", "acc", "prc", "uic", "chg", "cvv", "ivv", "avv",
+    mids = ["avc", "acc", "prc", "uic", "chg", "cvv", "ivv", "avv",
             "av", "ac", "pr", "ui", "iss", "x1", "x2", "x4", "x8",
             "pow", "impact", "expl", "comb", "i5",
             "vec", "ok", "ver", "base", "esc", "isc", "sev"]
@@ -495,8 +468,7 @@ def with_cvss3_eval(df: DataFrame, vec: Column, p: str = "_c3") -> DataFrame:
 
 def cvss4_eval_cols(p: str = "_c4") -> list[str]:
     """Helper columns :func:`with_cvss4_valid` appends."""
-    return [f"{p}_{m}" for m in
-            ("vec", "parts", "rest", "pfx", "kvs", "agg", "ok")]
+    return [f"{p}_{m}" for m in ("vec", "ok")]
 
 
 def with_cvss4_valid(df: DataFrame, vec: Column, p: str = "_c4") -> DataFrame:
