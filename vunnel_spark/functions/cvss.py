@@ -319,9 +319,16 @@ def _whole_vector_res(prefixes: tuple[str, ...],
             alts.append(f"{key}:[{vals}]")
         else:
             alts.append(f"{key}:(?:{'|'.join(vals)})")
+    # possessive quantifier (++): segments have a unique parse (no key
+    # is a prefix of another AT THE SAME '/' boundary with a compatible
+    # value+terminator), so backtracking can never change acceptance —
+    # it only re-tries shorter segment chains on FAILING vectors, which
+    # made the failure-heavy rhel2 fixture quadratic per row at sf10
+    # (29-33 s vs 18-22 s for the aggregate form).  Java regex (what
+    # rlike compiles to) supports possessive natively.
     grammar = (
         "^(?:" + "|".join(_re.escape(p) for p in prefixes) + ")"
-        "(?:/(?:" + "|".join(alts) + "))+$"
+        "(?:/(?:" + "|".join(alts) + "))++$"
     )
     dup = "(?:^|/)(" + "|".join(metrics) + "):.*/\\1:"
     return grammar, dup
