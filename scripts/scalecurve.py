@@ -80,19 +80,23 @@ HEADLINE = [
     "x1_token_count_stats",
 ]
 
-# the most expensive non-headline registry queries by the r9 sf0.1
-# sweep (the committed SCALECURVE.md extras) — overridden by argv[2]
+# the most expensive non-headline registry queries by the r14 sf0.1
+# sweep under the fanout policy (registry_sweep_r14.json; the r9
+# ranking's m16/m18 turned out to be single-partition serialization
+# artifacts — 20+ s serialized, 1.3-1.8 s at 32-way — so the refreshed
+# list is the genuine operator frontier: ANN index builds, semantic
+# dedup, and the n-gram text family) — overridden by argv[2]
 CURVE_EXTRA: list[str] = [
-    "m16_progressive420_extract",
-    "m18_stereo_flac_features",
+    "n8_pq_rerank_retrieval",
+    "d9_semantic_dedup",
+    "x21_boilerplate_phrases",
+    "n6_ann_lsh_dup_retrieval",
     "x17_bigram_perplexity",
     "x22_perplexity_buckets",
     "g3_chain_components",
-    "osv1_fixdate_patch",
-    "n8_pq_rerank_retrieval",
+    "n2_ann_lsh_topk",
     "n5_ann_ivf_dup_retrieval",
-    "n6_ann_lsh_dup_retrieval",
-    "d9_semantic_dedup",
+    "openvex1_libraries_dag",
 ]
 
 
