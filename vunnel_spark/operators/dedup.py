@@ -269,14 +269,24 @@ def _word_shingles(df: DataFrame, content_col: str, id_col: str, k: int = 3) -> 
     (id, shingle) rows are then unique by construction, so no post-explode
     distinct (a full shuffle of the shingle frame) is needed.
     """
-    words = F.split(F.trim(F.col(content_col)), r"\s+")
-    n = F.size(words)
-    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingles = F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    # split ONCE into a named column: inlining the split by value
+    # re-executes it at every reference — inside the transform lambda
+    # that's once per shingle position, O(tokens) whole-text splits per
+    # document (the r14 split-once lesson; _positioned_shingles already
+    # had this form)
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(content_col)), r"\s+").alias("_w"),
     )
-    return _spread(df, id_col).select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle")
+    n = F.size("_w")
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(n < k, F.array(F.concat_ws(" ", F.col("_w")))).otherwise(
+        F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice("_w", i + 1, k))
+        )
+    )
+    return base.select(
+        "id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 

@@ -64,6 +64,13 @@ from vunnel_spark.registry import REGISTRY
 #: and the shared fixture's urgency domain widened to the full
 #: reference vocabulary so the oracle actually exercises it; snapshot
 #: regenerated, diff reviewed in the commit).
+#: d3-d13 / g1-g2 / x16-x26 (the split-once sweep: the CVSS lesson
+#: generalized — a split/transform Column inlined into a HOF lambda
+#: re-evaluates per ELEMENT in interpreted HOF eval; _word_shingles,
+#: _bigram_nll_scored, x16, and x21 rewritten to named-column
+#: split-once form.  Same-JVM A/B: shingle build 2.9 -> 0.43 s on sf0.1
+#: documents, zero output differences; x17 13.9 -> 1.4 s, x21
+#: 19.5 -> 1.8 s, x22 12.5 -> 1.6 s vs the r14 sweep.  All plan-only).
 GATE_PRIORITY = [
     "e14_cvss_base_score",
     "e17_ghsa_cvss_envelope",
@@ -71,6 +78,21 @@ GATE_PRIORITY = [
     "rhel2_cvss_normalize",
     "debian1_legacy_merge_dag",
     "debian2_legacy_merge_scaled",
+    "d3_minhash_lsh_pairs",
+    "d4_ngram_jaccard_pairs",
+    "d5_simhash_pairs",
+    "d8_jaccard_skew_capped",
+    "d10_shared_span_pairs",
+    "d11_dedup_clusters",
+    "d12_containment_pairs",
+    "d13_incremental_lsh_probe",
+    "g1_dup_components",
+    "g2_transitive_dedup",
+    "x16_gopher_repetition",
+    "x17_bigram_perplexity",
+    "x21_boilerplate_phrases",
+    "x22_perplexity_buckets",
+    "x26_split_contamination",
 ]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns

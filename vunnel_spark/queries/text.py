@@ -742,7 +742,12 @@ def x13(spark, sf_dir):
 )
 def x16(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), r"\s+")
+    # split once into a named column (r14 split-once lesson — the
+    # inlined form re-split the text per gram inside both lambdas)
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
+    )
+    w = F.col("_w")
     n = F.size(w)
     # upper bounds clamped to >= 1: sequence(1, 0) DESCENDS to [1, 0]
     # and slice(w, 0, k) throws — the short-doc outputs are already
@@ -791,7 +796,7 @@ def x16(spark, sf_dir):
     dup5_frac = F.when(n < 5, F.lit(0.0)).otherwise(
         F.round(1 - F.size(F.array_distinct(g5)) / F.size(g5), 6)
     )
-    return docs.select(
+    return arr.select(
         "doc_id",
         top2_frac.alias("top2_char_frac"),
         dup5_frac.alias("dup5_frac"),
@@ -804,18 +809,26 @@ def _bigram_nll_scored(docs):
     """(doc_id, avg_nll, n_bigrams): the x17 add-one-smoothed bigram-LM
     scorer, shared by x17 (threshold filter) and x22 (CCNet terciles)."""
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # Split ONCE into a named column: `w` inlined by value re-executes
+    # the whole-text split at every reference — twice per bigram inside
+    # the transform lambda plus the size() uses, i.e. O(tokens) splits
+    # per document (the r14 CVSS tree-duplication lesson; x17 measured
+    # 13.9 s at sf0.1 with the inlined form).  CollapseProject keeps the
+    # producer separate because the split is non-cheap and multiply
+    # referenced.
+    arr = docs.select("doc_id", w.alias("_w"))
     # docs under 2 tokens have no bigrams: filter BEFORE building the
     # index sequence — sequence(1, size-1) DESCENDS to [1, 0] when
     # size==1 and element_at(w, 0) throws in every Spark build (the
     # oracle's generate_series(1, 0) is empty and just omits the doc)
-    pairs = docs.filter(F.size(w) >= 2).select(
+    pairs = arr.filter(F.size("_w") >= 2).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
+                F.sequence(F.lit(1), F.size("_w") - 1),
                 lambda i: F.struct(
-                    F.element_at(w, i).alias("w1"),
-                    F.element_at(w, i + 1).alias("w2"),
+                    F.element_at(F.col("_w"), i).alias("w1"),
+                    F.element_at(F.col("_w"), i + 1).alias("w2"),
                 ),
             )
         ).alias("bg"),
@@ -1234,16 +1247,20 @@ def x20(spark, sf_dir):
 def x21(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = docs.filter(F.size(w) >= 3).select(
+    # split once into a named column — the inlined form re-split the
+    # whole text ~3x per shingle (see _bigram_nll_scored's note; x21
+    # measured 19.5 s at sf0.1 with the inlined form)
+    arr = docs.select("doc_id", w.alias("_w"))
+    sh = arr.filter(F.size("_w") >= 3).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(w) - 2),
+                F.sequence(F.lit(1), F.size("_w") - 2),
                 lambda i: F.concat_ws(
                     " ",
-                    F.element_at(w, i),
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
+                    F.element_at(F.col("_w"), i),
+                    F.element_at(F.col("_w"), i + 1),
+                    F.element_at(F.col("_w"), i + 2),
                 ),
             )
         ).alias("s"),
