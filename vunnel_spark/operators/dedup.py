@@ -103,7 +103,7 @@ def embedding_dup_pairs(
     corpus scale cap it and let the within-family pairs surface through
     exact dedup / a representative pass instead.
     """
-    from vunnel_spark.functions.vectors import cosine
+    from vunnel_spark.functions.vectors import cosine_hoisted, norm2
     from vunnel_spark.operators.similarity import add_lsh_buckets
 
     b = add_lsh_buckets(df, vec_col, n_tables, n_bits, dim).select(
@@ -138,20 +138,43 @@ def embedding_dup_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).join(F.broadcast(cand_ids), "id", "left_semi").persist()
+    # squared norms ride the cached per-doc frame: per-ROW facts are
+    # computed once per candidate doc, not once per candidate PAIR
+    # (functions/vectors.cosine_hoisted — bit-identical, 3x less
+    # per-pair work)
+    vecs = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .withColumn("_n", norm2(F.col("vec")))
+        .persist()
+    )
     vecs.count()  # one action fills BOTH caches (cand is upstream)
     return (
         cand.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("_va")),
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb")),
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
             "id_b",
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_hoisted(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -212,42 +235,90 @@ def semantic_dedup(
     bounded; the gate query keeps nlist fixed only because its
     planted-pair oracle must not depend on quantizer granularity.
     """
-    from vunnel_spark.functions.vectors import cosine
+    from vunnel_spark.functions.vectors import cosine_hoisted, norm2
     from vunnel_spark.operators.similarity import add_ivf_cells
 
+    # Cell rows carry IDS ONLY — the embedding_dup_pairs r11 discipline.
+    # (The pre-r14 shape collected struct(id, vec) members per cell and
+    # emitted cos-scored pairs from a nested transform lambda: every
+    # cosine ran as interpreted HOF evaluation — ~25 s at sf0.1 — and a
+    # hot cell materialized O(cell^2) scored structs in ONE row, the
+    # exact OOM class the d7 rework removed.  Pairing thin id arrays and
+    # joining vectors back puts the cosine in a flat codegen projection
+    # and streams the quadratic enumeration instead of materializing it.)
     cells = add_ivf_cells(df, centroids, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         F.explode("cells").alias("cell"),
     )
     grouped = (
         cells.groupBy("cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("id"), F.col("vec")))
-            ).alias("members")
-        )
-        .filter(F.size("members") >= 2)
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    # ids sorted ascending: successor pairing gives kept_id < dropped_id,
+    # matching the old array_sort(collect_list(struct(id, vec))) order
     pair_structs = F.flatten(
         F.transform(
-            F.col("members"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
                 lambda y: F.struct(
-                    x.getField("id").alias("kept_id"),
-                    y.getField("id").alias("dropped_id"),
-                    F.round(
-                        cosine(x.getField("vec"), y.getField("vec")), 6
-                    ).alias("cos_sim"),
+                    x.alias("kept_id"), y.alias("dropped_id")
                 ),
             ),
         )
     )
-    pairs = (
+    # nprobe>1 emits the same pair from every shared cell; distinct here
+    # instead of letting the keep-best window collapse the duplicates
+    # (identical rows either way — the window orders by (cos, kept_id))
+    cand = (
         grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.dropped_id", "p.kept_id", "p.cos_sim")
+        .select("p.kept_id", "p.dropped_id")
+        .distinct()
+        .persist()  # feeds two branches; see minhash_lsh_pairs
+    )
+    cand_ids = (
+        cand.select(F.col("kept_id").alias("id"))
+        .union(cand.select(F.col("dropped_id").alias("id")))
+        .distinct()
+    )
+    # norms computed once per candidate doc, not per pair (see
+    # embedding_dup_pairs)
+    vecs = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .withColumn("_n", norm2(F.col("vec")))
+        .persist()
+    )
+    vecs.count()  # one action fills BOTH caches (cand is upstream)
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("kept_id"),
+                F.col("vec").alias("_vk"),
+                F.col("_n").alias("_nk"),
+            ),
+            "kept_id",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("dropped_id"),
+                F.col("vec").alias("_vd"),
+                F.col("_n").alias("_nd"),
+            ),
+            "dropped_id",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_hoisted(
+                    F.col("_vk"), F.col("_vd"), F.col("_nk"), F.col("_nd")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
+        .select("dropped_id", "kept_id", "cos_sim")
     )
     # a doc may match several kept docs in its cell; report its best match
     w = Window.partitionBy("dropped_id").orderBy(

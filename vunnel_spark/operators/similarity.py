@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vunnel_spark.functions.vectors import cosine
+from vunnel_spark.functions.vectors import cosine_hoisted, norm2
 
 
 def brute_force_topk(
@@ -33,18 +33,29 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast queries x corpus, window-ranked.
 
     Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k, ties broken
-    by neighbor id for determinism.
+    by neighbor id for determinism.  Squared norms are projected onto
+    each SIDE before the candidate join (r14): they are per-row facts,
+    so each pair evaluates one dot fold instead of three — bit-identical
+    cosine (see functions/vectors.cosine_hoisted).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", norm2(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm2(F.col("_cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_hoisted(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -83,20 +94,28 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         F.col(vec_col).alias("_qv"),
-    )
+    ).withColumn("_qn", norm2(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("_cv"),
-    )
+    ).withColumn("_cn", norm2(F.col("_cv")))
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("query_id") != F.col("neighbor_id"))
             & (F.col("query_label") != F.col("neighbor_label")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_hoisted(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -162,25 +181,37 @@ def add_lsh_buckets(
     Pure Catalyst: each bit is sign(dot(vec, literal_plane)) — a flat
     codegen'd expression over constant arrays, zero Python at runtime.
     """
-    def bucket_for_table(t: int):
+    # The SAME zip_with/aggregate fold expression as always, but
+    # generated as ONE SQL text per table instead of a Column-API loop:
+    # building n_bits*dim literal nodes over py4j cost ~4-5 s of plan
+    # construction per call (measured, the n2 16-table config); one
+    # expr() parse is milliseconds and yields the identical tree, so
+    # plans, results, and the bit-exact oracle replication are
+    # unchanged.  Plane components ride as CAST('<repr>' AS DOUBLE)
+    # (correctly-rounded text round-trip, the oracles' own trick) and
+    # constant-fold to the same double literals F.lit produced.  An r14
+    # A/B kept the fold itself: statically unrolled multiply/add chains
+    # (3072 terms here) blow janino's 64 KB method limit, fall back to
+    # interpreted flat-tree eval, and run 3-5x SLOWER than the fold's
+    # tight per-element loop (/tmp A/B, 100k x 32-way: fold 2.0-4.0 s
+    # vs unrolled 12.8-20.2 s) — the HOF is the right physical form for
+    # wide literal kernels; the unrolled form wins only on the narrower
+    # compiled pair scorers (functions/vectors.py).
+    def bucket_sql(t: int) -> str:
         bits = []
         for b in range(n_bits):
-            plane = F.array(*[F.lit(_plane_value(t, b, i)) for i in range(dim)])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), plane, lambda x, p: x.cast("double") * p
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            plane = ", ".join(
+                f"CAST('{_plane_value(t, b, i)!r}' AS DOUBLE)" for i in range(dim)
             )
-            bits.append(F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        bucket = bits[0]
-        for expr in bits[1:]:
-            bucket = bucket + expr
-        return bucket.cast("long")
+            d = (
+                f"aggregate(zip_with(`{vec_col}`, array({plane}), "
+                f"(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, v) -> acc + v)"
+            )
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << b} ELSE 0 END)")
+        return f"CAST(({' + '.join(bits)}) AS BIGINT)"
 
     return df.withColumn(
-        out_col, F.array(*[bucket_for_table(t) for t in range(n_tables)])
+        out_col, F.array(*[F.expr(bucket_sql(t)) for t in range(n_tables)])
     )
 
 
@@ -255,14 +286,15 @@ def ranked_cells(vec_col: str, centroids: list[list[float]]):
     """
     dists = []
     for cell_id, c in enumerate(centroids):
-        plane = F.array(*[F.lit(v) for v in c])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), plane,
-                lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        # the same zip_with/aggregate fold, generated as one SQL text
+        # per cell (identical tree, ~10x cheaper plan construction than
+        # the Column-API literal loop; see add_lsh_buckets for the A/B
+        # that kept the fold over a statically unrolled chain)
+        cent = ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in c)
+        d2 = F.expr(
+            f"aggregate(zip_with(`{vec_col}`, array({cent}), "
+            f"(x, p) -> (CAST(x AS DOUBLE) - p) * (CAST(x AS DOUBLE) - p)), "
+            f"0.0D, (acc, v) -> acc + v)"
         )
         dists.append(F.struct(d2.alias("d2"), F.lit(cell_id).alias("cell")))
     return F.array_sort(F.array(*dists))
@@ -314,20 +346,25 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         F.element_at("cells", 1).alias("cell"),
+        norm2(F.col(vec_col)).alias("_cn"),
     )
     qb = add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode("cells").alias("cell"),
+        norm2(F.col(vec_col)).alias("_qn"),
     )
     cand = (
         cb.join(F.broadcast(qb), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
     )
     scored = cand.withColumn(
-        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
-    ).drop("_qv", "_cv")
+        "cos_sim",
+        F.round(
+            cosine_hoisted(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
+        ),
+    ).drop("_qv", "_cv", "_qn", "_cn")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -360,21 +397,26 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         F.posexplode("buckets").alias("t", "bucket"),
+        norm2(F.col(vec_col)).alias("_cn"),
     )
     qb = add_lsh_buckets(queries, vec_col, n_tables, n_bits, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.posexplode("buckets").alias("t", "bucket"),
+        norm2(F.col(vec_col)).alias("_qn"),
     )
     cand = (
         cb.join(F.broadcast(qb), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
-        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
-    ).drop("_qv", "_cv")
+        "cos_sim",
+        F.round(
+            cosine_hoisted(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
+        ),
+    ).drop("_qv", "_cv", "_qn", "_cn")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -424,17 +466,27 @@ def ivf_topk_partitioned(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         "cell",
+        norm2(F.col(vec_col)).alias("_cn"),
     )
     qb = add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.explode("cells").alias("cell"),
+        norm2(F.col(vec_col)).alias("_qn"),
     )
     scored = (
         cb.join(F.broadcast(qb), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_hoisted(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -492,6 +544,8 @@ def train_pq_codebooks(
     literals; like train_ivf_centroids, training runs on a deterministic
     hash sample and never collects vectors to the driver.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -499,16 +553,24 @@ def train_pq_codebooks(
     if sample_mod > 1:
         df = df.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
     sub = dim // m
-    books = []
-    for j in range(m):
+
+    def _fit(j: int) -> list[list[float]]:
         feat = df.select(
             array_to_vector(
                 F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
             ).alias("features")
         )
         model = KMeans(k=ks, seed=seed + j, maxIter=max_iter).fit(feat)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    # The m per-subspace fits are independent jobs with per-j seeds —
+    # identical models in any execution order.  Submitting them from a
+    # small driver thread pool lets each fit's straggler tail back-fill
+    # with the next fit's tasks (guide-standard job overlap); pool.map
+    # preserves subspace order.  Serially these m fits dominated n8's
+    # wall-clock at local scale (~170 tiny jobs end to end).
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def pq_encode(
@@ -529,17 +591,18 @@ def pq_encode(
     sub = len(codebooks[0][0])
     codes = []
     for j, book in enumerate(codebooks):
-        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
         dists = []
         for cidx, cw in enumerate(book):
-            lit = F.array(*[F.lit(v) for v in cw])
-            d2 = F.aggregate(
-                F.zip_with(
-                    sl, lit,
-                    lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            # the same slice+zip_with/aggregate fold, generated as one
+            # SQL text per codeword (identical tree; the Column-API
+            # literal loop cost ~6 s of py4j per pq_encode call — see
+            # add_lsh_buckets for the A/B that kept the fold form)
+            cwl = ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in cw)
+            d2 = F.expr(
+                f"aggregate(zip_with(slice(`{vec_col}`, {j * sub + 1}, {sub}), "
+                f"array({cwl}), "
+                f"(x, p) -> (CAST(x AS DOUBLE) - p) * (CAST(x AS DOUBLE) - p)), "
+                f"0.0D, (acc, v) -> acc + v)"
             )
             dists.append(F.struct(d2.alias("d2"), F.lit(cidx).alias("c")))
         codes.append(
@@ -548,26 +611,55 @@ def pq_encode(
     return df.withColumn(out_col, F.array(*codes).cast("array<int>"))
 
 
-def _adc_distance(qv, code, codebooks: list[list[list[float]]]):
-    """Asymmetric (query-exact vs corpus-code) squared L2: a strict
-    left-to-right chain of per-subspace left folds, so an oracle adding
-    in the same order reproduces the double bit-for-bit."""
+def _with_adc_distance(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    qv_col: str = "_qv",
+    code_col: str = "code",
+    out_col: str = "adc_dist",
+) -> DataFrame:
+    """Add the asymmetric (query-exact vs corpus-code) squared L2,
+    rounded to 6 places: a strict left-to-right chain of per-subspace
+    left folds, so an oracle adding in the same order reproduces the
+    double bit-for-bit.
+
+    Layered shape (the r14 CVSS projection lesson): layer 1 projects
+    each subspace's looked-up codeword into a named ``_cw{j}`` column
+    (one literal codebook array per subspace, indexed by the code), and
+    layer 2 unrolls the distance folds as one SQL text referencing
+    those attributes.  Inlining the lookup into the fold would paste
+    the 128-literal codebook once per term (16x tree blowup); the old
+    slice+zip_with/aggregate form evaluated every fold interpreted.
+    """
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    total = None
+    tmp = []
     for j, book in enumerate(codebooks):
-        lit_book = F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in book])
-        cw = F.element_at(lit_book, F.element_at(code, j + 1) + 1)
-        d2 = F.aggregate(
-            F.zip_with(
-                F.slice(qv, j * sub + 1, sub), cw,
-                lambda x, p: (x.cast("double") - p) * (x.cast("double") - p),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        book_sql = ", ".join(
+            "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in cw) + ")"
+            for cw in book
         )
-        total = d2 if total is None else total + d2
-    return total
+        df = df.withColumn(
+            f"_cw{j}",
+            F.expr(
+                f"element_at(array({book_sql}), "
+                f"element_at(`{code_col}`, {j + 1}) + 1)"
+            ),
+        )
+        tmp.append(f"_cw{j}")
+    parts = []
+    for j in range(m):
+        terms = " + ".join(
+            f"((CAST(try_element_at(`{qv_col}`, {j * sub + i + 1}) AS DOUBLE)"
+            f" - try_element_at(`_cw{j}`, {i + 1}))"
+            f" * (CAST(try_element_at(`{qv_col}`, {j * sub + i + 1}) AS DOUBLE)"
+            f" - try_element_at(`_cw{j}`, {i + 1})))"
+            for i in range(sub)
+        )
+        parts.append(f"(0.0D + {terms})")
+    return df.withColumn(
+        out_col, F.round(F.expr(" + ".join(parts)), 6)
+    ).drop(*tmp)
 
 
 def pq_adc_topk(
@@ -597,14 +689,10 @@ def pq_adc_topk(
         F.col(id_col).alias("neighbor_id"), "code"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    scored = (
-        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc_dist",
-            F.round(_adc_distance(F.col("_qv"), F.col("code"), codebooks), 6),
-        )
-        .drop("code")
-    )
+    scored = _with_adc_distance(
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")),
+        codebooks,
+    ).drop("code")
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -614,15 +702,24 @@ def pq_adc_topk(
         return shortlist.drop("_qv")
     exact = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm2(F.col("_cv")))
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
         shortlist.drop("rank", "adc_dist")
+        .withColumn("_qn", norm2(F.col("_qv")))
         .join(exact, "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-        .drop("_qv", "_cv")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_hoisted(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
     )
@@ -662,14 +759,11 @@ def ivf_pq_topk(
         F.col(vec_col).alias("_qv"),
         F.explode("cells").alias("cell"),
     )
-    scored = (
-        cb.join(F.broadcast(qb), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "adc_dist",
-            F.round(_adc_distance(F.col("_qv"), F.col("code"), codebooks), 6),
-        )
-        .select("query_id", "neighbor_id", "adc_dist")
-    )
+    scored = _with_adc_distance(
+        cb.join(F.broadcast(qb), "cell").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ),
+        codebooks,
+    ).select("query_id", "neighbor_id", "adc_dist")
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
