@@ -348,11 +348,19 @@ def ivf_topk(
         F.element_at("cells", 1).alias("cell"),
         norm2(F.col(vec_col)).alias("_cn"),
     )
-    qb = add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode("cells").alias("cell"),
-        norm2(F.col(vec_col)).alias("_qn"),
+    # norm BEFORE the explode: a fold in the same select as a generator
+    # lands in the Project ABOVE Generate and re-evaluates per exploded
+    # row (nprobe x) — withColumn keeps it below, once per document
+    # (n6 after-profile regression, plans/r14)
+    qb = (
+        add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe)
+        .withColumn("_qn", norm2(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode("cells").alias("cell"),
+            "_qn",
+        )
     )
     cand = (
         cb.join(F.broadcast(qb), "cell")
@@ -393,17 +401,29 @@ def lsh_topk(
     n6 at fixed 3 bits ran 55x on 10x data; 7 bits cut the sf1 time
     6.9x with recall preserved).
     """
-    cb = add_lsh_buckets(corpus, vec_col, n_tables, n_bits, dim).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.posexplode("buckets").alias("t", "bucket"),
-        norm2(F.col(vec_col)).alias("_cn"),
+    # norms BEFORE the posexplode (withColumn, not the generator select):
+    # a fold in the generator's select lands in the Project ABOVE the
+    # Generate and re-evaluates per exploded row — n_tables x per doc
+    # (measured: n6 93 -> 134 s before this fix; plans/r14)
+    cb = (
+        add_lsh_buckets(corpus, vec_col, n_tables, n_bits, dim)
+        .withColumn("_cn", norm2(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.posexplode("buckets").alias("t", "bucket"),
+            "_cn",
+        )
     )
-    qb = add_lsh_buckets(queries, vec_col, n_tables, n_bits, dim).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.posexplode("buckets").alias("t", "bucket"),
-        norm2(F.col(vec_col)).alias("_qn"),
+    qb = (
+        add_lsh_buckets(queries, vec_col, n_tables, n_bits, dim)
+        .withColumn("_qn", norm2(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.posexplode("buckets").alias("t", "bucket"),
+            "_qn",
+        )
     )
     cand = (
         cb.join(F.broadcast(qb), ["t", "bucket"])
@@ -468,11 +488,17 @@ def ivf_topk_partitioned(
         "cell",
         norm2(F.col(vec_col)).alias("_cn"),
     )
-    qb = add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode("cells").alias("cell"),
-        norm2(F.col(vec_col)).alias("_qn"),
+    # norm below the Generate (see ivf_topk/lsh_topk): per document,
+    # not per probed cell
+    qb = (
+        add_ivf_cells(queries, centroids, vec_col, nprobe=nprobe)
+        .withColumn("_qn", norm2(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode("cells").alias("cell"),
+            "_qn",
+        )
     )
     scored = (
         cb.join(F.broadcast(qb), "cell")
