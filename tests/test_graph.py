@@ -127,3 +127,34 @@ def test_cc_stats_hook(spark):
     assert stats["edges_in"] == 4
     assert stats["rounds"] >= 1
     assert stats["edges_fixpoint"] == 2  # member->min mapping for 2,3
+
+
+def test_cc_join_loop_matches_tight_loop(spark, monkeypatch):
+    """The two physically different loop bodies (window-star tight loop
+    vs groupBy+join star loop) are the same algorithm: forcing the join
+    loop onto a small graph must give identical components, and the
+    stats hook must say which body ran."""
+    import vunnel_spark.operators.graph as G
+
+    rng = random.Random(21)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    s_tight: dict = {}
+    tight = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst", stats=s_tight).collect()
+    }
+    assert s_tight["loop"] == "tight"
+
+    monkeypatch.setattr(G, "_TIGHT_MAX_EDGES", 0)
+    s_join: dict = {}
+    join = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst", stats=s_join).collect()
+    }
+    assert s_join["loop"] == "join"
+    assert tight == join == _union_find(edges)
+    # the tight loop restored the session confs it swapped
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -17,9 +17,6 @@ trillion-edge formulation also used by GraphFrames:
 Scale properties (the reason this shape and not label-propagation-over-
 collect_set):
 
-- each round is a ``groupBy(node).min`` plus an equi-join back on the same
-  key — adjacency lists are never collected, so a mega-hub's neighbor set
-  never lands on one executor (the min is a partial aggregate);
 - converges in O(log n) rounds on any graph; near-dup graphs (clique-ish
   clusters) converge in 2-3;
 - lineage is cut every round with ``localCheckpoint`` so the plan depth
@@ -29,6 +26,29 @@ collect_set):
   checkpointed) edge list — the same driver-loop pattern GraphX/Pregel
   uses for iterative algorithms; nothing row-sized ever hits the driver.
 
+Two physically different loop bodies compute the same per-round edge set,
+picked by the MEASURED edge count the convergence signature already
+provides (guide §2: derive partitioning from input size, never from the
+box):
+
+- **tight loop** (edge sets below ``VS_CC_TIGHT_MAX_EDGES``, default 5M):
+  each star is ONE exchange — shuffle by the star's key and take the
+  per-partition window min in the same pass — and the loop runs with AQE
+  off over a partition count derived from the measured edge count.  An
+  r14 decomposition showed the per-round cost on small graphs is
+  scheduling/planning barriers, not data: every exchange under AQE is a
+  materialize-and-replan barrier, so the 5-exchange join form cost
+  ~1.6 s/round on a 147k-edge graph where the 3-exchange window form
+  with fixed tiny partitioning costs ~0.6 s/round (g3 14.1 -> ~7 s).
+- **join loop** (anything larger): the original ``groupBy(node).min`` +
+  equi-join per star, AQE on.  The min stays a partial aggregate and the
+  join keeps AQE's skew-split mitigation — on a billion-edge graph with a
+  mega-hub, the window form would sort the hub's whole adjacency in one
+  task, while this form only colocates it for the (skew-splittable)
+  probe.  The crossover is a row-count contract, not a box tune: both
+  bodies produce identical edge sets every round (A/B exceptAll-pinned,
+  tests/test_graph.py).
+
 Reference parity note: the reference engine (anchore/vunnel) has no graph
 operator — this is part of the beyond-reference LLM-pipeline surface, the
 step between pair generation (d3/d4/d5/d7) and an actual keep/drop list.
@@ -36,8 +56,22 @@ step between pair generation (d3/d4/d5/d7) and an actual keep/drop list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Edge-count boundary between the tight window-star loop and the
+#: AQE/skew-safe join-star loop.  A row-count contract (the signature
+#: aggregate the loop already computes), not a box tune; override via
+#: the environment for scale experiments.
+_TIGHT_MAX_EDGES = int(os.environ.get("VS_CC_TIGHT_MAX_EDGES", 5_000_000))
+
+#: Partition sizing for the tight loop: enough partitions to keep
+#: per-task row counts bounded, never more than the session's own
+#: shuffle parallelism (tiny graphs get tiny task counts — the whole
+#: point of the tight loop).
+_TIGHT_ROWS_PER_PARTITION = 50_000
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -70,6 +104,59 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _large_star_w(e: DataFrame) -> DataFrame:
+    """Window-min large-star: one exchange instead of agg + join.
+
+    Same per-round output as ``_large_star`` (A/B exceptAll-pinned);
+    used only on measured-small edge sets where exchange count, not data
+    volume, is the cost.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    withm = sym.select(
+        "u", "v", F.least(F.col("u"), F.min("v").over(w)).alias("m")
+    )
+    return withm.where(F.col("v") > F.col("u")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+
+
+def _small_star_w(e: DataFrame) -> DataFrame:
+    """Window-min small-star: the self edge (u, m) rides the first row
+    per key through a 1-or-2 element explode, so the whole star is one
+    exchange + one sort by (u, v)."""
+    ee = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    wo = Window.partitionBy("u").orderBy("v")
+    withm = ee.select(
+        "u",
+        "v",
+        F.min("v")
+        .over(
+            wo.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("m"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    out = withm.select(
+        F.explode(
+            F.when(
+                F.col("_rn") == 1,
+                F.array(
+                    F.struct(F.col("v").alias("n"), F.col("m")),
+                    F.struct(F.col("u").alias("n"), F.col("m")),
+                ),
+            ).otherwise(F.array(F.struct(F.col("v").alias("n"), F.col("m"))))
+        ).alias("p")
+    ).select("p.n", "p.m")
+    return out.where(F.col("n") != F.col("m")).select(
+        F.col("n").alias("u"), F.col("m").alias("v")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -84,10 +171,15 @@ def connected_components(
     from it (a canonical, deterministic cluster representative).
 
     ``stats``, when given, is filled with ``edges_in`` (distinct input
-    edges), ``rounds`` (star iterations run), and ``edges_fixpoint`` —
-    the scale-audit instrumentation (scalecurve.py --cc-profile); it
-    adds no extra jobs, only records the signatures the loop already
-    computes.
+    edges), ``rounds`` (star iterations run), ``edges_fixpoint``, and
+    ``loop`` (which body ran: ``tight``/``join``) — the scale-audit
+    instrumentation (scalecurve.py --cc-profile); it adds no extra jobs,
+    only records the signatures the loop already computes.
+
+    NOTE: the tight loop swaps two session confs (AQE, shuffle
+    partitions) for the duration of the iteration and restores them in a
+    ``finally``; the loop is driver-sequential, so nothing else plans
+    under the override in this engine's DAGs.
     """
     e0 = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -107,20 +199,52 @@ def connected_components(
     sig = e.agg(*_sig_cols).first()
     if stats is not None:
         stats["edges_in"] = sig["n"]
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        e2 = (
-            _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
+    tight = sig["n"] <= _TIGHT_MAX_EDGES
+    spark = edges.sparkSession
+    conf_saved: dict[str, str] | None = None
+    if tight:
+        # the tight loop's whole win is fewer barriers: AQE's
+        # per-exchange materialize-and-replan is pure overhead on a
+        # measured-small edge set, and the partition count derives from
+        # the measured edge count (not the box) so a genuinely larger
+        # graph under the threshold still fans out.
+        n_part = min(
+            max(1, sig["n"] // _TIGHT_ROWS_PER_PARTITION + 1),
+            spark.sparkContext.defaultParallelism,
         )
-        sig2 = e2.agg(*_sig_cols).first()
-        e = e2
-        if (sig2["n"], sig2["h"]) == (sig["n"], sig["h"]):
-            break
-        sig = sig2
+        conf_saved = {
+            "spark.sql.adaptive.enabled": spark.conf.get(
+                "spark.sql.adaptive.enabled"
+            ),
+            "spark.sql.shuffle.partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    rounds = 0
+    try:
+        for _ in range(max_iter):
+            rounds += 1
+            step = (
+                _small_star_w(_large_star_w(e))
+                if tight
+                else _small_star(_large_star(e))
+            )
+            e2 = step.distinct().localCheckpoint(eager=True)
+            sig2 = e2.agg(*_sig_cols).first()
+            e = e2
+            if (sig2["n"], sig2["h"]) == (sig["n"], sig["h"]):
+                break
+            sig = sig2
+    finally:
+        if conf_saved is not None:
+            for k, v in conf_saved.items():
+                spark.conf.set(k, v)
     if stats is not None:
         stats["rounds"] = rounds
         stats["edges_fixpoint"] = sig["n"]
+        stats["loop"] = "tight" if tight else "join"
     # at fixpoint every edge is (member -> component min); a node can still
     # carry >1 edge if max_iter cut iteration short — min() keeps the
     # result well-defined either way.
