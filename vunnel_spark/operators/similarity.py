@@ -210,8 +210,15 @@ def add_lsh_buckets(
             bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << b} ELSE 0 END)")
         return f"CAST(({' + '.join(bits)}) AS BIGINT)"
 
+    # one parse for the whole bucket array: n_tables separate expr()
+    # calls were n_tables py4j+parser round trips per query build (r14
+    # construction profile: the single-text form is 3-4x cheaper to
+    # construct and yields the byte-identical tree)
     return df.withColumn(
-        out_col, F.array(*[F.expr(bucket_sql(t)) for t in range(n_tables)])
+        out_col,
+        F.expr(
+            "array(" + ", ".join(bucket_sql(t) for t in range(n_tables)) + ")"
+        ),
     )
 
 
@@ -286,18 +293,19 @@ def ranked_cells(vec_col: str, centroids: list[list[float]]):
     """
     dists = []
     for cell_id, c in enumerate(centroids):
-        # the same zip_with/aggregate fold, generated as one SQL text
-        # per cell (identical tree, ~10x cheaper plan construction than
-        # the Column-API literal loop; see add_lsh_buckets for the A/B
-        # that kept the fold over a statically unrolled chain)
+        # the same zip_with/aggregate fold, generated as SQL text
+        # (identical tree, ~10x cheaper plan construction than the
+        # Column-API literal loop; see add_lsh_buckets for the A/B that
+        # kept the fold over a statically unrolled chain); the whole
+        # ranked array is ONE expr() parse, not one per cell
         cent = ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in c)
-        d2 = F.expr(
+        d2 = (
             f"aggregate(zip_with(`{vec_col}`, array({cent}), "
             f"(x, p) -> (CAST(x AS DOUBLE) - p) * (CAST(x AS DOUBLE) - p)), "
             f"0.0D, (acc, v) -> acc + v)"
         )
-        dists.append(F.struct(d2.alias("d2"), F.lit(cell_id).alias("cell")))
-    return F.array_sort(F.array(*dists))
+        dists.append(f"struct({d2} AS d2, {cell_id} AS cell)")
+    return F.expr(f"array_sort(array({', '.join(dists)}))")
 
 
 def add_ivf_cells(
@@ -401,42 +409,53 @@ def lsh_topk(
     n6 at fixed 3 bits ran 55x on 10x data; 7 bits cut the sf1 time
     6.9x with recall preserved).
     """
-    # norms BEFORE the posexplode (withColumn, not the generator select):
-    # a fold in the generator's select lands in the Project ABOVE the
-    # Generate and re-evaluates per exploded row — n_tables x per doc
-    # (measured: n6 93 -> 134 s before this fix; plans/r14)
-    cb = (
-        add_lsh_buckets(corpus, vec_col, n_tables, n_bits, dim)
-        .withColumn("_cn", norm2(F.col(vec_col)))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-            F.posexplode("buckets").alias("t", "bucket"),
-            "_cn",
-        )
+    # Collision rows and the dedup exchange carry IDS ONLY (the d9/d7
+    # thin-pair discipline, guide §2.3 "shuffle fewer bytes"): the old
+    # shape dragged both full vectors + norms through the
+    # dropDuplicates exchange — ~1 KB/row over ~2M collision rows at
+    # sf0.1 (2 GB shuffled to dedup ~30 MB of ids), and the same bytes
+    # again into the window sort.  Vectors and per-side norms join back
+    # per DISTINCT candidate pair instead; the cosine inputs are the
+    # identical per-side norm2/vector columns, so scores and ranks are
+    # unchanged.
+    cb = add_lsh_buckets(corpus, vec_col, n_tables, n_bits, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("buckets").alias("t", "bucket"),
     )
-    qb = (
-        add_lsh_buckets(queries, vec_col, n_tables, n_bits, dim)
-        .withColumn("_qn", norm2(F.col(vec_col)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            F.posexplode("buckets").alias("t", "bucket"),
-            "_qn",
-        )
+    qb = add_lsh_buckets(queries, vec_col, n_tables, n_bits, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode("buckets").alias("t", "bucket"),
     )
     cand = (
         cb.join(F.broadcast(qb), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cos_sim",
-        F.round(
-            cosine_hoisted(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")), 6
-        ),
-    ).drop("_qv", "_cv", "_qn", "_cn")
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm2(F.col(vec_col)).alias("_cn"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm2(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_hoisted(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+        .drop("_qv", "_cv", "_qn", "_cn")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -591,11 +610,13 @@ def train_pq_codebooks(
 
     # The m per-subspace fits are independent jobs with per-j seeds —
     # identical models in any execution order.  Submitting them from a
-    # small driver thread pool lets each fit's straggler tail back-fill
-    # with the next fit's tasks (guide-standard job overlap); pool.map
+    # driver thread pool lets each fit's straggler tail back-fill with
+    # the next fit's tasks (guide-standard job overlap); pool.map
     # preserves subspace order.  Serially these m fits dominated n8's
-    # wall-clock at local scale (~170 tiny jobs end to end).
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # wall-clock at local scale (~170 tiny jobs end to end); all-m-wide
+    # overlap measured fastest (the jobs are scheduling-bound, not
+    # core-bound, at any local SF).
+    with ThreadPoolExecutor(max_workers=max(4, m)) as pool:
         return list(pool.map(_fit, range(m)))
 
 
@@ -619,22 +640,28 @@ def pq_encode(
     for j, book in enumerate(codebooks):
         dists = []
         for cidx, cw in enumerate(book):
-            # the same slice+zip_with/aggregate fold, generated as one
-            # SQL text per codeword (identical tree; the Column-API
-            # literal loop cost ~6 s of py4j per pq_encode call — see
-            # add_lsh_buckets for the A/B that kept the fold form)
+            # the same slice+zip_with/aggregate fold, generated as SQL
+            # text (identical tree; the Column-API literal loop cost
+            # ~6 s of py4j per pq_encode call — see add_lsh_buckets for
+            # the A/B that kept the fold form).  The whole m*ks-fold
+            # code array is ONE expr() parse: m*ks separate expr()
+            # calls were ~1.5 s of py4j round trips per build (r14
+            # construction profile, 3-4x cheaper single-text).
             cwl = ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in cw)
-            d2 = F.expr(
+            d2 = (
                 f"aggregate(zip_with(slice(`{vec_col}`, {j * sub + 1}, {sub}), "
                 f"array({cwl}), "
                 f"(x, p) -> (CAST(x AS DOUBLE) - p) * (CAST(x AS DOUBLE) - p)), "
                 f"0.0D, (acc, v) -> acc + v)"
             )
-            dists.append(F.struct(d2.alias("d2"), F.lit(cidx).alias("c")))
+            dists.append(f"struct({d2} AS d2, {cidx} AS c)")
         codes.append(
-            F.element_at(F.array_sort(F.array(*dists)), 1).getField("c")
+            f"element_at(array_sort(array({', '.join(dists)})), 1).c"
         )
-    return df.withColumn(out_col, F.array(*codes).cast("array<int>"))
+    return df.withColumn(
+        out_col,
+        F.expr(f"CAST(array({', '.join(codes)}) AS array<int>)"),
+    )
 
 
 def _with_adc_distance(
@@ -660,19 +687,20 @@ def _with_adc_distance(
     m = len(codebooks)
     sub = len(codebooks[0][0])
     tmp = []
+    cw_cols = {}
     for j, book in enumerate(codebooks):
         book_sql = ", ".join(
             "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in cw) + ")"
             for cw in book
         )
-        df = df.withColumn(
-            f"_cw{j}",
-            F.expr(
-                f"element_at(array({book_sql}), "
-                f"element_at(`{code_col}`, {j + 1}) + 1)"
-            ),
+        cw_cols[f"_cw{j}"] = F.expr(
+            f"element_at(array({book_sql}), "
+            f"element_at(`{code_col}`, {j + 1}) + 1)"
         )
         tmp.append(f"_cw{j}")
+    # one withColumns: m separate withColumn calls re-analyzed the
+    # growing plan m times per build (construction cost, same plan)
+    df = df.withColumns(cw_cols)
     parts = []
     for j in range(m):
         terms = " + ".join(
