@@ -183,8 +183,12 @@ def flatten_criteria(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                rows.extend(flatten_criteria_json(str(r[id_col]), r[criteria_col], ns_prefix))
+            # zip over the column arrays, not iterrows(): iterrows
+            # materializes a pandas Series per row (~100 us/row of pure
+            # overhead — more than the tree walk itself on the e3
+            # fixture); the ctx variant below always did it this way
+            for did, cj in zip(pdf[id_col], pdf[criteria_col]):
+                rows.extend(flatten_criteria_json(str(did), cj, ns_prefix))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "namespace_test", "package_test", "polarity"]
             )

@@ -154,6 +154,14 @@ def openvex_pipeline(
     winner = winner.withColumn(
         "_adv_date", normalize_date(F.col("timestamp"), with_fallback=True)
     )
+    # winner feeds THREE consumers (the final record join, and prod's
+    # two candidate branches below); without a persist each one
+    # re-evaluates the window + the interpreted filter_products HOF
+    # (regex per product element) — measured 3.9 s/evaluation at sf0.1,
+    # and column pruning keeps the subtrees unequal so ReuseExchange
+    # cannot dedup them.  Same multi-branch discipline as
+    # minhash_lsh_pairs/semantic_dedup.
+    winner = winner.persist()
     prod = winner.select(
         "ecosystem",
         "doc_pos",
@@ -171,6 +179,8 @@ def openvex_pipeline(
         purl_field(_pid(F.col("p")), "type").alias("purl_type"),
         "_adv_date",
     )
+    # prod feeds both candidate branches (advisory + store join)
+    prod = prod.persist()
     adv_cand = prod.filter(F.col("_adv_date").isNotNull()).select(
         "ecosystem", "doc_pos", "vuln_id", "p_pos", "product",
         F.col("_adv_date").alias("date"),

@@ -154,8 +154,8 @@ def read_oval_xml(spark: SparkSession, path: str) -> DataFrame:
         cols = [c.split(" ")[0] for c in OVAL_ROWS_SCHEMA.split(", ")]
         for pdf in batches:
             rows: list[tuple] = []
-            for _, r in pdf.iterrows():
-                rows.extend(parse_oval_bytes(r["path"], r["content"]))
+            for path_v, content_v in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_oval_bytes(path_v, content_v))
             yield pd.DataFrame(rows, columns=cols)
 
     files = spark.read.format("binaryFile").load(path)
