@@ -118,14 +118,10 @@ def embedding_dup_pairs(
     if max_bucket_size:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     # ids are sorted, so successor pairing yields canonical id_a < id_b
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
     )
     cand = (
         grouped.select(F.explode(pair_structs).alias("p"))
@@ -257,16 +253,10 @@ def semantic_dedup(
     )
     # ids sorted ascending: successor pairing gives kept_id < dropped_id,
     # matching the old array_sort(collect_list(struct(id, vec))) order
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(
-                    x.alias("kept_id"), y.alias("dropped_id")
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS kept_id, y AS dropped_id))))"
     )
     # nprobe>1 emits the same pair from every shared cell; distinct here
     # instead of letting the keep-best window collapse the duplicates
@@ -589,15 +579,18 @@ def minhash_signatures(
     sh = _word_shingles(df, content_col, id_col, k).withColumn(
         "_h", F.xxhash64(F.col("shingle"))
     )
-    mins = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"_m{s}")
-        for s in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[F.col(f"_m{s}") for s in range(num_hashes)]).alias("sig"))
+    # whole signature as ONE parsed aggregate expression — num_hashes
+    # separate Column builds (min/xxhash64/lit/alias each a py4j round
+    # trip) plus the 48-column intermediate cost ~1.7 s of construction
+    # per build vs ~0.2 s for the single text (r14 A/B, identical rows);
+    # bare integer literals parse to the same INT type F.lit produced,
+    # so the hashes are unchanged
+    sig_expr = (
+        "array("
+        + ", ".join(f"min(xxhash64(_h, {s}))" for s in range(num_hashes))
+        + ")"
     )
+    return sh.groupBy("id").agg(F.expr(sig_expr).alias("sig"))
 
 
 def _band_buckets(
@@ -619,18 +612,15 @@ def _band_buckets(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, k, num_hashes)
-    bucket_arr = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at(F.col("sig"), b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
+    # one parse for the whole bucket array (see minhash_signatures)
+    bucket_sqls = []
+    for b in range(bands):
+        elems = ", ".join(
+            f"element_at(sig, {b * rows_per_band + i + 1})"
+            for i in range(rows_per_band)
+        )
+        bucket_sqls.append(f"xxhash64({b}, {elems})")
+    bucket_arr = F.expr("array(" + ", ".join(bucket_sqls) + ")")
     return sig.select("id", F.posexplode(bucket_arr).alias("band", "bucket"))
 
 
@@ -734,14 +724,12 @@ def minhash_lsh_pairs(
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     # ids are sorted, so pairing each element with its successors yields
     # canonical (id_a < id_b) pairs with no post-hoc ordering fixup
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # (single parsed text — the Python-lambda HOF build was ~15 py4j
+    # round trips per construction; identical tree)
+    pair_structs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
     )
     cand = (
         grouped.select(F.explode(pair_structs).alias("p"))
@@ -887,17 +875,11 @@ def simhash_pairs(
         )
         .filter(F.size("members") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"), y["id"].alias("id_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members)), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "bit_count(x.simhash ^ y.simhash) AS hamming))))"
     )
     return (
         grouped.select(F.explode(pair_structs).alias("p"))
