@@ -42,6 +42,19 @@ def get_spark(app_name: str = "vunnel_spark", cpus: str | int | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # ContextCleaner frees broadcast blocks and shuffle files only
+        # when the DRIVER GC collects their references; with a 16 GiB
+        # heap a multi-query session can run for many minutes without a
+        # full GC, so debris from dozens of earlier queries piles onto
+        # the block manager and every later query measures slower (the
+        # in-session degradation the r14 profile sessions kept seeing —
+        # x1's bench slot read 7x its fresh-session time late in a run).
+        # Spark's own escape hatch is periodic driver GC; the 30min
+        # default never fires inside a local session, 2min does.  Scale
+        # note: this is session housekeeping, not a local[32] tune — on
+        # a cluster the same accumulation hits long-lived drivers.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # Spark cannot read TIMESTAMP(NANOS) parquet natively; read the raw
