@@ -43,57 +43,10 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 14 (the judge's one-real-performance-round agenda; every entry
-#: is a changed PLAN, semantics unchanged, re-oracled locally before
-#: fronting):
-#: e14 / e17 / ghsa1 / rhel2 (the CVSS evaluation rework — VERDICT r13
-#: "What's wrong #1", both prescribed levers: the per-segment 22-branch
-#: alternation rlike is replaced by split-once + map-literal membership
-#: checks, AND the whole grammar+score evaluation moved from by-value
-#: Column composition — whose tree duplication broke janino codegen and
-#: forced interpreted eval — to layered named-column projections
-#: (functions/cvss.py with_cvss3_eval/with_cvss4_valid).  All four
-#: queries consume the builders through their provider envelopes, so
-#: their optimized plans change while outputs are bit-identical;
-#: equivalence to the r13 Column forms is exceptAll-pinned in
-#: tests/test_text_functions.py).
-#: debian1 / debian2 (fidelity slice, verdict Next #8: the DAG's
-#: urgency normalizer now delegates to the p8-exact
-#: functions/severity.debian_severity — the old reduced map dropped the
-#: reference's low**/medium**/high** variants and the nvd fallback —
-#: and the shared fixture's urgency domain widened to the full
-#: reference vocabulary so the oracle actually exercises it; snapshot
-#: regenerated, diff reviewed in the commit).
-#: d3-d13 / g1-g2 / x16-x26 (the split-once sweep: the CVSS lesson
-#: generalized — a split/transform Column inlined into a HOF lambda
-#: re-evaluates per ELEMENT in interpreted HOF eval; _word_shingles,
-#: _bigram_nll_scored, x16, and x21 rewritten to named-column
-#: split-once form.  Same-JVM A/B: shingle build 2.9 -> 0.43 s on sf0.1
-#: documents, zero output differences; x17 13.9 -> 1.4 s, x21
-#: 19.5 -> 1.8 s, x22 12.5 -> 1.6 s vs the r14 sweep.  All plan-only).
-GATE_PRIORITY = [
-    "e14_cvss_base_score",
-    "e17_ghsa_cvss_envelope",
-    "ghsa1_per_ecosystem_dag",
-    "rhel2_cvss_normalize",
-    "debian1_legacy_merge_dag",
-    "debian2_legacy_merge_scaled",
-    "d3_minhash_lsh_pairs",
-    "d4_ngram_jaccard_pairs",
-    "d5_simhash_pairs",
-    "d8_jaccard_skew_capped",
-    "d10_shared_span_pairs",
-    "d11_dedup_clusters",
-    "d12_containment_pairs",
-    "d13_incremental_lsh_probe",
-    "g1_dup_components",
-    "g2_transitive_dedup",
-    "x16_gopher_repetition",
-    "x17_bigram_perplexity",
-    "x21_boilerplate_phrases",
-    "x22_perplexity_buckets",
-    "x26_split_contamination",
-]
+#: Round 15 (optimization round 2: plan-only reworks; every entry is a
+#: changed PLAN, semantics unchanged, re-oracled locally before
+#: fronting).  Populated as reworks land this round.
+GATE_PRIORITY: list[str] = []
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
 #: when this lags the upcoming round (max committed gate report + 1) —
@@ -106,7 +59,7 @@ GATE_PRIORITY = [
 #: plain suite keeps it a warning because the driver commits each
 #: round's gate report AFTER the round's final code commit, which makes
 #: the stamp lag by exactly one at judge-suite time by construction.
-GATE_PRIORITY_ROUND = 14
+GATE_PRIORITY_ROUND = 15
 
 #: size of the external gate window (the driver hash-checks this many).
 WINDOW_SIZE = 50
