@@ -353,6 +353,15 @@ def _validity_layers(p: str, prefixes: tuple[str, ...], metrics: dict,
     grammar passed: values never contain '/' or ':', so the substring
     can only occur as a real segment boundary, and a prefix-shadowing
     key ('AV' inside '/MAV:') is excluded by the leading '/'.
+
+    An r15 A/B rejected hoisting the probes into a named
+    position-column layer shared with the extraction: positions in
+    their own layer are UNCONDITIONAL (every row pays all 8/11 scans),
+    while the conjunction here short-circuits them away on every row
+    the grammar regex already rejected — measured ~0.5 s per validity
+    pass at sf0.1, a wash against the extraction reuse.  The
+    extraction's ``instr`` lives inline in :func:`with_cvss3_eval`
+    instead, where it replaces a strictly costlier regexp scan.
     """
     vec = F.col(f"{p}_vec")
     grammar, dup = _whole_vector_res(prefixes, metrics)
@@ -390,19 +399,34 @@ def with_cvss3_eval(df: DataFrame, vec: Column, p: str = "_c3") -> DataFrame:
     layers += _validity_layers(p, ("CVSS:3.0", "CVSS:3.1"),
                                CVSS3_METRICS, CVSS3_MANDATORY)
     v = F.col(f"{p}_vec")
+
+    # metric chars via instr+substring instead of regexp_extract (r15):
+    # a plain substring search plus a one-char slice replaces a full
+    # regex-engine scan per metric (8 of them, the envelope's largest
+    # single cost after the score tree).  Valid vectors carry each
+    # mandatory key exactly once (duplicate-key regex), so the first
+    # occurrence IS the segment and position+offset its value char;
+    # invalid vectors yield a garbage char exactly as the regexp form
+    # yielded '' — both fall to NULL through _chain, and every caller
+    # gates on {p}_ok (the malformed-class exceptAll pin compares
+    # scores across every class).
+    def _at(m: str) -> Column:
+        return F.substring(v, F.instr(v, f"/{m}:") + (len(m) + 2), 1)
+
     layers += [
         {
-            f"{p}_avc": F.regexp_extract(v, r"/AV:([A-Z])", 1),
-            f"{p}_acc": F.regexp_extract(v, r"/AC:([A-Z])", 1),
-            f"{p}_prc": F.regexp_extract(v, r"/PR:([A-Z])", 1),
-            f"{p}_uic": F.regexp_extract(v, r"/UI:([A-Z])", 1),
-            f"{p}_chg": F.regexp_extract(v, r"/S:([A-Z])", 1) == "C",
-            f"{p}_cvv": F.regexp_extract(v, r"/C:([A-Z])", 1),
-            f"{p}_ivv": F.regexp_extract(v, r"/I:([A-Z])", 1),
-            f"{p}_avv": F.regexp_extract(v, r"/A:([A-Z])", 1),
-            f"{p}_ver": F.concat(
-                F.lit("3."), F.regexp_extract(v, r"^CVSS:3\.([01])/", 1)
-            ),
+            f"{p}_avc": _at("AV"),
+            f"{p}_acc": _at("AC"),
+            f"{p}_prc": _at("PR"),
+            f"{p}_uic": _at("UI"),
+            f"{p}_chg": _at("S") == "C",
+            f"{p}_cvv": _at("C"),
+            f"{p}_ivv": _at("I"),
+            f"{p}_avv": _at("A"),
+            # the grammar pins the prefix to CVSS:3.<minor>/ — char 8 is
+            # the minor digit (garbage on invalid rows, gated like the
+            # metric chars; the regexp form's '' was equally garbage)
+            f"{p}_ver": F.concat(F.lit("3."), F.substring(v, 8, 1)),
         },
         {
             f"{p}_av": _chain(F.col(f"{p}_avc"), _AV),
