@@ -213,3 +213,62 @@ def test_purl_packageurl_normalization(spark):
         {"product": "pkg:Maven/org.X/LibA@1.cgr.1",
          "available": {"date": "2024-06-02", "kind": "first-observed"}},
     ]
+
+
+def test_filter_products_regex_equals_composed_form(spark):
+    """The r15 one-regex-per-branch filter_products must keep EXACTLY
+    the elements of the composed purl_field predicate it replaced
+    (VERDICT r14 Next #7).  The fixture sweeps the qualifier/subpath
+    edge cases the rework's equivalence argument rests on: '@' anchors
+    that the version regex skips ('@?'/'@#'/trailing '@'), fragments
+    hidden behind '?'/'#', fragments after a second '@' inside the
+    version span, case variants of scheme/type, and the purl-less /
+    empty-pid fallbacks."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.pipelines.chainguard_libraries import (
+        _filter_products_composed,
+        filter_products,
+    )
+
+    pids = [
+        "pkg:pypi/foo@1.0+cgr.1",            # plain keep
+        "pkg:maven/g/a@2.0.cgr.3",           # maven keep
+        "pkg:PyPI/Foo_Bar@1.0+cgr.1",        # case-insensitive type
+        "PKG:pypi/foo@1.0+cgr.1",            # case-SENSITIVE scheme: drop
+        "pkg:pypi/foo@1.0",                  # no fragment: drop
+        "pkg:maven/g/a@1.0+cgr.1",           # wrong fragment for type: drop
+        "pkg:pypi/foo@1.0.cgr.1",            # wrong fragment for type: drop
+        "pkg:npm/foo@1.0+cgr.1",             # unlisted type: drop
+        "pkg:pypi/foo",                      # no version: drop
+        "pkg:pypi/foo@",                     # empty version: drop
+        "pkg:pypi/foo@?x@1+cgr.0",           # first '@' invalid, second anchors: keep
+        "pkg:pypi/a?b@1+cgr.0",              # '?' in name, version still found: keep
+        "pkg:pypi/foo@1?y+cgr.0",            # fragment behind '?': drop
+        "pkg:pypi/foo@1#y+cgr.0",            # fragment behind '#': drop
+        "pkg:pypi/foo@1@2+cgr.0",            # fragment after 2nd '@' in span: keep
+        "pkg:pypi/foo@1?x@2+cgr.0",          # span ends at '?', later '@' ignored: drop
+        "pkg:pypi/foo@+cgr.1",               # fragment at span start: keep
+        "pkg:py@pi/x@1+cgr.0",               # '@' inside type: drop
+        "pkg://x@1+cgr.0",                   # empty type: drop
+        "",                                  # empty pid -> fallback NULL
+        None,                                # no purl, no id
+    ]
+    rows = [([(pid, (pid,)) for pid in pids],)]
+    schema = (
+        "products array<struct<id string, "
+        "identifiers struct<purl string>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = df.select(
+        F.transform(filter_products(F.col("products")), lambda p: p["id"])
+        .alias("xs")
+    ).collect()[0]["xs"]
+    want = df.select(
+        F.transform(
+            _filter_products_composed(F.col("products")), lambda p: p["id"]
+        ).alias("xs")
+    ).collect()[0]["xs"]
+    assert got == want
+    # and the fixture actually exercises both keep branches
+    assert "pkg:maven/g/a@2.0.cgr.3" in got and "pkg:pypi/foo@1.0+cgr.1" in got

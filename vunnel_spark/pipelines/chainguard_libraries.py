@@ -88,9 +88,46 @@ def _pid(p):
     )
 
 
+#: one compiled regex per ecosystem branch (r15; VERDICT r14 Next #7).
+#: Equivalent to the composed predicate below it replaced — per element
+#: that form ran ~5 regexp_extracts plus lower/contains, all
+#: interpreted inside HOF eval.  Anatomy, matching the purl_field
+#: extraction rules exactly:
+#:   ^pkg:(?i:pypi)/   — the type regex ``^pkg:([^/]+)/`` captures the
+#:     scheme segment case-sensitively on 'pkg:' and the comparison is
+#:     against lower(type), so only the type token is case-insensitive;
+#:   (?:[^@]++|@(?=[?#]|$))*+@ — scan to the FIRST '@' that the version
+#:     regex ``@([^?#]+)`` would anchor on: an '@' followed by '?', '#'
+#:     or end is not a version start there (needs >=1 captured char),
+#:     so the prefix may consume it and keep scanning; a valid '@' can
+#:     never be consumed, so backtracking cannot skip the true anchor
+#:     (possessive quantifiers make that structural, not search-order);
+#:   [^?#]*\+cgr\.     — the required fragment inside the captured
+#:     version span (everything from that '@' to the first '?'/'#').
+#: The old trailing ``version != ''`` is implied: a version containing
+#: the fragment is non-empty.  NULL/''-pid elements fail the regex like
+#: they failed the old isNotNull guard (rlike(NULL) -> NULL -> dropped
+#: by F.filter).
+_PYPI_KEEP_RE = r"^pkg:(?i:pypi)/(?:[^@]++|@(?=[?#]|$))*+@[^?#]*\+cgr\."
+_MAVEN_KEEP_RE = r"^pkg:(?i:maven)/(?:[^@]++|@(?=[?#]|$))*+@[^?#]*\.cgr\."
+
+
 def filter_products(products):
     """Keep chainguard-published artifacts only, in order
-    (openvex_parser.py:236-258)."""
+    (openvex_parser.py:236-258): purl type pypi/maven whose version
+    carries the type's chainguard fragment — one compiled regex per
+    type branch (equivalence exceptAll-pinned against the composed
+    purl_field predicate in tests/test_openvex_pipeline.py)."""
+    return F.filter(
+        products,
+        lambda p: _pid(p).rlike(_PYPI_KEEP_RE)
+        | _pid(p).rlike(_MAVEN_KEEP_RE),
+    )
+
+
+def _filter_products_composed(products):
+    """The pre-r15 composed form of :func:`filter_products`, kept as the
+    independent implementation the equivalence test compares against."""
     return F.filter(
         products,
         lambda p: (
