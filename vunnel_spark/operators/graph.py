@@ -176,10 +176,16 @@ def connected_components(
     instrumentation (scalecurve.py --cc-profile); it adds no extra jobs,
     only records the signatures the loop already computes.
 
-    NOTE: the tight loop swaps two session confs (AQE, shuffle
-    partitions) for the duration of the iteration and restores them in a
-    ``finally``; the loop is driver-sequential, so nothing else plans
-    under the override in this engine's DAGs.
+    NOTE (r15, discharging the r14 ADVICE): the tight loop's conf
+    overrides (AQE off, edge-count-derived shuffle partitions) run on a
+    ``spark.newSession()`` CLONE — same SparkContext, isolated SQLConf —
+    so concurrent planning on the caller's session (e.g. the
+    train_pq_codebooks driver pool) can never execute under the
+    override, and nothing needs restoring.  The checkpointed edge frame
+    crosses sessions through a global temp view (LogicalRDD plans
+    resolve in any session of the context); the fixpoint frame crosses
+    back the same way before the mapping join, which runs on the
+    caller's session with its own confs.
     """
     e0 = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -187,7 +193,7 @@ def connected_components(
     nodes = (
         e0.select("u").union(e0.select(F.col("v").alias("u"))).distinct()
     )
-    e = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    e = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
     # edge-set signature: (count, order-insensitive xor of row hashes).
     # bit_xor never overflows (sum of 64-bit hashes would, and Spark 4's
     # ANSI mode makes that an error); edges are distinct so the xor is a
@@ -201,46 +207,75 @@ def connected_components(
         stats["edges_in"] = sig["n"]
     tight = sig["n"] <= _TIGHT_MAX_EDGES
     spark = edges.sparkSession
-    conf_saved: dict[str, str] | None = None
+    caller_spark = spark
+
+    def _cross_session(df: DataFrame, to_spark, tag: str) -> DataFrame:
+        """Re-root a checkpointed frame in another session of the same
+        context via a global temp view (the only public cross-session
+        plan handoff; the checkpointed scan re-resolves without
+        recompute).  Forcing analysis inlines the view child into the
+        new frame's plan, so the view can be dropped immediately —
+        nothing lingers in the global catalog and no checkpoint blocks
+        stay pinned past the call (r14 ADVICE discipline)."""
+        name = f"vs_cc_{os.getpid()}_{id(df)}_{tag}"
+        df.createOrReplaceGlobalTempView(name)
+        out = to_spark.table(f"global_temp.{name}")
+        out.schema  # force analysis before the view disappears
+        caller_spark.catalog.dropGlobalTempView(name)
+        return out
+
     if tight:
         # the tight loop's whole win is fewer barriers: AQE's
         # per-exchange materialize-and-replan is pure overhead on a
         # measured-small edge set, and the partition count derives from
         # the measured edge count (not the box) so a genuinely larger
-        # graph under the threshold still fans out.
+        # graph under the threshold still fans out.  The overrides live
+        # on an isolated session clone (see docstring NOTE).
         n_part = min(
             max(1, sig["n"] // _TIGHT_ROWS_PER_PARTITION + 1),
             spark.sparkContext.defaultParallelism,
         )
-        conf_saved = {
-            "spark.sql.adaptive.enabled": spark.conf.get(
-                "spark.sql.adaptive.enabled"
-            ),
-            "spark.sql.shuffle.partitions": spark.conf.get(
-                "spark.sql.shuffle.partitions"
-            ),
-        }
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        iso = spark.newSession()
+        iso.conf.set("spark.sql.adaptive.enabled", "false")
+        iso.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        e = _cross_session(e, iso, "in")
+        spark = iso
     rounds = 0
-    try:
-        for _ in range(max_iter):
-            rounds += 1
-            step = (
-                _small_star_w(_large_star_w(e))
-                if tight
-                else _small_star(_large_star(e))
-            )
-            e2 = step.distinct().localCheckpoint(eager=True)
-            sig2 = e2.agg(*_sig_cols).first()
-            e = e2
-            if (sig2["n"], sig2["h"]) == (sig["n"], sig["h"]):
-                break
-            sig = sig2
-    finally:
-        if conf_saved is not None:
-            for k, v in conf_saved.items():
-                spark.conf.set(k, v)
+    while rounds < max_iter:
+        rounds += 1
+        step = (
+            _small_star_w(_large_star_w(e))
+            if tight
+            else _small_star(_large_star(e))
+        )
+        # ONE driver action per round (r15; VERDICT r14 Next #6): the
+        # r14 loop paid two barriers a round — an eager localCheckpoint
+        # job, then the signature aggregate as a second job.  A LAZY
+        # localCheckpoint materializes inside the signature action
+        # itself (all partitions are computed by the agg), so the
+        # lineage cut and the convergence test share one job.  A
+        # fuse-two-rounds-per-barrier variant was measured first and
+        # rejected: it runs a wasted extra round whenever convergence
+        # lands mid-pair, giving back what the halved barriers saved.
+        e2 = step.distinct().localCheckpoint(eager=False)
+        sig2 = e2.agg(*_sig_cols).first()
+        e = e2
+        if (sig2["n"], sig2["h"]) == (sig["n"], sig["h"]):
+            break
+        sig = sig2
+    if tight:
+        e = _cross_session(e, caller_spark, "out")
+    mapping = e.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    out = (
+        nodes.select(F.col("u").alias("node"))
+        .join(mapping, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
     if stats is not None:
         stats["rounds"] = rounds
         stats["edges_fixpoint"] = sig["n"]
@@ -248,16 +283,7 @@ def connected_components(
     # at fixpoint every edge is (member -> component min); a node can still
     # carry >1 edge if max_iter cut iteration short — min() keeps the
     # result well-defined either way.
-    mapping = e.groupBy(F.col("u").alias("node")).agg(
-        F.min("v").alias("component")
-    )
-    return (
-        nodes.select(F.col("u").alias("node"))
-        .join(mapping, "node", "left")
-        .select(
-            "node", F.coalesce("component", F.col("node")).alias("component")
-        )
-    )
+    return out
 
 
 def transitive_dedup(
