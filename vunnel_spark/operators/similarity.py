@@ -298,7 +298,7 @@ def ranked_cells(vec_col: str, centroids: list[list[float]]):
         # Column-API literal loop; see add_lsh_buckets for the A/B that
         # kept the fold over a statically unrolled chain); the whole
         # ranked array is ONE expr() parse, not one per cell
-        cent = ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in c)
+        cent = ", ".join(f"CAST('{float(p)!r}' AS DOUBLE)" for p in c)
         d2 = (
             f"aggregate(zip_with(`{vec_col}`, array({cent}), "
             f"(x, p) -> (CAST(x AS DOUBLE) - p) * (CAST(x AS DOUBLE) - p)), "
@@ -401,6 +401,14 @@ def lsh_topk(
 
     Recall < 1.0 by construction; rank/tie rules match brute_force_topk so
     the two are directly comparable in tests (recall measurement).
+
+    ID CONTRACT (r14 ADVICE): ``id_col`` must be unique within corpus
+    and within queries.  The thin-pair dedup below collapses candidate
+    pairs to distinct (query_id, neighbor_id) and joins vectors back by
+    id — duplicate ids would fan each deduped pair back out per
+    duplicate row (the pre-r14 shape instead collapsed them to one
+    scored row).  Every in-repo corpus derives vec_id from a unique
+    key; external callers must dedupe by id first.
 
     SIZE n_bits WITH THE CORPUS (n_bits ~ log2(n_vectors /
     target_bucket_size)): bucket count is 2^n_bits per table, so fixed
@@ -663,7 +671,7 @@ def pq_encode(
             # code array is ONE expr() parse: m*ks separate expr()
             # calls were ~1.5 s of py4j round trips per build (r14
             # construction profile, 3-4x cheaper single-text).
-            cwl = ", ".join(f"CAST('{p!r}' AS DOUBLE)" for p in cw)
+            cwl = ", ".join(f"CAST('{float(p)!r}' AS DOUBLE)" for p in cw)
             d2 = (
                 f"aggregate(zip_with(slice(`{vec_col}`, {j * sub + 1}, {sub}), "
                 f"array({cwl}), "
@@ -706,7 +714,7 @@ def _with_adc_distance(
     cw_cols = {}
     for j, book in enumerate(codebooks):
         book_sql = ", ".join(
-            "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in cw) + ")"
+            "array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in cw) + ")"
             for cw in book
         )
         cw_cols[f"_cw{j}"] = F.expr(
