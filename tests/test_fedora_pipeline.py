@@ -206,3 +206,47 @@ def test_nvr_rsplit_keeps_empty_segments(spark):
         ("pkg", "0:-7"),
         ("pkg", "0:2.0-"),
     ]
+
+
+def test_parse_builds_split_equals_regex_form(spark):
+    """The r15 split/slice NVR parse must keep exactly the language and
+    captures of the _NVR_RE form it replaced (greedy head: name = all
+    but the last two segments).  Sweeps empty segments, multi-hyphen
+    names, empty names, null nvr, and non-rpm types."""
+    from pyspark.sql import functions as F
+
+    from vunnel_spark.pipelines.fedora import _NVR_RE, parse_builds
+
+    nvrs = [
+        "pkga1-1.2-1.fc41", "lib-foo-bar-2.0-3", "a--", "--", "-a-b",
+        "a-b-", "a--b", "nodash", "one-dash", "", None,
+        "x-y-z-w",  # name keeps inner hyphens: x-y
+    ]
+    rows = [([("rpm", n, None) for n in nvrs] + [("container", "a-b-c", 4)],)]
+    schema = "builds array<struct<type string, nvr string, epoch int>>"
+    df = spark.createDataFrame(rows, schema)
+
+    def regex_form(builds):
+        rpm = F.filter(
+            builds,
+            lambda b: (b["type"] == "rpm")
+            & F.coalesce(b["nvr"], F.lit("")).rlike(_NVR_RE),
+        )
+        return F.transform(
+            rpm,
+            lambda b: F.struct(
+                F.regexp_extract(b["nvr"], _NVR_RE, 1).alias("name"),
+                F.concat(
+                    F.coalesce(b["epoch"], F.lit(0)).cast("string"),
+                    F.lit(":"),
+                    F.regexp_extract(b["nvr"], _NVR_RE, 2),
+                    F.lit("-"),
+                    F.regexp_extract(b["nvr"], _NVR_RE, 3),
+                ).alias("version"),
+            ),
+        )
+
+    got = df.select(parse_builds(F.col("builds")).alias("p")).collect()[0]["p"]
+    want = df.select(regex_form(F.col("builds")).alias("p")).collect()[0]["p"]
+    assert got == want
+    assert len(got) >= 7  # the sweep actually kept the >=2-hyphen rpms

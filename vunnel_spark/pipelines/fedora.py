@@ -68,21 +68,30 @@ def extract_cves(bugs, display_name, title):
     """Unique CVE ids in first-occurrence order: security-bug titles
     first; ONLY if that yields none, display_name then title with one
     shared seen-set (fedora/parser.py:209-234 — array_distinct keeps the
-    first occurrence, which is exactly the imperative seen-set order)."""
+    first occurrence, which is exactly the imperative seen-set order).
+
+    r15 form: ONE regex scan per source instead of one per array
+    element — security titles join on '\\n' (a CVE id is [-\\dA-Z]-only,
+    so no match can span the separator, and match order over the joined
+    string IS flatten's element order; concat_ws also skips NULL titles
+    exactly like the old per-element coalesce('')).  The per-element
+    ``regexp_extract_all`` lambdas ran interpreted inside HOF eval —
+    this pipeline's largest per-row cost (guide §7.4)."""
+    sec_titles = F.concat_ws(
+        "\n", F.transform(F.filter(bugs, lambda b: b["security"]), lambda b: b["title"])
+    )
     from_bugs = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.filter(bugs, lambda b: b["security"]),
-                lambda b: F.regexp_extract_all(
-                    F.coalesce(b["title"], F.lit("")), F.lit(_CVE_RE), F.lit(0)
-                ),
-            )
-        )
+        F.regexp_extract_all(sec_titles, F.lit(_CVE_RE), F.lit(0))
     )
     fallback = F.array_distinct(
-        F.concat(
-            F.regexp_extract_all(F.coalesce(display_name, F.lit("")), F.lit(_CVE_RE), F.lit(0)),
-            F.regexp_extract_all(F.coalesce(title, F.lit("")), F.lit(_CVE_RE), F.lit(0)),
+        F.regexp_extract_all(
+            F.concat_ws(
+                "\n",
+                F.coalesce(display_name, F.lit("")),
+                F.coalesce(title, F.lit("")),
+            ),
+            F.lit(_CVE_RE),
+            F.lit(0),
         )
     )
     return F.when(F.size(from_bugs) > 0, from_bugs).otherwise(fallback)
@@ -91,24 +100,38 @@ def extract_cves(bugs, display_name, title):
 def parse_builds(builds):
     """rpm builds -> (name, 'epoch:version-release') structs; non-rpm
     and malformed NVRs (fewer than two hyphens) drop
-    (fedora/parser.py:236-254)."""
-    rpm = F.filter(
-        builds,
-        lambda b: (b["type"] == "rpm")
-        & F.coalesce(b["nvr"], F.lit("")).rlike(_NVR_RE),
-    )
-    return F.transform(
-        rpm,
-        lambda b: F.struct(
-            F.regexp_extract(b["nvr"], _NVR_RE, 1).alias("name"),
-            F.concat(
-                F.coalesce(b["epoch"], F.lit(0)).cast("string"),
-                F.lit(":"),
-                F.regexp_extract(b["nvr"], _NVR_RE, 2),
-                F.lit("-"),
-                F.regexp_extract(b["nvr"], _NVR_RE, 3),
-            ).alias("version"),
-        ),
+    (fedora/parser.py:236-254).
+
+    r15 form: the NVR rsplit is ONE ``split('-')`` per element instead
+    of an rlike plus three ``regexp_extract`` scans.  ``_NVR_RE``
+    (``^(.*)-([^-]*)-([^-]*)$``, greedy head) matches exactly the
+    strings with >= 2 hyphens and captures (join of all but the last
+    two segments, 2nd-last segment, last segment) — precisely the
+    split/slice form (the equivalence cases incl. empty segments are
+    pinned in tests/test_fedora_pipeline.py).  One transform computing
+    the split once per element + a null filter replaces the
+    filter-then-transform pair that re-parsed every element."""
+    def _entry(b):
+        parts = F.split(F.coalesce(b["nvr"], F.lit("")), "-")
+        n = F.size(parts)
+        return F.when(
+            (b["type"] == "rpm") & (n >= 3),
+            F.struct(
+                F.array_join(F.slice(parts, F.lit(1), n - 2), "-").alias(
+                    "name"
+                ),
+                F.concat(
+                    F.coalesce(b["epoch"], F.lit(0)).cast("string"),
+                    F.lit(":"),
+                    F.element_at(parts, -2),
+                    F.lit("-"),
+                    F.element_at(parts, -1),
+                ).alias("version"),
+            ),
+        )
+
+    return F.filter(
+        F.transform(builds, _entry), lambda s: s.isNotNull()
     )
 
 

@@ -108,6 +108,13 @@ def osv_patch_fix_dates(
         F.col("aff.package").alias("package"),
         F.posexplode_outer("aff.ranges").alias("r_pos", "rng"),
     )
+    # rg feeds TWO consumers (the event-grain candidate build below and
+    # the positional rebuild join at the end) whose pruned subtrees
+    # differ, so without a persist the corpus scan + double explode
+    # evaluates twice (r15; the openvex1/minhash multi-branch
+    # discipline, guide §5).  In-query intermediate only — harnesses
+    # clearCache() between runs, nothing survives a query.
+    rg = rg.persist()
     from vunnel_spark.functions.fixdate import (
         normalize_fixdate_ecosystem,
         normalize_fixdate_package,
@@ -144,6 +151,11 @@ def osv_patch_fix_dates(
             "id", "published", "a_pos", "r_pos", "pkg", "eco",
             F.col("ev.fixed").alias("fixed"),
         )
+        # ev feeds both candidate branches (store hits + published
+        # fallback); column pruning keeps the two subtrees unequal so
+        # ReuseExchange cannot dedup them — persist the THIN event
+        # frame once instead of exploding/normalizing twice (r15).
+        .persist()
     )
 
     # -- candidates: store rows + the advisory published fallback
