@@ -257,6 +257,10 @@ def connected_components(
         # fuse-two-rounds-per-barrier variant was measured first and
         # rejected: it runs a wasted extra round whenever convergence
         # lands mid-pair, giving back what the halved barriers saved.
+        # An r15 lazy-vs-eager bisect (bench_ab_r15 artifacts,
+        # cc_iso*/ccg3_* runs): warm same-session rounds are identical
+        # (~0.4 s either way on g1's 2-round graph); fresh-process
+        # deltas were inside the box's 2x same-code variance.
         e2 = step.distinct().localCheckpoint(eager=False)
         sig2 = e2.agg(*_sig_cols).first()
         e = e2
