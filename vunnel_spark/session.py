@@ -63,6 +63,22 @@ def get_spark(app_name: str = "vunnel_spark", cpus: str | int | None = None) -> 
         # backlog) without ever landing inside a short timed run.
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "10min"))
+        # The JVM JIT refuses to compile methods over 8000 bytecode bytes
+        # (HotSpot -XX:DontCompileHugeMethods, HugeMethodLimit=8000 — a
+        # property of every executor JVM, not of local[32]), so a fused
+        # WholeStageCodegen stage whose generated method lands between
+        # 8000 and Spark's default fallback threshold (65535) compiles
+        # fine yet runs BYTECODE-INTERPRETED forever.  Aligning Spark's
+        # fallback with the JIT limit makes exactly those stages fall
+        # back to per-operator codegen (each operator's UnsafeProjection
+        # is its own small, JIT-able method).  r15 audit
+        # (scripts/audit_codegen_size.py): 6 registered queries sat in
+        # the dead zone — ghsa1 42.3 KB, e17 32.7 KB, rhel1 21.2 KB,
+        # rhel2 12.3 KB, d5 9.4 KB, photon1 9.3 KB — and the e17 sf10
+        # A/B measured the interpreted fused stage at ~32 s vs ~17 s
+        # with the fallback (OPTIMIZATION_r15.md).
+        .config("spark.sql.codegen.hugeMethodLimit",
+                os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # Spark cannot read TIMESTAMP(NANOS) parquet natively; read the raw
