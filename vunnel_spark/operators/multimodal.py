@@ -149,34 +149,58 @@ def _filter_scanlines(recon, ch, row_filter) -> bytearray:
     """Filter a (rows, stride) int32 reconstruction into PNG scanline
     bytes (one filter-type byte + filtered row each).  Shared by the
     sequential path and each Adam7 pass — the spec's filters apply
-    per-pass with the previous-row state reset (§8.2)."""
+    per-pass with the previous-row state reset (§8.2).
+
+    Whole-image vectorization (r15): the ENCODER has no sequential
+    dependency — every predictor input (left, previous row, up-left) is
+    the known reconstruction — so all five filters compute as matrix
+    expressions over the full pass and each row selects its own by
+    filter type.  The r14 per-row form paid ~8 numpy-dispatch calls per
+    scanline on 8-23 px images (guide §4.2: hand whole batches to the
+    vectorized kernel); bytes are identical by construction (same
+    arithmetic, same dtype laundering through ``% 256``)."""
     import numpy as np
 
-    lines = bytearray()
-    prev = np.zeros(recon.shape[1], dtype=np.int32)
-    for y in range(recon.shape[0]):
-        f = int(row_filter(y)) if row_filter else 0
-        if not 0 <= f <= 4:
-            raise ValueError(f"row_filter returned invalid filter type {f}")
-        cur = recon[y]
-        left = np.zeros_like(cur)
-        left[ch:] = cur[:-ch]
-        upleft = np.zeros_like(prev)
-        upleft[ch:] = prev[:-ch]
+    rows, stride = recon.shape
+    if row_filter:
+        fvec = np.fromiter(
+            (int(row_filter(y)) for y in range(rows)), dtype=np.int64, count=rows
+        )
+        if fvec.size and (fvec.min() < 0 or fvec.max() > 4):
+            bad = fvec[(fvec < 0) | (fvec > 4)][0]
+            raise ValueError(f"row_filter returned invalid filter type {bad}")
+    else:
+        fvec = np.zeros(rows, dtype=np.int64)
+
+    out = np.empty((rows, 1 + stride), dtype=np.uint8)
+    out[:, 0] = fvec
+    if not fvec.any():
+        out[:, 1:] = recon % 256
+        return bytearray(out.tobytes())
+
+    left = np.zeros_like(recon)
+    left[:, ch:] = recon[:, :-ch]
+    prev = np.zeros_like(recon)
+    prev[1:] = recon[:-1]
+    # one masked computation per filter type present: each predictor
+    # evaluates only on its own rows (a y%5 cycle pays Paeth on 1/5 of
+    # the image instead of all of it)
+    for f in np.unique(fvec):
+        m = fvec == f
         if f == 0:
-            filt = cur
+            filt = recon[m]
         elif f == 1:
-            filt = cur - left
+            filt = recon[m] - left[m]
         elif f == 2:
-            filt = cur - prev
+            filt = recon[m] - prev[m]
         elif f == 3:
-            filt = cur - (left + prev) // 2
+            filt = recon[m] - (left[m] + prev[m]) // 2
         else:
-            filt = cur - _paeth_predictor(left, prev, upleft)
-        lines.append(f)
-        lines.extend((filt % 256).astype(np.uint8).tobytes())
-        prev = cur
-    return lines
+            upleft = np.zeros_like(recon)
+            upleft[1:, ch:] = recon[:-1, :-ch]
+            filt = recon[m] - _paeth_predictor(left[m], prev[m], upleft[m])
+        out[m, 1:] = filt % 256
+    return bytearray(out.tobytes())
 
 
 def _sample_rows_to_bytes(sub, depth: int):
@@ -284,20 +308,39 @@ def _defilter(raw, p: int, rows: int, stride: int, ch: int):
             rec = line
         elif f == 2:
             rec = (line + prev) % 256
-        elif f in (1, 3, 4):
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) // 2
-                else:
+        elif f == 1:
+            # Sub: rec[x] = line[x] + rec[x-ch] — per-channel prefix sum,
+            # so the whole row is one cumsum mod 256 (r15; the r14
+            # per-pixel Python loop was the decode hot spot on the tiny
+            # synthesized corpus images, ~stride iterations per row)
+            n = stride // ch
+            if n * ch == stride:
+                rec = (
+                    line.reshape(n, ch).cumsum(axis=0, dtype=np.int64) % 256
+                ).reshape(stride).astype(np.int32)
+            else:  # stride not a channel multiple cannot occur for valid
+                rec = line.copy()  # images; fall back to no-predictor
+        elif f in (3, 4):
+            # True left-neighbor recurrence — stays a scalar loop, but
+            # over PYTHON ints (numpy per-element indexing pays ~10x in
+            # scalar boxing; .tolist() first makes each step plain int
+            # math, measured ~4x on the llm2 decode stage)
+            ln = line.tolist()
+            pv = prev.tolist()
+            rc = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = rc[x - ch] if x >= ch else 0
+                    rc[x] = (ln[x] + ((a + pv[x]) >> 1)) % 256
+            else:
+                for x in range(stride):
+                    a = rc[x - ch] if x >= ch else 0
+                    b = pv[x]
+                    c = pv[x - ch] if x >= ch else 0
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (line[x] + pred) % 256
+                    rc[x] = (ln[x] + pred) % 256
+            rec = np.array(rc, dtype=np.int32)
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = rec.astype(np.uint8)
