@@ -307,11 +307,17 @@ def o2(spark, sf_dir):
             ".", F.col("l_quantity").cast("int"), F.col("l_linenumber")
         ).alias("ver"),
     ).distinct()
-    # repartition by an unrelated key: the output hash must not care
-    folded = (
-        entries.repartition(7, "ver")
-        .groupBy("vuln_id")
-        .agg(F.array_sort(F.collect_list(F.struct("name", "ver"))).alias("fi"))
+    # Order-insensitivity is guaranteed by array_sort over the collected
+    # structs, not by plan shape; the adversarial repartition(7, "ver")
+    # that used to sit here as an in-plan proof device was a pure-extra
+    # exchange AND a 7-way parallelism ceiling on the partial-aggregate
+    # stage (the whole distinct output flowed through 7 tasks at every
+    # scale — guide §2.4).  The proof lives in
+    # tests/test_windows_order.py::test_o2_partitioning_invariant, which
+    # pins the registered plan's result against the adversarially
+    # repartitioned variant.
+    folded = entries.groupBy("vuln_id").agg(
+        F.array_sort(F.collect_list(F.struct("name", "ver"))).alias("fi")
     )
     return folded.select(
         "vuln_id",
