@@ -1182,9 +1182,18 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
+        # batch within the current accumulator byte (r15): identical
+        # MSB-first result to n read_bit calls, refilling through the
+        # same stuffed-FF/marker logic at each byte boundary
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while n:
+            if self.nbits == 0:
+                self.read_bit()  # refill via the single stuffing path
+                self.nbits += 1  # un-consume the bit read_bit took
+            take = n if n < self.nbits else self.nbits
+            self.nbits -= take
+            v = (v << take) | ((self.acc >> self.nbits) & ((1 << take) - 1))
+            n -= take
         return v
 
     def sync_restart(self) -> int:
@@ -3403,9 +3412,24 @@ class _PlainBitReader:
         return b
 
     def read_bits(self, n: int) -> int:
+        # byte-at-a-time (r15): same MSB-first semantics as n read_bit
+        # calls, but consuming up to 8 bits per iteration
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        data, byte, bit = self.data, self.byte, self.bit
+        ln = len(data)
+        while n:
+            if byte >= ln:
+                self.byte, self.bit = byte, bit
+                raise ValueError("truncated FLAC stream")
+            avail = 8 - bit
+            take = n if n < avail else avail
+            v = (v << take) | ((data[byte] >> (avail - take)) & ((1 << take) - 1))
+            bit += take
+            if bit == 8:
+                bit = 0
+                byte += 1
+            n -= take
+        self.byte, self.bit = byte, bit
         return v
 
     def read_signed(self, n: int) -> int:
@@ -3413,10 +3437,29 @@ class _PlainBitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        # byte-skip (r15): zero remainders consume whole bytes at once;
+        # the terminating one-bit is located with bit_length
         q = 0
-        while self.read_bit() == 0:
-            q += 1
-        return q
+        data, byte, bit = self.data, self.byte, self.bit
+        ln = len(data)
+        while True:
+            if byte >= ln:
+                self.byte, self.bit = byte, bit
+                raise ValueError("truncated FLAC stream")
+            rest = data[byte] & ((1 << (8 - bit)) - 1)
+            if rest == 0:
+                q += 8 - bit
+                bit = 0
+                byte += 1
+                continue
+            pos = 8 - rest.bit_length()  # MSB-relative index of the 1
+            q += pos - bit
+            bit = pos + 1
+            if bit == 8:
+                bit = 0
+                byte += 1
+            self.byte, self.bit = byte, bit
+            return q
 
     def align(self) -> None:
         if self.bit:
@@ -3424,23 +3467,40 @@ class _PlainBitReader:
             self.byte += 1
 
 
+def _crc_tables() -> tuple[list, list]:
+    t8, t16 = [], []
+    for b in range(256):
+        crc = b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t8.append(crc)
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        t16.append(crc)
+    return t8, t16
+
+
+#: 256-entry lookup tables (r15) — same polynomials as the former
+#: per-bit loops, one table probe per byte instead of 8 shift rounds
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -3540,11 +3600,11 @@ def _write_flac_subframe(bw, samples, bits: int = 16, method: str = "fixed",
     bw.write(0b00, 2)  # residual method: 4-bit rice
     bw.write(0, 4)  # partition order 0
     bw.write(p, 4)
-    for u in folded:
-        u = int(u)
+    mask = (1 << p) - 1
+    for u in folded.tolist():  # plain ints: no numpy scalar boxing per sample
         bw.write_unary(u >> p)
         if p:
-            bw.write(u & ((1 << p) - 1), p)
+            bw.write(u & mask, p)
 
 
 def encode_flac(samples, sample_rate: int, method: str = "fixed",
@@ -3686,12 +3746,23 @@ def _read_flac_subframe(br, blocksize: int, bits: int = 16) -> list:
         order = stype - 8
         warm = [br.read_signed(bits) for _ in range(order)]
         res = _read_flac_residuals(br, blocksize, order)
-        block = list(warm)
-        coef = _FLAC_FIXED_COEFFS[order]
-        for r in res:
-            v = r + sum(c * block[-i - 1] for i, c in enumerate(coef))
-            block.append(v)
-        return block
+        if order == 0:
+            return res
+        # FIXED reconstruction = order-fold integration of the residual
+        # difference sequence (r15): res[m] is diff^order(x)[m], so each
+        # level j recovers diff^j(x) as last-warmup-diff + cumsum of the
+        # level above — one cumsum per order instead of a per-sample
+        # Python convolution.  int64 exact: |sample| < 2^17, order <= 4
+        # diffs < 2^21, cumsum over <= 65536 samples < 2^38.
+        import numpy as np
+
+        seq = np.asarray(res, dtype=np.int64)
+        levels = [np.asarray(warm, dtype=np.int64)]
+        for _ in range(1, order):
+            levels.append(np.diff(levels[-1]))
+        for j in range(order - 1, -1, -1):
+            seq = levels[j][-1] + np.cumsum(seq)
+        return warm + seq.tolist()
     if stype >= 32:  # LPC, order = low 5 bits + 1
         order = (stype & 0x1F) + 1
         warm = [br.read_signed(bits) for _ in range(order)]
@@ -3704,8 +3775,14 @@ def _read_flac_subframe(br, blocksize: int, bits: int = 16) -> list:
         coefs = [br.read_signed(prec) for _ in range(order)]
         res = _read_flac_residuals(br, blocksize, order)
         block = list(warm)
+        # C-level dot per sample (r15): a reversed slice + map(mul) in
+        # place of the per-coefficient Python generator — same ints,
+        # same floor shift
+        from operator import mul
+
+        lo = -order - 1
         for r in res:
-            pred = sum(c * block[-j - 1] for j, c in enumerate(coefs)) >> shift
+            pred = sum(map(mul, coefs, block[-1:lo:-1])) >> shift
             block.append(r + pred)  # Python >> floors like the spec
         return block
     raise ValueError("reserved subframe type")
