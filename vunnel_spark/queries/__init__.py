@@ -43,10 +43,41 @@ from pathlib import Path
 from vunnel_spark.registry import REGISTRY
 
 #: queries added or semantically changed THIS round — always gated first.
-#: Round 15 (optimization round 2: plan-only reworks; every entry is a
-#: changed PLAN, semantics unchanged, re-oracled locally before
-#: fronting).  Populated as reworks land this round.
-GATE_PRIORITY: list[str] = []
+#: Round 15 (optimization round 2): semantics unchanged everywhere; the
+#: entries are the round's changed PLANS (layered/persisted/thinned
+#: reworks from the inherited commits, o2's dropped in-plan repartition)
+#: plus the queries whose PYTHON KERNELS changed byte-identically (the
+#: PNG codec vectorization: llm2 + the png-decode m-family).  All
+#: re-oracled locally before fronting.
+GATE_PRIORITY: list[str] = [
+    "ghsa1_per_ecosystem_dag",
+    "e17_ghsa_cvss_envelope",
+    "e14_cvss_base_score",
+    "rhel1_parse_cve_dag",
+    "rhel2_cvss_normalize",
+    "sles1_not_affected_dag",
+    "fedora1_bodhi_merge_dag",
+    "osv1_fixdate_patch",
+    "openvex1_libraries_dag",
+    "o2_fixedin_deterministic_order",
+    "llm2_media_corpus_dag",
+    "m7_png_feature_extract",
+    "m8_png_resize_pipeline",
+    "m19_palette_adam7_extract",
+    "m20_png16_feature_extract",
+    "m21_rgba_png_feature_extract",
+    "m17_flac_audio_features",
+    "m18_stereo_flac_features",
+    "g1_dup_components",
+    "g2_transitive_dedup",
+    "g3_chain_components",
+    "d11_dedup_clusters",
+    "d9_semantic_dedup",
+    "n5_ann_ivf_dup_retrieval",
+    "n7_pq_adc_topk",
+    "n8_pq_rerank_retrieval",
+    "n9_ivfpq_topk",
+]
 
 #: the round GATE_PRIORITY was written for.  compute_gate_window warns
 #: when this lags the upcoming round (max committed gate report + 1) —
